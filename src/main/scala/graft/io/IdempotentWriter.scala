@@ -1,0 +1,55 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Idempotent date-partitioned load.
+  *
+  * Re-expresses the reference's load phase S5–S8 (reference
+  * main.py:1500-1578): delete existing rows for the run's date, then
+  * insert — "partition overwrite" semantics (dedup-by-date rationale
+  * README.md:111). In Spark this is DYNAMIC PARTITION OVERWRITE on a
+  * `fecha`-partitioned table: only the partitions present in the
+  * incoming frame are replaced, atomically per partition via the file
+  * commit protocol — the scalable equivalent of DELETE+INSERT (no
+  * table scan, no row-level delete; at 100 TB replacing one day
+  * touches one partition directory).
+  *
+  * The reference's per-row salvage on failed batches (silent drop of
+  * poison rows, main.py:1564-1569) is deliberately replaced by an
+  * EXPLICIT quarantine predicate: rows missing keys are split out
+  * before the write (deviation documented in SURVEY §7.4 — silent
+  * drops don't scale to auditability).
+  */
+object IdempotentWriter {
+
+  /** Table-name whitelist guard (S8, reference main.py:1481-1497). */
+  def requireAllowed(table: String, allowed: Set[String]): Unit =
+    require(allowed.contains(table), s"table '$table' not in whitelist $allowed")
+
+  /** Split (good, quarantined-bad) on non-null key columns
+    * (F2, reference main.py:1258/1305 — but explicit, not silent). */
+  def quarantine(df: DataFrame, keyCols: Seq[String]): (DataFrame, DataFrame) = {
+    val ok = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    (df.filter(ok), df.filter(!ok))
+  }
+
+  /** Overwrite exactly the `partitionCol` partitions present in `df`,
+    * appending the `load_date` audit column (DDL default GETDATE(),
+    * reference main.py:1400/1439). */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionCol: String = "fecha", addLoadDate: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val out = if (addLoadDate) df.withColumn("load_date", current_timestamp()) else df
+      out.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.norm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Lenient, never-failing value coercions (`Column => Column`).
+  *
+  * These re-express the reference's scalar-function surface
+  * (reference main.py:425-528) as Catalyst expression trees built
+  * only from `org.apache.spark.sql.functions` — fully
+  * whole-stage-codegen'd, no UDFs, so at 100 TB they run inside the
+  * scan/project stage at vectorized-reader speed.
+  *
+  * NOTE: all of these assume non-ANSI cast semantics
+  * (`spark.sql.ansi.enabled=false`): a failed string→number cast
+  * yields NULL, which we then default. Sessions built via
+  * [[graft.queries.Tables.prep]] pin this.
+  */
+object Coerce {
+
+  /** Null-ish sentinel tokens, compared case-insensitively after trim
+    * (reference main.py:441-444: `-`, ``, `nan`, `None`). */
+  private val NullTokens: Seq[Any] = Seq("-", "", "nan", "none")
+
+  /** `HH:MM:SS` / `HH:MM` / plain-number string → decimal minutes.
+    * Total function, never errors (reference main.py:425-462):
+    *   - NULL / `-` / `''` / `nan` / `None`  → 0.0
+    *   - `H:M:S`                             → H*60 + M + S/60
+    *   - `H:M`                               → H*60 + M
+    *   - plain number                        → its double value
+    *   - anything unparseable (any piece)    → 0.0
+    */
+  def timeToMinutes(c: Column): Column = {
+    val s = trim(c.cast("string"))
+    val parts = split(s, ":")
+    val p1 = element_at(parts, 1).cast("double")
+    val p2 = element_at(parts, 2).cast("double")
+    val p3 = element_at(parts, 3).cast("double")
+    val plain = s.cast("double")
+    when(c.isNull || lower(s).isin(NullTokens: _*), lit(0.0))
+      .when(
+        s.contains(":"),
+        when(size(parts) === 3,
+          when(p1.isNull || p2.isNull || p3.isNull, lit(0.0))
+            .otherwise(p1 * 60 + p2 + p3 / 60))
+          .when(size(parts) === 2,
+            when(p1.isNull || p2.isNull, lit(0.0)).otherwise(p1 * 60 + p2))
+          .otherwise(lit(0.0)))
+      .otherwise(
+        when(plain.isNull || isnan(plain), lit(0.0)).otherwise(plain))
+  }
+
+  /** Lenient double: garbage/NULL/NaN → 0.0
+    * (reference main.py:516-528, `to_numeric(errors='coerce').fillna(0.0)`). */
+  def lenientDouble(c: Column): Column = {
+    val d = trim(c.cast("string")).cast("double")
+    when(d.isNull || isnan(d), lit(0.0)).otherwise(d)
+  }
+
+  /** Lenient int: parse as double then truncate toward zero, garbage → 0
+    * (reference main.py:501-513, `.fillna(0).astype(int)` truncates). */
+  def lenientInt(c: Column): Column =
+    lenientDouble(c).cast("long").cast("int")
+
+  /** Day-first date parse, garbage → NULL (then droppable)
+    * (reference main.py:1239/1295, `to_datetime(dayfirst=True)`). */
+  def parseDateDayFirst(c: Column): Column = {
+    val s = trim(c.cast("string"))
+    coalesce(to_date(s, "dd/MM/yyyy"), to_date(s, "d/M/yyyy"))
+  }
+}

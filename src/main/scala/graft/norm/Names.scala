@@ -1,0 +1,32 @@
+package graft.norm
+
+import java.text.Normalizer
+
+/** Column-name normalization.
+  *
+  * Re-expresses the reference's `limpiar_nombre_columna`
+  * (reference main.py:386-422): NFKD-decompose and strip accents
+  * (`ñ`→`n`, `á`→`a`), `%`→`pct_`, non-alphanumerics→`_`, collapse
+  * runs of `_`, trim leading/trailing `_`, lowercase.
+  *
+  * Pure Scala (metadata-only): column renames never touch Catalyst,
+  * so at 100 TB this is free — `df.toDF(cols.map(normalizeName): _*)`
+  * is a projection-name change, not a data pass.
+  */
+object Names {
+
+  def normalizeName(raw: String): String = {
+    val noAccents = Normalizer
+      .normalize(raw, Normalizer.Form.NFKD)
+      .replaceAll("\\p{M}+", "") // drop combining marks left by NFKD
+    val pct = noAccents.replace("%", " pct ")
+    pct.trim.toLowerCase
+      .replaceAll("[^a-z0-9]+", "_")
+      .replaceAll("_+", "_")
+      .stripPrefix("_")
+      .stripSuffix("_")
+  }
+
+  /** Normalize every column name of a schema'd column list. */
+  def normalizeAll(cols: Seq[String]): Seq[String] = cols.map(normalizeName)
+}

@@ -1,0 +1,477 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Layer-B relational surface: the BI/reporting queries the
+  * reference's loaded tables exist to serve (SURVEY §2.4-§2.6;
+  * purpose stated at reference README.md:113 — "listos para ser
+  * consumidos por herramientas de BI").
+  *
+  * Scale notes (100 TB posture) are per-query. Every query imposes a
+  * TOTAL order and rounds doubles for hash-stable comparison with the
+  * DuckDB oracle.
+  */
+object Relational {
+  import Tables._
+
+  /** Flagship aggregation — TPC-H Q1 shape (pricing summary).
+    * Partial (map-side) aggregation + final hash agg: Catalyst plans
+    * this as two-phase HashAggregate, so the shuffle carries only
+    * |groups| rows per partition, not data. Grouping cardinality is
+    * tiny → broadcast-free, skew-free at any scale. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(sum(l_extendedprice), 4) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Day-grain rollup of event-grain data — the `t_*`→`t_diario_*`
+    * relationship of the reference (SURVEY §2.5). Group keys are
+    * (day, type): bounded cardinality, two-phase agg. */
+  def eventsDaily(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("d", "event_type")
+  }
+
+  val eventsDailySql: String =
+    """SELECT CAST(ts AS DATE) AS d, event_type,
+      |  count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Exact distinct count — expands to a two-level aggregate
+    * (partial distinct per partition, then final), no driver
+    * materialization. */
+  def distinctCustomers(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val distinctCustomersSql: String =
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** ROLLUP grouping sets (subtotals + grand total). */
+  def rollupReturns(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+  }
+
+  val rollupReturnsSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY 1, 2""".stripMargin
+
+  /** CUBE grouping sets. */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("n"), col("sum_price"))
+      .orderBy("st", "pri")
+  }
+
+  val cubeOrdersSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+      |  coalesce(o_orderpriority, 'ALL') AS pri,
+      |  count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Star-schema dimension join — both dims BROADCAST (nation/region
+    * are KB-sized at any TPC-H scale; no shuffle of the fact side). */
+  def joinDims(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val c = customer(spark, dir)
+    val n = nation(spark, dir)
+    val r = region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 4).as("sum_bal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val joinDimsSql: String =
+    """SELECT r_name, n_name, count(*) AS n_cust,
+      |  round(sum(c_acctbal), 4) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Fact-fact join — shuffle (sort-merge / shuffled-hash per AQE)
+    * on the join key. Both sides partition on l_orderkey/o_orderkey;
+    * at 100 TB this is THE shuffle that matters — co-located
+    * bucketing on orderkey would eliminate it (see BucketedLayout in
+    * graft.io docs). Aggregation after the join is two-phase. */
+  def joinFacts(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  val joinFactsSql: String =
+    """SELECT o_orderpriority,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |  count(*) AS n_items
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Semi join (EXISTS): customers that placed at least one order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val c = customer(spark, dir)
+    val o = orders(spark, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Anti join (NOT EXISTS): customers that never ordered. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val c = customer(spark, dir)
+    val o = orders(spark, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Left outer join with null-aware aggregation. */
+  def leftJoin(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val p = part(spark, dir)
+    val l = lineitem(spark, dir).select(col("l_partkey"), col("l_quantity"))
+    p.join(l, p("p_partkey") === l("l_partkey"), "left")
+      .groupBy(col("p_brand"))
+      .agg(
+        count(col("l_partkey")).as("n_lineitems"), // non-null only
+        count(lit(1)).as("n_rows"),
+        round(sum(coalesce(col("l_quantity"), lit(0.0))), 4).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  val leftJoinSql: String =
+    """SELECT p_brand, count(l_partkey) AS n_lineitems, count(*) AS n_rows,
+      |  round(sum(coalesce(l_quantity, 0)), 4) AS sum_qty
+      |FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Ranking window: top-5 customers per segment by balance.
+    * Single shuffle on the partition key; ties broken by key for
+    * determinism. */
+  def windowTopN(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    customer(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("c_mktsegment"), col("rn"), col("c_custkey"),
+        round(col("c_acctbal"), 4).as("acctbal"))
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  val windowTopNSql: String =
+    """SELECT c_mktsegment, rn, c_custkey, round(c_acctbal, 4) AS acctbal
+      |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+      |        row_number() OVER (PARTITION BY c_mktsegment
+      |          ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      |      FROM customer)
+      |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin
+
+  /** Analytic window: lag across each user's event sequence. */
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(spark, dir)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("prev_value"),
+        round(col("value") - col("prev_value"), 4).as("delta"))
+      .orderBy("event_id")
+  }
+
+  val windowLagSql: String =
+    """SELECT event_id, user_id, value, prev_value,
+      |  round(value - prev_value, 4) AS delta
+      |FROM (SELECT event_id, user_id, value,
+      |        lag(value, 1) OVER (PARTITION BY user_id
+      |          ORDER BY ts ASC, event_id ASC) AS prev_value
+      |      FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  /** Frame window: running sum per user (rows between unbounded
+    * preceding and current). */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .withColumn("running_sum", round(sum(col("value")).over(w), 4))
+      .select(col("event_id"), col("user_id"), col("running_sum"))
+      .orderBy("event_id")
+  }
+
+  val windowRunningSql: String =
+    """SELECT event_id, user_id,
+      |  round(sum(value) OVER (PARTITION BY user_id
+      |    ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+      |    AS running_sum
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Top-k by global order: Spark plans TakeOrderedAndProject —
+    * each partition keeps its local top-k, driver merges k*parts
+    * rows, never a full sort. The scalable top-k. */
+  def topK(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    orders(spark, dir)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("totalprice"))
+      .orderBy(col("totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  val topKSql: String =
+    """SELECT o_orderkey, round(o_totalprice, 4) AS totalprice
+      |FROM orders ORDER BY totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
+  /** Set op: UNION (distinct). */
+  def unionIds(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    events(spark, dir).select(col("user_id").as("id"))
+      .union(orders(spark, dir).select(col("o_custkey").as("id")))
+      .distinct()
+      .orderBy("id")
+  }
+
+  val unionIdsSql: String =
+    """SELECT user_id AS id FROM events
+      |UNION SELECT o_custkey AS id FROM orders ORDER BY id""".stripMargin
+
+  /** Set op: EXCEPT. */
+  def exceptIds(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    customer(spark, dir).select(col("c_custkey").as("id"))
+      .except(orders(spark, dir).select(col("o_custkey").as("id")))
+      .orderBy("id")
+  }
+
+  val exceptIdsSql: String =
+    """SELECT c_custkey AS id FROM customer
+      |EXCEPT SELECT o_custkey AS id FROM orders ORDER BY id""".stripMargin
+
+  /** Set op: INTERSECT. */
+  def intersectIds(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    customer(spark, dir).select(col("c_custkey").as("id"))
+      .intersect(events(spark, dir).select(col("user_id").as("id")))
+      .orderBy("id")
+  }
+
+  val intersectIdsSql: String =
+    """SELECT c_custkey AS id FROM customer
+      |INTERSECT SELECT user_id AS id FROM events ORDER BY id""".stripMargin
+
+  /** JSON extraction from a string column (harness `events.props`).
+    * `get_json_object` is a codegen'd path expression — no UDF. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("k")
+  }
+
+  val jsonExtractSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+      |  count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Tumbling event-time window (batch form; streaming form in
+    * graft.streaming uses the identical expression). */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+  }
+
+  val tumblingWindowSql: String =
+    """SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
+      |  count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Predicate pushdown showcase — TPC-H Q6 shape. The three
+    * conjuncts reach the parquet scan as PushedFilters; only 4 of 11
+    * columns are read (ReadSchema pruning). */
+  def filterPushdown(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+        .as("revenue"), count(lit(1)).as("n"))
+  }
+
+  val filterPushdownSql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Correlated EXISTS subquery through the SQL entry point —
+    * Catalyst decorrelates it into a semi join. */
+  def sqlExists(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    orders(spark, dir).createOrReplaceTempView("orders_v")
+    lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders_v o
+        |WHERE EXISTS (SELECT 1 FROM lineitem_v l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity > 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val sqlExistsSql: String =
+    """SELECT o_orderpriority, count(*) AS n
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_quantity > 45)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Approximate distinct (HyperLogLog++). Algorithm-specific → no
+    * DuckDB oracle (their HLL differs); correctness is bounded-error
+    * vs exact count, asserted in the ScalaTest spec. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> pricingSummary,
+    "q02_events_daily" -> eventsDaily,
+    "q03_distinct_customers" -> distinctCustomers,
+    "q04_rollup_returns" -> rollupReturns,
+    "q05_cube_orders" -> cubeOrders,
+    "q06_join_dims" -> joinDims,
+    "q07_join_facts" -> joinFacts,
+    "q08_semi_join" -> semiJoin,
+    "q09_anti_join" -> antiJoin,
+    "q10_left_join" -> leftJoin,
+    "q11_window_topn" -> windowTopN,
+    "q12_window_lag" -> windowLag,
+    "q13_window_running" -> windowRunning,
+    "q14_topk" -> topK,
+    "q15_union_ids" -> unionIds,
+    "q16_except_ids" -> exceptIds,
+    "q17_intersect_ids" -> intersectIds,
+    "q18_json_extract" -> jsonExtract,
+    "q19_tumbling_window" -> tumblingWindow,
+    "q20_filter_pushdown" -> filterPushdown,
+    "q21_sql_exists" -> sqlExists,
+    "q22_approx_distinct" -> approxDistinct
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> pricingSummarySql,
+    "q02_events_daily" -> eventsDailySql,
+    "q03_distinct_customers" -> distinctCustomersSql,
+    "q04_rollup_returns" -> rollupReturnsSql,
+    "q05_cube_orders" -> cubeOrdersSql,
+    "q06_join_dims" -> joinDimsSql,
+    "q07_join_facts" -> joinFactsSql,
+    "q08_semi_join" -> semiJoinSql,
+    "q09_anti_join" -> antiJoinSql,
+    "q10_left_join" -> leftJoinSql,
+    "q11_window_topn" -> windowTopNSql,
+    "q12_window_lag" -> windowLagSql,
+    "q13_window_running" -> windowRunningSql,
+    "q14_topk" -> topKSql,
+    "q15_union_ids" -> unionIdsSql,
+    "q16_except_ids" -> exceptIdsSql,
+    "q17_intersect_ids" -> intersectIdsSql,
+    "q18_json_extract" -> jsonExtractSql,
+    "q19_tumbling_window" -> tumblingWindowSql,
+    "q20_filter_pushdown" -> filterPushdownSql,
+    "q21_sql_exists" -> sqlExistsSql
+    // q22_approx_distinct: intentionally no oracle (approximate)
+  )
+}

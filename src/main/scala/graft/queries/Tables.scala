@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Harness-table access + per-query session prep. */
+object Tables {
+
+  /** Pin the session semantics every query assumes. All are
+    * runtime-settable SQLConfs, so this works on a session the driver
+    * created:
+    *   - non-ANSI casts (lenient coercions return NULL, not error —
+    *     required by [[graft.norm.Coerce]] and mirrored by DuckDB
+    *     TRY_CAST in the oracle SQL);
+    *   - UTC, for timestamp parity with the DuckDB oracle;
+    *   - AQE on (runtime shuffle-partition coalescing + skew-join
+    *     handling — the 100 TB posture).
+    */
+  def prep(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

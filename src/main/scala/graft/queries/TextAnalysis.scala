@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting (BASELINE.json north star).
+  *
+  * Everything is built from codegen'd `functions._` / higher-order
+  * array functions — no UDFs — so at 100 TB these run inside the
+  * scan-project stage, embarrassingly parallel, zero shuffles until
+  * the final small aggregation.
+  */
+object TextAnalysis {
+  import Tables._
+
+  /** Whitespace tokenizer + per-language corpus stats. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    documents(spark, dir)
+      .select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        round(avg("n_tokens"), 6).as("avg_tokens"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  val tokenStatsSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |    AS sum_tokens,
+      |  round(avg(len(string_split_regex(trim(text), '\s+'))), 6)
+      |    AS avg_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** BPE-ish regex tokenizer (letter runs / digit runs / single
+    * punctuation), the token-counting shape an LLM-data pipeline
+    * needs before a real tokenizer. */
+  def tokenBpe(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    documents(spark, dir)
+      .select(col("source"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"))
+      .orderBy("source")
+  }
+
+  val tokenBpeSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT)
+      |    AS sum_tok
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val Stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
+  private def sqlList(ws: Seq[String]) = ws.mkString("('", "', '", "')")
+
+  /** Per-document quality scoring: length, mean word length,
+    * stopword ratio, alpha ratio → composite score + keep flag.
+    * The filter predicate is pushable; at scale this is the classic
+    * quality-gate pass before expensive downstream stages. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    documents(spark, dir)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop",
+        size(expr(s"filter(toks, t -> t IN ${sqlList(Stopwords)})")))
+      .withColumn("chars_nows",
+        length(regexp_replace(col("text"), "\\s+", "")))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("chars_nows") / col("n_tokens"), 4).as("avg_word_len"),
+        round(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"),
+        round(
+          least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
+            (col("n_stop") / col("n_tokens")) * 0.5, 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS toks,
+       |    length(regexp_replace(text, '\\s+', '', 'g')) AS chars_nows
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    len(list_filter(toks, t -> t IN ${sqlList(Stopwords)})) AS n_stop,
+       |    chars_nows
+       |  FROM t)
+       |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       |  round(chars_nows / n_tokens, 4) AS avg_word_len,
+       |  round(n_stop / n_tokens, 4) AS stop_ratio,
+       |  round(least(n_tokens / 100.0, 1.0) * 0.5
+       |        + (n_stop / n_tokens) * 0.5, 4) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  /** Language-ID heuristic: stopword-marker hit counts per language,
+    * argmax with a fixed priority order on ties. (The harness corpus
+    * is synthetic word-soup, so predictions are uniform — the query
+    * checks the OPERATOR, determinism included, not model quality.) */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    var df = documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+    for ((l, ws) <- LangMarkers)
+      df = df.withColumn(s"s_$l",
+        size(expr(s"filter(toks, t -> t IN ${sqlList(ws)})")))
+    val scores = LangMarkers.map { case (l, _) => col(s"s_$l") }
+    val maxScore = greatest(scores: _*)
+    val predicted = LangMarkers.foldLeft(lit(null).cast("string")) {
+      case (acc, (l, _)) =>
+        when(acc.isNotNull, acc)
+          .otherwise(when(col(s"s_$l") === maxScore, lit(l)))
+    }
+    df.select(col("lang"), predicted.as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  val langIdSql: String = {
+    val scoreCols = LangMarkers.map { case (l, ws) =>
+      s"len(list_filter(toks, t -> t IN ${sqlList(ws)})) AS s_$l"
+    }.mkString(",\n    ")
+    val maxExpr = LangMarkers.map { case (l, _) => s"s_$l" }
+      .mkString("greatest(", ", ", ")")
+    val pred = LangMarkers.map { case (l, _) =>
+      s"WHEN s_$l = mx THEN '$l'"
+    }.mkString(" ")
+    s"""WITH t AS (
+       |  SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |s AS (SELECT lang,
+       |    $scoreCols
+       |  FROM t),
+       |p AS (SELECT lang, $maxExpr AS mx, * FROM s),
+       |pr AS (SELECT lang, CASE $pred END AS predicted FROM p)
+       |SELECT lang, predicted, count(*) AS n
+       |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Canonical document fingerprint: md5 of the sorted distinct token
+    * set — an order/multiplicity-insensitive content hash (the
+    * shuffle-free half of fingerprint dedup; grouping by `fp` is then
+    * ONE shuffle of (fp, doc_id) pairs only). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    documents(spark, dir)
+      .select(col("doc_id"),
+        md5(expr(
+          "array_join(array_sort(array_distinct(split(lower(trim(text)), '\\\\s+'))), ' ')"))
+          .as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(
+      |    string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_token_stats" -> tokenStats,
+    "q51_quality_score" -> qualityScore,
+    "q52_lang_id" -> langId,
+    "q53_fingerprint" -> fingerprint,
+    "q54_token_bpe" -> tokenBpe
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q50_token_stats" -> tokenStatsSql,
+    "q51_quality_score" -> qualityScoreSql,
+    "q52_lang_id" -> langIdSql,
+    "q53_fingerprint" -> fingerprintSql,
+    "q54_token_bpe" -> tokenBpeSql
+  )
+}
