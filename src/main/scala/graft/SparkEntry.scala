@@ -1,13 +1,22 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import graft.queries.{Relational, Reference, TextAnalysis}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.all ++ Reference.all ++ TextAnalysis.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    Relational.oracle ++ Reference.oracle ++ TextAnalysis.oracle
+  /** Queries timed by [[Bench]]: everything except side-effecting /
+    * driver-local-fixture probes (q35 writes a temp table per call,
+    * q36 writes+reads a local CSV fixture — valid correctness probes,
+    * meaningless timings). */
+  def benchQueries: Seq[String] =
+    queries.keys.toSeq.filterNot(Set("q35_idempotent_load", "q36_csv_pipeline")).sorted
 }

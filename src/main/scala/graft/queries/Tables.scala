@@ -31,7 +31,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+
+  /** The harness writes `events.ts` as parquet INT64 TIMESTAMP(NANOS),
+    * which Spark 4 refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL).
+    * Read it as a raw nanosecond Long (legacy conf) and truncate ns→µs
+    * with INTEGRAL division (`div`, not `/` — the ns values exceed
+    * Double's 53-bit exact-integer range, so a fractional divide would
+    * corrupt low-order digits). µs truncation matches DuckDB, whose
+    * timestamps are µs-precision, so oracle parity holds. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000L")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
