@@ -22,10 +22,21 @@ object CsvProbe {
   private val CandidateCharsets =
     Seq(StandardCharsets.UTF_8, StandardCharsets.ISO_8859_1, Charset.forName("windows-1252"))
 
-  /** Detect (charset, separator) from the first `probeBytes` of the file. */
+  /** Detect (charset, separator) from the first `probeBytes` of the file.
+    * Reads AT MOST `probeBytes` through a bounded stream — never the
+    * whole file — so probing a multi-GB CSV allocates ≤64 KB on the
+    * driver. If the buffer filled (mid-file truncation), the tail is
+    * trimmed to the last newline so a split multibyte UTF-8 sequence
+    * can't falsely fail the UTF-8 probe and demote the file to latin-1. */
   def probe(path: String, probeBytes: Int = 65536): (Charset, Char) = {
-    val all = Files.readAllBytes(Paths.get(path))
-    val head = java.util.Arrays.copyOf(all, math.min(probeBytes, all.length))
+    val in = Files.newInputStream(Paths.get(path))
+    val full = try in.readNBytes(probeBytes) finally in.close()
+    val head =
+      if (full.length < probeBytes) full // whole file fit: nothing was split
+      else {
+        val lastNl = full.lastIndexWhere(_ == '\n'.toByte)
+        if (lastNl > 0) java.util.Arrays.copyOf(full, lastNl) else full
+      }
     val cs = CandidateCharsets
       .find(c => decodes(head, c))
       .getOrElse(StandardCharsets.ISO_8859_1) // latin-1 accepts any byte

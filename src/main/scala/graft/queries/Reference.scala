@@ -215,7 +215,12 @@ object Reference {
     * degraded to append, per-date counts double → oracle mismatch. */
   def idempotentLoad(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val tmp = Files.createTempDirectory("graft_idem").toString
+    // One fixed scratch dir, overwritten per invocation — repeated runs
+    // don't leak temp dirs. (Driver-local path: this probe validates the
+    // overwrite SEMANTICS; on a cluster the target would be shared
+    // storage. Excluded from the timed bench set for the same reason.)
+    val tmp = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), "graft_idem_scratch").toString
     val src = events(spark, dir).select(
       to_date(col("ts")).as("fecha"),
       col("event_id"), col("user_id"), col("value"))

@@ -180,11 +180,16 @@ object Relational {
       |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Anti join (NOT EXISTS): customers that never ordered. */
+  /** Anti join (NOT EXISTS): customers with no high-value order.
+    * The filter on the right side keeps the result non-trivial (a
+    * plain never-ordered anti join is EMPTY on the harness data —
+    * an oracle match on an empty set proves nothing). */
   def antiJoin(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val c = customer(spark, dir)
-    val o = orders(spark, dir).select(col("o_custkey"))
+    val o = orders(spark, dir)
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey"))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"))
@@ -193,7 +198,8 @@ object Relational {
 
   val antiJoinSql: String =
     """SELECT c_mktsegment, count(*) AS n FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Left outer join with null-aware aggregation. */
@@ -239,48 +245,66 @@ object Relational {
       |      FROM customer)
       |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin
 
-  /** Analytic window: lag across each user's event sequence. */
+  /** Analytic window: lag across each user's event sequence,
+    * aggregated to a per-user-bucket digest. The digest (counts +
+    * delta sums) is sensitive to every lag value but keeps the output
+    * tiny — no full-cardinality result, no global sort; the only
+    * shuffle is the window's partitionBy(user_id), and the follow-up
+    * agg is two-phase on a bounded key space. */
   def windowLag(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     events(spark, dir)
-      .withColumn("prev_value", lag(col("value"), 1).over(w))
-      .select(col("event_id"), col("user_id"), col("value"),
-        col("prev_value"),
-        round(col("value") - col("prev_value"), 4).as("delta"))
-      .orderBy("event_id")
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .groupBy((col("user_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        count(col("delta")).as("n_delta"),
+        round(sum(col("delta")), 4).as("sum_delta"),
+        round(sum(abs(col("delta"))), 4).as("sum_abs_delta"))
+      .orderBy("bucket")
   }
 
   val windowLagSql: String =
-    """SELECT event_id, user_id, value, prev_value,
-      |  round(value - prev_value, 4) AS delta
-      |FROM (SELECT event_id, user_id, value,
-      |        lag(value, 1) OVER (PARTITION BY user_id
-      |          ORDER BY ts ASC, event_id ASC) AS prev_value
+    """SELECT user_id % 8 AS bucket, count(*) AS n,
+      |  count(delta) AS n_delta,
+      |  round(sum(delta), 4) AS sum_delta,
+      |  round(sum(abs(delta)), 4) AS sum_abs_delta
+      |FROM (SELECT user_id,
+      |        value - lag(value, 1) OVER (PARTITION BY user_id
+      |          ORDER BY ts ASC, event_id ASC) AS delta
       |      FROM events)
-      |ORDER BY event_id""".stripMargin
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Frame window: running sum per user (rows between unbounded
-    * preceding and current). */
+    * preceding and current), digested per user bucket. Summing the
+    * running sums weights each value by its remaining sequence length,
+    * so any frame-boundary bug changes the digest. */
   def windowRunning(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(spark, dir)
-      .withColumn("running_sum", round(sum(col("value")).over(w), 4))
-      .select(col("event_id"), col("user_id"), col("running_sum"))
-      .orderBy("event_id")
+      .withColumn("running_sum", sum(col("value")).over(w))
+      .groupBy((col("user_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("running_sum")), 4).as("sum_running"),
+        round(max(col("running_sum")), 4).as("max_running"))
+      .orderBy("bucket")
   }
 
   val windowRunningSql: String =
-    """SELECT event_id, user_id,
-      |  round(sum(value) OVER (PARTITION BY user_id
-      |    ORDER BY ts ASC, event_id ASC
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-      |    AS running_sum
-      |FROM events ORDER BY event_id""".stripMargin
+    """SELECT user_id % 8 AS bucket, count(*) AS n,
+      |  round(sum(running_sum), 4) AS sum_running,
+      |  round(max(running_sum), 4) AS max_running
+      |FROM (SELECT user_id,
+      |        sum(value) OVER (PARTITION BY user_id
+      |          ORDER BY ts ASC, event_id ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS running_sum
+      |      FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Top-k by global order: Spark plans TakeOrderedAndProject —
     * each partition keeps its local top-k, driver merges k*parts
@@ -310,17 +334,22 @@ object Relational {
     """SELECT user_id AS id FROM events
       |UNION SELECT o_custkey AS id FROM orders ORDER BY id""".stripMargin
 
-  /** Set op: EXCEPT. */
+  /** Set op: EXCEPT. Right side restricted to finished orders so the
+    * difference is non-empty on the harness data (customers whose
+    * every order is still open). */
   def exceptIds(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     customer(spark, dir).select(col("c_custkey").as("id"))
-      .except(orders(spark, dir).select(col("o_custkey").as("id")))
+      .except(orders(spark, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("id")))
       .orderBy("id")
   }
 
   val exceptIdsSql: String =
     """SELECT c_custkey AS id FROM customer
-      |EXCEPT SELECT o_custkey AS id FROM orders ORDER BY id""".stripMargin
+      |EXCEPT SELECT o_custkey AS id FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY id""".stripMargin
 
   /** Set op: INTERSECT. */
   def intersectIds(spark: SparkSession, dir: String): DataFrame = {

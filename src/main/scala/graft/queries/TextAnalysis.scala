@@ -62,10 +62,12 @@ object TextAnalysis {
   private val Stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
   private def sqlList(ws: Seq[String]) = ws.mkString("('", "', '", "')")
 
-  /** Per-document quality scoring: length, mean word length,
-    * stopword ratio, alpha ratio → composite score + keep flag.
-    * The filter predicate is pushable; at scale this is the classic
-    * quality-gate pass before expensive downstream stages. */
+  /** Per-document quality scoring: token count, mean word length,
+    * stopword ratio → composite score, digested per language. The
+    * scoring itself is a pure narrow projection (the classic
+    * quality-gate pass before expensive downstream stages); the
+    * digest keeps verify output small instead of dumping one row per
+    * document through a global sort. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     documents(spark, dir)
@@ -75,34 +77,42 @@ object TextAnalysis {
         size(expr(s"filter(toks, t -> t IN ${sqlList(Stopwords)})")))
       .withColumn("chars_nows",
         length(regexp_replace(col("text"), "\\s+", "")))
-      .select(
-        col("doc_id"),
-        col("n_tokens"),
-        round(col("chars_nows") / col("n_tokens"), 4).as("avg_word_len"),
-        round(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"),
+      .withColumn("quality",
         round(
           least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
-            (col("n_stop") / col("n_tokens")) * 0.5, 4).as("quality"))
-      .orderBy("doc_id")
+            (col("n_stop") / col("n_tokens")) * 0.5, 4))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality") >= 0.5, 1).otherwise(0)).as("n_keep"),
+        round(sum(col("quality")), 4).as("sum_quality"),
+        round(sum(col("chars_nows") / col("n_tokens")), 4).as("sum_awl"),
+        round(sum(col("n_stop") / col("n_tokens")), 4).as("sum_stop_ratio"))
+      .orderBy("lang")
   }
 
   val qualityScoreSql: String =
     s"""WITH t AS (
-       |  SELECT doc_id,
+       |  SELECT lang,
        |    string_split_regex(trim(text), '\\s+') AS toks,
        |    length(regexp_replace(text, '\\s+', '', 'g')) AS chars_nows
        |  FROM documents),
        |m AS (
-       |  SELECT doc_id, len(toks) AS n_tokens,
+       |  SELECT lang, len(toks) AS n_tokens,
        |    len(list_filter(toks, t -> t IN ${sqlList(Stopwords)})) AS n_stop,
        |    chars_nows
-       |  FROM t)
-       |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
-       |  round(chars_nows / n_tokens, 4) AS avg_word_len,
-       |  round(n_stop / n_tokens, 4) AS stop_ratio,
-       |  round(least(n_tokens / 100.0, 1.0) * 0.5
-       |        + (n_stop / n_tokens) * 0.5, 4) AS quality
-       |FROM m ORDER BY doc_id""".stripMargin
+       |  FROM t),
+       |q AS (
+       |  SELECT lang, n_tokens, n_stop, chars_nows,
+       |    round(least(n_tokens / 100.0, 1.0) * 0.5
+       |          + (n_stop / CAST(n_tokens AS DOUBLE)) * 0.5, 4) AS quality
+       |  FROM m)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keep,
+       |  round(sum(quality), 4) AS sum_quality,
+       |  round(sum(chars_nows / CAST(n_tokens AS DOUBLE)), 4) AS sum_awl,
+       |  round(sum(n_stop / CAST(n_tokens AS DOUBLE)), 4) AS sum_stop_ratio
+       |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
@@ -158,8 +168,11 @@ object TextAnalysis {
 
   /** Canonical document fingerprint: md5 of the sorted distinct token
     * set — an order/multiplicity-insensitive content hash (the
-    * shuffle-free half of fingerprint dedup; grouping by `fp` is then
-    * ONE shuffle of (fp, doc_id) pairs only). */
+    * shuffle-free half of fingerprint dedup; [[Dedup.exactDedup]] is
+    * the groupBy(fp) other half). Digested by fingerprint prefix: 16
+    * small groups, each carrying count + distinct-count + min/max fp,
+    * so every fingerprint value still influences the output without a
+    * full-cardinality dump. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     documents(spark, dir)
@@ -167,14 +180,24 @@ object TextAnalysis {
         md5(expr(
           "array_join(array_sort(array_distinct(split(lower(trim(text)), '\\\\s+'))), ' ')"))
           .as("fp"))
-      .orderBy("doc_id")
+      .groupBy(substring(col("fp"), 1, 1).as("prefix"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("fp")).as("n_distinct"),
+        min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"))
+      .orderBy("prefix")
   }
 
   val fingerprintSql: String =
-    """SELECT doc_id,
-      |  md5(array_to_string(list_sort(list_distinct(
-      |    string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(
+      |      string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
+      |  FROM documents)
+      |SELECT substr(fp, 1, 1) AS prefix, count(*) AS n,
+      |  count(DISTINCT fp) AS n_distinct,
+      |  min(fp) AS min_fp, max(fp) AS max_fp
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_token_stats" -> tokenStats,
