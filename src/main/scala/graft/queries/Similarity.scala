@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`vec_id`,
+  * `embedding: array<float>`, `label`).
+  *
+  * Three shapes, all UDF-free (higher-order `aggregate`/`zip_with`
+  * expressions stay inside whole-stage codegen):
+  *
+  *   - q60 brute-force cosine top-k: the small QUERY side is
+  *     broadcast; the corpus side streams through a narrow
+  *     projection and only k rows per query survive the window —
+  *     the correct baseline shape at any corpus size.
+  *   - q61 hyperplane-LSH ANN: 4 deterministic md5-sign hyperplanes
+  *     -> 16 buckets; candidates only within the query's bucket
+  *     (equality join on the bucket key), then exact cosine top-k.
+  *     The 100 TB path: bucket key is shuffle/partition-prunable.
+  *   - q62 label-centroid assignment: element-wise centroid per label
+  *     computed distributed (posexplode -> two-phase avg -> array
+  *     rebuild), broadcast back, top-3 nearest members per centroid.
+  *
+  * Cosines are rounded to 4 decimals BEFORE ranking so the top-k
+  * cutoff is deterministic across engines (ties broken by vec_id).
+  * DuckDB oracles mirror every step value-for-value, including the
+  * LSH plane signs (md5-prefix hash parity, see [[Dedup]]).
+  */
+object Similarity {
+  import Tables._
+
+  private val Dim = 64
+
+  /** embeddings with double-precision vector + L2 norm. Floats are
+    * upcast before any arithmetic so Spark and DuckDB accumulate in
+    * the same precision. */
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0d, (a, x) -> a + x * x))"))
+
+  private val duckVecs: String =
+    """SELECT vec_id, label,
+      |  list_transform(embedding, x -> x::DOUBLE) AS v,
+      |  sqrt(list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+      |                        list_transform(embedding, x -> x::DOUBLE))) AS nrm
+      |FROM embeddings""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q60 brute-force cosine top-k
+  // ---------------------------------------------------------------
+
+  /** Exact cosine top-10 for each query vector (vec_id % 100 = 0).
+    * The 5-row query side is broadcast; no shuffle of the corpus —
+    * each partition scores its vectors against all queries, and the
+    * final per-query window only moves the scored rows. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0d, (a, x) -> a + x)") /
+          (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rnk")
+  }
+
+  val cosineTopKSql: String =
+    s"""WITH n AS ($duckVecs),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+       |      WHERE vec_id % 100 = 0),
+       |c AS (SELECT qid, vec_id,
+       |        round(list_dot_product(qv, v) / (qn * nrm), 4) AS cos
+       |      FROM q, n WHERE vec_id != qid),
+       |r AS (SELECT qid, vec_id, cos,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, vec_id ASC) AS rnk
+       |      FROM c)
+       |SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q61 hyperplane-LSH bucketed ANN
+  // ---------------------------------------------------------------
+
+  private val Planes = 4
+
+  /** Signed projection onto deterministic hyperplane `p`: component
+    * signs come from bit 0 of the shared md5-prefix hash, so DuckDB
+    * derives the identical planes. */
+  private def planeDot(p: Int): String =
+    s"""aggregate(sequence(1, $Dim), 0d, (acc, i) ->
+       |  acc + element_at(v, i) *
+       |    (CASE WHEN cast(conv(substr(md5(
+       |       concat('plane$p', '_', cast(i - 1 as string))), 1, 15), 16, 10)
+       |       as bigint) & 1 = 1 THEN 1.0d ELSE -1.0d END))""".stripMargin
+
+  /** ANN via 4-bit hyperplane LSH: bucket = sign bits of 4 plane
+    * projections; candidates = corpus vectors in the query's bucket;
+    * exact cosine top-5 among candidates. Approximate by design —
+    * the oracle mirrors the same scheme, so the check is exact. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val bucketExpr = (0 until Planes)
+      .map(p => s"(CASE WHEN (${planeDot(p)}) > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    val e = vecs(spark, dir).withColumn("bucket", expr(bucketExpr))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val cands = e.join(broadcast(q),
+      col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0d, (a, x) -> a + x)") /
+          (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rnk")
+  }
+
+  val annLshSql: String = {
+    val duckBucket = (0 until Planes).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}), i ->
+         |  v[i] * (CASE WHEN (('0x' || substr(md5(
+         |    concat('plane$p', '_', CAST(i - 1 AS VARCHAR))), 1, 15))::BIGINT
+         |    & 1) = 1 THEN 1.0 ELSE -1.0 END))) > 0
+         |THEN ${1 << p} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH n AS ($duckVecs),
+       |b AS (SELECT vec_id, v, nrm, ($duckBucket) AS bucket FROM n),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket AS qbucket
+       |      FROM b WHERE vec_id % 100 = 0),
+       |c AS (SELECT qid, vec_id,
+       |        round(list_dot_product(qv, v) / (qn * nrm), 4) AS cos
+       |      FROM q JOIN b ON bucket = qbucket AND vec_id != qid),
+       |r AS (SELECT qid, vec_id, cos,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, vec_id ASC) AS rnk
+       |      FROM c)
+       |SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q62 label-centroid assignment
+  // ---------------------------------------------------------------
+
+  /** Per-label centroid (element-wise mean, computed distributed:
+    * posexplode -> two-phase avg per (label, dim) -> deterministic
+    * array rebuild) and the top-3 closest members per centroid.
+    * The centroid table is tiny -> broadcast back to the corpus. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val e = vecs(spark, dir)
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)")
+        .as("cv"))
+      .withColumn("cn", expr("sqrt(aggregate(cv, 0d, (a, x) -> a + x * x))"))
+    val scored = e.join(broadcast(cent), "label")
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(cv, v, (x, y) -> x * y), 0d, (a, x) -> a + x)") /
+          (col("cn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("label"), col("rnk"), col("vec_id"), col("cos"))
+      .orderBy("label", "rnk")
+  }
+
+  val labelCentroidsSql: String =
+    s"""WITH n AS ($duckVecs),
+       |flat AS (SELECT label, i, v[i] AS x FROM n, range(1, ${Dim + 1}) t(i)),
+       |cm AS (SELECT label, i, avg(x) AS cx FROM flat GROUP BY 1, 2),
+       |cent AS (SELECT label, list(cx ORDER BY i) AS cv FROM cm GROUP BY 1),
+       |cn AS (SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cn
+       |       FROM cent),
+       |c AS (SELECT n.label, vec_id,
+       |        round(list_dot_product(cv, v) / (cn * nrm), 4) AS cos
+       |      FROM n JOIN cn ON n.label = cn.label),
+       |r AS (SELECT label, vec_id, cos,
+       |        row_number() OVER (PARTITION BY label
+       |          ORDER BY cos DESC, vec_id ASC) AS rnk
+       |      FROM c)
+       |SELECT label, rnk, vec_id, cos FROM r WHERE rnk <= 3
+       |ORDER BY label, rnk""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_cosine_topk" -> cosineTopK,
+    "q61_ann_lsh" -> annLsh,
+    "q62_label_centroids" -> labelCentroids
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q60_cosine_topk" -> cosineTopKSql,
+    "q61_ann_lsh" -> annLshSql,
+    "q62_label_centroids" -> labelCentroidsSql
+  )
+}
