@@ -18,26 +18,40 @@ import org.apache.spark.sql.functions._
   */
 object Coerce {
 
-  /** Null-ish sentinel tokens, compared case-insensitively after trim
-    * (reference main.py:441-444: `-`, ``, `nan`, `None`). */
-  private val NullTokens: Seq[Any] = Seq("-", "", "nan", "none")
+  /** Null-ish sentinel tokens, compared EXACTLY (case-sensitive) after
+    * trim, matching the reference (main.py:441-444: `-`, ``, `nan`,
+    * `None`). Other casings (`NONE`, `NaN`) fall through to the
+    * numeric branch, where the failed cast yields 0.0 anyway — same
+    * observable result for every input except literal `'NaN'`-style
+    * floats, which the reference returns as NaN and we map to 0.0
+    * (documented deviation: NaN is never a useful duration). */
+  private val NullTokens: Seq[Any] = Seq("-", "", "nan", "None")
+
+  /** A `H`/`M`/`S` piece is valid iff it parses as a Python `int()`
+    * does in the reference (main.py:452-457: `map(int, parts)`) —
+    * optional sign, digits only, surrounding whitespace tolerated.
+    * `'1.5'` is NOT a valid piece (reference raises → 0.0). */
+  private def intPiece(parts: Column, i: Int): Column = {
+    val p = trim(element_at(parts, i))
+    when(p.rlike("^[+-]?[0-9]+$"), p.cast("double"))
+  }
 
   /** `HH:MM:SS` / `HH:MM` / plain-number string → decimal minutes.
     * Total function, never errors (reference main.py:425-462):
     *   - NULL / `-` / `''` / `nan` / `None`  → 0.0
-    *   - `H:M:S`                             → H*60 + M + S/60
-    *   - `H:M`                               → H*60 + M
+    *   - `H:M:S` (integer pieces)            → H*60 + M + S/60
+    *   - `H:M` (integer pieces)              → H*60 + M
     *   - plain number                        → its double value
     *   - anything unparseable (any piece)    → 0.0
     */
   def timeToMinutes(c: Column): Column = {
     val s = trim(c.cast("string"))
     val parts = split(s, ":")
-    val p1 = element_at(parts, 1).cast("double")
-    val p2 = element_at(parts, 2).cast("double")
-    val p3 = element_at(parts, 3).cast("double")
+    val p1 = intPiece(parts, 1)
+    val p2 = intPiece(parts, 2)
+    val p3 = intPiece(parts, 3)
     val plain = s.cast("double")
-    when(c.isNull || lower(s).isin(NullTokens: _*), lit(0.0))
+    when(c.isNull || s.isin(NullTokens: _*), lit(0.0))
       .when(
         s.contains(":"),
         when(size(parts) === 3,

@@ -78,18 +78,18 @@ object Reference {
       |conv AS (
       |  SELECT bucket,
       |    CASE
-      |      WHEN raw IS NULL OR lower(trim(raw)) IN ('-','','nan','none') THEN 0.0
+      |      WHEN raw IS NULL OR trim(raw) IN ('-','','nan','None') THEN 0.0
       |      WHEN contains(trim(raw), ':') THEN
       |        CASE len(string_split(trim(raw), ':'))
-      |          WHEN 3 THEN CASE WHEN try_cast(string_split(trim(raw), ':')[1] AS DOUBLE) IS NULL
-      |                             OR try_cast(string_split(trim(raw), ':')[2] AS DOUBLE) IS NULL
-      |                             OR try_cast(string_split(trim(raw), ':')[3] AS DOUBLE) IS NULL
+      |          WHEN 3 THEN CASE WHEN NOT regexp_full_match(trim(string_split(trim(raw), ':')[1]), '[+-]?[0-9]+')
+      |                             OR NOT regexp_full_match(trim(string_split(trim(raw), ':')[2]), '[+-]?[0-9]+')
+      |                             OR NOT regexp_full_match(trim(string_split(trim(raw), ':')[3]), '[+-]?[0-9]+')
       |                      THEN 0.0
       |                      ELSE try_cast(string_split(trim(raw), ':')[1] AS DOUBLE) * 60
       |                         + try_cast(string_split(trim(raw), ':')[2] AS DOUBLE)
       |                         + try_cast(string_split(trim(raw), ':')[3] AS DOUBLE) / 60 END
-      |          WHEN 2 THEN CASE WHEN try_cast(string_split(trim(raw), ':')[1] AS DOUBLE) IS NULL
-      |                             OR try_cast(string_split(trim(raw), ':')[2] AS DOUBLE) IS NULL
+      |          WHEN 2 THEN CASE WHEN NOT regexp_full_match(trim(string_split(trim(raw), ':')[1]), '[+-]?[0-9]+')
+      |                             OR NOT regexp_full_match(trim(string_split(trim(raw), ':')[2]), '[+-]?[0-9]+')
       |                      THEN 0.0
       |                      ELSE try_cast(string_split(trim(raw), ':')[1] AS DOUBLE) * 60
       |                         + try_cast(string_split(trim(raw), ':')[2] AS DOUBLE) END

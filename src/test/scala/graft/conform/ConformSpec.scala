@@ -1,0 +1,66 @@
+package graft.conform
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+
+/** P1-P4 conformance: dynamic source schema -> fixed target
+  * (reference main.py:1222-1255, 1278-1303). */
+class ConformSpec extends SparkSpec {
+
+  private val target = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("campana", StringType),
+    StructField("pct_in", DoubleType)))
+
+  test("messy names are normalized, missing columns null-filled, extras dropped") {
+    import spark.implicits._
+    val messy = Seq(("1", "Ventas", "x")).toDF("ID", "Campaña", "Extra Col")
+    val out = Conform.conformTo(target)(messy)
+    assert(out.schema === target)
+    val row = out.head
+    assert(row.getInt(0) === 1)
+    assert(row.getString(1) === "Ventas")
+    assert(row.isNullAt(2)) // pct_in missing from input -> typed null
+  }
+
+  test("rename map applies after normalization (in -> in_total, main.py:115)") {
+    import spark.implicits._
+    val t = StructType(Seq(StructField("in_total", IntegerType)))
+    val df = Seq("7").toDF("In")
+    val out = Conform.conformTo(t, Schemas.ConductaRenames)(df)
+    assert(out.schema === t)
+    assert(out.head.getInt(0) === 7)
+  }
+
+  test("casts are applied to target types") {
+    import spark.implicits._
+    val df = Seq(("3", "x", "95.5")).toDF("id", "campana", "% In")
+    val out = Conform.conformTo(target)(df)
+    assert(out.head.getDouble(2) === 95.5)
+  }
+
+  test("property: output schema equals target for arbitrary column subsets") {
+    import spark.implicits._
+    val cols = Seq("ID", "Campaña", "% In", "Junk1", "Junk2")
+    val subsets = Iterator.continually(
+      Gen.someOf(cols).sample).flatten.take(25).toSeq
+    for (subset <- subsets if subset.nonEmpty) {
+      val row = subset.map(_ => "1")
+      val df = Seq(row.mkString("")).toDF("packed")
+        .select(subset.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+          split(col("packed"), "").getItem(i).as(c)
+        }: _*)
+      val out = Conform.conformTo(target)(df)
+      assert(out.schema === target, s"subset $subset")
+      assert(out.count() === 1)
+    }
+  }
+
+  test("full-width schemas transcribed from the reference DDLs") {
+    assert(Schemas.Conducta.fields.length === 22)   // main.py:1375-1402
+    assert(Schemas.Estados.fields.length === 32)    // main.py:1404-1441
+    assert(Schemas.EstadosTimeCols.length === 26)   // 13 t_* + 13 t_diario_*
+  }
+}

@@ -1,0 +1,65 @@
+package graft.io
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** S5-S8 idempotent date-partitioned load
+  * (reference main.py:1500-1578; dedup rationale README.md:111). */
+class IdempotentWriterSpec extends SparkSpec {
+
+  test("whitelist guard (S8, main.py:1481-1497)") {
+    IdempotentWriter.requireAllowed("t1", Set("t1", "t2"))
+    intercept[IllegalArgumentException] {
+      IdempotentWriter.requireAllowed("evil", Set("t1", "t2"))
+    }
+  }
+
+  test("quarantine splits rows missing keys explicitly (F2)") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1), Some("2024-01-01"), "a"),
+      (None, Some("2024-01-01"), "b"),
+      (Some(3), None, "c")).toDF("id", "fecha", "v")
+    val (ok, bad) = IdempotentWriter.quarantine(df, Seq("id", "fecha"))
+    assert(ok.count() === 1)
+    assert(bad.count() === 2)
+    assert(ok.head.getString(2) === "a")
+  }
+
+  test("idempotency: writing the same date twice equals writing it once") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("idem_spec").toString
+    val day1 = Seq((1, "2024-01-01"), (2, "2024-01-01")).toDF("id", "fecha")
+    val day2 = Seq((3, "2024-01-02")).toDF("id", "fecha")
+    IdempotentWriter.overwritePartitions(day1.union(day2), dir)
+    // re-run of day1 (the reference's daily re-run): must replace, not append
+    IdempotentWriter.overwritePartitions(day1, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 3)
+    assert(back.filter(col("fecha") === "2024-01-01").count() === 2)
+    assert(back.filter(col("fecha") === "2024-01-02").count() === 1)
+  }
+
+  test("untouched partitions survive a partial overwrite (dynamic mode)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("idem_spec2").toString
+    IdempotentWriter.overwritePartitions(
+      Seq((1, "2024-01-01"), (2, "2024-01-02")).toDF("id", "fecha"), dir)
+    IdempotentWriter.overwritePartitions(
+      Seq((9, "2024-01-02")).toDF("id", "fecha"), dir)
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("fecha") === "2024-01-01").count() === 1) // kept
+    assert(back.filter(col("fecha") === "2024-01-02")
+      .select("id").head.getInt(0) === 9) // replaced
+  }
+
+  test("load_date audit column is appended (DDL default, main.py:1400)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("idem_spec3").toString
+    IdempotentWriter.overwritePartitions(
+      Seq((1, "2024-01-01")).toDF("id", "fecha"), dir)
+    assert(spark.read.parquet(dir).columns.contains("load_date"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Similarity search on a constructed embedding corpus with known
+  * nearest neighbors. */
+class SimilaritySpec extends SparkSpec {
+
+  /** dim-64 one-hot-ish vectors: vector i has 1.0 at position (i%64)
+    * plus a small shared component so cosines are distinct. */
+  private def corpus(n: Int): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sim_spec").toString
+    val rows = (0 until n).map { i =>
+      val v = Array.fill(64)(0.01f)
+      v(i % 64) = 1.0f
+      v(63) = 0.5f + (i % 7) * 0.01f // shared tail, varies slightly
+      (i.toLong, v.toSeq, i % 3)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("brute-force top-k: self excluded, k rows per query, cos descending") {
+    val dir = corpus(120)
+    val out = Similarity.cosineTopK(spark, dir)
+    val rows = out.collect()
+    val qids = rows.map(_.getLong(0)).distinct
+    assert(qids.toSeq === Seq(0L, 100L))
+    for (q <- qids) {
+      val mine = rows.filter(_.getLong(0) == q)
+      assert(mine.length === 10)
+      assert(!mine.map(_.getLong(2)).contains(q)) // self excluded
+      val cosines = mine.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(cosines === cosines.sorted.reverse) // rank order = cos desc
+    }
+    // vec 64 shares vec 0's one-hot position -> must be vec 0's top hit
+    val top0 = rows.filter(r => r.getLong(0) == 0 && r.getInt(1) == 1).head
+    assert(top0.getLong(2) === 64L)
+  }
+
+  test("ANN LSH returns bucket-mates ranked by exact cosine") {
+    val dir = corpus(120)
+    val out = Similarity.annLsh(spark, dir).collect()
+    assert(out.nonEmpty)
+    for (q <- out.map(_.getLong(0)).distinct) {
+      val mine = out.filter(_.getLong(0) == q).sortBy(_.getInt(1))
+      val cosines = mine.map(_.getDouble(3)).toSeq
+      assert(cosines === cosines.sorted.reverse)
+      assert(mine.length <= 5)
+    }
+  }
+
+  test("label centroids: 3 nearest members per label, cos in [-1, 1]") {
+    val dir = corpus(120)
+    val out = Similarity.labelCentroids(spark, dir).collect()
+    assert(out.map(_.getInt(0)).distinct.sorted.toSeq === Seq(0, 1, 2))
+    for (r <- out) {
+      assert(r.getDouble(3) <= 1.0001 && r.getDouble(3) >= -1.0001)
+      // members assigned to their own label's centroid
+      assert(r.getLong(2) % 3 === r.getInt(0))
+    }
+    assert(out.count(_.getInt(1) == 1) === 3) // one rank-1 per label
+  }
+}
