@@ -280,6 +280,122 @@ object Reference {
       |  t(id, campana, pct_in, tiempo_medio_respuesta_in, fecha)
       |ORDER BY id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q37/q38 full-width golden pipelines (reference main.py:1207-1308
+  // end-to-end, every target column exercised)
+  // ---------------------------------------------------------------
+
+  private def writeFixture(name: String, content: String, cs: String): String = {
+    val f = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), name)
+    Files.write(f, content.getBytes(Charset.forName(cs)))
+    f.toString
+  }
+
+  /** Full 22-column Conducta chain: latin-1 `;` CSV with the CRM's
+    * real dirty headers (accents, `%`, reserved words, two columns
+    * missing entirely) → probe → conform → coerce → drop-bad-fecha →
+    * idempotent partitioned write → read back. The oracle pins every
+    * one of the 66 output cells. */
+  def conductaPipeline(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val csv =
+      "Agente;Fecha;ID;Campaña;In;% In;In Rechazadas / Ignoradas;% In Rechazadas / Ignoradas;" +
+        "In Atendidas;% In Atendidas;Out;% Out;Out Rechazadas / Ignoradas;% Out Rechazadas / Ignoradas;" +
+        "Out Atendidas;% Out Atendidas;Out Dialing;% Out Dialing;" +
+        "Tiempo Medio De Respuesta In;Tiempo Medio De Respuesta Out\n" +
+        "Juan Pérez;15/01/2024;101;Ventas;25;95.5;2;7.7;23;92.0;10;40.0;1;10.0;9;90.0;5;50.0;00:02:30;0:45\n" +
+        "María García;16/01/2024;102;Café;-;;x;5;7;28.5;8;junk;;-;3;37.5;0;0;90;-\n" +
+        "Fantasma;not-a-date;103;X;1;1;1;1;1;1;1;1;1;1;1;1;1;1;1:00;1:00\n" +
+        "Ñandú Ops;5/2/2024;007;Niño;0;0;0;0;0;0;0;0;0;0;0;0;0;0;1:02:30;10:30\n"
+    val path = writeFixture("graft_conducta_full.csv", csv, "ISO-8859-1")
+    val transformed = graft.conform.Pipeline.conducta(CsvProbe.read(spark, path))
+    val out = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), "graft_conducta_tbl").toString
+    IdempotentWriter.overwritePartitions(transformed, out)
+    spark.read.parquet(out)
+      .select(graft.conform.Schemas.Conducta.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy("id")
+  }
+
+  val conductaPipelineSql: String =
+    """SELECT * FROM (VALUES
+      |  ('Juan Pérez', DATE '2024-01-15', CAST(101 AS INTEGER), 'Ventas',
+      |   CAST(25 AS INTEGER), CAST(95.5 AS DOUBLE), CAST(2 AS INTEGER),
+      |   CAST(7.7 AS DOUBLE), CAST(23 AS INTEGER), CAST(92.0 AS DOUBLE),
+      |   CAST(10 AS INTEGER), CAST(40.0 AS DOUBLE), CAST(1 AS INTEGER),
+      |   CAST(10.0 AS DOUBLE), CAST(9 AS INTEGER), CAST(90.0 AS DOUBLE),
+      |   CAST(5 AS INTEGER), CAST(50.0 AS DOUBLE), CAST(0 AS INTEGER),
+      |   CAST(0.0 AS DOUBLE), CAST(2.5 AS DOUBLE), CAST(45.0 AS DOUBLE)),
+      |  ('María García', DATE '2024-01-16', 102, 'Café',
+      |   0, 0.0, 0, 5.0, 7, 28.5, 8, 0.0, 0, 0.0, 3, 37.5, 0, 0.0,
+      |   0, 0.0, 90.0, 0.0),
+      |  ('Ñandú Ops', DATE '2024-02-05', 7, 'Niño',
+      |   0, 0.0, 0, 0.0, 0, 0.0, 0, 0.0, 0, 0.0, 0, 0.0, 0, 0.0,
+      |   0, 0.0, 62.5, 630.0))
+      |  t(agente, fecha, id, campana, in_total, pct_in,
+      |    in_rechazadas_ignoradas, pct_in_rechazadas_ignoradas,
+      |    in_atendidas, pct_in_atendidas, out_total, pct_out,
+      |    out_rechazadas_ignoradas, pct_out_rechazadas_ignoradas,
+      |    out_atendidas, pct_out_atendidas, out_dialing, pct_out_dialing,
+      |    llamados_con_hold, pct_llamados_con_hold,
+      |    tiempo_medio_respuesta_in, tiempo_medio_respuesta_out)
+      |ORDER BY id""".stripMargin
+
+  /** Full 32-column Estados chain: UTF-8 CSV, all 13 `t_*` duration
+    * columns + 12 of 13 `t_diario_*` (one missing → null-filled → 0.0),
+    * including `0:90`/`1:30:90` overflow pieces the reference's int()
+    * arithmetic accepts verbatim. Transform-only (the write half is
+    * q37's). */
+  def estadosPipeline(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val header =
+      "Fecha;Intervalo;ID;Agente;ID Campaña;Campaña;" +
+        "T Login;T Login Neto;T Available;T Preview;T Dialing;T Ringing;T Talking;" +
+        "T Talking In;T Talking Out;T Hold;T ACW;T Other CRM;T Pause;" +
+        "T Diario Login;T Diario Login Neto;T Diario Available;T Diario Preview;" +
+        "T Diario Dialing;T Diario Ringing;T Diario Talking;T Diario Talking In;" +
+        "T Diario Talking Out;T Diario Hold;T Diario ACW;T Diario Other CRM"
+    val csv = header + "\n" +
+      "15/01/2024;09:00 - 09:30;201;Ana López;11;Ventas;" +
+      "08:00:00;07:45:00;3:30;0:15;0:10;0:05;02:20:30;1:10;01:10:30;0:08;0:30;0:12;0:45;" +
+      "480;465;210;15;10;5;140.5;70;70.5;8;30;12\n" +
+      "16/01/2024;10:00 - 10:30;202;Luis Muñoz;x;Café;" +
+      "-;;garbage;1:xx;1:2:3:4;0:00;45.5; ;2:30;0;nan;None;0:30;" +
+      "1:00;-;x;0:xx;60;;nan;None;2:00:00;7.5;0:90;1:30:90\n" +
+      "31/02/2024;bad;203;Ghost;1;X;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0\n"
+    val path = writeFixture("graft_estados_full.csv", csv, "UTF-8")
+    graft.conform.Pipeline.estados(CsvProbe.read(spark, path)).orderBy("id")
+  }
+
+  val estadosPipelineSql: String =
+    """SELECT * FROM (VALUES
+      |  (DATE '2024-01-15', '09:00 - 09:30', CAST(201 AS INTEGER),
+      |   'Ana López', CAST(11 AS INTEGER), 'Ventas',
+      |   CAST(480.0 AS DOUBLE), CAST(465.0 AS DOUBLE), CAST(210.0 AS DOUBLE),
+      |   CAST(15.0 AS DOUBLE), CAST(10.0 AS DOUBLE), CAST(5.0 AS DOUBLE),
+      |   CAST(140.5 AS DOUBLE), CAST(70.0 AS DOUBLE), CAST(70.5 AS DOUBLE),
+      |   CAST(8.0 AS DOUBLE), CAST(30.0 AS DOUBLE), CAST(12.0 AS DOUBLE),
+      |   CAST(45.0 AS DOUBLE),
+      |   CAST(480.0 AS DOUBLE), CAST(465.0 AS DOUBLE), CAST(210.0 AS DOUBLE),
+      |   CAST(15.0 AS DOUBLE), CAST(10.0 AS DOUBLE), CAST(5.0 AS DOUBLE),
+      |   CAST(140.5 AS DOUBLE), CAST(70.0 AS DOUBLE), CAST(70.5 AS DOUBLE),
+      |   CAST(8.0 AS DOUBLE), CAST(30.0 AS DOUBLE), CAST(12.0 AS DOUBLE),
+      |   CAST(0.0 AS DOUBLE)),
+      |  (DATE '2024-01-16', '10:00 - 10:30', 202, 'Luis Muñoz', 0, 'Café',
+      |   0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 45.5, 0.0, 150.0, 0.0, 0.0, 0.0, 30.0,
+      |   60.0, 0.0, 0.0, 0.0, 60.0, 0.0, 0.0, 0.0, 120.0, 7.5, 90.0, 91.5,
+      |   0.0))
+      |  t(fecha, intervalo, id, agente, id_campana, campana,
+      |    t_login, t_login_neto, t_available, t_preview, t_dialing,
+      |    t_ringing, t_talking, t_talking_in, t_talking_out, t_hold,
+      |    t_acw, t_other_crm, t_pause,
+      |    t_diario_login, t_diario_login_neto, t_diario_available,
+      |    t_diario_preview, t_diario_dialing, t_diario_ringing,
+      |    t_diario_talking, t_diario_talking_in, t_diario_talking_out,
+      |    t_diario_hold, t_diario_acw, t_diario_other_crm, t_diario_pause)
+      |ORDER BY id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_time_to_minutes" -> timeToMinutesQ,
     "q31_lenient_casts" -> lenientCasts,
@@ -287,7 +403,9 @@ object Reference {
     "q33_conform" -> conformQ,
     "q34_null_drop" -> nullDrop,
     "q35_idempotent_load" -> idempotentLoad,
-    "q36_csv_pipeline" -> csvPipeline
+    "q36_csv_pipeline" -> csvPipeline,
+    "q37_conducta_pipeline" -> conductaPipeline,
+    "q38_estados_pipeline" -> estadosPipeline
   )
 
   val oracle: Map[String, String] = Map(
@@ -297,6 +415,8 @@ object Reference {
     "q33_conform" -> conformSql,
     "q34_null_drop" -> nullDropSql,
     "q35_idempotent_load" -> idempotentLoadSql,
-    "q36_csv_pipeline" -> csvPipelineSql
+    "q36_csv_pipeline" -> csvPipelineSql,
+    "q37_conducta_pipeline" -> conductaPipelineSql,
+    "q38_estados_pipeline" -> estadosPipelineSql
   )
 }
