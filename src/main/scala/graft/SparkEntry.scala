@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Dedup, Reference, Relational, Similarity, TextAnalysis}
+import graft.queries.{Dedup, Reference, Relational, Similarity, StreamingQ, TextAnalysis}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -9,16 +9,22 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ Reference.all ++ TextAnalysis.all ++
-      Dedup.all ++ Similarity.all
+      Dedup.all ++ Similarity.all ++ StreamingQ.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Reference.oracle ++ TextAnalysis.oracle ++
-      Dedup.oracle ++ Similarity.oracle
+      Dedup.oracle ++ Similarity.oracle ++ StreamingQ.oracle
   /** Queries timed by [[Bench]]: everything except side-effecting /
     * driver-local-fixture probes (q35 writes a temp table per call,
     * q36 writes+reads a local CSV fixture — valid correctness probes,
     * meaningless timings). */
   def benchQueries: Seq[String] =
-    queries.keys.toSeq.filterNot(Set("q35_idempotent_load", "q36_csv_pipeline")).sorted
+    queries.keys.toSeq.filterNot(Set(
+      "q23_bucketed_join",    // re-writes the bucketed layout per call
+      "q35_idempotent_load",  // writes a scratch table per call
+      "q36_csv_pipeline",     // driver-local CSV fixture probe
+      "q37_conducta_pipeline", // driver-local fixture + write
+      "q38_estados_pipeline"   // driver-local fixture
+    )).sorted
 }

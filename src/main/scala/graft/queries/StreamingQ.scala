@@ -1,0 +1,104 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+
+/** Streaming queries: each runs a Structured Streaming job to
+  * completion (Trigger.AvailableNow over the events file source) and
+  * digests the sink — so the DuckDB oracle checks that STREAMING
+  * execution reproduces the batch answer exactly (stream/batch
+  * unification is the operator contract being tested). */
+object StreamingQ {
+  import Tables.prep
+
+  /** Memory-sink names must be unique per invocation (verify + bench
+    * share one session). */
+  private val runId = new AtomicLong(0)
+  private def sink(base: String): String = s"${base}_${runId.incrementAndGet()}"
+
+  /** Streaming tumbling window == batch q19 (same expression). */
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val out = Streams.runToMemory(
+      Streams.tumblingCounts(Streams.eventsStream(spark, dir)),
+      sink("s_tumbling"), OutputMode.Complete())
+    out.orderBy("w_start", "event_type")
+  }
+
+  val streamTumblingSql: String =
+    """SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
+      |  count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Watermarked dedup: the input stream is the events file source
+    * UNIONED with itself (every event arrives twice); exactly-once
+    * state dedup must collapse it back to the batch distinct set. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val doubled = Streams.eventsStream(spark, dir)
+      .union(Streams.eventsStream(spark, dir))
+    val out = Streams.runToMemory(
+      Streams.dedupEvents(doubled), sink("s_dedup"), OutputMode.Append())
+    out.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val streamDedupSql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** flatMapGroupsWithState sessionization (gap > 5 min), digested
+    * per user bucket; oracle = gaps-and-islands SQL over the same
+    * µs-truncated timestamps. */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val out = Streams.runToMemory(
+      Streams.sessionize(Streams.eventsStream(spark, dir)).toDF(),
+      sink("s_sessions"), OutputMode.Append())
+    out.groupBy((col("user_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        round(sum(col("sum_value")), 4).as("sum_v"))
+      .orderBy("bucket")
+  }
+
+  val streamSessionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsus,
+      |         value
+      |  FROM events),
+      |o AS (
+      |  SELECT user_id, event_id, tsus, value,
+      |    CASE WHEN tsus - lag(tsus) OVER (PARTITION BY user_id
+      |           ORDER BY tsus, event_id) > 300000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY tsus, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o),
+      |sess AS (
+      |  SELECT user_id, sid, count(*) AS n, sum(value) AS sv
+      |  FROM s GROUP BY 1, 2)
+      |SELECT user_id % 8 AS bucket, count(*) AS n_sessions,
+      |  CAST(sum(n) AS BIGINT) AS n_events, round(sum(sv), 4) AS sum_v
+      |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_stream_tumbling" -> streamTumbling,
+    "q40_stream_dedup" -> streamDedup,
+    "q41_stream_sessions" -> streamSessions
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q39_stream_tumbling" -> streamTumblingSql,
+    "q40_stream_dedup" -> streamDedupSql,
+    "q41_stream_sessions" -> streamSessionsSql
+  )
+}

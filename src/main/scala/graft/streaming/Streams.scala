@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the harness `events` stream
+  * (SURVEY §2.10). The reference itself is a scheduled daily batch
+  * (main.py:201-209; README.md:113) whose Spark-native form is an
+  * INCREMENTAL run: a file-source stream processed with
+  * `Trigger.AvailableNow` — new files are discovered by listing
+  * (replacing the reference's download-dir polling loop,
+  * main.py:295-347), processed, and the query stops. The same code
+  * keeps running as a live continuous stream unchanged.
+  *
+  * Scale notes: all three shapes are the standard scalable streaming
+  * patterns — windowed two-phase aggregation (state keyed by
+  * (window, type): bounded), watermarked dedup (state = ids within
+  * the watermark horizon, pruned continuously), and per-key
+  * sessionization via flatMapGroupsWithState (state sharded by
+  * user_id across executors).
+  */
+object Streams {
+
+  /** events.parquet carries ts as INT64 TIMESTAMP(NANOS); a streaming
+    * read needs an explicit schema, so mirror [[graft.queries.Tables
+    * .events]]: read the raw nanos as Long, truncate to µs. */
+  private val RawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events parquet (file source — the
+    * directory-listing replacement for the reference's polling). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file source wants a DIRECTORY to list (that's the whole
+    // point — it replaces the reference's arrival polling); the
+    // harness table is a single file, so list its parent filtered.
+    spark.readStream
+      .schema(RawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+  }
+
+  /** Tumbling event-time window aggregation — the STREAMING form of
+    * the identical batch expression (Relational.tumblingWindow / q19).
+    * Watermark bounds state; 10-minute windows keyed by event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Exactly-once dedup within the watermark horizon: state keeps one
+    * entry per event_id seen in the last 30 minutes of event time and
+    * is pruned as the watermark advances — bounded state at any rate. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicates(Seq("event_id"))
+
+  case class Ev(event_id: Long, user_id: Long, tsUs: Long, value: Double)
+  case class Session(user_id: Long, start_us: Long, n_events: Int,
+      sum_value: Double)
+
+  /** Per-user sessionization (gap > 5 min starts a new session) via
+    * flatMapGroupsWithState — the custom-state operator the built-in
+    * session_window generalizes from. State is the user's event
+    * buffer; sessions are emitted when the group is processed. Run
+    * under Trigger.AvailableNow on a bounded replay (one file-source
+    * batch) this is exact; a live continuous deployment would add an
+    * event-time timeout to flush open sessions. */
+  def sessionize(events: DataFrame): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val GapUs = 5L * 60 * 1000 * 1000
+    events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsUs"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Ev], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[List[Ev]]) =>
+          val all = (state.getOption.getOrElse(Nil) ++ it)
+            .sortBy(e => (e.tsUs, e.event_id))
+          state.update(Nil)
+          val sessions = List.newBuilder[Session]
+          var cur = List.empty[Ev]
+          for (e <- all) {
+            if (cur.nonEmpty && e.tsUs - cur.head.tsUs > GapUs) {
+              val s = cur.reverse
+              sessions += Session(uid, s.head.tsUs, s.length, s.map(_.value).sum)
+              cur = Nil
+            }
+            cur = e :: cur
+          }
+          if (cur.nonEmpty) {
+            val s = cur.reverse
+            sessions += Session(uid, s.head.tsUs, s.length, s.map(_.value).sum)
+          }
+          sessions.result().iterator
+      }
+  }
+
+  /** Run a streaming DataFrame to completion (AvailableNow) into a
+    * memory sink and return the sink table. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions: the physical plans the 100 TB posture
+  * depends on, checked at sf0.001 (plans don't change with volume
+  * for these shapes). */
+class RelationalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed layout join has no shuffle exchange on either side") {
+    Tables.prep(spark)
+    graft.io.BucketedLayout.writeBucketed(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
+      "spec_orders_b", "o_orderkey", 4)
+    graft.io.BucketedLayout.writeBucketed(
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity")),
+      "spec_lineitem_b", "l_orderkey", 4)
+    val o = spark.table("spec_orders_b")
+    val l = spark.table("spec_lineitem_b")
+    // sf0.001 is small enough that broadcast would win; disable it so
+    // the plan shows what a 100 TB fact-fact join would do.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      joined.collect() // force execution so AQE finalizes the plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("plain fact-fact join DOES shuffle (the contrast q23 removes)") {
+    Tables.prep(spark)
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+    val joined = o.join(l, o("o_orderkey") === l("l_orderkey"))
+    assert(joined.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("filter pushdown reaches the parquet scan with pruned schema") {
+    Tables.prep(spark)
+    val df = Relational.filterPushdown(spark, dir)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: ["), scan)
+    assert(scan.contains("l_shipdate"), scan)
+    // 4-of-11 column pruning: ReadSchema must not include untouched cols
+    assert(!scan.contains("l_comment"), "column pruning failed:\n" + scan)
+  }
+
+  test("dimension join broadcasts the small sides") {
+    Tables.prep(spark)
+    val df = Relational.joinDims(spark, dir)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    Tables.prep(spark)
+    val df = Relational.topK(spark, dir)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+}
