@@ -26,6 +26,7 @@ object SparkEntry {
       "q35_idempotent_load",  // writes a scratch table per call
       "q36_csv_pipeline",     // driver-local CSV fixture probe
       "q37_conducta_pipeline", // driver-local fixture + write
-      "q38_estados_pipeline"   // driver-local fixture
+      "q38_estados_pipeline",  // driver-local fixture
+      "q42_jdbc_roundtrip"     // embedded-Derby load per call
     )).sorted
 }

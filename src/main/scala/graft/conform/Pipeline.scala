@@ -33,10 +33,15 @@ object Pipeline {
     times.foldLeft(d3)((d, c) => d.withColumn(c, Coerce.timeToMinutes(col(c))))
   }
 
+  /** F1: drop rows where EVERY column is null, applied to the raw
+    * frame right after read (reference main.py:1352,
+    * `dropna(how='all')`). */
+  def dropAllNull(raw: DataFrame): DataFrame = raw.na.drop("all")
+
   /** Conducta - Agentes chain (reference main.py:1207-1261). */
   def conducta(raw: DataFrame): DataFrame = {
     val conformed = Conform.conformTo(
-      stringified(Schemas.Conducta), Schemas.ConductaRenames)(raw)
+      stringified(Schemas.Conducta), Schemas.ConductaRenames)(dropAllNull(raw))
     val pctCols = Schemas.Conducta.fieldNames.filter(_.contains("pct")).toSeq
     coerceAll(conformed, Schemas.ConductaIntCols, pctCols,
       Schemas.ConductaTimeCols)
@@ -46,7 +51,7 @@ object Pipeline {
 
   /** Estados Operativos chain (reference main.py:1264-1308). */
   def estados(raw: DataFrame): DataFrame = {
-    val conformed = Conform.conformTo(stringified(Schemas.Estados))(raw)
+    val conformed = Conform.conformTo(stringified(Schemas.Estados))(dropAllNull(raw))
     coerceAll(conformed, Schemas.EstadosIntCols, Seq.empty,
       Schemas.EstadosTimeCols)
       .na.drop("any", Seq("id", "fecha"))

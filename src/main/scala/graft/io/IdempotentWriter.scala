@@ -39,6 +39,10 @@ object IdempotentWriter {
     * reference main.py:1400/1439). */
   def overwritePartitions(df: DataFrame, path: String,
       partitionCol: String = "fecha", addLoadDate: Boolean = true): Unit = {
+    // F3 empty-input guard (reference main.py:1516-1518): an empty
+    // frame must not touch the table (a dynamic overwrite with zero
+    // partitions is already a no-op, but skipping avoids an empty job).
+    if (df.isEmpty) return
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.conform.Conform
-import graft.io.{CsvProbe, IdempotentWriter}
+import graft.io.{CsvProbe, IdempotentWriter, JdbcSink}
 import graft.norm.Coerce
 
 /** Layer-A queries: the reference's literal operator semantics
@@ -306,6 +306,7 @@ object Reference {
         "Tiempo Medio De Respuesta In;Tiempo Medio De Respuesta Out\n" +
         "Juan Pérez;15/01/2024;101;Ventas;25;95.5;2;7.7;23;92.0;10;40.0;1;10.0;9;90.0;5;50.0;00:02:30;0:45\n" +
         "María García;16/01/2024;102;Café;-;;x;5;7;28.5;8;junk;;-;3;37.5;0;0;90;-\n" +
+        ";;;;;;;;;;;;;;;;;;;\n" + // all-null row -> F1 dropna(how='all')
         "Fantasma;not-a-date;103;X;1;1;1;1;1;1;1;1;1;1;1;1;1;1;1:00;1:00\n" +
         "Ñandú Ops;5/2/2024;007;Niño;0;0;0;0;0;0;0;0;0;0;0;0;0;0;1:02:30;10:30\n"
     val path = writeFixture("graft_conducta_full.csv", csv, "ISO-8859-1")
@@ -396,6 +397,44 @@ object Reference {
       |    t_diario_hold, t_diario_acw, t_diario_other_crm, t_diario_pause)
       |ORDER BY id""".stripMargin
 
+  /** S5/S6/S7 via JDBC (reference main.py:1375-1632): DDL-ensure into
+    * embedded Derby, then the conducta output loaded with per-date
+    * DELETE+batched-INSERT — one date loaded TWICE (the daily re-run);
+    * read back through spark.read.jdbc. Same oracle as q37: if the
+    * re-run doubled rows or the sink mangled a value, the hash breaks. */
+  def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val url = "jdbc:derby:" + java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), "graft_derby").toString +
+      ";create=true"
+    val table = "tbl_neotel_conducta"
+    val ddl = graft.conform.Schemas.Conducta.fields.map { f =>
+      val t = f.dataType match {
+        case org.apache.spark.sql.types.IntegerType => "INT"
+        case org.apache.spark.sql.types.DoubleType  => "DOUBLE"
+        case org.apache.spark.sql.types.DateType    => "DATE"
+        case _                                      => "VARCHAR(200)"
+      }
+      s"${f.name} $t"
+    }.mkString(", ")
+    JdbcSink.ensureTable(url, table, ddl)
+    val out = conductaPipeline(spark, dir) // 3 rows, 3 dates
+    val allowed = Set("tbl_neotel_conducta", "tbl_neotel_estados_operativos")
+    val fechas = out.select(col("fecha")).distinct().collect()
+      .map(_.getDate(0).toString).sorted
+    for (f <- fechas)
+      JdbcSink.loadIdempotent(
+        out.filter(col("fecha") === lit(f)), url, table, f, allowed)
+    // daily re-run of the first date: must replace, not append
+    JdbcSink.loadIdempotent(
+      out.filter(col("fecha") === lit(fechas.head)), url, table,
+      fechas.head, allowed)
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load()
+      .select(graft.conform.Schemas.Conducta.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy("id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_time_to_minutes" -> timeToMinutesQ,
     "q31_lenient_casts" -> lenientCasts,
@@ -405,7 +444,8 @@ object Reference {
     "q35_idempotent_load" -> idempotentLoad,
     "q36_csv_pipeline" -> csvPipeline,
     "q37_conducta_pipeline" -> conductaPipeline,
-    "q38_estados_pipeline" -> estadosPipeline
+    "q38_estados_pipeline" -> estadosPipeline,
+    "q42_jdbc_roundtrip" -> jdbcRoundtrip
   )
 
   val oracle: Map[String, String] = Map(
@@ -417,6 +457,7 @@ object Reference {
     "q35_idempotent_load" -> idempotentLoadSql,
     "q36_csv_pipeline" -> csvPipelineSql,
     "q37_conducta_pipeline" -> conductaPipelineSql,
-    "q38_estados_pipeline" -> estadosPipelineSql
+    "q38_estados_pipeline" -> estadosPipelineSql,
+    "q42_jdbc_roundtrip" -> conductaPipelineSql // same rows via the JDBC sink
   )
 }

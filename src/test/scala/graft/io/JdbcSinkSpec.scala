@@ -1,0 +1,53 @@
+package graft.io
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** S5/S6/S7 JDBC load path against embedded Derby. */
+class JdbcSinkSpec extends SparkSpec {
+
+  private lazy val url =
+    "jdbc:derby:" + Files.createTempDirectory("jdbc_spec").toString +
+      "/db;create=true"
+  private val allowed = Set("t_spec")
+
+  test("ensureTable creates once, is a no-op the second time (S6)") {
+    JdbcSink.ensureTable(url, "t_spec", "id INT, fecha DATE, v DOUBLE")
+    JdbcSink.ensureTable(url, "t_spec", "id INT, fecha DATE, v DOUBLE") // no throw
+  }
+
+  test("loadIdempotent: batched insert, re-run of a date replaces it (S5+S7)") {
+    import spark.implicits._
+    JdbcSink.ensureTable(url, "t_spec", "id INT, fecha DATE, v DOUBLE")
+    val df = Seq(
+      (1, java.sql.Date.valueOf("2024-01-01"), 1.5),
+      (2, java.sql.Date.valueOf("2024-01-01"), 2.5),
+      (3, java.sql.Date.valueOf("2024-01-02"), 3.5)).toDF("id", "fecha", "v")
+    val n1 = JdbcSink.loadIdempotent(
+      df.filter(col("fecha") === "2024-01-01"), url, "t_spec", "2024-01-01",
+      allowed, batchSize = 1)
+    assert(n1 === 2)
+    JdbcSink.loadIdempotent(
+      df.filter(col("fecha") === "2024-01-02"), url, "t_spec", "2024-01-02",
+      allowed)
+    // daily re-run: same date again -> still 3 rows total
+    JdbcSink.loadIdempotent(
+      df.filter(col("fecha") === "2024-01-01"), url, "t_spec", "2024-01-01",
+      allowed)
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "t_spec").load()
+    assert(back.count() === 3)
+    assert(back.filter(col("fecha") === "2024-01-01").count() === 2)
+  }
+
+  test("whitelist guard rejects unknown tables (S8)") {
+    import spark.implicits._
+    val df = Seq((1, java.sql.Date.valueOf("2024-01-01"), 0.0))
+      .toDF("id", "fecha", "v")
+    intercept[IllegalArgumentException] {
+      JdbcSink.loadIdempotent(df, url, "evil", "2024-01-01", allowed)
+    }
+  }
+}
