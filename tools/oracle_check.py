@@ -1,0 +1,41 @@
+import duckdb, json, sys, glob, os
+import pandas as pd
+outdir = sys.argv[1]; sfdir = sys.argv[2]
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+ok, bad = [], []
+for name in sorted(os.listdir(outdir)):
+    d = os.path.join(outdir, name)
+    if not os.path.isdir(d): continue
+    spark_df = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{d}/*.parquet")], ignore_index=True)
+    if name not in oracle:
+        ok.append((name, f"rows-only {len(spark_df)}"))
+        continue
+    try:
+        duck_df = con.execute(oracle[name]).df()
+    except Exception as e:
+        bad.append((name, f"oracle SQL error: {e}")); continue
+    s = spark_df[sorted(spark_df.columns)]
+    dd = duck_df[sorted(duck_df.columns)] if sorted(spark_df.columns)==sorted(duck_df.columns) else None
+    if dd is None:
+        bad.append((name, f"schema mismatch spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")); continue
+    if len(s) != len(dd):
+        bad.append((name, f"rowcount spark={len(s)} duck={len(dd)}")); continue
+    # normalize: sort rows, stringify with rounding
+    def norm(df):
+        df = df.copy()
+        for c in df.columns:
+            if df[c].dtype.kind == 'f': df[c] = df[c].round(6)
+            df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+    a, b = norm(s), norm(dd)
+    if a.equals(b): ok.append((name, f"{len(s)} rows"))
+    else:
+        diff = (a != b).any(axis=1)
+        i = diff.idxmax()
+        bad.append((name, f"value mismatch at sorted row {i}: spark={a.loc[i].tolist()} duck={b.loc[i].tolist()}"))
+for n, m in ok: print("OK  ", n, m)
+for n, m in bad: print("BAD ", n, m)
+print(f"\n{len(ok)} ok, {len(bad)} bad")
