@@ -435,6 +435,38 @@ object Reference {
       .orderBy("id")
   }
 
+  /** q30's semantics through the NATIVE Catalyst expression
+    * ([[graft.functions.TimeToMinutes]], codegen'd) and the SQL
+    * surface — same synthesis, same oracle, so any divergence between
+    * the native expression and the Column-combinator form (or between
+    * generated and interpreted code paths) breaks the hash. */
+  def timeToMinutesNativeQ(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    graft.functions.GraftFunctions.register(spark)
+    lineitem(spark, dir).createOrReplaceTempView("li_native")
+    spark.sql(
+      """SELECT CAST(l_orderkey % 11 AS INT) AS bucket,
+        |  round(sum(time_to_minutes(
+        |    CASE CAST(l_orderkey % 11 AS INT)
+        |      WHEN 0 THEN '-'
+        |      WHEN 1 THEN ''
+        |      WHEN 2 THEN 'nan'
+        |      WHEN 3 THEN 'None'
+        |      WHEN 4 THEN 'garbage'
+        |      WHEN 5 THEN CAST(l_linenumber AS STRING)
+        |      WHEN 6 THEN concat(CAST(l_partkey % 10 AS STRING), ':',
+        |                         lpad(CAST(l_suppkey % 60 AS STRING), 2, '0'))
+        |      WHEN 7 THEN concat(CAST(l_partkey % 10 AS STRING), ':',
+        |                         lpad(CAST(l_suppkey % 60 AS STRING), 2, '0'), ':',
+        |                         lpad(CAST(l_orderkey % 60 AS STRING), 2, '0'))
+        |      WHEN 8 THEN '1:xx'
+        |      WHEN 9 THEN '1:2:3:4'
+        |      ELSE '  7.5  '
+        |    END)), 4) AS sum_min,
+        |  count(*) AS n
+        |FROM li_native GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_time_to_minutes" -> timeToMinutesQ,
     "q31_lenient_casts" -> lenientCasts,
@@ -445,7 +477,8 @@ object Reference {
     "q36_csv_pipeline" -> csvPipeline,
     "q37_conducta_pipeline" -> conductaPipeline,
     "q38_estados_pipeline" -> estadosPipeline,
-    "q42_jdbc_roundtrip" -> jdbcRoundtrip
+    "q42_jdbc_roundtrip" -> jdbcRoundtrip,
+    "q43_time_to_minutes_native" -> timeToMinutesNativeQ
   )
 
   val oracle: Map[String, String] = Map(
@@ -458,6 +491,7 @@ object Reference {
     "q36_csv_pipeline" -> csvPipelineSql,
     "q37_conducta_pipeline" -> conductaPipelineSql,
     "q38_estados_pipeline" -> estadosPipelineSql,
-    "q42_jdbc_roundtrip" -> conductaPipelineSql // same rows via the JDBC sink
+    "q42_jdbc_roundtrip" -> conductaPipelineSql, // same rows via the JDBC sink
+    "q43_time_to_minutes_native" -> timeToMinutesSql // same semantics, native expr
   )
 }

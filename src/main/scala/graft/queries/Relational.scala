@@ -483,6 +483,34 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Manual skew-salting pattern: the small side is replicated across
+    * `Salts` salt values (explode), the big side picks a DETERMINISTIC
+    * salt from a secondary column, and the join key becomes
+    * (key, salt) — one hot key fans out over Salts reducers instead
+    * of melting one. Result is provably identical to the unsalted
+    * join (every big-side row meets exactly one replica). AQE's
+    * skew-join split is the first-line fix; salting is the manual
+    * fallback for extreme single-key skew or non-AQE engines. */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val Salts = 8
+    val e = events(spark, dir)
+      .select(col("user_id"), col("value"), col("event_id"))
+      .withColumn("salt", pmod(hash(col("event_id")), lit(Salts)))
+    val c = customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt", explode(expr(s"sequence(0, ${Salts - 1})")))
+    e.join(c, e("user_id") === c("c_custkey") && e("salt") === c("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  val saltedJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_events_daily" -> eventsDaily,
@@ -506,7 +534,8 @@ object Relational {
     "q20_filter_pushdown" -> filterPushdown,
     "q21_sql_exists" -> sqlExists,
     "q22_approx_distinct" -> approxDistinct,
-    "q23_bucketed_join" -> bucketedJoin
+    "q23_bucketed_join" -> bucketedJoin,
+    "q24_salted_join" -> saltedJoin
   )
 
   val oracle: Map[String, String] = Map(
@@ -532,6 +561,7 @@ object Relational {
     "q20_filter_pushdown" -> filterPushdownSql,
     "q21_sql_exists" -> sqlExistsSql,
     // q22_approx_distinct: intentionally no oracle (approximate)
-    "q23_bucketed_join" -> joinFactsSql // same answer via bucketed layout
+    "q23_bucketed_join" -> joinFactsSql, // same answer via bucketed layout
+    "q24_salted_join" -> saltedJoinSql
   )
 }

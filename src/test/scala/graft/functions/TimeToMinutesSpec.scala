@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.norm.Coerce
+import org.apache.spark.sql.functions._
+
+/** The native expression must agree with the Column-combinator form
+  * on every input class, and must run inside whole-stage codegen. */
+class TimeToMinutesSpec extends SparkSpec {
+
+  private val inputs = Seq(
+    "-", "", "  ", "nan", "None", "NONE", "NaN",
+    "1:30", "01:30:30", "0:05", "2:-30", "1.5:30", "1:xx", "1:2:3:4",
+    ":30", "1:", "90", "  7.5  ", "-3", "0", "garbage", "0:90", "1:30:90",
+    "12abc", "+5", "1e2")
+
+  test("native expression == Coerce combinator on all input classes") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = inputs.toDF("s")
+    df.createOrReplaceTempView("t2m_inputs")
+    val native = spark.sql("SELECT time_to_minutes(s) AS m FROM t2m_inputs")
+      .collect().map(_.getDouble(0)).toSeq
+    val combinator = df.select(Coerce.timeToMinutes(col("s")).as("m"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(native === combinator)
+  }
+
+  test("null input -> 0.0, never null output") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq[Option[String]](None, Some("1:30")).toDF("s")
+      .createOrReplaceTempView("t2m_nulls")
+    val out = spark.sql("SELECT time_to_minutes(s) AS m FROM t2m_nulls")
+    assert(!out.schema("m").nullable)
+    assert(out.collect().map(_.getDouble(0)).sorted.toSeq === Seq(0.0, 90.0))
+  }
+
+  test("runs inside whole-stage codegen (no interpreted fallback)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    inputs.toDF("s").createOrReplaceTempView("t2m_cg")
+    val df = spark.sql(
+      "SELECT sum(time_to_minutes(s)) AS total FROM t2m_cg")
+    df.collect() // force execution (AQE finalizes; generated code runs)
+    // The `*(n)` star before an operator marks a WholeStageCodegen span;
+    // the aggregate evaluating time_to_minutes must carry it.
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) HashAggregate.*time_to_minutes""".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
+  test("known values through the SQL surface") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT time_to_minutes('01:30:30') a, time_to_minutes('1:30') b,
+        |       time_to_minutes('7.5') c, time_to_minutes('x') d""".stripMargin)
+      .head
+    assert(r.getDouble(0) === 90.5)
+    assert(r.getDouble(1) === 90.0)
+    assert(r.getDouble(2) === 7.5)
+    assert(r.getDouble(3) === 0.0)
+  }
+}
