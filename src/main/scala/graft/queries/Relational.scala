@@ -398,6 +398,45 @@ object Relational {
       |  count(*) AS n, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Batch `session_window` — the BUILT-IN generalized by the custom
+    * flatMapGroupsWithState sessionizer (q41): gap-based sessions per
+    * user, digested per user bucket. Spark starts a new session when
+    * the gap is >= the duration (end-exclusive); the oracle encodes
+    * the same boundary. */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    events(spark, dir)
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .groupBy((col("user_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n")).as("n_events"),
+        round(sum(col("sv")), 4).as("sum_v"))
+      .orderBy("bucket")
+  }
+
+  val sessionWindowSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsus,
+      |         value
+      |  FROM events),
+      |o AS (
+      |  SELECT user_id, event_id, tsus, value,
+      |    CASE WHEN tsus - lag(tsus) OVER (PARTITION BY user_id
+      |           ORDER BY tsus, event_id) >= 300000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY tsus, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o),
+      |sess AS (
+      |  SELECT user_id, sid, count(*) AS n, sum(value) AS sv
+      |  FROM s GROUP BY 1, 2)
+      |SELECT user_id % 8 AS bucket, count(*) AS n_sessions,
+      |  CAST(sum(n) AS BIGINT) AS n_events, round(sum(sv), 4) AS sum_v
+      |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Predicate pushdown showcase — TPC-H Q6 shape. The three
     * conjuncts reach the parquet scan as PushedFilters; only 4 of 11
     * columns are read (ReadSchema pruning). */
@@ -535,7 +574,8 @@ object Relational {
     "q21_sql_exists" -> sqlExists,
     "q22_approx_distinct" -> approxDistinct,
     "q23_bucketed_join" -> bucketedJoin,
-    "q24_salted_join" -> saltedJoin
+    "q24_salted_join" -> saltedJoin,
+    "q25_session_window" -> sessionWindow
   )
 
   val oracle: Map[String, String] = Map(
@@ -562,6 +602,7 @@ object Relational {
     "q21_sql_exists" -> sqlExistsSql,
     // q22_approx_distinct: intentionally no oracle (approximate)
     "q23_bucketed_join" -> joinFactsSql, // same answer via bucketed layout
-    "q24_salted_join" -> saltedJoinSql
+    "q24_salted_join" -> saltedJoinSql,
+    "q25_session_window" -> sessionWindowSql
   )
 }

@@ -198,15 +198,93 @@ object Similarity {
        |SELECT label, rnk, vec_id, cos FROM r WHERE rnk <= 3
        |ORDER BY label, rnk""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q64 IVF-style ANN (coarse quantizer -> cell-local search)
+  // ---------------------------------------------------------------
+
+  /** IVF-shaped ANN: the label centroids act as the coarse-quantizer
+    * codebook; every vector is assigned to its NEAREST centroid cell
+    * (not its own label — a genuine quantization step), queries probe
+    * their own cell (nprobe=1) and exact-rerank only the cell's
+    * members. At 100 TB: the inverted lists are just a partitioning
+    * of the corpus by cell id — candidates come from one partition,
+    * and a real deployment would train the codebook with k-means and
+    * raise nprobe; the dataflow is identical. */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val e = vecs(spark, dir)
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)")
+        .as("cv"))
+      .select(col("label").as("cell"), col("cv"),
+        expr("sqrt(aggregate(cv, 0d, (a, x) -> a + x * x))").as("cn"))
+    // quantize: nearest cell per vector (broadcast the tiny codebook)
+    val scored = e.join(broadcast(cent),
+      expr("true")) // score against every centroid, keep the argmax
+      .withColumn("ccos",
+        expr("aggregate(zip_with(cv, v, (x, y) -> x * y), 0d, (a, x) -> a + x)") /
+          (col("cn") * col("nrm")))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val assigned = scored.withColumn("rc", row_number().over(wCell))
+      .filter(col("rc") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"))
+    val q = assigned.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell").as("qcell"))
+    val cands = assigned.join(broadcast(q),
+      col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0d, (a, x) -> a + x)") /
+          (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rnk")
+  }
+
+  val ivfAnnSql: String =
+    s"""WITH n AS ($duckVecs),
+       |flat AS (SELECT label, i, v[i] AS x FROM n, range(1, ${Dim + 1}) t(i)),
+       |cm AS (SELECT label, i, avg(x) AS cx FROM flat GROUP BY 1, 2),
+       |cent AS (SELECT label AS cell, list(cx ORDER BY i) AS cv FROM cm
+       |         GROUP BY 1),
+       |cb AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+       |sc AS (SELECT vec_id, v, nrm, cell,
+       |         list_dot_product(cv, v) / (cn * nrm) AS ccos
+       |       FROM n, cb),
+       |asg AS (SELECT vec_id, v, nrm, cell FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY ccos DESC, cell ASC) AS rc FROM sc)
+       |        WHERE rc = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cell AS qcell
+       |      FROM asg WHERE vec_id % 100 = 0),
+       |c AS (SELECT qid, vec_id,
+       |        round(list_dot_product(qv, v) / (qn * nrm), 4) AS cos
+       |      FROM q JOIN asg ON cell = qcell AND vec_id != qid),
+       |r AS (SELECT qid, vec_id, cos,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, vec_id ASC) AS rnk
+       |      FROM c)
+       |SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_cosine_topk" -> cosineTopK,
     "q61_ann_lsh" -> annLsh,
-    "q62_label_centroids" -> labelCentroids
+    "q62_label_centroids" -> labelCentroids,
+    "q64_ivf_ann" -> ivfAnn
   )
 
   val oracle: Map[String, String] = Map(
     "q60_cosine_topk" -> cosineTopKSql,
     "q61_ann_lsh" -> annLshSql,
-    "q62_label_centroids" -> labelCentroidsSql
+    "q62_label_centroids" -> labelCentroidsSql,
+    "q64_ivf_ann" -> ivfAnnSql
   )
 }

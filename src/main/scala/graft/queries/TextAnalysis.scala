@@ -199,12 +199,55 @@ object TextAnalysis {
       |  min(fp) AS min_fp, max(fp) AS max_fp
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Rolling-hash document fingerprint (Rabin-Karp / winnowing
+    * family): polynomial hashes of every 8-char window, document
+    * fingerprint = the MINIMUM window hash — stable under small edits
+    * away from the minimizing window, unlike a whole-text hash. All
+    * arithmetic is (acc*131 + code) mod 1e9+7 in both engines, so the
+    * oracle mirrors every hash value. Digested per lang. */
+  def rollingHash(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val W = 8
+    documents(spark, dir)
+      .withColumn("s", lower(trim(col("text"))))
+      .filter(length(col("s")) >= W)
+      .withColumn("fp", expr(
+        s"""array_min(transform(sequence(1, length(s) - ${W - 1}),
+           |  i -> aggregate(sequence(0, ${W - 1}), 0L,
+           |         (acc, j) -> (acc * 131 + ascii(substr(s, i + j, 1)))
+           |                     % 1000000007L)))""".stripMargin))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"),
+        min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"))
+      .orderBy("lang")
+  }
+
+  val rollingHashSql: String =
+    """WITH d AS (
+      |  SELECT lang, lower(trim(text)) AS s FROM documents
+      |  WHERE length(lower(trim(text))) >= 8),
+      |f AS (
+      |  SELECT lang,
+      |    list_min(list_transform(range(1, length(s) - 6),
+      |      i -> list_reduce(
+      |             list_prepend(0::BIGINT,
+      |               list_transform(range(0, 8),
+      |                 j -> ascii(substr(s, i + j, 1))::BIGINT)),
+      |             (acc, c) -> (acc * 131 + c) % 1000000007))) AS fp
+      |  FROM d)
+      |SELECT lang, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct,
+      |  min(fp) AS min_fp, max(fp) AS max_fp
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_token_stats" -> tokenStats,
     "q51_quality_score" -> qualityScore,
     "q52_lang_id" -> langId,
     "q53_fingerprint" -> fingerprint,
-    "q54_token_bpe" -> tokenBpe
+    "q54_token_bpe" -> tokenBpe,
+    "q59_rolling_hash" -> rollingHash
   )
 
   val oracle: Map[String, String] = Map(
@@ -212,6 +255,7 @@ object TextAnalysis {
     "q51_quality_score" -> qualityScoreSql,
     "q52_lang_id" -> langIdSql,
     "q53_fingerprint" -> fingerprintSql,
-    "q54_token_bpe" -> tokenBpeSql
+    "q54_token_bpe" -> tokenBpeSql,
+    "q59_rolling_hash" -> rollingHashSql
   )
 }
