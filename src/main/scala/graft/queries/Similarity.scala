@@ -102,15 +102,16 @@ object Similarity {
        |       concat('plane$p', '_', cast(i - 1 as string))), 1, 15), 16, 10)
        |       as bigint) & 1 = 1 THEN 1.0d ELSE -1.0d END))""".stripMargin
 
+  private def bucketExpr: String = (0 until Planes)
+    .map(p => s"(CASE WHEN (${planeDot(p)}) > 0 THEN ${1 << p} ELSE 0 END)")
+    .mkString(" + ")
+
   /** ANN via 4-bit hyperplane LSH: bucket = sign bits of 4 plane
     * projections; candidates = corpus vectors in the query's bucket;
     * exact cosine top-5 among candidates. Approximate by design —
     * the oracle mirrors the same scheme, so the check is exact. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val bucketExpr = (0 until Planes)
-      .map(p => s"(CASE WHEN (${planeDot(p)}) > 0 THEN ${1 << p} ELSE 0 END)")
-      .mkString(" + ")
     val e = vecs(spark, dir).withColumn("bucket", expr(bucketExpr))
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
@@ -274,17 +275,66 @@ object Similarity {
        |SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q65 embedding-cosine near-dup (bucketed pair mining)
+  // ---------------------------------------------------------------
+
+  /** Embedding-cosine near-dup: candidate pairs are vectors sharing a
+    * hyperplane-LSH bucket (equality self-join — never all-pairs),
+    * verified with exact cosine >= 0.45 and digested. The dedup
+    * variant of q61's search shape: same buckets, pair mining instead
+    * of query probing. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val e = vecs(spark, dir).withColumn("bucket", expr(bucketExpr))
+      .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+    val pairs = e.as("a")
+      .join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0d, (acc, x) -> acc + x)") /
+          (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= 0.45)
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("a.vec_id") + col("b.vec_id")).as("sum_ids"),
+      round(sum(col("cos")), 4).as("sum_cos"))
+  }
+
+  val embeddingNearDupSql: String = {
+    val duckBucket = (0 until Planes).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}), i ->
+         |  v[i] * (CASE WHEN (('0x' || substr(md5(
+         |    concat('plane$p', '_', CAST(i - 1 AS VARCHAR))), 1, 15))::BIGINT
+         |    & 1) = 1 THEN 1.0 ELSE -1.0 END))) > 0
+         |THEN ${1 << p} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH n AS ($duckVecs),
+       |b AS (SELECT vec_id, v, nrm, ($duckBucket) AS bucket FROM n),
+       |p AS (SELECT a.vec_id ia, b.vec_id ib,
+       |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+       |      FROM b a JOIN b b ON a.bucket = b.bucket
+       |       AND a.vec_id < b.vec_id)
+       |SELECT count(*) AS n_pairs,
+       |  CAST(sum(ia + ib) AS BIGINT) AS sum_ids,
+       |  round(sum(cos), 4) AS sum_cos
+       |FROM p WHERE cos >= 0.45""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_cosine_topk" -> cosineTopK,
     "q61_ann_lsh" -> annLsh,
     "q62_label_centroids" -> labelCentroids,
-    "q64_ivf_ann" -> ivfAnn
+    "q64_ivf_ann" -> ivfAnn,
+    "q65_embedding_neardup" -> embeddingNearDup
   )
 
   val oracle: Map[String, String] = Map(
     "q60_cosine_topk" -> cosineTopKSql,
     "q61_ann_lsh" -> annLshSql,
     "q62_label_centroids" -> labelCentroidsSql,
-    "q64_ivf_ann" -> ivfAnnSql
+    "q64_ivf_ann" -> ivfAnnSql,
+    "q65_embedding_neardup" -> embeddingNearDupSql
   )
 }
