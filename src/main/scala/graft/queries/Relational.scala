@@ -437,6 +437,53 @@ object Relational {
       |  CAST(sum(n) AS BIGINT) AS n_events, round(sum(sv), 4) AS sum_v
       |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact interpolated percentiles (median / p95) per group —
+    * Spark's `percentile` matches DuckDB's `quantile_cont` (both
+    * linear interpolation). Exact percentile sorts within groups;
+    * at extreme scale you'd switch to approx_percentile (t-digest)
+    * and lose oracle exactness — the shape is the same. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val percentilesSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Pivot (wide aggregation): order counts and revenue per priority,
+    * one column set per order status. Spark's pivot plans as a single
+    * two-phase aggregate over (priority, status) then a projection —
+    * the oracle states the same thing as conditional aggregation. */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 4).as("rev"))
+      .orderBy("o_orderpriority")
+  }
+
+  val pivotStatusSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (o_orderstatus = 'F') AS F_n,
+      |  round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 4) AS F_rev,
+      |  count(*) FILTER (o_orderstatus = 'O') AS O_n,
+      |  round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 4) AS O_rev,
+      |  count(*) FILTER (o_orderstatus = 'P') AS P_n,
+      |  round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 4) AS P_rev
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Predicate pushdown showcase — TPC-H Q6 shape. The three
     * conjuncts reach the parquet scan as PushedFilters; only 4 of 11
     * columns are read (ReadSchema pruning). */
@@ -575,7 +622,9 @@ object Relational {
     "q22_approx_distinct" -> approxDistinct,
     "q23_bucketed_join" -> bucketedJoin,
     "q24_salted_join" -> saltedJoin,
-    "q25_session_window" -> sessionWindow
+    "q25_session_window" -> sessionWindow,
+    "q28_percentiles" -> percentiles,
+    "q29_pivot_status" -> pivotStatus
   )
 
   val oracle: Map[String, String] = Map(
@@ -603,6 +652,8 @@ object Relational {
     // q22_approx_distinct: intentionally no oracle (approximate)
     "q23_bucketed_join" -> joinFactsSql, // same answer via bucketed layout
     "q24_salted_join" -> saltedJoinSql,
-    "q25_session_window" -> sessionWindowSql
+    "q25_session_window" -> sessionWindowSql,
+    "q28_percentiles" -> percentilesSql,
+    "q29_pivot_status" -> pivotStatusSql
   )
 }
