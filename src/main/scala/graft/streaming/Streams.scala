@@ -111,16 +111,26 @@ object Streams {
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a
-    * memory sink and return the sink table. */
+    * memory sink and return the sink table.
+    *
+    * Stateful operators create one state store PER shuffle partition;
+    * for these bounded replays 32 partitions means 32 stores of
+    * per-micro-batch setup/commit overhead dwarfing the data. Pin a
+    * small partition count for the stream's lifetime (a live
+    * deployment sizes this to state volume, not CPU count). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }
