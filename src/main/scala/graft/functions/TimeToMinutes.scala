@@ -52,6 +52,13 @@ case class TimeToMinutes(child: Expression) extends UnaryExpression {
   * boxing). Total function, mirrors main.py:425-462 exactly. */
 object TimeToMinutesImpl {
 
+  /** Same strict numeric form as [[graft.norm.Coerce.NumRe]]: Java's
+    * `s.toDouble` alone would accept `'1d'`/`'0x1p3'` etc., which the
+    * combinator, the reference's `float()`, and the DuckDB oracle all
+    * reject. A matching string always parses cleanly. */
+  private val NumPattern = java.util.regex.Pattern.compile(
+    "[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?")
+
   def convert(u: UTF8String): Double = {
     val s = u.toString.trim
     // null tokens, exact case (main.py:441-444)
@@ -69,12 +76,10 @@ object TimeToMinutesImpl {
         if (h == null || m == null) 0.0
         else h.toDouble * 60 + m.toDouble
       } else 0.0
-    } else {
-      try {
-        val d = s.toDouble
-        if (d.isNaN) 0.0 else d
-      } catch { case _: NumberFormatException => 0.0 }
-    }
+    } else if (NumPattern.matcher(s).matches()) {
+      try s.toDouble
+      catch { case _: NumberFormatException => 0.0 }
+    } else 0.0
   }
 
   /** Python int() semantics: optional sign, digits only, surrounding

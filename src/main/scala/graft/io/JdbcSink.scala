@@ -68,6 +68,18 @@ object JdbcSink {
 
     val schema = df.schema
     val cols = schema.fieldNames
+    // java.sql.Types per column for typed setNull — Derby (and other
+    // strict drivers) reject untyped setObject(i, null).
+    val sqlTypes: Array[Int] = schema.fields.map(_.dataType match {
+      case IntegerType   => java.sql.Types.INTEGER
+      case LongType      => java.sql.Types.BIGINT
+      case DoubleType    => java.sql.Types.DOUBLE
+      case FloatType     => java.sql.Types.FLOAT
+      case BooleanType   => java.sql.Types.BOOLEAN
+      case DateType      => java.sql.Types.DATE
+      case TimestampType => java.sql.Types.TIMESTAMP
+      case _             => java.sql.Types.VARCHAR
+    })
     val insert = s"INSERT INTO $table (${cols.mkString(", ")}) " +
       s"VALUES (${cols.map(_ => "?").mkString(", ")})"
     val counter = df.sparkSession.sparkContext.longAccumulator("jdbc_rows")
@@ -84,7 +96,7 @@ object JdbcSink {
               while (i < cols.length) {
                 val v = if (r.isNullAt(i)) null else r.get(i)
                 (schema(i).dataType, v) match {
-                  case (_, null)            => ps.setObject(i + 1, null)
+                  case (_, null)            => ps.setNull(i + 1, sqlTypes(i))
                   case (IntegerType, x)     => ps.setInt(i + 1, x.asInstanceOf[Int])
                   case (LongType, x)        => ps.setLong(i + 1, x.asInstanceOf[Long])
                   case (DoubleType, x)      => ps.setDouble(i + 1, x.asInstanceOf[Double])

@@ -27,6 +27,19 @@ object Coerce {
     * (documented deviation: NaN is never a useful duration). */
   private val NullTokens: Seq[Any] = Seq("-", "", "nan", "None")
 
+  /** Strict decimal/scientific-notation matcher guarding every
+    * plain-number branch. Spark's non-ANSI string→double cast
+    * delegates to Java `Double.parseDouble` plus special literals, so
+    * it accepts Java-only forms — `'1d'`, `'1f'`, hex floats like
+    * `'0x1p3'`, `'inf'` — that the reference's Python `float()`
+    * (main.py:459) and the DuckDB oracle's `try_cast` both reject.
+    * The guard pins all engines to the common subset: anything
+    * outside plain decimal/scientific notation coerces to the
+    * default. (Infinities are likewise rejected — consistent with
+    * mapping NaN to 0.0: neither is a usable duration/metric.) */
+  private[graft] val NumRe =
+    "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
   /** A `H`/`M`/`S` piece is valid iff it parses as a Python `int()`
     * does in the reference (main.py:452-457: `map(int, parts)`) —
     * optional sign, digits only, surrounding whitespace tolerated.
@@ -50,7 +63,7 @@ object Coerce {
     val p1 = intPiece(parts, 1)
     val p2 = intPiece(parts, 2)
     val p3 = intPiece(parts, 3)
-    val plain = s.cast("double")
+    val plain = when(s.rlike(NumRe), s.cast("double"))
     when(c.isNull || s.isin(NullTokens: _*), lit(0.0))
       .when(
         s.contains(":"),
@@ -61,14 +74,15 @@ object Coerce {
             when(p1.isNull || p2.isNull, lit(0.0)).otherwise(p1 * 60 + p2))
           .otherwise(lit(0.0)))
       .otherwise(
-        when(plain.isNull || isnan(plain), lit(0.0)).otherwise(plain))
+        when(plain.isNull, lit(0.0)).otherwise(plain))
   }
 
   /** Lenient double: garbage/NULL/NaN → 0.0
     * (reference main.py:516-528, `to_numeric(errors='coerce').fillna(0.0)`). */
   def lenientDouble(c: Column): Column = {
-    val d = trim(c.cast("string")).cast("double")
-    when(d.isNull || isnan(d), lit(0.0)).otherwise(d)
+    val s = trim(c.cast("string"))
+    val d = when(s.rlike(NumRe), s.cast("double"))
+    when(d.isNull, lit(0.0)).otherwise(d)
   }
 
   /** Lenient int: parse as double then truncate toward zero, garbage → 0

@@ -31,7 +31,7 @@ object Reference {
   def timeToMinutesQ(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val raw = expr(
-      """CASE CAST(l_orderkey % 11 AS INT)
+      """CASE CAST(l_orderkey % 13 AS INT)
         | WHEN 0 THEN '-'
         | WHEN 1 THEN ''
         | WHEN 2 THEN 'nan'
@@ -45,10 +45,12 @@ object Reference {
         |                    lpad(CAST(l_orderkey % 60 AS STRING), 2, '0'))
         | WHEN 8 THEN '1:xx'
         | WHEN 9 THEN '1:2:3:4'
+        | WHEN 10 THEN '1d'
+        | WHEN 11 THEN 'inf'
         | ELSE '  7.5  '
         |END""".stripMargin)
     lineitem(spark, dir)
-      .select((col("l_orderkey") % 11).cast("int").as("bucket"),
+      .select((col("l_orderkey") % 13).cast("int").as("bucket"),
         Coerce.timeToMinutes(raw).as("minutes"))
       .groupBy(col("bucket"))
       .agg(round(sum("minutes"), 4).as("sum_min"), count(lit(1)).as("n"))
@@ -57,8 +59,8 @@ object Reference {
 
   val timeToMinutesSql: String =
     """WITH synth AS (
-      |  SELECT CAST(l_orderkey % 11 AS INTEGER) AS bucket,
-      |    CASE CAST(l_orderkey % 11 AS INTEGER)
+      |  SELECT CAST(l_orderkey % 13 AS INTEGER) AS bucket,
+      |    CASE CAST(l_orderkey % 13 AS INTEGER)
       |      WHEN 0 THEN '-'
       |      WHEN 1 THEN ''
       |      WHEN 2 THEN 'nan'
@@ -72,6 +74,8 @@ object Reference {
       |                         lpad(CAST(l_orderkey % 60 AS VARCHAR), 2, '0'))
       |      WHEN 8 THEN '1:xx'
       |      WHEN 9 THEN '1:2:3:4'
+      |      WHEN 10 THEN '1d'
+      |      WHEN 11 THEN 'inf'
       |      ELSE '  7.5  '
       |    END AS raw
       |  FROM lineitem),
@@ -94,8 +98,8 @@ object Reference {
       |                      ELSE try_cast(string_split(trim(raw), ':')[1] AS DOUBLE) * 60
       |                         + try_cast(string_split(trim(raw), ':')[2] AS DOUBLE) END
       |          ELSE 0.0 END
-      |      WHEN try_cast(trim(raw) AS DOUBLE) IS NULL
-      |        OR isnan(try_cast(trim(raw) AS DOUBLE)) THEN 0.0
+      |      WHEN NOT regexp_full_match(trim(raw),
+      |        '[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?') THEN 0.0
       |      ELSE try_cast(trim(raw) AS DOUBLE)
       |    END AS minutes
       |  FROM synth)
@@ -107,16 +111,18 @@ object Reference {
   def lenientCasts(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val raw = expr(
-      """CASE CAST(event_id % 6 AS INT)
+      """CASE CAST(event_id % 8 AS INT)
         | WHEN 0 THEN '42'
         | WHEN 1 THEN '  7  '
         | WHEN 2 THEN '3.9'
         | WHEN 3 THEN 'x9'
         | WHEN 4 THEN ''
-        | ELSE '-5.2'
+        | WHEN 5 THEN '-5.2'
+        | WHEN 6 THEN '1d'
+        | ELSE 'inf'
         |END""".stripMargin)
     events(spark, dir)
-      .select((col("event_id") % 6).cast("int").as("bucket"),
+      .select((col("event_id") % 8).cast("int").as("bucket"),
         Coerce.lenientInt(raw).as("as_int"),
         Coerce.lenientDouble(raw).as("as_double"))
       .groupBy(col("bucket"))
@@ -128,15 +134,16 @@ object Reference {
 
   val lenientCastsSql: String =
     """WITH synth AS (
-      |  SELECT CAST(event_id % 6 AS INTEGER) AS bucket,
-      |    CASE CAST(event_id % 6 AS INTEGER)
+      |  SELECT CAST(event_id % 8 AS INTEGER) AS bucket,
+      |    CASE CAST(event_id % 8 AS INTEGER)
       |      WHEN 0 THEN '42' WHEN 1 THEN '  7  ' WHEN 2 THEN '3.9'
-      |      WHEN 3 THEN 'x9' WHEN 4 THEN '' ELSE '-5.2' END AS raw
+      |      WHEN 3 THEN 'x9' WHEN 4 THEN '' WHEN 5 THEN '-5.2'
+      |      WHEN 6 THEN '1d' ELSE 'inf' END AS raw
       |  FROM events),
       |conv AS (
       |  SELECT bucket,
-      |    CASE WHEN try_cast(trim(raw) AS DOUBLE) IS NULL
-      |           OR isnan(try_cast(trim(raw) AS DOUBLE)) THEN 0.0
+      |    CASE WHEN NOT regexp_full_match(trim(raw),
+      |           '[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?') THEN 0.0
       |         ELSE try_cast(trim(raw) AS DOUBLE) END AS d
       |  FROM synth)
       |SELECT bucket, CAST(sum(CAST(trunc(d) AS BIGINT)) AS BIGINT) AS sum_int,
@@ -445,9 +452,9 @@ object Reference {
     graft.functions.GraftFunctions.register(spark)
     lineitem(spark, dir).createOrReplaceTempView("li_native")
     spark.sql(
-      """SELECT CAST(l_orderkey % 11 AS INT) AS bucket,
+      """SELECT CAST(l_orderkey % 13 AS INT) AS bucket,
         |  round(sum(time_to_minutes(
-        |    CASE CAST(l_orderkey % 11 AS INT)
+        |    CASE CAST(l_orderkey % 13 AS INT)
         |      WHEN 0 THEN '-'
         |      WHEN 1 THEN ''
         |      WHEN 2 THEN 'nan'
@@ -461,6 +468,8 @@ object Reference {
         |                         lpad(CAST(l_orderkey % 60 AS STRING), 2, '0'))
         |      WHEN 8 THEN '1:xx'
         |      WHEN 9 THEN '1:2:3:4'
+        |      WHEN 10 THEN '1d'
+        |      WHEN 11 THEN 'inf'
         |      ELSE '  7.5  '
         |    END)), 4) AS sum_min,
         |  count(*) AS n

@@ -12,7 +12,11 @@ class TimeToMinutesSpec extends SparkSpec {
     "-", "", "  ", "nan", "None", "NONE", "NaN",
     "1:30", "01:30:30", "0:05", "2:-30", "1.5:30", "1:xx", "1:2:3:4",
     ":30", "1:", "90", "  7.5  ", "-3", "0", "garbage", "0:90", "1:30:90",
-    "12abc", "+5", "1e2")
+    "12abc", "+5", "1e2",
+    // Java-only numeric forms: Double.parseDouble accepts these but
+    // Python float(), DuckDB try_cast, and the strict-regex guard all
+    // reject them — both implementations must yield 0.0.
+    "1d", "1f", "1D", "0x1p3", "inf", "Infinity", "-inf", "1_000")
 
   test("native expression == Coerce combinator on all input classes") {
     import spark.implicits._
@@ -48,6 +52,20 @@ class TimeToMinutesSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert("""\*\(\d+\) HashAggregate.*time_to_minutes""".r
       .findFirstIn(plan).isDefined, plan)
+  }
+
+  test("Java-only numeric forms are rejected in both implementations") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val forms = Seq("1d", "1f", "0x1p3", "inf", "Infinity", "-inf", "1_000")
+    val df = forms.toDF("s")
+    df.createOrReplaceTempView("t2m_java")
+    val native = spark.sql("SELECT time_to_minutes(s) AS m FROM t2m_java")
+      .collect().map(_.getDouble(0)).toSeq
+    val combinator = df.select(Coerce.timeToMinutes(col("s")).as("m"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(native === forms.map(_ => 0.0))
+    assert(combinator === forms.map(_ => 0.0))
   }
 
   test("known values through the SQL surface") {

@@ -42,6 +42,23 @@ class JdbcSinkSpec extends SparkSpec {
     assert(back.filter(col("fecha") === "2024-01-01").count() === 2)
   }
 
+  test("null column values insert as typed NULLs (Derby rejects untyped)") {
+    import spark.implicits._
+    JdbcSink.ensureTable(url, "t_spec_nulls",
+      "id INT, fecha DATE, v DOUBLE, s VARCHAR(50)")
+    val df = Seq(
+      (1, java.sql.Date.valueOf("2024-02-01"), Some(1.5), Some("a")),
+      (2, java.sql.Date.valueOf("2024-02-01"), None, None))
+      .toDF("id", "fecha", "v", "s")
+    val n = JdbcSink.loadIdempotent(df, url, "t_spec_nulls", "2024-02-01",
+      Set("t_spec_nulls"), batchSize = 1)
+    assert(n === 2)
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "t_spec_nulls").load()
+    assert(back.count() === 2)
+    assert(back.filter(col("v").isNull && col("s").isNull).count() === 1)
+  }
+
   test("whitelist guard rejects unknown tables (S8)") {
     import spark.implicits._
     val df = Seq((1, java.sql.Date.valueOf("2024-01-01"), 0.0))
