@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+
+/** Native array kernels for the similarity / dedup hot loops.
+  *
+  * The built-in forms both allocate per ROW-PAIR:
+  *   - `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, ...)` materializes
+  *     an intermediate array and walks it with boxed lambda calls;
+  *   - `size(array_intersect(a, b))` builds an OpenHashSet per call
+  *     (the dominant cost of pair verification — millions of candidate
+  *     pairs each hash every element of both arrays).
+  *
+  * At 100 TB the candidate-pair count is the scale driver, so the
+  * per-pair kernel must be allocation-free. These expressions compile
+  * to a plain fused loop inside whole-stage codegen: no intermediate
+  * array, no hash set, no boxing. Semantics are identical to the
+  * built-in compositions they replace (asserted in ArrayOpsSpec), so
+  * the DuckDB oracles are unchanged.
+  */
+
+/** Dot product of two double arrays over their common prefix — the
+  * codegen'd form of `aggregate(zip_with(a, b, (x,y) -> x*y), 0d,
+  * (acc,x) -> acc+x)` for equal-length, null-free vectors. */
+case class ArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Intersection size of two SORTED DISTINCT long arrays — the merge-
+  * walk form of `size(array_intersect(a, b))`. Callers must build the
+  * arrays with `array_sort(array_distinct(...))` (sort once per row,
+  * not once per pair). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}

@@ -99,9 +99,19 @@ object TimeToMinutesImpl {
   }
 }
 
-/** Session-level registration of graft's native SQL functions. */
+/** Session-level registration of graft's native SQL functions.
+  * Registration is guarded (register-once) so per-query `prep` calls
+  * don't spam replace-function warnings. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "time_to_minutes", exprs => TimeToMinutes(exprs.head), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def ensure(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    ensure("time_to_minutes", exprs => TimeToMinutes(exprs.head))
+    ensure("array_dot", exprs => ArrayDot(exprs(0), exprs(1)))
+    ensure("sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)))
+  }
 }

@@ -437,6 +437,88 @@ object Relational {
       |  CAST(sum(n) AS BIGINT) AS n_events, round(sum(sv), 4) AS sum_v
       |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Sliding event-time window (10-minute windows every 5 minutes):
+    * each event lands in duration/slide = 2 windows. Spark expands the
+    * event to its windows BEFORE the two-phase aggregation — at scale
+    * the fan-out factor is the constant duration/slide, not data-
+    * dependent. Digested per event type (window count, event count,
+    * value sum, start-time checksum) so the verify output stays small
+    * while every window boundary still influences the hash. */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("n")).as("n_events"),
+        round(sum(col("sv")), 4).as("sum_value"),
+        sum(unix_timestamp(col("window.start"))).as("sum_starts"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle: a 10-min/5-min sliding window containing t starts at
+    * bucket5(t) or bucket5(t)-5min — enumerate both, then aggregate. */
+  val slidingWindowSql: String =
+    """WITH w AS (
+      |  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+      |         value
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_type,
+      |         time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+      |         value
+      |  FROM events),
+      |agg AS (
+      |  SELECT event_type, w_start, count(*) AS n, sum(value) AS sv
+      |  FROM w GROUP BY 1, 2)
+      |SELECT event_type, count(*) AS n_windows,
+      |  CAST(sum(n) AS BIGINT) AS n_events,
+      |  round(sum(sv), 4) AS sum_value,
+      |  CAST(sum(epoch(w_start)) AS BIGINT) AS sum_starts
+      |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** GROUPING SETS beyond rollup/cube: the two single-dimension
+    * marginals WITHOUT the cross product — a set combination neither
+    * rollup nor cube expresses. Same two-phase expand+agg execution. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    lineitem(spark, dir).createOrReplaceTempView("li_gs")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        |FROM li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY 1, 2""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Approximate percentile (Greenwald-Khanna sketch) next to the
+    * exact answer — the 100 TB path for q28's shape: the sketch
+    * aggregates with bounded memory and two-phase merge, no per-group
+    * sort. Algorithm-specific numbers → no DuckDB oracle (rows-only
+    * driver check); RelationalSpec asserts the documented error bound
+    * against the exact percentile. */
+  def approxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+          .as("approx_median"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** Exact interpolated percentiles (median / p95) per group —
     * Spark's `percentile` matches DuckDB's `quantile_cont` (both
     * linear interpolation). Exact percentile sorts within groups;
@@ -624,7 +706,10 @@ object Relational {
     "q24_salted_join" -> saltedJoin,
     "q25_session_window" -> sessionWindow,
     "q28_percentiles" -> percentiles,
-    "q29_pivot_status" -> pivotStatus
+    "q29_pivot_status" -> pivotStatus,
+    "q66_sliding_window" -> slidingWindow,
+    "q68_grouping_sets" -> groupingSets,
+    "q69_approx_percentile" -> approxPercentile
   )
 
   val oracle: Map[String, String] = Map(
@@ -654,6 +739,9 @@ object Relational {
     "q24_salted_join" -> saltedJoinSql,
     "q25_session_window" -> sessionWindowSql,
     "q28_percentiles" -> percentilesSql,
-    "q29_pivot_status" -> pivotStatusSql
+    "q29_pivot_status" -> pivotStatusSql,
+    "q66_sliding_window" -> slidingWindowSql,
+    "q68_grouping_sets" -> groupingSetsSql
+    // q69_approx_percentile: intentionally no oracle (sketch-specific)
   )
 }

@@ -38,7 +38,7 @@ object Similarity {
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir)
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0d, (a, x) -> a + x * x))"))
+      .withColumn("nrm", expr("sqrt(array_dot(v, v))"))
 
   private val duckVecs: String =
     """SELECT vec_id, label,
@@ -62,7 +62,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("cos", round(
-        expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0d, (a, x) -> a + x)") /
+        expr("array_dot(qv, v)") /
           (col("qn") * col("nrm")), 4))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -92,18 +92,26 @@ object Similarity {
 
   private val Planes = 4
 
-  /** Signed projection onto deterministic hyperplane `p`: component
-    * signs come from bit 0 of the shared md5-prefix hash, so DuckDB
-    * derives the identical planes. */
-  private def planeDot(p: Int): String =
-    s"""aggregate(sequence(1, $Dim), 0d, (acc, i) ->
-       |  acc + element_at(v, i) *
-       |    (CASE WHEN cast(conv(substr(md5(
-       |       concat('plane$p', '_', cast(i - 1 as string))), 1, 15), 16, 10)
-       |       as bigint) & 1 = 1 THEN 1.0d ELSE -1.0d END))""".stripMargin
+  /** Hyperplane component signs, precomputed ONCE driver-side with the
+    * same md5-bit-0 rule the DuckDB oracle derives row-side — the
+    * planes are deterministic constants, so hashing them per row
+    * (64 dims x 4 planes x every row) would be pure waste. Folded into
+    * the plan as literal arrays; `array_dot` makes the projection one
+    * fused multiply loop. */
+  private def planeSign(p: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane${p}_$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 1L) 1.0
+    else -1.0
+  }
+
+  private def planeLit(p: Int): String =
+    (0 until Dim).map(i => s"${planeSign(p, i)}D").mkString("array(", ", ", ")")
 
   private def bucketExpr: String = (0 until Planes)
-    .map(p => s"(CASE WHEN (${planeDot(p)}) > 0 THEN ${1 << p} ELSE 0 END)")
+    .map(p => s"(CASE WHEN array_dot(v, ${planeLit(p)}) > 0 " +
+      s"THEN ${1 << p} ELSE 0 END)")
     .mkString(" + ")
 
   /** ANN via 4-bit hyperplane LSH: bucket = sign bits of 4 plane
@@ -119,7 +127,7 @@ object Similarity {
     val cands = e.join(broadcast(q),
       col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
       .withColumn("cos", round(
-        expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0d, (a, x) -> a + x)") /
+        expr("array_dot(qv, v)") /
           (col("qn") * col("nrm")), 4))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -169,10 +177,10 @@ object Similarity {
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)")
         .as("cv"))
-      .withColumn("cn", expr("sqrt(aggregate(cv, 0d, (a, x) -> a + x * x))"))
+      .withColumn("cn", expr("sqrt(array_dot(cv, cv))"))
     val scored = e.join(broadcast(cent), "label")
       .withColumn("cos", round(
-        expr("aggregate(zip_with(cv, v, (x, y) -> x * y), 0d, (a, x) -> a + x)") /
+        expr("array_dot(cv, v)") /
           (col("cn") * col("nrm")), 4))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -211,7 +219,17 @@ object Similarity {
     * of the corpus by cell id — candidates come from one partition,
     * and a real deployment would train the codebook with k-means and
     * raise nprobe; the dataflow is identical. */
-  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame =
+    ivfAnnImpl(spark, dir, nprobe = 1)
+
+  /** nprobe=2 variant: each query probes its TWO nearest cells —
+    * the standard IVF recall/cost dial (cells are disjoint, so the
+    * candidate sets union without dedup). Everything else identical. */
+  def ivfAnnNprobe2(spark: SparkSession, dir: String): DataFrame =
+    ivfAnnImpl(spark, dir, nprobe = 2)
+
+  private def ivfAnnImpl(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
     prep(spark)
     val e = vecs(spark, dir)
     val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
@@ -221,25 +239,29 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)")
         .as("cv"))
       .select(col("label").as("cell"), col("cv"),
-        expr("sqrt(aggregate(cv, 0d, (a, x) -> a + x * x))").as("cn"))
+        expr("sqrt(array_dot(cv, cv))").as("cn"))
     // quantize: nearest cell per vector (broadcast the tiny codebook)
     val scored = e.join(broadcast(cent),
       expr("true")) // score against every centroid, keep the argmax
       .withColumn("ccos",
-        expr("aggregate(zip_with(cv, v, (x, y) -> x * y), 0d, (a, x) -> a + x)") /
+        expr("array_dot(cv, v)") /
           (col("cn") * col("nrm")))
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cell").asc)
-    val assigned = scored.withColumn("rc", row_number().over(wCell))
-      .filter(col("rc") === 1)
+    val ranked = scored.withColumn("rc", row_number().over(wCell))
+    val assigned = ranked.filter(col("rc") === 1)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"))
-    val q = assigned.filter(col("vec_id") % 100 === 0)
+    // Query side probes its `nprobe` nearest cells (one probe row per
+    // (query, cell)); corpus membership stays rc=1, so the probe
+    // candidate sets are disjoint — union without dedup.
+    val q = ranked.filter(col("rc") <= nprobe)
+      .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell").as("qcell"))
     val cands = assigned.join(broadcast(q),
       col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
       .withColumn("cos", round(
-        expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0d, (a, x) -> a + x)") /
+        expr("array_dot(qv, v)") /
           (col("qn") * col("nrm")), 4))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -249,7 +271,7 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  val ivfAnnSql: String =
+  private def ivfAnnSqlImpl(nprobe: Int): String =
     s"""WITH n AS ($duckVecs),
        |flat AS (SELECT label, i, v[i] AS x FROM n, range(1, ${Dim + 1}) t(i)),
        |cm AS (SELECT label, i, avg(x) AS cx FROM flat GROUP BY 1, 2),
@@ -259,12 +281,11 @@ object Similarity {
        |sc AS (SELECT vec_id, v, nrm, cell,
        |         list_dot_product(cv, v) / (cn * nrm) AS ccos
        |       FROM n, cb),
-       |asg AS (SELECT vec_id, v, nrm, cell FROM (
-       |         SELECT *, row_number() OVER (PARTITION BY vec_id
-       |           ORDER BY ccos DESC, cell ASC) AS rc FROM sc)
-       |        WHERE rc = 1),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |         ORDER BY ccos DESC, cell ASC) AS rc FROM sc),
+       |asg AS (SELECT vec_id, v, nrm, cell FROM rk WHERE rc = 1),
        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cell AS qcell
-       |      FROM asg WHERE vec_id % 100 = 0),
+       |      FROM rk WHERE rc <= $nprobe AND vec_id % 100 = 0),
        |c AS (SELECT qid, vec_id,
        |        round(list_dot_product(qv, v) / (qn * nrm), 4) AS cos
        |      FROM q JOIN asg ON cell = qcell AND vec_id != qid),
@@ -274,6 +295,9 @@ object Similarity {
        |      FROM c)
        |SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
+
+  val ivfAnnSql: String = ivfAnnSqlImpl(1)
+  val ivfAnnNprobe2Sql: String = ivfAnnSqlImpl(2)
 
   // ---------------------------------------------------------------
   // q65 embedding-cosine near-dup (bucketed pair mining)
@@ -288,12 +312,12 @@ object Similarity {
     prep(spark)
     val e = vecs(spark, dir).withColumn("bucket", expr(bucketExpr))
       .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
-    val pairs = e.as("a")
-      .join(e.as("b"),
+    val pairs = e.as("a").hint("shuffle_hash")
+      .join(e.as("b").hint("shuffle_hash"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
-        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0d, (acc, x) -> acc + x)") /
+        expr("array_dot(a.v, b.v)") /
           (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= 0.45)
     pairs.agg(
@@ -327,7 +351,8 @@ object Similarity {
     "q61_ann_lsh" -> annLsh,
     "q62_label_centroids" -> labelCentroids,
     "q64_ivf_ann" -> ivfAnn,
-    "q65_embedding_neardup" -> embeddingNearDup
+    "q65_embedding_neardup" -> embeddingNearDup,
+    "q70_ivf_nprobe2" -> ivfAnnNprobe2
   )
 
   val oracle: Map[String, String] = Map(
@@ -335,6 +360,7 @@ object Similarity {
     "q61_ann_lsh" -> annLshSql,
     "q62_label_centroids" -> labelCentroidsSql,
     "q64_ivf_ann" -> ivfAnnSql,
-    "q65_embedding_neardup" -> embeddingNearDupSql
+    "q65_embedding_neardup" -> embeddingNearDupSql,
+    "q70_ivf_nprobe2" -> ivfAnnNprobe2Sql
   )
 }

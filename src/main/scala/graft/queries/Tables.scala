@@ -19,6 +19,7 @@ object Tables {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    graft.functions.GraftFunctions.register(spark)
   }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -241,13 +241,36 @@ object TextAnalysis {
       |  min(fp) AS min_fp, max(fp) AS max_fp
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Corpus word count via the generator surface (explode = the
+    * UDTF-shaped operator, SURVEY §2.8): token frequency top-20 with a
+    * total tie order. explode fans each document into its tokens
+    * BEFORE the two-phase count — the shuffle carries (token, partial
+    * count), never raw text, and the final top-k is
+    * TakeOrderedAndProject (per-partition heaps, no full sort). */
+  def wordCount(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    documents(spark, dir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(20)
+  }
+
+  val wordCountSql: String =
+    """SELECT tok, count(*) AS n
+      |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |      FROM documents)
+      |GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_token_stats" -> tokenStats,
     "q51_quality_score" -> qualityScore,
     "q52_lang_id" -> langId,
     "q53_fingerprint" -> fingerprint,
     "q54_token_bpe" -> tokenBpe,
-    "q59_rolling_hash" -> rollingHash
+    "q59_rolling_hash" -> rollingHash,
+    "q67_word_count" -> wordCount
   )
 
   val oracle: Map[String, String] = Map(
@@ -256,6 +279,7 @@ object TextAnalysis {
     "q52_lang_id" -> langIdSql,
     "q53_fingerprint" -> fingerprintSql,
     "q54_token_bpe" -> tokenBpeSql,
-    "q59_rolling_hash" -> rollingHashSql
+    "q59_rolling_hash" -> rollingHashSql,
+    "q67_word_count" -> wordCountSql
   )
 }

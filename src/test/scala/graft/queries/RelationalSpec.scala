@@ -65,4 +65,32 @@ class RelationalSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString
       .contains("TakeOrderedAndProject"))
   }
+
+  test("word count plans as TakeOrderedAndProject after two-phase agg") {
+    Tables.prep(spark)
+    val df = TextAnalysis.wordCount(spark, dir)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("approx percentile stays within the sketch's rank-error bound") {
+    Tables.prep(spark)
+    // accuracy 10000 -> rank error <= n/10000; translate to a value
+    // tolerance via a generous relative band (the harness prices are
+    // smoothly distributed, so rank error ~ value error here).
+    val rows = Relational.approxPercentile(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getDouble(1); val exact = r.getDouble(2)
+      assert(math.abs(approx - exact) / math.max(math.abs(exact), 1e-9) < 0.05,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("sliding window fans each event into exactly duration/slide windows") {
+    Tables.prep(spark)
+    val digest = Relational.slidingWindow(spark, dir).collect()
+    val nEvents = Tables.events(spark, dir).count()
+    assert(digest.map(_.getLong(2)).sum === 2 * nEvents)
+  }
 }
