@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
 
 /** Native array kernels for the similarity / dedup hot loops.
   *
@@ -112,4 +112,61 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** 32-bit SimHash majority vote over an array of long hashes: bit b of
+  * the result is set iff more than half the hashes have bit b set —
+  * one pass with a counts array, replacing 32 per-bit
+  * `size(filter(hs, h -> (h >> b) & 1 = 1))` walks (each of which
+  * allocates a filtered array per document per bit). */
+case class BitMajority(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bit_majority"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = x.getLong(i)
+      var b = 0
+      while (b < 32) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 32) { if (counts(b) * 2 > n) sh |= 1L << b; b += 1 }
+    sh
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val b2 = ctx.freshName("b2")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val counts = ctx.freshName("counts")
+      val sh = ctx.freshName("sh")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $counts = new int[32];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 32; $b++) {
+         |    $counts[$b] += (int) (($h >>> $b) & 1L);
+         |  }
+         |}
+         |long $sh = 0L;
+         |for (int $b2 = 0; $b2 < 32; $b2++) {
+         |  if ($counts[$b2] * 2 > $n) $sh |= 1L << $b2;
+         |}
+         |${ev.value} = $sh;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BitMajority =
+    copy(child = newChild)
 }

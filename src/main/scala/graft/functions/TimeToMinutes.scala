@@ -113,5 +113,6 @@ object GraftFunctions {
     ensure("array_dot", exprs => ArrayDot(exprs(0), exprs(1)))
     ensure("sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)))
+    ensure("bit_majority", exprs => BitMajority(exprs.head))
   }
 }

@@ -90,15 +90,62 @@ object StreamingQ {
       |  CAST(sum(n) AS BIGINT) AS n_events, round(sum(sv), 4) AS sum_v
       |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Streaming sliding window == batch q66 (same digest, same oracle). */
+  def streamSliding(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val out = Streams.runToMemory(
+      Streams.slidingCounts(Streams.eventsStream(spark, dir)),
+      sink("s_sliding"), OutputMode.Complete())
+    out.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("n")).as("n_events"),
+        round(sum(col("sv")), 4).as("sum_value"),
+        sum(unix_timestamp(col("w_start"))).as("sum_starts"))
+      .orderBy("event_type")
+  }
+
+  val streamSlidingSql: String = Relational.slidingWindowSql
+
+  /** Stream-stream interval join (click -> purchase attribution),
+    * digested per user bucket; the oracle is the equivalent batch
+    * self-join over µs-truncated timestamps. */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val out = Streams.runToMemory(
+      Streams.clickPurchaseJoin(Streams.eventsStream(spark, dir)),
+      sink("s_join"), OutputMode.Append())
+    out.groupBy((col("c_user") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("p_value")), 4).as("sum_purchase"))
+      .orderBy("bucket")
+  }
+
+  val streamJoinSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, value,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS tsus
+      |  FROM events)
+      |SELECT c.user_id % 8 AS bucket, count(*) AS n_pairs,
+      |  round(sum(p.value), 4) AS sum_purchase
+      |FROM e c JOIN e p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.tsus >= c.tsus AND p.tsus <= c.tsus + 600000000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_stream_tumbling" -> streamTumbling,
     "q40_stream_dedup" -> streamDedup,
-    "q41_stream_sessions" -> streamSessions
+    "q41_stream_sessions" -> streamSessions,
+    "q71_stream_sliding" -> streamSliding,
+    "q72_stream_join" -> streamJoin
   )
 
   val oracle: Map[String, String] = Map(
     "q39_stream_tumbling" -> streamTumblingSql,
     "q40_stream_dedup" -> streamDedupSql,
-    "q41_stream_sessions" -> streamSessionsSql
+    "q41_stream_sessions" -> streamSessionsSql,
+    "q71_stream_sliding" -> streamSlidingSql,
+    "q72_stream_join" -> streamJoinSql
   )
 }

@@ -59,6 +59,39 @@ object Streams {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding event-time windows (10-minute windows every 5 minutes) —
+    * the streaming form of the batch sliding window (q66). Each event
+    * expands to duration/slide = 2 window states; watermark bounds
+    * how long each stays open. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sv"))
+
+  /** Stream-stream interval join: purchases attributed to a same-user
+    * click within the preceding 10 minutes. Both sides carry
+    * watermarks and the join predicate bounds event time in BOTH
+    * directions, so each side's buffered state is provably prunable —
+    * the only stream-stream join shape that runs bounded-state at
+    * 100 TB/day rates. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", "30 minutes")
+    clicks.join(purchases,
+      expr("""c_user = p_user AND
+              p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"""))
+  }
+
   /** Exactly-once dedup within the watermark horizon: state keeps one
     * entry per event_id seen in the last 30 minutes of event time and
     * is pruned as the watermark advances — bounded state at any rate. */

@@ -57,6 +57,20 @@ class ArrayOpsSpec extends SparkSpec {
     assert(r.getInt(2) === 0)
   }
 
+  test("bit_majority == 32 per-bit filter majority votes") {
+    GraftFunctions.register(spark)
+    val bitTerms = (0 until 32).map { i =>
+      s"CASE WHEN size(filter(hs, h -> (h >> $i) & 1 = 1)) * 2 > size(hs) " +
+        s"THEN cast(${1L << i} as bigint) ELSE cast(0 as bigint) END"
+    }.mkString(" + ")
+    val rows = spark.sql(
+      s"""SELECT bit_majority(hs) AS fast, ($bitTerms) AS slow
+         |FROM (SELECT transform(sequence(1, 1 + cast(id AS INT) % 7),
+         |        i -> xxhash64(concat('x', i, '_', id))) AS hs
+         |      FROM range(50))""".stripMargin).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("kernels run inside whole-stage codegen") {
     GraftFunctions.register(spark)
     val df = spark.sql(
