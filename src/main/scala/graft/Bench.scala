@@ -11,12 +11,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // One warm-up pass (JIT + codegen + file-listing caches), then timed.
     val names = SparkEntry.benchQueries
-    names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
     val results = names.map { name =>
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -25,9 +20,10 @@ object Bench {
           catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      // Best-of-2: transient machine noise (GC, co-tenant I/O) can
-      // inflate any single pass by 10x; the minimum of two passes is
-      // the reproducible cost of the plan.
+      // Best-of-2: pass 1 doubles as warm-up (JIT, codegen, file
+      // listing, persisted-table materialization); pass 2 is the warm
+      // run. The minimum also shrugs off transient machine noise (GC,
+      // co-tenant I/O), which can inflate any single pass by 10x.
       val (t1, ok1) = once()
       val (t2, ok2) = once()
       val ok = ok1 || ok2
