@@ -154,7 +154,15 @@ object Streams {
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val prevNoData =
+      spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // Skip the trailing no-data micro-batch: it exists to advance the
+    // watermark for Append-mode AGGREGATIONS; our streams either run
+    // Complete mode (emit on every batch) or emit rows immediately
+    // (dedup, inner interval join), so the extra batch is pure
+    // state-store churn on a bounded replay.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = df.writeStream
         .format("memory")
@@ -163,7 +171,11 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        prevNoData)
+    }
     spark.table(name)
   }
 }
