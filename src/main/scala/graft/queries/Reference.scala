@@ -442,6 +442,50 @@ object Reference {
       .orderBy("id")
   }
 
+  /** The reference's CANONICAL layer-B query (SURVEY §2.4/§2.5): the
+    * loaded tables share (id, fecha) keys, and every `t_diario_*`
+    * column is BY CONSTRUCTION the day-grain rollup of the
+    * interval-grain `t_*` (reference main.py:155-180). This query
+    * reproduces that relationship from raw events — interval grain
+    * (30-minute buckets per agent-day), day-grain rollup, then the
+    * interval⋈daily join on (id, fecha) — and digests per date.
+    * Shuffle shape: one shuffle to (id, fecha, window), the rollup
+    * reuses the same key prefix, and the join co-partitions on
+    * (id, fecha) — exactly the plan a BI layer runs at any scale. */
+  def dailyRollupJoin(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val interval = events(spark, dir)
+      .groupBy(col("user_id").as("id"), to_date(col("ts")).as("fecha"),
+        window(col("ts"), "30 minutes").as("w"))
+      .agg(sum("value").as("t_talking"), count(lit(1)).as("n_calls"))
+    val daily = interval.groupBy(col("id"), col("fecha"))
+      .agg(round(sum("t_talking"), 4).as("t_diario_talking"),
+        sum("n_calls").as("in_total"))
+    interval.join(daily, Seq("id", "fecha"))
+      .groupBy(col("fecha"))
+      .agg(countDistinct(col("id")).as("n_agents"),
+        count(lit(1)).as("n_rows"),
+        round(sum(col("t_talking")), 4).as("sum_t"),
+        round(sum(col("t_diario_talking")), 4).as("sum_t_diario_weighted"))
+      .orderBy("fecha")
+  }
+
+  val dailyRollupJoinSql: String =
+    """WITH i AS (
+      |  SELECT user_id AS id, CAST(ts AS DATE) AS fecha,
+      |         time_bucket(INTERVAL '30 minutes', ts) AS w,
+      |         sum(value) AS t_talking, count(*) AS n_calls
+      |  FROM events GROUP BY 1, 2, 3),
+      |d AS (
+      |  SELECT id, fecha, round(sum(t_talking), 4) AS t_diario_talking,
+      |         sum(n_calls) AS in_total
+      |  FROM i GROUP BY 1, 2)
+      |SELECT i.fecha, count(DISTINCT i.id) AS n_agents, count(*) AS n_rows,
+      |  round(sum(i.t_talking), 4) AS sum_t,
+      |  round(sum(d.t_diario_talking), 4) AS sum_t_diario_weighted
+      |FROM i JOIN d ON i.id = d.id AND i.fecha = d.fecha
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q30's semantics through the NATIVE Catalyst expression
     * ([[graft.functions.TimeToMinutes]], codegen'd) and the SQL
     * surface — same synthesis, same oracle, so any divergence between
@@ -487,7 +531,8 @@ object Reference {
     "q37_conducta_pipeline" -> conductaPipeline,
     "q38_estados_pipeline" -> estadosPipeline,
     "q42_jdbc_roundtrip" -> jdbcRoundtrip,
-    "q43_time_to_minutes_native" -> timeToMinutesNativeQ
+    "q43_time_to_minutes_native" -> timeToMinutesNativeQ,
+    "q44_daily_rollup_join" -> dailyRollupJoin
   )
 
   val oracle: Map[String, String] = Map(
@@ -501,6 +546,7 @@ object Reference {
     "q37_conducta_pipeline" -> conductaPipelineSql,
     "q38_estados_pipeline" -> estadosPipelineSql,
     "q42_jdbc_roundtrip" -> conductaPipelineSql, // same rows via the JDBC sink
-    "q43_time_to_minutes_native" -> timeToMinutesSql // same semantics, native expr
+    "q43_time_to_minutes_native" -> timeToMinutesSql, // same semantics, native expr
+    "q44_daily_rollup_join" -> dailyRollupJoinSql
   )
 }

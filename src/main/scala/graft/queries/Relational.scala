@@ -27,8 +27,11 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum("l_quantity"), 4).as("sum_qty"),
-        round(sum("l_extendedprice"), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        // Price sums reach ~3e9 per group: double addition-order noise
+        // is ~1e-4, so round at 2 decimals (50x margin) — a 4-decimal
+        // digest of a billion-scale sum is partitioning-dependent.
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("sum_disc_price"),
         round(avg("l_quantity"), 6).as("avg_qty"),
         count(lit(1)).as("count_order"))
@@ -38,8 +41,8 @@ object Relational {
   val pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 4) AS sum_qty,
-      |  round(sum(l_extendedprice), 4) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
       |  round(avg(l_quantity), 6) AS avg_qty,
       |  count(*) AS count_order
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
@@ -151,15 +154,22 @@ object Relational {
     o.join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("revenue"),
+        // Digest with AVG, not the raw revenue SUM: a ~1e10 sum of
+        // ~1e5 doubles carries O(1e-4) addition-order noise — enough
+        // to flip a 4-decimal rounding between partitionings (q23's
+        // bucketed layout sums in a different order than this direct
+        // read, and than DuckDB). Dividing by n shrinks the reorder
+        // noise below any rounding quantum while every row still
+        // contributes.
+        round(avg(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("avg_revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("o_orderpriority")
   }
 
   val joinFactsSql: String =
     """SELECT o_orderpriority,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |  round(avg(l_extendedprice * (1 - l_discount)), 4) AS avg_revenue,
       |  count(*) AS n_items
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -645,8 +655,11 @@ object Relational {
     o.join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("revenue"),
+        // AVG digest, matching q07 (see joinFacts): the bucketed read
+        // sums in a different order, and a raw-SUM digest flips its
+        // 4th decimal at sf0.1.
+        round(avg(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("avg_revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("o_orderpriority")
   }
