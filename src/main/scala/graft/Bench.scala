@@ -35,14 +35,18 @@ object Bench {
       }
       // A crashed query reports NEGATIVE elapsed time so failures are
       // visible in the JSON instead of masquerading as timings.
-      (name, if (ok) best else -best, ok)
+      (name, if (ok) best else -best, ok, ok1 != ok2)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+    val errs = results.collect { case (k, _, false, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // A query that crashed on exactly one of its two passes is not a
+    // clean success — surface it instead of hiding behind the min.
+    val flaky = results.collect { case (k, _, _, true) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,19 +22,24 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
   * the DuckDB oracles are unchanged.
   */
 
-/** Dot product of two double arrays over their common prefix — the
-  * codegen'd form of `aggregate(zip_with(a, b, (x,y) -> x*y), 0d,
-  * (acc,x) -> acc+x)` for equal-length, null-free vectors. */
+/** Dot product of two equal-length double arrays — the codegen'd form
+  * of `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (acc,x) -> acc+x)`
+  * for null-free vectors. Length-mismatched inputs return NULL,
+  * matching the built-in (zip_with pads the shorter side with null,
+  * which nulls the whole aggregate) — a truncated vector must never
+  * rank with a silently partial similarity. */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "array_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -47,12 +52,16 @@ case class ArrayDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

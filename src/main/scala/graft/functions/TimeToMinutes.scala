@@ -52,12 +52,15 @@ case class TimeToMinutes(child: Expression) extends UnaryExpression {
   * boxing). Total function, mirrors main.py:425-462 exactly. */
 object TimeToMinutesImpl {
 
-  /** Same strict numeric form as [[graft.norm.Coerce.NumRe]]: Java's
-    * `s.toDouble` alone would accept `'1d'`/`'0x1p3'` etc., which the
-    * combinator, the reference's `float()`, and the DuckDB oracle all
-    * reject. A matching string always parses cleanly. */
-  private val NumPattern = java.util.regex.Pattern.compile(
-    "[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?")
+  /** THE [[graft.norm.Coerce.NumRe]] grammar, compiled (one shared
+    * constant, so the combinator and the native expression cannot
+    * drift): Java's `s.toDouble` alone would accept `'1d'`/`'0x1p3'`
+    * etc., which the combinator, the reference's `float()`, and the
+    * DuckDB oracle all reject. A matching string always parses
+    * cleanly (`matches()` makes NumRe's anchors redundant but
+    * harmless). */
+  private val NumPattern =
+    java.util.regex.Pattern.compile(graft.norm.Coerce.NumRe)
 
   def convert(u: UTF8String): Double = {
     val s = u.toString.trim

@@ -100,6 +100,8 @@ object JdbcSink {
                   case (IntegerType, x)     => ps.setInt(i + 1, x.asInstanceOf[Int])
                   case (LongType, x)        => ps.setLong(i + 1, x.asInstanceOf[Long])
                   case (DoubleType, x)      => ps.setDouble(i + 1, x.asInstanceOf[Double])
+                  case (FloatType, x)       => ps.setFloat(i + 1, x.asInstanceOf[Float])
+                  case (BooleanType, x)     => ps.setBoolean(i + 1, x.asInstanceOf[Boolean])
                   case (DateType, x)        => ps.setDate(i + 1, x.asInstanceOf[java.sql.Date])
                   case (TimestampType, x)   => ps.setTimestamp(i + 1, x.asInstanceOf[java.sql.Timestamp])
                   case (_, x)               => ps.setString(i + 1, x.toString)

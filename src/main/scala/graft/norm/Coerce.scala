@@ -35,8 +35,10 @@ object Coerce {
     * (main.py:459) and the DuckDB oracle's `try_cast` both reject.
     * The guard pins all engines to the common subset: anything
     * outside plain decimal/scientific notation coerces to the
-    * default. (Infinities are likewise rejected — consistent with
-    * mapping NaN to 0.0: neither is a usable duration/metric.) */
+    * default. (Infinity LITERALS — 'inf', 'Infinity' — are rejected
+    * by the grammar; overflow forms like '1e999' match it and yield
+    * Infinity IDENTICALLY in Spark cast, DuckDB try_cast, and Python
+    * float(), so no guard is needed there.) */
   private[graft] val NumRe =
     "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
 

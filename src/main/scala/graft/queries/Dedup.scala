@@ -37,8 +37,13 @@ object Dedup {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String), DataFrame]
   private def memo(spark: SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    // Drop entries whose session has stopped so the memo cannot pin
+    // dead sessions' object graphs — live size stays bounded by
+    // (active sessions x data dirs), a handful.
+    tableMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     tableMemo.getOrElseUpdate((spark, dir, key), build.persist())
+  }
 
   /** 60-bit deterministic hash of a string expression, identical in
     * Spark and DuckDB (md5 prefix, hex->int; 15 hex chars = 60 bits so
@@ -224,10 +229,12 @@ object Dedup {
     // and majority vote run across all cores, not in the source
     // file's scan stage. bit_majority is the native one-pass kernel
     // (the 32 per-bit filter() walks cost ~4s alone at sf0.1).
-    val docs = withShingles(documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
-      .withColumn("hs", expr(s"transform(shingles, x -> ${hSql("x")})"))
-      .select(col("doc_id"), expr("bit_majority(hs)").as("sh"))
+    val docs = memo(spark, dir, "simhash_sh") {
+      withShingles(documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+        .withColumn("hs", expr(s"transform(shingles, x -> ${hSql("x")})"))
+        .select(col("doc_id"), expr("bit_majority(hs)").as("sh"))
+    }
     val blocks = docs.select(col("doc_id"), col("sh"),
       explode(expr(
         s"transform(sequence(0, ${SimhashBlocks - 1}), " +
