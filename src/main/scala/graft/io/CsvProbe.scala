@@ -10,11 +10,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Re-expresses the reference's read path (S1, reference
   * main.py:1337-1342): pandas tries utf-8 → latin-1 → cp1252 and
   * sniffs the separator (`sep=None, engine='python'`). Spark's CSV
-  * reader takes one fixed charset/sep, so we probe the FIRST few KB
-  * driver-side (one tiny read), then launch the distributed
-  * `spark.read` with the detected options — the probe cost is O(1)
-  * regardless of file size, so this scales to arbitrarily large
-  * inputs.
+  * reader takes one fixed charset/sep, so we decide both driver-side,
+  * then launch the distributed `spark.read` with the detected options:
+  *
+  *   - separator: sniffed from the first few KB — O(1) in file size;
+  *   - charset: validated over the WHOLE file with a streaming decoder
+  *     (O(n) sequential read, O(1) memory). A head-only probe would
+  *     silently corrupt a latin-1 file whose first non-ASCII byte sits
+  *     past the window (UTF-8 "passes" on the head, then the bad byte
+  *     decodes to U+FFFD mid-file); the reference decodes the whole
+  *     file too, so the cost is the same work pandas does.
+  *
+  * cp1252 is listed for reference parity but is unreachable after
+  * ISO-8859-1 (latin-1 maps every byte, so it never fails) — exactly
+  * as in the reference, where pandas' latin-1 attempt also never
+  * raises. Kept to document the fallback chain faithfully.
   */
 object CsvProbe {
 
@@ -22,12 +32,8 @@ object CsvProbe {
   private val CandidateCharsets =
     Seq(StandardCharsets.UTF_8, StandardCharsets.ISO_8859_1, Charset.forName("windows-1252"))
 
-  /** Detect (charset, separator) from the first `probeBytes` of the file.
-    * Reads AT MOST `probeBytes` through a bounded stream — never the
-    * whole file — so probing a multi-GB CSV allocates ≤64 KB on the
-    * driver. If the buffer filled (mid-file truncation), the tail is
-    * trimmed to the last newline so a split multibyte UTF-8 sequence
-    * can't falsely fail the UTF-8 probe and demote the file to latin-1. */
+  /** Detect (charset, separator): charset by streaming full-file
+    * validation, separator from the first `probeBytes` only. */
   def probe(path: String, probeBytes: Int = 65536): (Charset, Char) = {
     val in = Files.newInputStream(Paths.get(path))
     val full = try in.readNBytes(probeBytes) finally in.close()
@@ -38,7 +44,7 @@ object CsvProbe {
         if (lastNl > 0) java.util.Arrays.copyOf(full, lastNl) else full
       }
     val cs = CandidateCharsets
-      .find(c => decodes(head, c))
+      .find(c => decodesStream(path, c))
       .getOrElse(StandardCharsets.ISO_8859_1) // latin-1 accepts any byte
     val text = new String(head, cs)
     val firstLine = text.linesIterator.toSeq.headOption.getOrElse("")
@@ -46,12 +52,20 @@ object CsvProbe {
     (cs, sep)
   }
 
-  private def decodes(bytes: Array[Byte], cs: Charset): Boolean = {
+  /** Whole-file charset validation with a 64 KB rolling buffer —
+    * InputStreamReader drives the incremental decoder, so split
+    * multibyte sequences across chunk boundaries are handled and
+    * memory stays O(1) at any file size. */
+  private def decodesStream(path: String, cs: Charset): Boolean = {
     val dec: CharsetDecoder = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.REPORT)
       .onUnmappableCharacter(CodingErrorAction.REPORT)
-    try { dec.decode(java.nio.ByteBuffer.wrap(bytes)); true }
+    val rd = new java.io.InputStreamReader(
+      Files.newInputStream(Paths.get(path)), dec)
+    val buf = new Array[Char](1 << 16)
+    try { while (rd.read(buf) != -1) {}; true }
     catch { case _: java.nio.charset.CharacterCodingException => false }
+    finally rd.close()
   }
 
   private def countOutsideQuotes(line: String, sep: Char): Int = {

@@ -13,17 +13,20 @@ import org.apache.spark.sql.types._
   *   - DDL-ensure and the partition DELETE run ONCE, driver-side
   *     (they are metadata/partition ops, reference main.py:1466-1478
   *     and 1533-1537);
-  *   - the INSERT runs executor-side via `foreachPartition`, one
-  *     connection + PreparedStatement batch per partition (the
-  *     scalable form of the reference's 100-row executemany loop,
-  *     main.py:1540-1569) — at 1000 executors that is 1000 parallel
-  *     batched writers, which is why batch INSERT, not driver-side
-  *     row pushing, is the only shape that survives 100 TB.
+  *   - the INSERT runs executor-side via `foreachPartition` into a
+  *     STAGING table, one connection + PreparedStatement batch per
+  *     partition (the scalable form of the reference's 100-row
+  *     executemany loop, main.py:1540-1569) — at 1000 executors that
+  *     is 1000 parallel batched writers; each task tags rows with its
+  *     partition id and replaces its own prior output, so task
+  *     retries/speculation cannot duplicate rows;
+  *   - the driver then swaps atomically (DELETE date + INSERT..SELECT
+  *     from staging in one transaction) — per-table atomicity, same
+  *     as the reference's single commit (main.py:1572), with
+  *     exactly-once semantics end to end.
   *
-  * Deviations from the reference, documented: atomicity is
-  * per-PARTITION (commit at partition end) rather than per-table —
-  * a distributed writer cannot share one transaction; and poison rows
-  * are NOT silently dropped row-by-row (main.py:1564-1569) — callers
+  * Deviation from the reference, documented: poison rows are NOT
+  * silently dropped row-by-row (main.py:1564-1569) — callers
   * quarantine explicitly first ([[IdempotentWriter.quarantine]]).
   *
   * Tested against embedded Derby (ships with Spark); any JDBC URL
@@ -46,25 +49,55 @@ object JdbcSink {
   }
 
   private def tableExists(conn: Connection, table: String): Boolean = {
-    val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
-    try rs.next() finally rs.close()
+    // Databases fold unquoted identifiers differently (Derby/Oracle
+    // upper, PostgreSQL lower) — probe the stored name in all three
+    // casings so an existing table is never re-CREATEd.
+    Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+      val rs = conn.getMetaData.getTables(null, null, t, null)
+      try rs.next() finally rs.close()
+    }
   }
+
+  /** SQL type name for staging DDL, per Catalyst type. */
+  private def sqlTypeName(dt: org.apache.spark.sql.types.DataType): String =
+    dt match {
+      case IntegerType   => "INT"
+      case LongType      => "BIGINT"
+      case DoubleType    => "DOUBLE"
+      case FloatType     => "REAL"
+      case BooleanType   => "BOOLEAN"
+      case DateType      => "DATE"
+      case TimestampType => "TIMESTAMP"
+      case _             => "VARCHAR(200)"
+    }
 
   /** S5+S7: idempotent date-partition load. `fecha` is the run date
     * (ISO string, matching the reference's pre-DELETE conversion,
-    * main.py:1527-1531). */
+    * main.py:1527-1531).
+    *
+    * Exactly-once under Spark task retries/speculation via a STAGING
+    * protocol — a direct executor INSERT into the target would
+    * duplicate rows whenever a task commits and then fails to report
+    * (the retry re-inserts):
+    *
+    *   1. driver clears `<table>_stg`;
+    *   2. each task writes its rows into staging tagged with its
+    *      partition id, DELETING that partition id's rows first in
+    *      the same transaction — so a re-run of the task replaces its
+    *      own output instead of appending;
+    *   3. the driver swaps atomically: DELETE the date from the
+    *      target + INSERT ... SELECT from staging in ONE transaction.
+    */
   def loadIdempotent(df: DataFrame, url: String, table: String,
       fecha: String, allowed: Set[String], batchSize: Int = 1000): Long = {
     IdempotentWriter.requireAllowed(table, allowed)
-    // Driver-side partition delete (reference main.py:1533-1537).
-    val conn = DriverManager.getConnection(url)
-    try {
-      val del = conn.prepareStatement(s"DELETE FROM $table WHERE fecha = ?")
-      try {
-        del.setDate(1, java.sql.Date.valueOf(fecha))
-        del.executeUpdate()
-      } finally del.close()
-    } finally conn.close()
+    val schema0 = df.schema
+    val staging = s"${table}_stg"
+    val stagingDdl = schema0.fields
+      .map(f => s"${f.name} ${sqlTypeName(f.dataType)}")
+      .mkString(", ") + ", part_id INT"
+    ensureTable(url, staging, stagingDdl)
+    run(url)(_.prepareStatement(s"DELETE FROM $staging").executeUpdate())
 
     val schema = df.schema
     val cols = schema.fieldNames
@@ -80,14 +113,21 @@ object JdbcSink {
       case TimestampType => java.sql.Types.TIMESTAMP
       case _             => java.sql.Types.VARCHAR
     })
-    val insert = s"INSERT INTO $table (${cols.mkString(", ")}) " +
-      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
-    val counter = df.sparkSession.sparkContext.longAccumulator("jdbc_rows")
+    val insert = s"INSERT INTO $staging (${cols.mkString(", ")}, part_id) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")}, ?)"
+    val pidIdx = cols.length + 1
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
         val c = DriverManager.getConnection(url)
         c.setAutoCommit(false)
         try {
+          // Replace-own-output: delete this partition id's prior rows
+          // (a retried/speculative attempt) in the same transaction as
+          // the insert, so the task is idempotent.
+          val del = c.prepareStatement(
+            s"DELETE FROM $staging WHERE part_id = ?")
+          try { del.setInt(1, pid); del.executeUpdate() } finally del.close()
           val ps = c.prepareStatement(insert)
           try {
             var inBatch = 0
@@ -108,19 +148,45 @@ object JdbcSink {
                 }
                 i += 1
               }
+              ps.setInt(pidIdx, pid)
               ps.addBatch()
               inBatch += 1
-              counter.add(1)
               if (inBatch >= batchSize) { ps.executeBatch(); inBatch = 0 }
             }
             if (inBatch > 0) ps.executeBatch()
-            c.commit() // per-partition transaction (documented deviation)
+            c.commit()
           } finally ps.close()
         } catch {
           case e: Throwable => c.rollback(); throw e
         } finally c.close()
       }
     }
-    counter.value
+
+    // Atomic swap: old date partition out, staged rows in — one driver
+    // transaction (reference main.py:1533-1537's DELETE + INSERT,
+    // with real all-or-nothing semantics).
+    run(url) { c =>
+      c.setAutoCommit(false)
+      try {
+        val del = c.prepareStatement(s"DELETE FROM $table WHERE fecha = ?")
+        try {
+          del.setDate(1, java.sql.Date.valueOf(fecha))
+          del.executeUpdate()
+        } finally del.close()
+        val ins = c.createStatement()
+        val n =
+          try ins.executeUpdate(
+            s"INSERT INTO $table (${cols.mkString(", ")}) " +
+              s"SELECT ${cols.mkString(", ")} FROM $staging")
+          finally ins.close()
+        c.commit()
+        n.toLong
+      } catch { case e: Throwable => c.rollback(); throw e }
+    }
+  }
+
+  private def run[A](url: String)(f: Connection => A): A = {
+    val conn = DriverManager.getConnection(url)
+    try f(conn) finally conn.close()
   }
 }

@@ -73,8 +73,11 @@ object Multimodal {
     * checked at compile time. */
   def extractFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
     import blobs.sparkSession.implicits._
+    // Range-partition count follows the session's shuffle parallelism
+    // (a fixed literal would cap the stage regardless of cluster size).
+    val parts = blobs.sparkSession.sessionState.conf.numShufflePartitions
     blobs
-      .repartitionByRange(8, col("media_id"))
+      .repartitionByRange(parts, col("media_id"))
       .mapPartitions { it =>
         // decoder init would happen HERE, once per partition
         it.map { b =>

@@ -42,12 +42,22 @@ object Coerce {
   private[graft] val NumRe =
     "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
 
+  /** Strip ALL leading/trailing whitespace/control chars (<= U+0020),
+    * not just spaces: Spark's `trim()` removes only ' ', but the
+    * reference's Python `strip()` and the native expression's Java
+    * `String.trim` both strip tabs/newlines too — `'7.5\t'` must
+    * coerce to 7.5 in every implementation, and a trailing `'\n'`
+    * must not sneak past NumRe via Java regex's before-final-newline
+    * `$` match. */
+  private def wsTrim(c: Column): Column =
+    regexp_replace(c, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
+
   /** A `H`/`M`/`S` piece is valid iff it parses as a Python `int()`
     * does in the reference (main.py:452-457: `map(int, parts)`) —
     * optional sign, digits only, surrounding whitespace tolerated.
     * `'1.5'` is NOT a valid piece (reference raises → 0.0). */
   private def intPiece(parts: Column, i: Int): Column = {
-    val p = trim(element_at(parts, i))
+    val p = wsTrim(element_at(parts, i))
     when(p.rlike("^[+-]?[0-9]+$"), p.cast("double"))
   }
 
@@ -60,7 +70,7 @@ object Coerce {
     *   - anything unparseable (any piece)    → 0.0
     */
   def timeToMinutes(c: Column): Column = {
-    val s = trim(c.cast("string"))
+    val s = wsTrim(c.cast("string"))
     val parts = split(s, ":")
     val p1 = intPiece(parts, 1)
     val p2 = intPiece(parts, 2)
@@ -82,20 +92,26 @@ object Coerce {
   /** Lenient double: garbage/NULL/NaN → 0.0
     * (reference main.py:516-528, `to_numeric(errors='coerce').fillna(0.0)`). */
   def lenientDouble(c: Column): Column = {
-    val s = trim(c.cast("string"))
+    val s = wsTrim(c.cast("string"))
     val d = when(s.rlike(NumRe), s.cast("double"))
     when(d.isNull, lit(0.0)).otherwise(d)
   }
 
   /** Lenient int: parse as double then truncate toward zero, garbage → 0
-    * (reference main.py:501-513, `.fillna(0).astype(int)` truncates). */
+    * (reference main.py:501-513, `.fillna(0).astype(int)` truncates).
+    * Returns LONG — the reference's `int` is int64; a 32-bit cast
+    * would silently WRAP values beyond ±2^31 (e.g. '3000000000' →
+    * -1294967296) where both the reference and the DuckDB oracle keep
+    * the value. Callers conforming to an INT-typed target schema cast
+    * down explicitly there, where the DDL makes the range contract
+    * visible. */
   def lenientInt(c: Column): Column =
-    lenientDouble(c).cast("long").cast("int")
+    lenientDouble(c).cast("long")
 
   /** Day-first date parse, garbage → NULL (then droppable)
     * (reference main.py:1239/1295, `to_datetime(dayfirst=True)`). */
   def parseDateDayFirst(c: Column): Column = {
-    val s = trim(c.cast("string"))
+    val s = wsTrim(c.cast("string"))
     coalesce(to_date(s, "dd/MM/yyyy"), to_date(s, "d/M/yyyy"))
   }
 }

@@ -18,13 +18,20 @@ object Names {
   def normalizeName(raw: String): String = {
     val noAccents = Normalizer
       .normalize(raw, Normalizer.Form.NFKD)
-      .replaceAll("\\p{M}+", "") // drop combining marks left by NFKD
-    val pct = noAccents.replace("%", " pct ")
-    pct.trim.toLowerCase
-      .replaceAll("[^a-z0-9]+", "_")
+      .replaceAll("\\p{M}+", "")     // drop combining marks left by NFKD
+      .replaceAll("[^\\p{ASCII}]", "") // reference DROPS undecomposable
+                                       // non-ASCII (encode('ASCII','ignore'))
+    noAccents
+      // '%' plus trailing whitespace -> 'pct_' INLINE, no separator
+      // inserted (reference re.sub(r'%\s*', 'pct_')): '100%' ->
+      // '100pct', '% In' -> 'pct_in'. A space-padded replacement would
+      // rename '100%' to '100_pct' and miss rename-map keys.
+      .replaceAll("%\\s*", "pct_")
+      .replaceAll("[^a-zA-Z0-9]", "_")
       .replaceAll("_+", "_")
       .stripPrefix("_")
       .stripSuffix("_")
+      .toLowerCase
   }
 
   /** Normalize every column name of a schema'd column list. */

@@ -222,12 +222,16 @@ object Reference {
     * degraded to append, per-date counts double → oracle mismatch. */
   def idempotentLoad(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    // One fixed scratch dir, overwritten per invocation — repeated runs
-    // don't leak temp dirs. (Driver-local path: this probe validates the
+    // One fixed scratch dir, CLEARED before each invocation: dynamic
+    // partition overwrite only replaces partitions present in the
+    // incoming frame, so stale dates from a previous run against a
+    // broader dataset would otherwise survive and corrupt the
+    // read-back counts. (Driver-local path: this probe validates the
     // overwrite SEMANTICS; on a cluster the target would be shared
     // storage. Excluded from the timed bench set for the same reason.)
     val tmp = java.nio.file.Paths
       .get(System.getProperty("java.io.tmpdir"), "graft_idem_scratch").toString
+    deleteRecursively(tmp)
     val src = events(spark, dir).select(
       to_date(col("ts")).as("fecha"),
       col("event_id"), col("user_id"), col("value"))
@@ -256,8 +260,10 @@ object Reference {
         "2;Café;-;1:30;16/01/2024\n" +
         ";Soporte;x;90;17/01/2024\n" +
         "3;Niño;88;;18/01/2024\n"
-    val f = Files.createTempFile("graft_conducta_raw", ".csv")
-    Files.write(f, csv.getBytes(Charset.forName("ISO-8859-1")))
+    // Fixed-name fixture (overwritten per run) — createTempFile would
+    // leak one file per invocation across bench/verify passes.
+    val f = java.nio.file.Paths.get(
+      writeFixture("graft_conducta_raw.csv", csv, "ISO-8859-1"))
     val target = StructType(Seq(
       StructField("id", IntegerType),
       StructField("campana", StringType),
@@ -292,6 +298,17 @@ object Reference {
   // end-to-end, every target column exercised)
   // ---------------------------------------------------------------
 
+  /** Remove a scratch directory tree if present (children first). */
+  private def deleteRecursively(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (Files.exists(p)) {
+      val stream = java.nio.file.Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally stream.close()
+    }
+  }
+
   private def writeFixture(name: String, content: String, cs: String): String = {
     val f = java.nio.file.Paths
       .get(System.getProperty("java.io.tmpdir"), name)
@@ -320,6 +337,7 @@ object Reference {
     val transformed = graft.conform.Pipeline.conducta(CsvProbe.read(spark, path))
     val out = java.nio.file.Paths
       .get(System.getProperty("java.io.tmpdir"), "graft_conducta_tbl").toString
+    deleteRecursively(out) // see idempotentLoad: no stale partitions
     IdempotentWriter.overwritePartitions(transformed, out)
     spark.read.parquet(out)
       .select(graft.conform.Schemas.Conducta.fieldNames.map(col).toIndexedSeq: _*)

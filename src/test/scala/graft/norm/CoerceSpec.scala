@@ -42,6 +42,11 @@ class CoerceSpec extends SparkSpec {
       Seq(90.0, 7.5, -3.0, 0.0))
   }
 
+  test("timeToMinutes: tabs/newlines strip like Python strip(), not just spaces") {
+    assert(evalTime(Seq("7.5\t", "\t7.5", "7.5\n", " 1:30\t")) ===
+      Seq(7.5, 7.5, 7.5, 90.0))
+  }
+
   test("timeToMinutes: garbage -> 0.0, total function never errors") {
     assert(evalTime(Seq("garbage", "NONE", "12abc", "∞")) ===
       Seq(0.0, 0.0, 0.0, 0.0))
@@ -49,10 +54,12 @@ class CoerceSpec extends SparkSpec {
 
   test("lenientInt: truncate-toward-zero, garbage -> 0 (main.py:501-513)") {
     import spark.implicits._
-    val out = Seq("42", "  7  ", "3.9", "-5.2", "x9", "")
+    val out = Seq("42", "  7  ", "3.9", "-5.2", "x9", "", "3000000000")
       .toDF("s").select(Coerce.lenientInt(col("s")).as("i"))
-      .collect().map(_.getInt(0)).toSeq
-    assert(out === Seq(42, 7, 3, -5, 0, 0))
+      .collect().map(_.getLong(0)).toSeq
+    // int64 like the reference: 3000000000 survives (a 32-bit cast
+    // would wrap it to -1294967296)
+    assert(out === Seq(42L, 7L, 3L, -5L, 0L, 0L, 3000000000L))
   }
 
   test("lenientDouble: garbage -> 0.0 (main.py:516-528)") {
