@@ -310,10 +310,15 @@ object Dedup {
         .select(col("doc_id"), col("lang"), col("source"), col("grams"),
           size(col("grams")).as("ng"))
     }
+    // a.ng > 0 guards the 0/0 = NaN jaccard of two zero-gram docs
+    // (NaN >= 0.5 is TRUE under Spark's NaN-greatest ordering, so such
+    // pairs would count as near-dups and poison the lang digest to
+    // NaN). One side suffices: the size-ratio prune already rejects
+    // (0, n>0) pairs.
     val pairs = grams.as("a").hint("shuffle_hash")
       .join(grams.as("b").hint("shuffle_hash"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id") &&
+          col("a.doc_id") < col("b.doc_id") && col("a.ng") > 0 &&
           least(col("a.ng"), col("b.ng")) * 2 >= greatest(col("a.ng"), col("b.ng")))
       .withColumn("inter",
         expr("sorted_intersect_count(a.grams, b.grams)").cast("double"))
@@ -336,7 +341,7 @@ object Dedup {
       |    len(a.grams) AS na, len(b.grams) AS nb
       |  FROM g a JOIN g b
       |    ON a.lang = b.lang AND a.source = b.source
-      |   AND a.doc_id < b.doc_id
+      |   AND a.doc_id < b.doc_id AND len(a.grams) > 0
       |   AND least(len(a.grams), len(b.grams)) * 2
       |       >= greatest(len(a.grams), len(b.grams)))
       |SELECT lang, count(*) AS n_pairs,

@@ -386,7 +386,7 @@ object Relational {
   }
 
   val jsonExtractSql: String =
-    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+    """SELECT TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
       |  count(*) AS n, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -137,14 +137,18 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** DuckDB mirror of [[bucketExpr]] — ONE definition shared by q61
+    * and q65 so the two oracles cannot desynchronize from each other
+    * or from the Scala planeSign rule. */
+  private val duckBucket: String = (0 until Planes).map { p =>
+    s"""(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}), i ->
+       |  v[i] * (CASE WHEN (('0x' || substr(md5(
+       |    concat('plane$p', '_', CAST(i - 1 AS VARCHAR))), 1, 15))::BIGINT
+       |    & 1) = 1 THEN 1.0 ELSE -1.0 END))) > 0
+       |THEN ${1 << p} ELSE 0 END)""".stripMargin
+  }.mkString(" + ")
+
   val annLshSql: String = {
-    val duckBucket = (0 until Planes).map { p =>
-      s"""(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}), i ->
-         |  v[i] * (CASE WHEN (('0x' || substr(md5(
-         |    concat('plane$p', '_', CAST(i - 1 AS VARCHAR))), 1, 15))::BIGINT
-         |    & 1) = 1 THEN 1.0 ELSE -1.0 END))) > 0
-         |THEN ${1 << p} ELSE 0 END)""".stripMargin
-    }.mkString(" + ")
     s"""WITH n AS ($duckVecs),
        |b AS (SELECT vec_id, v, nrm, ($duckBucket) AS bucket FROM n),
        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket AS qbucket
@@ -240,12 +244,16 @@ object Similarity {
         .as("cv"))
       .select(col("label").as("cell"), col("cv"),
         expr("sqrt(array_dot(cv, cv))").as("cn"))
-    // quantize: nearest cell per vector (broadcast the tiny codebook)
+    // quantize: nearest cell per vector (broadcast the tiny codebook).
+    // ccos is ROUNDED before the argmax ranking, like every other
+    // cosine here: the centroid components come from avg() aggregates
+    // whose accumulation order differs between engines, so an
+    // unrounded near-tie could flip a cell assignment vs the oracle.
     val scored = e.join(broadcast(cent),
       expr("true")) // score against every centroid, keep the argmax
       .withColumn("ccos",
-        expr("array_dot(cv, v)") /
-          (col("cn") * col("nrm")))
+        round(expr("array_dot(cv, v)") /
+          (col("cn") * col("nrm")), 4))
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cell").asc)
     val ranked = scored.withColumn("rc", row_number().over(wCell))
@@ -279,7 +287,7 @@ object Similarity {
        |         GROUP BY 1),
        |cb AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
        |sc AS (SELECT vec_id, v, nrm, cell,
-       |         list_dot_product(cv, v) / (cn * nrm) AS ccos
+       |         round(list_dot_product(cv, v) / (cn * nrm), 4) AS ccos
        |       FROM n, cb),
        |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |         ORDER BY ccos DESC, cell ASC) AS rc FROM sc),
@@ -327,13 +335,6 @@ object Similarity {
   }
 
   val embeddingNearDupSql: String = {
-    val duckBucket = (0 until Planes).map { p =>
-      s"""(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}), i ->
-         |  v[i] * (CASE WHEN (('0x' || substr(md5(
-         |    concat('plane$p', '_', CAST(i - 1 AS VARCHAR))), 1, 15))::BIGINT
-         |    & 1) = 1 THEN 1.0 ELSE -1.0 END))) > 0
-         |THEN ${1 << p} ELSE 0 END)""".stripMargin
-    }.mkString(" + ")
     s"""WITH n AS ($duckVecs),
        |b AS (SELECT vec_id, v, nrm, ($duckBucket) AS bucket FROM n),
        |p AS (SELECT a.vec_id ia, b.vec_id ib,

@@ -17,16 +17,25 @@ object StreamingQ {
   import Tables.prep
 
   /** Memory-sink names must be unique per invocation (verify + bench
-    * share one session). */
+    * share one session), and the PREVIOUS invocation's sink table is
+    * dropped when a new one starts — MemorySink retains its full row
+    * copy in driver memory, so without the drop every bench/verify
+    * pass would permanently accumulate another copy of its output. */
   private val runId = new AtomicLong(0)
-  private def sink(base: String): String = s"${base}_${runId.incrementAndGet()}"
+  private val lastSink =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def sink(spark: SparkSession, base: String): String = {
+    val name = s"${base}_${runId.incrementAndGet()}"
+    lastSink.put(base, name).foreach(spark.catalog.dropTempView)
+    name
+  }
 
   /** Streaming tumbling window == batch q19 (same expression). */
   def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val out = Streams.runToMemory(
       Streams.tumblingCounts(Streams.eventsStream(spark, dir)),
-      sink("s_tumbling"), OutputMode.Complete())
+      sink(spark, "s_tumbling"), OutputMode.Complete())
     out.orderBy("w_start", "event_type")
   }
 
@@ -43,7 +52,7 @@ object StreamingQ {
     val doubled = Streams.eventsStream(spark, dir)
       .union(Streams.eventsStream(spark, dir))
     val out = Streams.runToMemory(
-      Streams.dedupEvents(doubled), sink("s_dedup"), OutputMode.Append())
+      Streams.dedupEvents(doubled), sink(spark, "s_dedup"), OutputMode.Append())
     out.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .orderBy("event_type")
@@ -60,7 +69,7 @@ object StreamingQ {
     prep(spark)
     val out = Streams.runToMemory(
       Streams.sessionize(Streams.eventsStream(spark, dir)).toDF(),
-      sink("s_sessions"), OutputMode.Append())
+      sink(spark, "s_sessions"), OutputMode.Append())
     out.groupBy((col("user_id") % 8).as("bucket"))
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("n_events")).as("n_events"),
@@ -95,7 +104,7 @@ object StreamingQ {
     prep(spark)
     val out = Streams.runToMemory(
       Streams.slidingCounts(Streams.eventsStream(spark, dir)),
-      sink("s_sliding"), OutputMode.Complete())
+      sink(spark, "s_sliding"), OutputMode.Complete())
     out.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_windows"),
         sum(col("n")).as("n_events"),
@@ -113,7 +122,7 @@ object StreamingQ {
     prep(spark)
     val out = Streams.runToMemory(
       Streams.clickPurchaseJoin(Streams.eventsStream(spark, dir)),
-      sink("s_join"), OutputMode.Append())
+      sink(spark, "s_join"), OutputMode.Append())
     out.groupBy((col("c_user") % 8).as("bucket"))
       .agg(count(lit(1)).as("n_pairs"),
         round(sum(col("p_value")), 4).as("sum_purchase"))

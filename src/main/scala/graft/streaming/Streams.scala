@@ -93,12 +93,15 @@ object Streams {
   }
 
   /** Exactly-once dedup within the watermark horizon: state keeps one
-    * entry per event_id seen in the last 30 minutes of event time and
-    * is pruned as the watermark advances — bounded state at any rate. */
+    * entry per event_id seen inside the watermark and is pruned as it
+    * advances — bounded state at any rate. This MUST be
+    * `dropDuplicatesWithinWatermark`: plain `dropDuplicates` on a
+    * non-event-time key never builds a state-eviction predicate, so
+    * its state grows forever on a live stream. */
   def dedupEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "30 minutes")
-      .dropDuplicates(Seq("event_id"))
+      .dropDuplicatesWithinWatermark("event_id")
 
   case class Ev(event_id: Long, user_id: Long, tsUs: Long, value: Double)
   case class Session(user_id: Long, start_us: Long, n_events: Int,
