@@ -263,6 +263,45 @@ object TextAnalysis {
       |      FROM documents)
       |GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin
 
+  /** Deterministic train/val/test split (80/10/10) by CONTENT-HASH
+    * bucket — the reproducible form of dataset splitting at 100 TB:
+    * assignment depends only on doc_id, so re-runs, added files, and
+    * different partitionings never reshuffle a document across splits
+    * (Bernoulli `sample()` can't promise any of that). The md5-prefix
+    * hash is the engine-shared one, so the oracle mirrors every
+    * assignment value-for-value. Digested per (lang, split). */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    documents(spark, dir)
+      .withColumn("bucket", expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang", "split")
+  }
+
+  val hashSplitSql: String =
+    """WITH a AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+      |      AS bucket
+      |  FROM documents),
+      |s AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    CASE WHEN bucket < 80 THEN 'train'
+      |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM a)
+      |SELECT lang, split, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_token_stats" -> tokenStats,
     "q51_quality_score" -> qualityScore,
@@ -270,7 +309,8 @@ object TextAnalysis {
     "q53_fingerprint" -> fingerprint,
     "q54_token_bpe" -> tokenBpe,
     "q59_rolling_hash" -> rollingHash,
-    "q67_word_count" -> wordCount
+    "q67_word_count" -> wordCount,
+    "q73_hash_split" -> hashSplit
   )
 
   val oracle: Map[String, String] = Map(
@@ -280,6 +320,7 @@ object TextAnalysis {
     "q53_fingerprint" -> fingerprintSql,
     "q54_token_bpe" -> tokenBpeSql,
     "q59_rolling_hash" -> rollingHashSql,
-    "q67_word_count" -> wordCountSql
+    "q67_word_count" -> wordCountSql,
+    "q73_hash_split" -> hashSplitSql
   )
 }
