@@ -347,13 +347,78 @@ object Similarity {
        |FROM p WHERE cos >= 0.45""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q74 int8 embedding quantization (storage-compression pass)
+  // ---------------------------------------------------------------
+
+  /** Symmetric per-vector int8 quantization — the 4x storage
+    * compression pass a 100 TB embedding store runs before ANN
+    * serving: scale = max|v_i| / 127, q_i = round(v_i / scale),
+    * clamped to [-127, 127]. The digest verifies the codec end to end:
+    * dequantized reconstruction error and the cosine between original
+    * and reconstructed vector, aggregated per label. All arithmetic is
+    * elementwise + array_dot — expressible identically in DuckDB, so
+    * the oracle checks every quantized value. */
+  def int8Quant(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    vecs(spark, dir)
+      .withColumn("scale", expr(
+        "greatest(aggregate(v, 0d, (a, x) -> greatest(a, abs(x))), 1e-30) / 127d"))
+      .withColumn("q", expr(
+        "transform(v, x -> cast(greatest(-127, least(127, round(x / scale))) as int))"))
+      .withColumn("deq", expr("transform(q, x -> x * scale)"))
+      .withColumn("err2", expr(
+        "aggregate(zip_with(v, deq, (a, b) -> (a - b) * (a - b)), 0d, (a, x) -> a + x)"))
+      .withColumn("cos_rec", expr(
+        "array_dot(v, deq) / (nrm * sqrt(greatest(array_dot(deq, deq), 1e-30)))"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("aggregate(q, 0, (a, x) -> a + abs(x))")).as("sum_abs_q"),
+        round(sum(col("err2")), 6).as("sum_err2"),
+        round(avg(col("cos_rec")), 6).as("avg_cos_rec"))
+      .orderBy("label")
+  }
+
+  val int8QuantSql: String =
+    s"""WITH n AS ($duckVecs),
+       |qz AS (
+       |  SELECT label,
+       |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127
+       |      AS scale, v, nrm
+       |  FROM n),
+       |q AS (
+       |  SELECT label, scale, v, nrm,
+       |    list_transform(v,
+       |      x -> CAST(greatest(-127, least(127, round(x / scale))) AS INTEGER))
+       |      AS qv
+       |  FROM qz),
+       |d AS (
+       |  SELECT label, v, nrm,
+       |    list_transform(qv, x -> x * scale) AS deq,
+       |    list_sum(list_transform(qv, x -> abs(x))) AS abs_q
+       |  FROM q),
+       |m AS (
+       |  SELECT label, abs_q,
+       |    list_sum(list_transform(range(1, len(v) + 1),
+       |      i -> (v[i] - deq[i]) * (v[i] - deq[i]))) AS err2,
+       |    list_dot_product(v, deq)
+       |      / (nrm * sqrt(greatest(list_dot_product(deq, deq), 1e-30)))
+       |      AS cos_rec
+       |  FROM d)
+       |SELECT label, count(*) AS n,
+       |  CAST(sum(abs_q) AS BIGINT) AS sum_abs_q,
+       |  round(sum(err2), 6) AS sum_err2,
+       |  round(avg(cos_rec), 6) AS avg_cos_rec
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_cosine_topk" -> cosineTopK,
     "q61_ann_lsh" -> annLsh,
     "q62_label_centroids" -> labelCentroids,
     "q64_ivf_ann" -> ivfAnn,
     "q65_embedding_neardup" -> embeddingNearDup,
-    "q70_ivf_nprobe2" -> ivfAnnNprobe2
+    "q70_ivf_nprobe2" -> ivfAnnNprobe2,
+    "q74_int8_quant" -> int8Quant
   )
 
   val oracle: Map[String, String] = Map(
@@ -362,6 +427,7 @@ object Similarity {
     "q62_label_centroids" -> labelCentroidsSql,
     "q64_ivf_ann" -> ivfAnnSql,
     "q65_embedding_neardup" -> embeddingNearDupSql,
-    "q70_ivf_nprobe2" -> ivfAnnNprobe2Sql
+    "q70_ivf_nprobe2" -> ivfAnnNprobe2Sql,
+    "q74_int8_quant" -> int8QuantSql
   )
 }
