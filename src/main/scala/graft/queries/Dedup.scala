@@ -64,6 +64,23 @@ object Dedup {
           |                          element_at(toks, i + 2)))
           |  ELSE cast(array() as array<string>) END)""".stripMargin))
 
+  /** Shared per-doc shingle-hash base (one md5 pass serves BOTH the
+    * minhash signatures and the simhash bits — the hash is the
+    * dominant cold cost, so q56/q57 derive from one cached table):
+    * `hs` = 60-bit md5-prefix hash per shingle (oracle-mirrorable),
+    * `hsh` = sorted xxhash64 set for the verify-side merge intersect.
+    * Repartition-before-projection: the hashing runs across all
+    * cores, not in the source file's scan stage. */
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "shingle_hs") {
+      withShingles(documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+        .withColumn("hs", expr(s"transform(shingles, x -> ${hSql("x")})"))
+        .withColumn("hsh",
+          expr("array_sort(transform(shingles, x -> xxhash64(x)))"))
+        .select(col("doc_id"), col("hs"), col("hsh"))
+    }
+
   private val duckShingles: String =
     """SELECT doc_id,
       |  list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
@@ -146,16 +163,12 @@ object Dedup {
     // after the exchange, not in the source file's scan stage — and so
     // every downstream scan of the persisted base is parallel.
     val docs = memo(spark, dir, "minhash_sigs") {
-      withShingles(documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
-        .withColumn("h0",
-          expr(s"transform(shingles, x -> ${hSql("x")} % $MinhashP)"))
+      shingleHashes(spark, dir)
+        .withColumn("h0", expr(s"transform(hs, h -> h % $MinhashP)"))
         .withColumn("sig", expr(
           s"""transform(sequence(0, ${MinhashK - 1}),
              |  s -> array_min(transform(h0,
              |         h -> ((s + 2) * h + s * 7919) % $MinhashP)))""".stripMargin))
-        .withColumn("hsh",
-          expr("array_sort(transform(shingles, x -> xxhash64(x)))"))
         .select(col("doc_id"), col("hsh"), col("sig"))
     }
     val bands = docs.select(col("doc_id"),
@@ -225,14 +238,11 @@ object Dedup {
     * pigeonhole for <= 4 flips), verified with bit_count(xor). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    // repartition-before-projection: the per-doc shingle md5 hashing
-    // and majority vote run across all cores, not in the source
-    // file's scan stage. bit_majority is the native one-pass kernel
-    // (the 32 per-bit filter() walks cost ~4s alone at sf0.1).
+    // Derives from the shared shingle-hash base (one md5 pass for
+    // q56+q57). bit_majority is the native one-pass kernel (the 32
+    // per-bit filter() walks cost ~4s alone at sf0.1).
     val docs = memo(spark, dir, "simhash_sh") {
-      withShingles(documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
-        .withColumn("hs", expr(s"transform(shingles, x -> ${hSql("x")})"))
+      shingleHashes(spark, dir)
         .select(col("doc_id"), expr("bit_majority(hs)").as("sh"))
     }
     val blocks = docs.select(col("doc_id"), col("sh"),
