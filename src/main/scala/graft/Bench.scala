@@ -41,7 +41,12 @@ object Bench {
       // visible in the JSON instead of masquerading as timings.
       (name, if (ok) best else -best, ok, ok1 != ok2)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    // Timings are rounded to ms in the JSON: the log transport
+    // truncates lines around 2000 chars (observed on both the driver
+    // and local sbt runs), and full double precision pushed the line
+    // past it — ms resolution keeps every query visible.
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -50,7 +55,12 @@ object Bench {
     val flaky = results.collect { case (k, _, _, true) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
+    println(json)
+    // Belt-and-braces against the line truncation: the full JSON is
+    // also left on disk next to the build.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_local.json"),
+      json.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -123,12 +123,19 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** 32-bit SimHash majority vote over an array of long hashes: bit b of
-  * the result is set iff more than half the hashes have bit b set —
-  * one pass with a counts array, replacing 32 per-bit
+/** SimHash majority vote over an array of long hashes: bit b of the
+  * result is set iff more than half the hashes have bit b set — one
+  * pass with a counts array, replacing per-bit
   * `size(filter(hs, h -> (h >> b) & 1 = 1))` walks (each of which
-  * allocates a filtered array per document per bit). */
+  * allocates a filtered array per document per bit).
+  *
+  * Width is [[BitMajority.Bits]] = 60: the corpus hashes are 60-bit
+  * md5-prefix values (15 hex chars, so the DuckDB oracle can mirror
+  * them in a signed BIGINT), and a 60-bit simhash is what lets the
+  * blocked Hamming join use 12-bit blocks — 4096-value bucket keys —
+  * instead of the 16-value blocks a 32-bit simhash forces. */
 case class BitMajority(child: Expression) extends UnaryExpression {
+  import BitMajority.Bits
 
   override def dataType: DataType = LongType
   override def prettyName: String = "bit_majority"
@@ -136,17 +143,17 @@ case class BitMajority(child: Expression) extends UnaryExpression {
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
-    val counts = new Array[Int](32)
+    val counts = new Array[Int](Bits)
     var i = 0
     while (i < n) {
       val h = x.getLong(i)
       var b = 0
-      while (b < 32) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      while (b < Bits) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
       i += 1
     }
     var sh = 0L
     var b = 0
-    while (b < 32) { if (counts(b) * 2 > n) sh |= 1L << b; b += 1 }
+    while (b < Bits) { if (counts(b) * 2 > n) sh |= 1L << b; b += 1 }
     sh
   }
 
@@ -161,15 +168,15 @@ case class BitMajority(child: Expression) extends UnaryExpression {
       val sh = ctx.freshName("sh")
       s"""
          |int $n = $a.numElements();
-         |int[] $counts = new int[32];
+         |int[] $counts = new int[$Bits];
          |for (int $i = 0; $i < $n; $i++) {
          |  long $h = $a.getLong($i);
-         |  for (int $b = 0; $b < 32; $b++) {
+         |  for (int $b = 0; $b < $Bits; $b++) {
          |    $counts[$b] += (int) (($h >>> $b) & 1L);
          |  }
          |}
          |long $sh = 0L;
-         |for (int $b2 = 0; $b2 < 32; $b2++) {
+         |for (int $b2 = 0; $b2 < $Bits; $b2++) {
          |  if ($counts[$b2] * 2 > $n) $sh |= 1L << $b2;
          |}
          |${ev.value} = $sh;
@@ -178,4 +185,9 @@ case class BitMajority(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): BitMajority =
     copy(child = newChild)
+}
+
+object BitMajority {
+  /** Simhash width in bits; matches the 60-bit md5-prefix hash domain. */
+  val Bits = 60
 }

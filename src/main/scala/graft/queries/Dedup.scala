@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   *     equality self-joins on LSH bucket keys (shuffle co-partitioned
   *     on the bucket key); only within-bucket pairs are ever
   *     materialized, then verified exactly.
-  *   - The SimHash blocking is EXACT, not probabilistic: 32 bits split
-  *     into 8 * 4-bit blocks; a pair at Hamming distance <= 4 differs
-  *     in at most 4 blocks, so it shares >= 4 — one equality match is
-  *     guaranteed (pigeonhole). Candidate generation loses nothing.
+  *   - The SimHash blocking is EXACT, not probabilistic: 60 bits split
+  *     into 5 * 12-bit blocks; a pair at Hamming distance <= 4 differs
+  *     in at most 4 blocks, so it shares >= 1 — one equality match is
+  *     guaranteed (pigeonhole). Candidate generation loses nothing,
+  *     and each block key ranges over 4096 values, so random-collision
+  *     candidates are ~N²·5/2^13 — 256× fewer than the 16-value
+  *     blocks a 32-bit simhash would force. This is the geometry that
+  *     holds at 100 TB.
   *   - All hashes are md5-prefix based (`conv(substr(md5(x),1,15),16,10)`)
   *     so the DuckDB oracle can mirror the ENTIRE pipeline value-for-
   *     value — the oracle checks the minhash signatures and banding,
@@ -135,6 +139,24 @@ object Dedup {
     * stays well inside BIGINT on both engines (9 * 2^31 << 2^63). */
   private val MinhashP = 2147483647L
 
+  /** MinHash(k=8) signature table over 3-token shingles (shared by
+    * q56 and q58's candidate generation — one memoized build). */
+  private def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "minhash_sigs") {
+      shingleHashes(spark, dir)
+        .withColumn("h0", expr(s"transform(hs, h -> h % $MinhashP)"))
+        .withColumn("sig", expr(
+          s"""transform(sequence(0, ${MinhashK - 1}),
+             |  s -> array_min(transform(h0,
+             |         h -> ((s + 2) * h + s * 7919) % $MinhashP)))""".stripMargin))
+        .select(col("doc_id"), col("hsh"), col("sig"))
+    }
+
+  /** One (band, value) row per signature position (r=1 banding). */
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    minhashSigs(spark, dir).select(col("doc_id"),
+      posexplode(col("sig")).as(Seq("band", "mh")))
+
   /** MinHash(k=8) signatures over 3-token shingles, one band per
     * signature row (r=1): candidate pairs are docs sharing ANY minhash
     * value, generated by a self-join on (band, value) — co-partitioned
@@ -162,17 +184,8 @@ object Dedup {
     // across all cores (and, on a cluster, all executors) — computed
     // after the exchange, not in the source file's scan stage — and so
     // every downstream scan of the persisted base is parallel.
-    val docs = memo(spark, dir, "minhash_sigs") {
-      shingleHashes(spark, dir)
-        .withColumn("h0", expr(s"transform(hs, h -> h % $MinhashP)"))
-        .withColumn("sig", expr(
-          s"""transform(sequence(0, ${MinhashK - 1}),
-             |  s -> array_min(transform(h0,
-             |         h -> ((s + 2) * h + s * 7919) % $MinhashP)))""".stripMargin))
-        .select(col("doc_id"), col("hsh"), col("sig"))
-    }
-    val bands = docs.select(col("doc_id"),
-      posexplode(col("sig")).as(Seq("band", "mh")))
+    val docs = minhashSigs(spark, dir)
+    val bands = minhashBands(spark, dir)
     // shuffle_hash on both sides pins the self-join to a SHUFFLED plan:
     // cached-size statistics must never flip it to a broadcast join,
     // which would funnel all pair generation through the streamed
@@ -198,8 +211,11 @@ object Dedup {
       .orderBy("ia", "ib")
   }
 
-  val minhashLshSql: String = {
-    s"""WITH sh AS ($duckShingles),
+  /** Shared DuckDB CTE chain mirroring [[shingleHashes]]+minhash
+    * signatures — ONE definition so the q56 and q58 oracles cannot
+    * desynchronize from each other or from the Scala affine family. */
+  private val duckMinhashSigCtes: String =
+    s"""sh AS ($duckShingles),
        |sig AS (
        |  SELECT doc_id, shingles,
        |    [list_min(list_transform(h0,
@@ -209,13 +225,21 @@ object Dedup {
        |          list_transform(shingles,
        |            x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $MinhashP)
        |            AS h0
-       |        FROM sh)),
+       |        FROM sh))""".stripMargin
+
+  /** DuckDB band-match predicate between two MinHash signatures: true
+    * iff any of the k positions agree (r=1 banding). */
+  private val duckSigBandMatch: String =
+    s"""len(list_filter(range(1, ${MinhashK + 1}),
+       |          i -> a.sig[i] = b.sig[i])) > 0""".stripMargin
+
+  val minhashLshSql: String = {
+    s"""WITH $duckMinhashSigCtes,
        |cand AS (
        |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.shingles AS sha,
        |         b.shingles AS shb
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |  WHERE len(list_filter(range(1, ${MinhashK + 1}),
-       |          i -> a.sig[i] = b.sig[i])) > 0),
+       |  WHERE $duckSigBandMatch),
        |j AS (
        |  SELECT ia, ib, len(list_intersect(sha, shb)) * 1.0 AS inter,
        |         len(sha) AS sa, len(shb) AS sb
@@ -229,17 +253,23 @@ object Dedup {
   // q57 SimHash near-dup (exact blocked Hamming join)
   // ---------------------------------------------------------------
 
-  private val SimhashBits = 32
-  private val SimhashBlocks = 8 // 4 bits each; exact for hamming <= 4
+  private val SimhashBits = graft.functions.BitMajority.Bits // 60
+  private val SimhashBlocks = 5 // 12 bits each; exact for hamming <= 4
+  private val SimhashBlockBits = SimhashBits / SimhashBlocks
+  private val SimhashBlockMask = (1L << SimhashBlockBits) - 1
   private val HammingMax = 4
 
-  /** 32-bit SimHash over shingle hashes; near-dup = Hamming distance
-    * <= 4. Candidates via the 8x4-bit block self-join (exact by
-    * pigeonhole for <= 4 flips), verified with bit_count(xor). */
+  /** 60-bit SimHash over shingle hashes; near-dup = Hamming distance
+    * <= 4. Candidates via the 5x12-bit block self-join (exact by
+    * pigeonhole: <= 4 flips touch <= 4 blocks, so >= 1 of 5 matches),
+    * verified with bit_count(xor). Each block key has 4096 values, so
+    * candidate volume stays ~N²·5/2^13 + true-near-dup pairs — the
+    * wide-block geometry that survives a 100× corpus, unlike 4-bit
+    * blocks whose 16-value keys make candidates O(N²/32). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     // Derives from the shared shingle-hash base (one md5 pass for
-    // q56+q57). bit_majority is the native one-pass kernel (the 32
+    // q56+q57). bit_majority is the native one-pass kernel (the
     // per-bit filter() walks cost ~4s alone at sf0.1).
     val docs = memo(spark, dir, "simhash_sh") {
       shingleHashes(spark, dir)
@@ -248,7 +278,8 @@ object Dedup {
     val blocks = docs.select(col("doc_id"), col("sh"),
       explode(expr(
         s"transform(sequence(0, ${SimhashBlocks - 1}), " +
-          s"k -> named_struct('blk', k, 'v', (sh >> (k * 4)) & 15))")).as("b"))
+          s"k -> named_struct('blk', k, " +
+          s"'v', (sh >> (k * $SimhashBlockBits)) & $SimhashBlockMask))")).as("b"))
       .select(col("doc_id"), col("sh"), col("b.blk"), col("b.v"))
     val pairs = blocks.as("a").hint("shuffle_hash")
       .join(blocks.as("b").hint("shuffle_hash"),
@@ -286,28 +317,35 @@ object Dedup {
   // q58 blocked character-n-gram Jaccard
   // ---------------------------------------------------------------
 
-  /** Character-trigram Jaccard near-dup, blocked by (lang, source):
-    * pairs are only formed inside blocks (co-partitioned self-join on
-    * the block key), so cost scales with sum(block^2), not corpus^2.
-    * A size-ratio prune (2*min >= max) is exact, not heuristic:
-    * J >= 0.5 implies J <= min/max. Digested per lang.
+  /** Character-trigram Jaccard near-dup with SIGNATURE-BASED candidate
+    * generation: candidates come from the SAME MinHash band self-join
+    * as q56 (over the shared memoized signature table — zero extra
+    * hashing), each candidate verified with the exact char-trigram
+    * Jaccard >= 0.5. A size-ratio prune (2*min >= max) is exact, not
+    * heuristic: J >= 0.5 implies J <= min/max. Digested per the lang
+    * of the smaller doc_id.
     *
-    * Representation: grams are xxhash64'd to longs Spark-side (native
-    * hash, no hex round-trip — the md5-string path cost ~10s alone at
-    * sf0.1) and the small gram table is cached across both join
-    * sides; the oracle compares PLAIN string gram sets — equal
-    * cardinalities unless a 64-bit collision occurs (~1e-10 here).
-    * An inverted-index formulation (explode + posting-list join) was
-    * tried and is SLOWER on this corpus: ~45% of in-block pairs are
-    * true near-dups, so Σ|A∩B| materializes ~13M rows; with dense
-    * similarity the per-pair intersect is the floor. */
+    * The earlier (lang, source) blocking was DATA-CARDINALITY: a
+    * dominant language is a corpus-share block, quadratic at 100x.
+    * Band candidates are bounded by the banding parameter — the
+    * (band, minhash) key domain is huge, so buckets stay small no
+    * matter how the corpus skews. Recall against the trigram metric is
+    * the banding's standard probabilistic recall (token-shingle
+    * similarity tracks char-trigram similarity); the oracle mirrors
+    * the exact same candidate scheme, so the check stays
+    * value-for-value.
+    *
+    * Representation: verify-side grams are xxhash64'd to longs
+    * Spark-side (native hash, no hex round-trip — the md5-string path
+    * cost ~10s alone at sf0.1), SORTED once per doc so the per-pair
+    * intersect is a native merge walk; the oracle compares PLAIN
+    * string gram sets — equal cardinalities unless a 64-bit collision
+    * occurs (~1e-10 here). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    // Grams are SORTED hashed arrays (sort once per doc) so the
-    // per-pair intersect is a native merge walk; see minhashLsh for
-    // the repartition-before-projection + shuffle_hash rationale
-    // (never single-task gram building or pair generation, never
-    // per-pair hash sets).
+    // See minhashLsh for the repartition-before-projection +
+    // shuffle_hash rationale (never single-task gram building or pair
+    // generation, never per-pair hash sets).
     val grams = memo(spark, dir, "jaccard_grams") {
       documents(spark, dir)
         .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
@@ -317,47 +355,61 @@ object Dedup {
             |  CASE WHEN length(s) >= 3 THEN
             |    transform(sequence(1, length(s) - 2), i -> xxhash64(substr(s, i, 3)))
             |  ELSE cast(array() as array<bigint>) END))""".stripMargin))
-        .select(col("doc_id"), col("lang"), col("source"), col("grams"),
+        .select(col("doc_id"), col("lang"), col("grams"),
           size(col("grams")).as("ng"))
     }
-    // a.ng > 0 guards the 0/0 = NaN jaccard of two zero-gram docs
+    val bands = minhashBands(spark, dir)
+    val cands = bands.as("a").hint("shuffle_hash")
+      .join(bands.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .distinct()
+    val ga = grams.select(col("doc_id").as("ia"), col("lang"),
+      col("grams").as("gra"), col("ng").as("na"))
+    val gb = grams.select(col("doc_id").as("ib"),
+      col("grams").as("grb"), col("ng").as("nb"))
+    // na > 0 guards the 0/0 = NaN jaccard of two zero-gram docs
     // (NaN >= 0.5 is TRUE under Spark's NaN-greatest ordering, so such
     // pairs would count as near-dups and poison the lang digest to
     // NaN). One side suffices: the size-ratio prune already rejects
     // (0, n>0) pairs.
-    val pairs = grams.as("a").hint("shuffle_hash")
-      .join(grams.as("b").hint("shuffle_hash"),
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id") && col("a.ng") > 0 &&
-          least(col("a.ng"), col("b.ng")) * 2 >= greatest(col("a.ng"), col("b.ng")))
+    cands.join(ga, "ia").join(gb, "ib")
+      .filter(col("na") > 0 &&
+        least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
       .withColumn("inter",
-        expr("sorted_intersect_count(a.grams, b.grams)").cast("double"))
-      .withColumn("j", col("inter") / (col("a.ng") + col("b.ng") - col("inter")))
+        expr("sorted_intersect_count(gra, grb)").cast("double"))
+      .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("j") >= 0.5)
-    pairs.groupBy(col("a.lang").as("lang"))
+      .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_pairs"), round(sum(col("j")), 4).as("sum_j"))
       .orderBy("lang")
   }
 
   val ngramJaccardSql: String =
-    """WITH g AS (
-      |  SELECT doc_id, lang, source,
-      |    list_distinct(list_transform(range(1, greatest(length(s) - 1, 1)),
-      |      i -> substr(s, i, 3))) AS grams
-      |  FROM (SELECT doc_id, lang, source, lower(trim(text)) AS s
-      |        FROM documents)),
-      |p AS (
-      |  SELECT a.lang, len(list_intersect(a.grams, b.grams)) * 1.0 AS inter,
-      |    len(a.grams) AS na, len(b.grams) AS nb
-      |  FROM g a JOIN g b
-      |    ON a.lang = b.lang AND a.source = b.source
-      |   AND a.doc_id < b.doc_id AND len(a.grams) > 0
-      |   AND least(len(a.grams), len(b.grams)) * 2
-      |       >= greatest(len(a.grams), len(b.grams)))
-      |SELECT lang, count(*) AS n_pairs,
-      |  round(sum(inter / (na + nb - inter)), 4) AS sum_j
-      |FROM p WHERE inter / (na + nb - inter) >= 0.5
-      |GROUP BY 1 ORDER BY 1""".stripMargin
+    s"""WITH $duckMinhashSigCtes,
+       |cand AS (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE $duckSigBandMatch),
+       |g AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct(list_transform(range(1, greatest(length(s) - 1, 1)),
+       |      i -> substr(s, i, 3))) AS grams
+       |  FROM (SELECT doc_id, lang, lower(trim(text)) AS s
+       |        FROM documents)),
+       |p AS (
+       |  SELECT ga.lang, len(list_intersect(ga.grams, gb.grams)) * 1.0 AS inter,
+       |    len(ga.grams) AS na, len(gb.grams) AS nb
+       |  FROM cand JOIN g ga ON cand.ia = ga.doc_id
+       |            JOIN g gb ON cand.ib = gb.doc_id
+       |  WHERE len(ga.grams) > 0
+       |   AND least(len(ga.grams), len(gb.grams)) * 2
+       |       >= greatest(len(ga.grams), len(gb.grams)))
+       |SELECT lang, count(*) AS n_pairs,
+       |  round(sum(inter / (na + nb - inter)), 4) AS sum_j
+       |FROM p WHERE inter / (na + nb - inter) >= 0.5
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_exact_dedup" -> exactDedup,

@@ -11,13 +11,19 @@ import org.apache.spark.sql.functions._
   * expressions stay inside whole-stage codegen):
   *
   *   - q60 brute-force cosine top-k: the small QUERY side is
-  *     broadcast; the corpus side streams through a narrow
-  *     projection and only k rows per query survive the window —
-  *     the correct baseline shape at any corpus size.
-  *   - q61 hyperplane-LSH ANN: 4 deterministic md5-sign hyperplanes
-  *     -> 16 buckets; candidates only within the query's bucket
-  *     (equality join on the bucket key), then exact cosine top-k.
-  *     The 100 TB path: bucket key is shuffle/partition-prunable.
+  *     broadcast (bounded by [[QueryBudget]]); the corpus side
+  *     streams through a narrow projection and only k rows per query
+  *     survive the window — the correct baseline shape at any corpus
+  *     size.
+  *   - q61 hyperplane-LSH ANN: a 60-bit sign signature from 60
+  *     deterministic md5-sign hyperplanes, banded into 5 x 12-bit
+  *     keys (the same wide-block geometry as [[Dedup.simhash]]);
+  *     candidates = corpus vectors sharing ANY band with the query
+  *     (equality join on the (band, value) key, OR-amplified across
+  *     bands), then exact cosine top-k. Each band key ranges over
+  *     4096 values, so per-query candidates are ~5N/4096 + structured
+  *     neighbors — the geometry that survives 1e9 vectors, unlike a
+  *     single 16-value bucket key whose candidates are O(N/16).
   *   - q62 label-centroid assignment: element-wise centroid per label
   *     computed distributed (posexplode -> two-phase avg -> array
   *     rebuild), broadcast back, top-3 nearest members per centroid.
@@ -51,14 +57,31 @@ object Similarity {
   // q60 brute-force cosine top-k
   // ---------------------------------------------------------------
 
-  /** Exact cosine top-10 for each query vector (vec_id % 100 = 0).
-    * The 5-row query side is broadcast; no shuffle of the corpus —
+  /** Hard cap on the broadcast query side of every query-probing
+    * similarity op (q60/q61/q64/q70): queries are vec_id % 100 == 0
+    * AND vec_id < 100 * QueryBudget, so the broadcast stays a fixed
+    * ~100 rows no matter how large the corpus grows (the unbounded
+    * `% 100` rule alone grows the query side as N/100 — at 1e9
+    * vectors that is a 10M-row "broadcast"). Query sets larger than
+    * the budget run as multiple chunked passes of this same plan —
+    * each chunk broadcasts, scores, and unions results — which keeps
+    * every pass inside broadcast limits without a corpus shuffle. */
+  private val QueryBudget = 100
+
+  private def queryPred =
+    col("vec_id") % 100 === 0 && col("vec_id") < lit(100L * QueryBudget)
+
+  private val queryPredSql =
+    s"vec_id % 100 = 0 AND vec_id < ${100L * QueryBudget}"
+
+  /** Exact cosine top-10 for each query vector ([[queryPred]]).
+    * The bounded query side is broadcast; no shuffle of the corpus —
     * each partition scores its vectors against all queries, and the
     * final per-query window only moves the scored rows. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val e = vecs(spark, dir)
-    val q = e.filter(col("vec_id") % 100 === 0)
+    val q = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("cos", round(
@@ -75,7 +98,7 @@ object Similarity {
   val cosineTopKSql: String =
     s"""WITH n AS ($duckVecs),
        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
-       |      WHERE vec_id % 100 = 0),
+       |      WHERE $queryPredSql),
        |c AS (SELECT qid, vec_id,
        |        round(list_dot_product(qv, v) / (qn * nrm), 4) AS cos
        |      FROM q, n WHERE vec_id != qid),
@@ -90,14 +113,17 @@ object Similarity {
   // q61 hyperplane-LSH bucketed ANN
   // ---------------------------------------------------------------
 
-  private val Planes = 4
+  private val SigBits = 60
+  private val SigBands = 5
+  private val SigBandBits = SigBits / SigBands // 12
+  private val SigBandMask = (1L << SigBandBits) - 1 // 4095
 
-  /** Hyperplane component signs, precomputed ONCE driver-side with the
-    * same md5-bit-0 rule the DuckDB oracle derives row-side — the
-    * planes are deterministic constants, so hashing them per row
-    * (64 dims x 4 planes x every row) would be pure waste. Folded into
-    * the plan as literal arrays; `array_dot` makes the projection one
-    * fused multiply loop. */
+  /** Hyperplane component signs, precomputed ONCE driver-side with a
+    * deterministic md5-bit-0 rule — the planes are constants of the
+    * scheme, embedded as literal arrays in BOTH the Spark plan and the
+    * DuckDB oracle SQL (hashing them per row — 64 dims x 60 planes x
+    * every row — would be pure waste on either engine). `array_dot`
+    * makes each projection one fused multiply loop. */
   private def planeSign(p: Int, i: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"plane${p}_$i".getBytes("UTF-8"))
@@ -109,26 +135,51 @@ object Similarity {
   private def planeLit(p: Int): String =
     (0 until Dim).map(i => s"${planeSign(p, i)}D").mkString("array(", ", ", ")")
 
-  private def bucketExpr: String = (0 until Planes)
+  /** 60-bit sign signature: bit p = sign of the projection onto plane
+    * p. The banded-Hamming dual of [[Dedup.simhash]]'s geometry. */
+  private def sigExpr: String = (0 until SigBits)
     .map(p => s"(CASE WHEN array_dot(v, ${planeLit(p)}) > 0 " +
-      s"THEN ${1 << p} ELSE 0 END)")
+      s"THEN ${1L << p}L ELSE 0L END)")
     .mkString(" + ")
 
-  /** ANN via 4-bit hyperplane LSH: bucket = sign bits of 4 plane
-    * projections; candidates = corpus vectors in the query's bucket;
-    * exact cosine top-5 among candidates. Approximate by design —
-    * the oracle mirrors the same scheme, so the check is exact. */
+  /** Explode a signature column into its 5 (band, value) keys. */
+  private def bandCol(sig: String) = expr(
+    s"transform(sequence(0, ${SigBands - 1}), " +
+      s"k -> named_struct('bk', k, " +
+      s"'bv', ($sig >> (k * $SigBandBits)) & $SigBandMask))")
+
+  /** ANN via banded hyperplane LSH: candidates = corpus vectors
+    * sharing ANY 12-bit signature band with the query (equality join
+    * on the exploded (band, value) key — co-partitioned, never
+    * all-pairs), then exact cosine top-5 among the distinct
+    * candidates. Approximate by design — the oracle mirrors the same
+    * scheme, so the check is exact. Recall dials: more bands
+    * (OR-amplification) or multi-probe (also probing band values at
+    * Hamming distance 1) — both widen candidates linearly, never
+    * quadratically. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val e = vecs(spark, dir).withColumn("bucket", expr(bucketExpr))
-    val q = e.filter(col("vec_id") % 100 === 0)
+    val e = vecs(spark, dir).withColumn("sig", expr(sigExpr))
+    val eb = e.select(col("vec_id"), col("v"), col("nrm"),
+      explode(bandCol("sig")).as("b"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("b.bk").as("bk"), col("b.bv").as("bv"))
+    val qb = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket").as("qbucket"))
-    val cands = e.join(broadcast(q),
-      col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+        col("nrm").as("qn"), explode(bandCol("sig")).as("b"))
+      .select(col("qid"), col("qv"), col("qn"),
+        col("b.bk").as("qbk"), col("b.bv").as("qbv"))
+    // A pair matching in several bands arises once per band — dedup on
+    // (qid, vec_id, cos); cos is deterministic per pair, so the
+    // distinct collapses to the pair.
+    val cands = eb.join(broadcast(qb),
+      col("bk") === col("qbk") && col("bv") === col("qbv") &&
+        col("vec_id") =!= col("qid"))
       .withColumn("cos", round(
         expr("array_dot(qv, v)") /
           (col("qn") * col("nrm")), 4))
+      .select(col("qid"), col("vec_id"), col("cos"))
+      .distinct()
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     cands.withColumn("rnk", row_number().over(w))
@@ -137,25 +188,38 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  /** DuckDB mirror of [[bucketExpr]] — ONE definition shared by q61
-    * and q65 so the two oracles cannot desynchronize from each other
-    * or from the Scala planeSign rule. */
-  private val duckBucket: String = (0 until Planes).map { p =>
-    s"""(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}), i ->
-       |  v[i] * (CASE WHEN (('0x' || substr(md5(
-       |    concat('plane$p', '_', CAST(i - 1 AS VARCHAR))), 1, 15))::BIGINT
-       |    & 1) = 1 THEN 1.0 ELSE -1.0 END))) > 0
-       |THEN ${1 << p} ELSE 0 END)""".stripMargin
-  }.mkString(" + ")
+  /** DuckDB literal plane array for plane p — same [[planeSign]]
+    * constants as the Spark side. */
+  private def duckPlaneLit(p: Int): String =
+    (0 until Dim).map(i => s"${planeSign(p, i)}").mkString("[", ", ", "]")
+
+  /** DuckDB mirror of [[sigExpr]] — ONE definition shared by q61 and
+    * q65 so the two oracles cannot desynchronize from each other or
+    * from the Scala plane constants. */
+  private val duckSig: String = (0 until SigBits)
+    .map(p => s"(CASE WHEN list_dot_product(v, ${duckPlaneLit(p)}) > 0 " +
+      s"THEN (1::BIGINT << $p) ELSE 0 END)")
+    .mkString(" + ")
+
+  /** DuckDB band-match predicate between signatures `$a` and `$b`:
+    * true iff any 12-bit band agrees (the OR-join form of the
+    * exploded equality join — same pair set, no explode needed at
+    * oracle scale). */
+  private def duckBandMatch(a: String, b: String): String =
+    (0 until SigBands).map { k =>
+      s"(($a >> ${k * SigBandBits}) & $SigBandMask) = " +
+        s"(($b >> ${k * SigBandBits}) & $SigBandMask)"
+    }.mkString("(", " OR ", ")")
 
   val annLshSql: String = {
     s"""WITH n AS ($duckVecs),
-       |b AS (SELECT vec_id, v, nrm, ($duckBucket) AS bucket FROM n),
-       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket AS qbucket
-       |      FROM b WHERE vec_id % 100 = 0),
+       |b AS (SELECT vec_id, v, nrm, ($duckSig) AS sig FROM n),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, sig AS qsig
+       |      FROM b WHERE $queryPredSql),
        |c AS (SELECT qid, vec_id,
        |        round(list_dot_product(qv, v) / (qn * nrm), 4) AS cos
-       |      FROM q JOIN b ON bucket = qbucket AND vec_id != qid),
+       |      FROM q JOIN b ON ${duckBandMatch("sig", "qsig")}
+       |       AND vec_id != qid),
        |r AS (SELECT qid, vec_id, cos,
        |        row_number() OVER (PARTITION BY qid
        |          ORDER BY cos DESC, vec_id ASC) AS rnk
@@ -263,7 +327,7 @@ object Similarity {
     // (query, cell)); corpus membership stays rc=1, so the probe
     // candidate sets are disjoint — union without dedup.
     val q = ranked.filter(col("rc") <= nprobe)
-      .filter(col("vec_id") % 100 === 0)
+      .filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell").as("qcell"))
     val cands = assigned.join(broadcast(q),
@@ -293,7 +357,7 @@ object Similarity {
        |         ORDER BY ccos DESC, cell ASC) AS rc FROM sc),
        |asg AS (SELECT vec_id, v, nrm, cell FROM rk WHERE rc = 1),
        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cell AS qcell
-       |      FROM rk WHERE rc <= $nprobe AND vec_id % 100 = 0),
+       |      FROM rk WHERE rc <= $nprobe AND $queryPredSql),
        |c AS (SELECT qid, vec_id,
        |        round(list_dot_product(qv, v) / (qn * nrm), 4) AS cos
        |      FROM q JOIN asg ON cell = qcell AND vec_id != qid),
@@ -311,40 +375,54 @@ object Similarity {
   // q65 embedding-cosine near-dup (bucketed pair mining)
   // ---------------------------------------------------------------
 
-  /** Embedding-cosine near-dup: candidate pairs are vectors sharing a
-    * hyperplane-LSH bucket (equality self-join — never all-pairs),
-    * verified with exact cosine >= 0.45 and digested. The dedup
-    * variant of q61's search shape: same buckets, pair mining instead
-    * of query probing. */
+  /** Embedding-cosine near-dup: candidate pairs are vectors sharing
+    * ANY 12-bit signature band (equality self-join on the exploded
+    * (band, value) key — never all-pairs; a random-collision volume of
+    * ~5N²/2^13, 256x below the single-16-bucket geometry), verified
+    * with exact cosine >= 0.45 and digested. The dedup variant of
+    * q61's search shape: same signature bands, pair mining instead of
+    * query probing. The digest carries BOTH the candidate count (so
+    * the oracle checks the banding itself, and a recall collapse is
+    * visible) and the verified-pair aggregates. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val e = vecs(spark, dir).withColumn("bucket", expr(bucketExpr))
-      .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+    val e = vecs(spark, dir).withColumn("sig", expr(sigExpr))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(bandCol("sig")).as("b"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("b.bk").as("bk"), col("b.bv").as("bv"))
     val pairs = e.as("a").hint("shuffle_hash")
       .join(e.as("b").hint("shuffle_hash"),
-        col("a.bucket") === col("b.bucket") &&
+        col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv") &&
           col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
         expr("array_dot(a.v, b.v)") /
           (col("a.nrm") * col("b.nrm")))
-      .filter(col("cos") >= 0.45)
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"), col("cos"))
+      .distinct()
     pairs.agg(
-      count(lit(1)).as("n_pairs"),
-      sum(col("a.vec_id") + col("b.vec_id")).as("sum_ids"),
-      round(sum(col("cos")), 4).as("sum_cos"))
+      count(lit(1)).as("n_cands"),
+      sum(when(col("cos") >= 0.45, 1).otherwise(0)).as("n_pairs"),
+      sum(when(col("cos") >= 0.45, col("ia") + col("ib")).otherwise(0L))
+        .as("sum_ids"),
+      round(sum(when(col("cos") >= 0.45, col("cos")).otherwise(0.0)), 4)
+        .as("sum_cos"))
   }
 
   val embeddingNearDupSql: String = {
     s"""WITH n AS ($duckVecs),
-       |b AS (SELECT vec_id, v, nrm, ($duckBucket) AS bucket FROM n),
+       |b AS (SELECT vec_id, v, nrm, ($duckSig) AS sig FROM n),
        |p AS (SELECT a.vec_id ia, b.vec_id ib,
        |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-       |      FROM b a JOIN b b ON a.bucket = b.bucket
+       |      FROM b a JOIN b b ON ${duckBandMatch("a.sig", "b.sig")}
        |       AND a.vec_id < b.vec_id)
-       |SELECT count(*) AS n_pairs,
-       |  CAST(sum(ia + ib) AS BIGINT) AS sum_ids,
-       |  round(sum(cos), 4) AS sum_cos
-       |FROM p WHERE cos >= 0.45""".stripMargin
+       |SELECT count(*) AS n_cands,
+       |  CAST(sum(CASE WHEN cos >= 0.45 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pairs,
+       |  CAST(sum(CASE WHEN cos >= 0.45 THEN ia + ib ELSE 0 END) AS BIGINT)
+       |    AS sum_ids,
+       |  round(sum(CASE WHEN cos >= 0.45 THEN cos ELSE 0 END), 4) AS sum_cos
+       |FROM p""".stripMargin
   }
 
   // ---------------------------------------------------------------

@@ -124,22 +124,33 @@ object TextAnalysis {
   /** Language-ID heuristic: stopword-marker hit counts per language,
     * argmax with a fixed priority order on ties. (The harness corpus
     * is synthetic word-soup, so predictions are uniform — the query
-    * checks the OPERATOR, determinism included, not model quality.) */
+    * checks the OPERATOR, determinism included, not model quality.)
+    *
+    * Single cheap pass over the token array: one `filter` keeping only
+    * marker tokens — the 25-marker IN-list exceeds Spark's
+    * `inSetConversionThreshold`, so membership is ONE hash-set probe
+    * per token (vs five 5-element IN walks before) — then a fold over
+    * the rare hits resolves each to its language index. Ties resolve
+    * to the first language in [[LangMarkers]] order via
+    * `array_position` (first occurrence of the max), identical to the
+    * previous per-column argmax. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    var df = documents(spark, dir)
+    val mk = LangMarkers.zipWithIndex.flatMap { case ((_, ws), i) =>
+      ws.flatMap(w => Seq(s"'$w'", i.toString))
+    }.mkString("map(", ", ", ")")
+    val langs = LangMarkers.map { case (l, _) => s"'$l'" }
+      .mkString("array(", ", ", ")")
+    val allMarkers = sqlList(LangMarkers.flatMap(_._2))
+    documents(spark, dir)
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
-    for ((l, ws) <- LangMarkers)
-      df = df.withColumn(s"s_$l",
-        size(expr(s"filter(toks, t -> t IN ${sqlList(ws)})")))
-    val scores = LangMarkers.map { case (l, _) => col(s"s_$l") }
-    val maxScore = greatest(scores: _*)
-    val predicted = LangMarkers.foldLeft(lit(null).cast("string")) {
-      case (acc, (l, _)) =>
-        when(acc.isNotNull, acc)
-          .otherwise(when(col(s"s_$l") === maxScore, lit(l)))
-    }
-    df.select(col("lang"), predicted.as("predicted"))
+      .withColumn("scores", expr(
+        s"""aggregate(filter(toks, t -> t IN $allMarkers),
+           |  array_repeat(0, ${LangMarkers.size}),
+           |  (acc, t) -> transform(acc, (v, i) ->
+           |    IF(i = element_at($mk, t), v + 1, v)))""".stripMargin))
+      .withColumn("predicted",
+        expr(s"element_at($langs, cast(array_position(scores, array_max(scores)) as int))"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")

@@ -57,9 +57,9 @@ class ArrayOpsSpec extends SparkSpec {
     assert(r.getInt(2) === 0)
   }
 
-  test("bit_majority == 32 per-bit filter majority votes") {
+  test("bit_majority == 60 per-bit filter majority votes") {
     GraftFunctions.register(spark)
-    val bitTerms = (0 until 32).map { i =>
+    val bitTerms = (0 until BitMajority.Bits).map { i =>
       s"CASE WHEN size(filter(hs, h -> (h >> $i) & 1 = 1)) * 2 > size(hs) " +
         s"THEN cast(${1L << i} as bigint) ELSE cast(0 as bigint) END"
     }.mkString(" + ")

@@ -67,7 +67,7 @@ class DedupSpec extends SparkSpec {
     assert(out === Seq((0L, 1L, 0)))
   }
 
-  test("ngram jaccard blocks by (lang, source) and digests per lang") {
+  test("ngram jaccard mines candidates from minhash bands, digests per lang") {
     val dir = corpus(Seq(0L -> base, 1L -> base, 2L -> (base + " tail")))
     val out = Dedup.ngramJaccard(spark, dir).collect()
     assert(out.length === 1)
