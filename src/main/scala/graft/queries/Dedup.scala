@@ -268,6 +268,19 @@ object Dedup {
     * blocks whose 16-value keys make candidates O(N²/32). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
+    simhashCandidates(spark, dir)
+      .withColumn("hamming", expr("bit_count(sha ^ shb)"))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("ia"), col("ib"), col("hamming"))
+      .orderBy("ia", "ib")
+  }
+
+  /** The distinct candidate-pair set of [[simhash]], pre-verification
+    * — exposed so CandidateGrowthSpec can assert the pair count grows
+    * ~linearly (not quadratically) when the corpus doubles. */
+  private[graft] def simhashCandidates(
+      spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
     // Derives from the shared shingle-hash base (one md5 pass for
     // q56+q57). bit_majority is the native one-pass kernel (the
     // per-bit filter() walks cost ~4s alone at sf0.1).
@@ -281,18 +294,13 @@ object Dedup {
           s"k -> named_struct('blk', k, " +
           s"'v', (sh >> (k * $SimhashBlockBits)) & $SimhashBlockMask))")).as("b"))
       .select(col("doc_id"), col("sh"), col("b.blk"), col("b.v"))
-    val pairs = blocks.as("a").hint("shuffle_hash")
+    blocks.as("a").hint("shuffle_hash")
       .join(blocks.as("b").hint("shuffle_hash"),
         col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
         col("a.sh").as("sha"), col("b.sh").as("shb"))
       .distinct()
-    pairs
-      .withColumn("hamming", expr("bit_count(sha ^ shb)"))
-      .filter(col("hamming") <= HammingMax)
-      .select(col("ia"), col("ib"), col("hamming"))
-      .orderBy("ia", "ib")
   }
 
   val simhashSql: String =
