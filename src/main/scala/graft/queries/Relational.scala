@@ -514,9 +514,12 @@ object Relational {
   /** Approximate percentile (Greenwald-Khanna sketch) next to the
     * exact answer — the 100 TB path for q28's shape: the sketch
     * aggregates with bounded memory and two-phase merge, no per-group
-    * sort. Algorithm-specific numbers → no DuckDB oracle (rows-only
-    * driver check); RelationalSpec asserts the documented error bound
-    * against the exact percentile. */
+    * sort. The sketch's raw numbers are algorithm-specific, so the
+    * oracle-checkable output is the EXACT answer plus a boolean
+    * asserting the sketch landed within the documented error band —
+    * both engines state the expected value of that boolean (true), so
+    * the driver's hash compare verifies the bound itself.
+    * RelationalSpec asserts the same band numerically. */
   def approxPercentile(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     lineitem(spark, dir)
@@ -526,8 +529,19 @@ object Relational {
           .as("approx_median"),
         expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(col("exact_median"), 4).as("exact_median"),
+        col("n"),
+        (abs(col("approx_median") - col("exact_median")) <=
+          abs(col("exact_median")) * 0.05).as("approx_within_5pct"))
       .orderBy("l_returnflag")
   }
+
+  val approxPercentileSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+      |  count(*) AS n, TRUE AS approx_within_5pct
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Exact interpolated percentiles (median / p95) per group —
     * Spark's `percentile` matches DuckDB's `quantile_cont` (both
@@ -621,17 +635,29 @@ object Relational {
       |                AND l.l_quantity > 45)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Approximate distinct (HyperLogLog++). Algorithm-specific → no
-    * DuckDB oracle (their HLL differs); correctness is bounded-error
-    * vs exact count, asserted in the ScalaTest spec. */
+  /** Approximate distinct (HyperLogLog++). The sketch's raw estimate
+    * is algorithm-specific (DuckDB's HLL differs), so the
+    * oracle-checkable output is the exact distinct count plus a
+    * boolean asserting the estimate landed within 5% (2.5x the
+    * requested rsd) — the driver's hash compare then verifies the
+    * bound itself, not just row shape. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")) <=
+          col("exact_orders") * 0.05).as("approx_within_5pct"))
       .orderBy("l_returnflag")
   }
+
+  val approxDistinctSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  TRUE AS approx_within_5pct
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** The bucketed co-located variant of q07: both fact tables written
     * bucketed+sorted on the join key ([[graft.io.BucketedLayout]]),
@@ -747,14 +773,14 @@ object Relational {
     "q19_tumbling_window" -> tumblingWindowSql,
     "q20_filter_pushdown" -> filterPushdownSql,
     "q21_sql_exists" -> sqlExistsSql,
-    // q22_approx_distinct: intentionally no oracle (approximate)
+    "q22_approx_distinct" -> approxDistinctSql,
     "q23_bucketed_join" -> joinFactsSql, // same answer via bucketed layout
     "q24_salted_join" -> saltedJoinSql,
     "q25_session_window" -> sessionWindowSql,
     "q28_percentiles" -> percentilesSql,
     "q29_pivot_status" -> pivotStatusSql,
     "q66_sliding_window" -> slidingWindowSql,
-    "q68_grouping_sets" -> groupingSetsSql
-    // q69_approx_percentile: intentionally no oracle (sketch-specific)
+    "q68_grouping_sets" -> groupingSetsSql,
+    "q69_approx_percentile" -> approxPercentileSql
   )
 }

@@ -77,13 +77,22 @@ class RelationalSpec extends SparkSpec {
     Tables.prep(spark)
     // accuracy 10000 -> rank error <= n/10000; translate to a value
     // tolerance via a generous relative band (the harness prices are
-    // smoothly distributed, so rank error ~ value error here).
+    // smoothly distributed, so rank error ~ value error here). The
+    // query itself emits the band check as `approx_within_5pct` so the
+    // DuckDB oracle can hash-verify it; here we assert it holds.
     val rows = Relational.approxPercentile(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getDouble(1); val exact = r.getDouble(2)
-      assert(math.abs(approx - exact) / math.max(math.abs(exact), 1e-9) < 0.05,
-        s"approx=$approx exact=$exact")
+      assert(r.getBoolean(3), s"sketch out of band for ${r.getString(0)}")
+    }
+  }
+
+  test("approx distinct (HLL) stays within 5% of the exact count") {
+    Tables.prep(spark)
+    val rows = Relational.approxDistinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"HLL out of band for ${r.getString(0)}")
     }
   }
 
