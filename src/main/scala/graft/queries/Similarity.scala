@@ -279,14 +279,61 @@ object Similarity {
   // q64 IVF-style ANN (coarse quantizer -> cell-local search)
   // ---------------------------------------------------------------
 
-  /** IVF-shaped ANN: the label centroids act as the coarse-quantizer
-    * codebook; every vector is assigned to its NEAREST centroid cell
-    * (not its own label — a genuine quantization step), queries probe
-    * their own cell (nprobe=1) and exact-rerank only the cell's
-    * members. At 100 TB: the inverted lists are just a partitioning
-    * of the corpus by cell id — candidates come from one partition,
-    * and a real deployment would train the codebook with k-means and
-    * raise nprobe; the dataflow is identical. */
+  private val IvfK = 16 // codebook size; deliberately > |labels| = 10
+  private val IvfIters = 2
+
+  /** K-means (Lloyd's) coarse-quantizer codebook, trained entirely as
+    * DataFrame ops — the real IVF training step, not a label proxy:
+    *
+    *   - Seeds: the [[IvfK]] vectors with the smallest md5-prefix hash
+    *     of vec_id (deterministic "random" sample, mirrorable by the
+    *     oracle; TakeOrderedAndProject, no global sort).
+    *   - Each of [[IvfIters]] iterations: assign every vector to its
+    *     nearest centroid by ROUNDED cosine (broadcast codebook,
+    *     per-vector argmax window), then recompute centroids as the
+    *     distributed per-(cell, dim) mean (posexplode -> two-phase
+    *     avg), ROUNDED to 6 decimals so cross-engine accumulation
+    *     order cannot flip later assignments.
+    *
+    * At 100 TB each iteration is one broadcast + one narrow argmax
+    * pass + one (cell, dim)-keyed shuffle of partial sums — the
+    * canonical distributed Lloyd's shape. A cell that loses all
+    * members drops out of the codebook (both engines agree). */
+  private[graft] def kmeansCodebook(
+      spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val wSeed = Window.orderBy(col("hk"), col("vec_id"))
+    var cent = e.withColumn("hk", expr(
+      "cast(conv(substr(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigint)"))
+      .orderBy(col("hk"), col("vec_id")).limit(IvfK)
+      .withColumn("cell", row_number().over(wSeed) - 1)
+      .select(col("cell"), col("v").as("cv"))
+    for (_ <- 1 to IvfIters) {
+      val cb = cent.withColumn("cn", expr("sqrt(array_dot(cv, cv))"))
+      val scored = e.join(broadcast(cb), expr("true"))
+        .withColumn("ccos", round(
+          expr("array_dot(cv, v)") / (col("cn") * col("nrm")), 4))
+      val wC = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cell").asc)
+      cent = scored.withColumn("rc", row_number().over(wC))
+        .filter(col("rc") === 1)
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(avg(col("x")).as("cx"))
+        .groupBy(col("cell"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(i, cx))), s -> round(s.cx, 6))")
+          .as("cv"))
+    }
+    cent
+  }
+
+  /** IVF-shaped ANN over a TRAINED k-means codebook ([[IvfK]] cells,
+    * [[kmeansCodebook]]): every vector is assigned to its NEAREST
+    * cell, queries probe their own cell (nprobe=1) and exact-rerank
+    * only the cell's members. At 100 TB: the inverted lists are just a
+    * partitioning of the corpus by cell id — candidates come from one
+    * partition; nprobe is the recall/cost dial. */
   def ivfAnn(spark: SparkSession, dir: String): DataFrame =
     ivfAnnImpl(spark, dir, nprobe = 1)
 
@@ -300,13 +347,8 @@ object Similarity {
       nprobe: Int): DataFrame = {
     prep(spark)
     val e = vecs(spark, dir)
-    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("label"), col("i"))
-      .agg(avg(col("x")).as("cx"))
-      .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)")
-        .as("cv"))
-      .select(col("label").as("cell"), col("cv"),
+    val cent = kmeansCodebook(spark, dir)
+      .select(col("cell"), col("cv"),
         expr("sqrt(array_dot(cv, cv))").as("cn"))
     // quantize: nearest cell per vector (broadcast the tiny codebook).
     // ccos is ROUNDED before the argmax ranking, like every other
@@ -343,13 +385,43 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** DuckDB mirror of [[kmeansCodebook]]: seed CTE + one (assign,
+    * recompute) CTE pair per iteration, ending in centroid table
+    * `c$IvfIters`. */
+  private def duckKmeansCtes: String = {
+    val seed =
+      s"""c0 AS (
+         |  SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cell, v AS cv
+         |  FROM (SELECT vec_id, v,
+         |          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+         |            AS hk
+         |        FROM n)
+         |  QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= $IvfK)""".stripMargin
+    val iters = (1 to IvfIters).map { t =>
+      s"""s$t AS (
+         |  SELECT cell, v,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell ASC) AS rc
+         |  FROM (SELECT n.vec_id, n.v, c.cell,
+         |          round(list_dot_product(c.cv, n.v)
+         |            / (sqrt(list_dot_product(c.cv, c.cv)) * n.nrm), 4) AS ccos
+         |        FROM n, c${t - 1} c)),
+         |c$t AS (
+         |  SELECT cell, list(round(cx, 6) ORDER BY i) AS cv
+         |  FROM (SELECT cell, i, avg(x) AS cx
+         |        FROM (SELECT cell, i, v[i] AS x
+         |              FROM s$t, range(1, ${Dim + 1}) t(i) WHERE rc = 1)
+         |        GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    }
+    (seed +: iters).mkString(",\n")
+  }
+
   private def ivfAnnSqlImpl(nprobe: Int): String =
     s"""WITH n AS ($duckVecs),
-       |flat AS (SELECT label, i, v[i] AS x FROM n, range(1, ${Dim + 1}) t(i)),
-       |cm AS (SELECT label, i, avg(x) AS cx FROM flat GROUP BY 1, 2),
-       |cent AS (SELECT label AS cell, list(cx ORDER BY i) AS cv FROM cm
-       |         GROUP BY 1),
-       |cb AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+       |$duckKmeansCtes,
+       |cb AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn
+       |       FROM c$IvfIters),
        |sc AS (SELECT vec_id, v, nrm, cell,
        |         round(list_dot_product(cv, v) / (cn * nrm), 4) AS ccos
        |       FROM n, cb),

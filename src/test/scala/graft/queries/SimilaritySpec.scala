@@ -55,6 +55,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF k-means codebook trains more cells than labels; nprobe dial " +
+      "raises recall") {
+    // Harness data (sf0.01: 500 vectors, 10 labels, 5 budget queries):
+    // recall is measured against the brute-force exact top-5.
+    val dir = "/root/testdata/sf0.01"
+    val cells = Similarity.kmeansCodebook(spark, dir).count()
+    assert(cells > 10, s"codebook has $cells cells, want > |labels| = 10")
+    val exact = Similarity.cosineTopK(spark, dir).collect()
+      .filter(_.getInt(1) <= 5)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def hits(rows: Array[org.apache.spark.sql.Row]): Int =
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+        .intersect(exact).size
+    val r1 = hits(Similarity.ivfAnn(spark, dir).collect())
+    val r2 = hits(Similarity.ivfAnnNprobe2(spark, dir).collect())
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
+    assert(r2 > 0, "nprobe=2 found none of the exact top-5 neighbors")
+  }
+
   test("label centroids: 3 nearest members per label, cos in [-1, 1]") {
     val dir = corpus(120)
     val out = Similarity.labelCentroids(spark, dir).collect()
