@@ -62,14 +62,21 @@ object StreamingQ {
     """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** flatMapGroupsWithState sessionization (gap > 5 min), digested
-    * per user bucket; oracle = gaps-and-islands SQL over the same
-    * µs-truncated timestamps. */
+  /** flatMapGroupsWithState sessionization (gap > 5 min) with
+    * event-time-timeout flushing, digested per user bucket. The stream
+    * emits exactly the sessions the FINAL watermark seals (boundary =
+    * session end + gap strictly below max(ts) at ms resolution minus
+    * the 30-minute delay; later sessions are still legitimately open
+    * when the bounded replay ends) — the oracle is gaps-and-islands
+    * SQL over the same µs-truncated timestamps with that exact
+    * sealing predicate, so stream == batch INCLUDING the open-session
+    * boundary. */
   def streamSessions(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val out = Streams.runToMemory(
       Streams.sessionize(Streams.eventsStream(spark, dir)).toDF(),
-      sink(spark, "s_sessions"), OutputMode.Append())
+      sink(spark, "s_sessions"), OutputMode.Append(),
+      finalizeWatermark = true)
     out.groupBy((col("user_id") % 8).as("bucket"))
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("n_events")).as("n_events"),
@@ -88,16 +95,25 @@ object StreamingQ {
       |           ORDER BY tsus, event_id) > 300000000 THEN 1 ELSE 0 END AS brk
       |  FROM e),
       |s AS (
-      |  SELECT user_id, value,
+      |  SELECT user_id, tsus, value,
       |    sum(brk) OVER (PARTITION BY user_id ORDER BY tsus, event_id
       |      ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM o),
       |sess AS (
-      |  SELECT user_id, sid, count(*) AS n, sum(value) AS sv
-      |  FROM s GROUP BY 1, 2)
+      |  SELECT user_id, sid, count(*) AS n, sum(value) AS sv,
+      |         max(tsus) AS s_end
+      |  FROM s GROUP BY 1, 2),
+      |-- the stream's final watermark: max event time at ms resolution
+      |-- minus the 30-minute delay; a session is emitted iff its
+      |-- extension boundary (end + 5-minute gap, ms resolution) is
+      |-- strictly below it.
+      |sealed AS (
+      |  SELECT * FROM sess
+      |  WHERE (s_end + 300000000) // 1000
+      |        < (SELECT max(tsus) // 1000 - 1800000 FROM e))
       |SELECT user_id % 8 AS bucket, count(*) AS n_sessions,
       |  CAST(sum(n) AS BIGINT) AS n_events, round(sum(sv), 4) AS sum_v
-      |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
+      |FROM sealed GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Streaming sliding window == batch q66 (same digest, same oracle). */
   def streamSliding(spark: SparkSession, dir: String): DataFrame = {

@@ -103,46 +103,83 @@ object Streams {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
-  case class Ev(event_id: Long, user_id: Long, tsUs: Long, value: Double)
+  /** `ts` duplicates `tsUs` as a timestamp: the watermarked column
+    * must survive the projection into the typed operator for
+    * event-time timeouts to be allowed. */
+  case class Ev(event_id: Long, user_id: Long, tsUs: Long, value: Double,
+      ts: java.sql.Timestamp)
   case class Session(user_id: Long, start_us: Long, n_events: Int,
       sum_value: Double)
 
+  /** Sessionization gap; watermark delay of the sessionize stream. */
+  val SessionGapUs: Long = 5L * 60 * 1000 * 1000
+  val SessionWatermark = "30 minutes"
+
   /** Per-user sessionization (gap > 5 min starts a new session) via
-    * flatMapGroupsWithState — the custom-state operator the built-in
-    * session_window generalizes from. State is the user's event
-    * buffer; sessions are emitted when the group is processed. Run
-    * under Trigger.AvailableNow on a bounded replay (one file-source
-    * batch) this is exact; a live continuous deployment would add an
-    * event-time timeout to flush open sessions. */
+    * flatMapGroupsWithState with an EVENT-TIME TIMEOUT — the
+    * custom-state operator the built-in session_window generalizes
+    * from, in its live-stream-correct form:
+    *
+    *   - State buffers only the events of sessions the watermark has
+    *     not yet sealed. A session is emitted exactly when it becomes
+    *     PROVABLY CLOSED — its extension window [start - gap,
+    *     end + gap] has fallen below the watermark, so no admissible
+    *     event can modify or merge it — whether that happens while the
+    *     group receives data or, for idle groups, via the event-time
+    *     timeout set at the earliest unsealed boundary. Each session
+    *     is emitted exactly once; open sessions at the head of the
+    *     stream stay in state until the watermark seals them.
+    *   - Late events (below the watermark) are dropped by the
+    *     watermark filter before reaching the operator, which is what
+    *     makes "provably closed" sound.
+    *
+    * On a bounded replay the trailing no-data micro-batch advances the
+    * watermark to max(ts) - delay and flushes every session sealed by
+    * it ([[runToMemory]] finalizeWatermark=true); the q41 oracle
+    * mirrors that exact boundary. */
   def sessionize(events: DataFrame): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val GapUs = 5L * 60 * 1000 * 1000
     events
+      .withWatermark("ts", SessionWatermark)
       .select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("tsUs"), col("value"))
+        unix_micros(col("ts")).as("tsUs"), col("value"), col("ts"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[Ev], Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[Ev], state: GroupState[List[Ev]]) =>
+          val wmMs = state.getCurrentWatermarkMs()
           val all = (state.getOption.getOrElse(Nil) ++ it)
             .sortBy(e => (e.tsUs, e.event_id))
-          state.update(Nil)
-          val sessions = List.newBuilder[Session]
+          // Split the buffer into gap-delimited sessions.
+          var sessions = List.empty[List[Ev]]
           var cur = List.empty[Ev]
           for (e <- all) {
-            if (cur.nonEmpty && e.tsUs - cur.head.tsUs > GapUs) {
-              val s = cur.reverse
-              sessions += Session(uid, s.head.tsUs, s.length, s.map(_.value).sum)
+            if (cur.nonEmpty && e.tsUs - cur.head.tsUs > SessionGapUs) {
+              sessions = cur.reverse :: sessions
               cur = Nil
             }
             cur = e :: cur
           }
-          if (cur.nonEmpty) {
-            val s = cur.reverse
-            sessions += Session(uid, s.head.tsUs, s.length, s.map(_.value).sum)
+          if (cur.nonEmpty) sessions = cur.reverse :: sessions
+          // Sealed iff the extension boundary (last event + gap, at
+          // the watermark's ms resolution) is strictly below the
+          // watermark — matching Spark's strict timeout-firing rule so
+          // data-path and timeout-path emissions agree.
+          def boundaryMs(s: List[Ev]): Long = (s.last.tsUs + SessionGapUs) / 1000
+          val (closed, open) = sessions.reverse.partition(boundaryMs(_) < wmMs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open.flatten)
+            // Wake this group when the earliest unsealed boundary
+            // falls below the watermark (must be set strictly above
+            // the current watermark).
+            state.setTimeoutTimestamp(
+              math.max(open.map(boundaryMs).min, wmMs + 1))
           }
-          sessions.result().iterator
+          closed.map { s =>
+            Session(uid, s.head.tsUs, s.length, s.map(_.value).sum)
+          }.iterator
       }
   }
 
@@ -154,18 +191,20 @@ object Streams {
     * per-micro-batch setup/commit overhead dwarfing the data. Pin a
     * small partition count for the stream's lifetime (a live
     * deployment sizes this to state volume, not CPU count). */
-  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode,
+      finalizeWatermark: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData =
       spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    // Skip the trailing no-data micro-batch: it exists to advance the
-    // watermark for Append-mode AGGREGATIONS; our streams either run
-    // Complete mode (emit on every batch) or emit rows immediately
-    // (dedup, inner interval join), so the extra batch is pure
-    // state-store churn on a bounded replay.
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // Skip the trailing no-data micro-batch unless the stream NEEDS
+    // the final watermark advance (event-time timeouts — sessionize):
+    // it exists to advance the watermark for Append-mode state, and
+    // for Complete-mode aggs / immediate-emit operators (dedup, inner
+    // interval join) it is pure state-store churn on a bounded replay.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      finalizeWatermark.toString)
     try {
       val q = df.writeStream
         .format("memory")

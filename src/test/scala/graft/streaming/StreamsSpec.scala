@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Multi-micro-batch behavior of the sessionizer's event-time timeout:
+  * a session left open at the end of one batch must be flushed by a
+  * LATER batch's watermark advance — exactly once — without its group
+  * receiving any further data. */
+class StreamsSpec extends SparkSpec {
+
+  test("open session flushes via event-time timeout, exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "user_id", "tsSec", "value")
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+      .drop("tsSec")
+    val q = Streams.sessionize(events).toDF().writeStream
+      .format("memory").queryName("sess_spec").outputMode("append").start()
+    try {
+      // Batch 1: user 1's two-event session, plus a user-2 event far
+      // enough ahead that the NEXT batch's watermark (max ts - 30 min)
+      // passes user 1's session boundary (last event + 5 min gap).
+      mem.addData((1L, 1L, 1000L, 1.0), (2L, 1L, 1060L, 2.0),
+        (3L, 2L, 9000L, 5.0))
+      q.processAllAvailable()
+      // Batch 2: only user 2 receives data; user 1's idle group must
+      // flush via its event-time timeout (watermark 7200s > 1360s).
+      mem.addData((4L, 2L, 9100L, 6.0))
+      q.processAllAvailable()
+      val emitted = spark.table("sess_spec").collect()
+      assert(emitted.count(_.getLong(0) == 1L) === 1,
+        s"user 1 session not emitted exactly once: ${emitted.mkString(";")}")
+      val s = emitted.find(_.getLong(0) == 1L).get
+      assert(s.getLong(1) === 1000L * 1000000L) // session start (us)
+      assert(s.getInt(2) === 2) // both events in one session
+      assert(s.getDouble(3) === 3.0)
+      // user 2's session is still open — must NOT be emitted yet.
+      assert(!emitted.exists(_.getLong(0) == 2L))
+      // Batch 3: watermark advances further; user 1 must not re-emit.
+      mem.addData((5L, 2L, 20000L, 7.0))
+      q.processAllAvailable()
+      val after = spark.table("sess_spec").collect()
+      assert(after.count(_.getLong(0) == 1L) === 1)
+      // user 2's first session (9000..9100) is now sealed too
+      // (watermark 20000s - 30min = 18200s > 9100s + 300s).
+      assert(after.count(r => r.getLong(0) == 2L && r.getInt(2) == 2) === 1)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("sess_spec")
+    }
+  }
+}
