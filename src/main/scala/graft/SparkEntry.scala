@@ -28,6 +28,7 @@ object SparkEntry {
       "q36_csv_pipeline",     // driver-local CSV fixture probe
       "q37_conducta_pipeline", // driver-local fixture + write
       "q38_estados_pipeline",  // driver-local fixture
-      "q42_jdbc_roundtrip"     // embedded-Derby load per call
+      "q42_jdbc_roundtrip",    // embedded-Derby load per call
+      "q76_empty_write_guard"  // writes a scratch table per call
     )).sorted
 }

@@ -100,4 +100,18 @@ object CsvProbe {
     else if (n.contains("estados") || n.contains("operativo")) Some("estados_operativos")
     else None
   }
+
+  /** Column-expression form of [[routeByName]] — same rule applied to
+    * a filename COLUMN (e.g. `input_file_name()` on a multi-file scan,
+    * or an arrival manifest), so routing runs distributed inside the
+    * scan projection instead of driver-side. NULL = unroutable.
+    * Parity with [[routeByName]] is asserted in CsvProbeSpec. */
+  def routeCol(fileName: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, lower, when}
+    val n = lower(fileName)
+    when(n.contains("conducta"), lit("conducta"))
+      .when(n.contains("estados") || n.contains("operativo"),
+        lit("estados_operativos"))
+      .otherwise(lit(null).cast("string"))
+  }
 }

@@ -538,6 +538,108 @@ object Reference {
         |FROM li_native GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  // ---------------------------------------------------------------
+  // q75 S4 filename routing / q76 F3 empty-write guard / q77 X7 dates
+  // ---------------------------------------------------------------
+
+  /** S4 file-type routing as a DISTRIBUTED expression: filenames are
+    * synthesized from the nation table, routed with
+    * [[CsvProbe.routeCol]] (same substring rule as the driver-side
+    * router, parity-asserted in CsvProbeSpec), digested per route. */
+  def routeByNameQ(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    nation(spark, dir)
+      .withColumn("file_name", concat(lower(col("n_name")),
+        when(col("n_nationkey") % 4 === 0, "_conducta_diaria.csv")
+          .when(col("n_nationkey") % 4 === 1, "_estados_agentes.csv")
+          .when(col("n_nationkey") % 4 === 2, "_operativo_v2.csv")
+          .otherwise("_resumen_mensual.csv")))
+      .withColumn("route",
+        coalesce(CsvProbe.routeCol(col("file_name")), lit("sin_ruta")))
+      .groupBy(col("route"))
+      .agg(count(lit(1)).as("n"),
+        min(col("file_name")).as("min_file"),
+        max(col("file_name")).as("max_file"))
+      .orderBy("route")
+  }
+
+  val routeByNameSql: String =
+    """WITH f AS (
+      |  SELECT lower(n_name) ||
+      |    CASE n_nationkey % 4
+      |      WHEN 0 THEN '_conducta_diaria.csv'
+      |      WHEN 1 THEN '_estados_agentes.csv'
+      |      WHEN 2 THEN '_operativo_v2.csv'
+      |      ELSE '_resumen_mensual.csv' END AS file_name
+      |  FROM nation),
+      |r AS (
+      |  SELECT file_name,
+      |    CASE WHEN file_name LIKE '%conducta%' THEN 'conducta'
+      |         WHEN file_name LIKE '%estados%' OR file_name LIKE '%operativo%'
+      |           THEN 'estados_operativos'
+      |         ELSE 'sin_ruta' END AS route
+      |  FROM f)
+      |SELECT route, count(*) AS n, min(file_name) AS min_file,
+      |  max(file_name) AS max_file
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** F3 empty-input guard driver-checked end to end: seed a
+    * date-partitioned table, then run the idempotent writer on an
+    * EMPTY frame — the table must be untouched. The digest reads the
+    * table back; the oracle states the seed. */
+  def emptyWriteGuard(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val path = Files.createTempDirectory("graft_f3").toString + "/t"
+    val seed = orders(spark, dir)
+      .filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("fecha"))
+    IdempotentWriter.overwritePartitions(seed, path, addLoadDate = false)
+    IdempotentWriter.overwritePartitions(
+      seed.filter(lit(false)), path, addLoadDate = false)
+    spark.read.parquet(path)
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("sum_keys"),
+        countDistinct(col("fecha")).as("n_dates"))
+  }
+
+  val emptyWriteGuardSql: String =
+    """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+      |  count(DISTINCT CAST(o_orderdate AS DATE)) AS n_dates
+      |FROM orders WHERE o_orderkey < 100""".stripMargin
+
+  /** X7 date helpers, driver-checked: DD/MM/YYYY round-trip over the
+    * orders dates (Spark's non-lenient parser rejects impossible
+    * dates, like java.time STRICT), plus the driver-side helpers as
+    * literals whose expected values the oracle states independently:
+    * clamped 31/02 is rejected, a valid date converts to ISO, and
+    * `yesterday` of a fixed anchor date. */
+  def dateHelpersQ(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    orders(spark, dir)
+      .select(col("o_orderdate").cast("date").as("d"))
+      .withColumn("ddmm", date_format(col("d"), "dd/MM/yyyy"))
+      .withColumn("back", to_date(col("ddmm"), "dd/MM/yyyy"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("back") === col("d"), 1).otherwise(0)).as("n_roundtrip"),
+        min(col("ddmm")).as("min_ddmm"),
+        max(col("ddmm")).as("max_ddmm"))
+      .withColumn("clamped_rejected",
+        lit(graft.norm.Dates.dayFirstToIso("31/02/2024").isEmpty))
+      .withColumn("iso_of_15_03_2024",
+        lit(graft.norm.Dates.dayFirstToIso("15/03/2024").orNull))
+      .withColumn("yesterday_of_2024_03_15",
+        lit(graft.norm.Dates.yesterday(java.time.LocalDate.of(2024, 3, 15))))
+  }
+
+  val dateHelpersSql: String =
+    """SELECT count(*) AS n, count(*) AS n_roundtrip,
+      |  min(strftime(CAST(o_orderdate AS DATE), '%d/%m/%Y')) AS min_ddmm,
+      |  max(strftime(CAST(o_orderdate AS DATE), '%d/%m/%Y')) AS max_ddmm,
+      |  TRUE AS clamped_rejected,
+      |  '2024-03-15' AS iso_of_15_03_2024,
+      |  '14/03/2024' AS yesterday_of_2024_03_15
+      |FROM orders""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_time_to_minutes" -> timeToMinutesQ,
     "q31_lenient_casts" -> lenientCasts,
@@ -550,7 +652,10 @@ object Reference {
     "q38_estados_pipeline" -> estadosPipeline,
     "q42_jdbc_roundtrip" -> jdbcRoundtrip,
     "q43_time_to_minutes_native" -> timeToMinutesNativeQ,
-    "q44_daily_rollup_join" -> dailyRollupJoin
+    "q44_daily_rollup_join" -> dailyRollupJoin,
+    "q75_route_by_name" -> routeByNameQ,
+    "q76_empty_write_guard" -> emptyWriteGuard,
+    "q77_date_helpers" -> dateHelpersQ
   )
 
   val oracle: Map[String, String] = Map(
@@ -565,6 +670,9 @@ object Reference {
     "q38_estados_pipeline" -> estadosPipelineSql,
     "q42_jdbc_roundtrip" -> conductaPipelineSql, // same rows via the JDBC sink
     "q43_time_to_minutes_native" -> timeToMinutesSql, // same semantics, native expr
-    "q44_daily_rollup_join" -> dailyRollupJoinSql
+    "q44_daily_rollup_join" -> dailyRollupJoinSql,
+    "q75_route_by_name" -> routeByNameSql,
+    "q76_empty_write_guard" -> emptyWriteGuardSql,
+    "q77_date_helpers" -> dateHelpersSql
   )
 }

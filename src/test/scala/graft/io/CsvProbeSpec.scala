@@ -64,4 +64,23 @@ class CsvProbeSpec extends SparkSpec {
     assert(df.count() === 2)
     assert(df.collect().map(_.getString(1)).toSet === Set("café", "niño"))
   }
+
+  test("property: routeCol (distributed) == routeByName (driver) on " +
+      "arbitrary filenames") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      pre <- org.scalacheck.Gen.alphaNumStr
+      mid <- org.scalacheck.Gen.oneOf(
+        "conducta", "estados", "operativo", "CONDUCTA", "Estados", "x", "")
+      post <- org.scalacheck.Gen.alphaNumStr
+    } yield s"$pre$mid$post.csv"
+    val names = Iterator.continually(gen.sample).flatten.take(60).toSeq
+    val out = names.toDF("f")
+      .select(col("f"), CsvProbe.routeCol(col("f")).as("r")).collect()
+    out.foreach { r =>
+      assert(Option(r.getString(1)) === CsvProbe.routeByName(r.getString(0)),
+        s"diverged on '${r.getString(0)}'")
+    }
+  }
 }

@@ -62,4 +62,25 @@ class IdempotentWriterSpec extends SparkSpec {
       Seq((1, "2024-01-01")).toDF("id", "fecha"), dir)
     assert(spark.read.parquet(dir).columns.contains("load_date"))
   }
+
+  test("property: writing any date-partitioned row set twice equals once") {
+    import spark.implicits._
+    val genRows = org.scalacheck.Gen.nonEmptyListOf(for {
+      id <- org.scalacheck.Gen.choose(0, 50)
+      d <- org.scalacheck.Gen.oneOf(
+        "2024-01-01", "2024-01-02", "2024-01-03")
+    } yield (id, d))
+    val samples = Iterator.continually(genRows.sample).flatten.take(8).toSeq
+    for (rows <- samples) {
+      val dir = Files.createTempDirectory("idem_prop").toString
+      val df = rows.toDF("id", "fecha")
+      IdempotentWriter.overwritePartitions(df, dir, addLoadDate = false)
+      // the daily re-run: replace, never append
+      IdempotentWriter.overwritePartitions(df, dir, addLoadDate = false)
+      val back = spark.read.parquet(dir)
+        .select(col("id"), col("fecha").cast("string"))
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
+      assert(back === rows.sorted, s"rows $rows")
+    }
+  }
 }
