@@ -640,6 +640,36 @@ object Reference {
       |  '14/03/2024' AS yesterday_of_2024_03_15
       |FROM orders""".stripMargin
 
+  /** S2 xlsx fallback read, driver-checked end to end: the nation
+    * table is written out as a minimal spreadsheet, read back through
+    * [[graft.io.XlsxRead]] (JDK-only zip+XML — the pd.read_excel
+    * fallback, reference main.py:1345-1346), and pushed through the
+    * SAME conformance chain as a CSV drop (accented headers
+    * normalized, typed casts). The oracle states the nation rows
+    * directly, so any codec or conformance defect breaks the hash. */
+  def xlsxRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val src = nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy("n_nationkey").collect()
+      .map(r => Seq(r.get(0).toString, r.get(1).toString, r.get(2).toString))
+    val path = Files.createTempDirectory("graft_xlsx")
+      .resolve("nation.xlsx").toString
+    graft.io.XlsxRead.writeMinimal(path,
+      Seq(Seq("ID", "Nombre País", "Región")) ++ src.map(_.toSeq))
+    val target = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("nombre_pais", StringType),
+      StructField("region", IntegerType)))
+    Conform.conformTo(target)(graft.io.XlsxRead.read(spark, path))
+      .orderBy("id")
+  }
+
+  val xlsxRoundtripSql: String =
+    """SELECT CAST(n_nationkey AS INTEGER) AS id, n_name AS nombre_pais,
+      |  CAST(n_regionkey AS INTEGER) AS region
+      |FROM nation ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_time_to_minutes" -> timeToMinutesQ,
     "q31_lenient_casts" -> lenientCasts,
@@ -655,7 +685,8 @@ object Reference {
     "q44_daily_rollup_join" -> dailyRollupJoin,
     "q75_route_by_name" -> routeByNameQ,
     "q76_empty_write_guard" -> emptyWriteGuard,
-    "q77_date_helpers" -> dateHelpersQ
+    "q77_date_helpers" -> dateHelpersQ,
+    "q78_xlsx_roundtrip" -> xlsxRoundtrip
   )
 
   val oracle: Map[String, String] = Map(
@@ -673,6 +704,7 @@ object Reference {
     "q44_daily_rollup_join" -> dailyRollupJoinSql,
     "q75_route_by_name" -> routeByNameSql,
     "q76_empty_write_guard" -> emptyWriteGuardSql,
-    "q77_date_helpers" -> dateHelpersSql
+    "q77_date_helpers" -> dateHelpersSql,
+    "q78_xlsx_roundtrip" -> xlsxRoundtripSql
   )
 }
