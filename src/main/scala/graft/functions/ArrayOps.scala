@@ -71,14 +71,21 @@ case class ArrayDot(left: Expression, right: Expression)
 }
 
 /** Intersection size of two SORTED DISTINCT long arrays — the merge-
-  * walk form of `size(array_intersect(a, b))`. Callers must build the
-  * arrays with `array_sort(array_distinct(...))` (sort once per row,
-  * not once per pair). */
+  * walk form of `size(array_intersect(a, b))`. PRECONDITION (by
+  * convention, not runtime-checked — a guard would re-scan both
+  * arrays and erase the kernel's win): callers must build the arrays
+  * with `array_sort(array_distinct(...))` (sort once per row, not
+  * once per pair); on unsorted or duplicate-bearing input the count
+  * is silently wrong. Every internal caller sorts at build time
+  * (Dedup.shingleHashes hsh / ngramJaccard grams); the equality with
+  * the built-in composition under the precondition is asserted in
+  * ArrayOpsSpec. */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
-  override def prettyName: String = "sorted_intersect_count"
+  override def prettyName: String =
+    "sorted_intersect_count" // input contract: sorted distinct arrays
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

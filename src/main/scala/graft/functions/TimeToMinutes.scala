@@ -52,15 +52,17 @@ case class TimeToMinutes(child: Expression) extends UnaryExpression {
   * boxing). Total function, mirrors main.py:425-462 exactly. */
 object TimeToMinutesImpl {
 
-  /** THE [[graft.norm.Coerce.NumRe]] grammar, compiled (one shared
-    * constant, so the combinator and the native expression cannot
-    * drift): Java's `s.toDouble` alone would accept `'1d'`/`'0x1p3'`
-    * etc., which the combinator, the reference's `float()`, and the
-    * DuckDB oracle all reject. A matching string always parses
-    * cleanly (`matches()` makes NumRe's anchors redundant but
-    * harmless). */
+  /** THE [[graft.norm.Coerce.NumRe]]/InfRe grammars, compiled (shared
+    * constants, so the combinator and the native expression cannot
+    * drift): the engine-common numeric grammar — what Python float()
+    * and DuckDB try_cast BOTH accept — including infinity literals
+    * and PEP-515 underscore groups, excluding Java-only forms
+    * (`'1d'`, `'0x1p3'`) that `s.toDouble` alone would admit.
+    * (`matches()` makes the anchors redundant but harmless.) */
   private val NumPattern =
     java.util.regex.Pattern.compile(graft.norm.Coerce.NumRe)
+  private val InfPattern =
+    java.util.regex.Pattern.compile(graft.norm.Coerce.InfRe)
 
   def convert(u: UTF8String): Double = {
     val s = u.toString.trim
@@ -79,8 +81,11 @@ object TimeToMinutesImpl {
         if (h == null || m == null) 0.0
         else h.toDouble * 60 + m.toDouble
       } else 0.0
+    } else if (InfPattern.matcher(s).matches()) {
+      if (s.charAt(0) == '-') Double.NegativeInfinity
+      else Double.PositiveInfinity
     } else if (NumPattern.matcher(s).matches()) {
-      try s.toDouble
+      try s.replace("_", "").toDouble
       catch { case _: NumberFormatException => 0.0 }
     } else 0.0
   }

@@ -58,6 +58,34 @@ object JdbcSink {
     }
   }
 
+  /** Ensure the STAGING table exists with exactly the expected column
+    * list: an existing staging table left by an older schema is
+    * DROPPED and recreated (staging contents are transient by
+    * protocol — cleared at the start of every load — so the drop
+    * loses nothing), instead of letting the staged INSERT fail
+    * against stale DDL after a schema evolution. */
+  private def ensureStaging(url: String, staging: String,
+      ddlBody: String, expectedCols: Seq[String]): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      if (tableExists(conn, staging)) {
+        val existing = scala.collection.mutable.Buffer.empty[String]
+        Seq(staging, staging.toUpperCase, staging.toLowerCase).distinct
+          .foreach { t =>
+            val rs = conn.getMetaData.getColumns(null, null, t, null)
+            try while (rs.next()) existing += rs.getString("COLUMN_NAME")
+            finally rs.close()
+          }
+        if (existing.map(_.toLowerCase).toSet !=
+            expectedCols.map(_.toLowerCase).toSet) {
+          val st = conn.createStatement()
+          try st.executeUpdate(s"DROP TABLE $staging") finally st.close()
+        }
+      }
+    } finally conn.close()
+    ensureTable(url, staging, ddlBody)
+  }
+
   /** SQL type name for staging DDL, per Catalyst type. */
   private def sqlTypeName(dt: org.apache.spark.sql.types.DataType): String =
     dt match {
@@ -87,7 +115,16 @@ object JdbcSink {
     *      own output instead of appending;
     *   3. the driver swaps atomically: DELETE the date from the
     *      target + INSERT ... SELECT from staging in ONE transaction.
-    */
+    *
+    * CONTRACT: one writer per TARGET TABLE at a time (the reference
+    * is a single daily job). The staging table is shared across
+    * loads of its target — the up-front staging clear and the final
+    * INSERT..SELECT read ALL staging rows, so two concurrent loads
+    * into the same target (even for different fechas) would corrupt
+    * each other. Different target tables are independent. Staging
+    * DDL is reconciled against the incoming schema on every load
+    * ([[ensureStaging]]), so schema evolution never strands a load
+    * against stale staging columns. */
   def loadIdempotent(df: DataFrame, url: String, table: String,
       fecha: String, allowed: Set[String], batchSize: Int = 1000): Long = {
     IdempotentWriter.requireAllowed(table, allowed)
@@ -96,7 +133,8 @@ object JdbcSink {
     val stagingDdl = schema0.fields
       .map(f => s"${f.name} ${sqlTypeName(f.dataType)}")
       .mkString(", ") + ", part_id INT"
-    ensureTable(url, staging, stagingDdl)
+    ensureStaging(url, staging, stagingDdl,
+      schema0.fieldNames.toSeq :+ "part_id")
     run(url)(_.prepareStatement(s"DELETE FROM $staging").executeUpdate())
 
     val schema = df.schema

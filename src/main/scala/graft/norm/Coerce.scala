@@ -27,20 +27,40 @@ object Coerce {
     * (documented deviation: NaN is never a useful duration). */
   private val NullTokens: Seq[Any] = Seq("-", "", "nan", "None")
 
-  /** Strict decimal/scientific-notation matcher guarding every
-    * plain-number branch. Spark's non-ANSI string→double cast
-    * delegates to Java `Double.parseDouble` plus special literals, so
-    * it accepts Java-only forms — `'1d'`, `'1f'`, hex floats like
-    * `'0x1p3'`, `'inf'` — that the reference's Python `float()`
-    * (main.py:459) and the DuckDB oracle's `try_cast` both reject.
-    * The guard pins all engines to the common subset: anything
-    * outside plain decimal/scientific notation coerces to the
-    * default. (Infinity LITERALS — 'inf', 'Infinity' — are rejected
-    * by the grammar; overflow forms like '1e999' match it and yield
-    * Infinity IDENTICALLY in Spark cast, DuckDB try_cast, and Python
-    * float(), so no guard is needed there.) */
-  private[graft] val NumRe =
-    "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+  /** The ENGINE-COMMON numeric grammar guarding every plain-number
+    * branch: exactly what the reference's Python `float()`
+    * (main.py:459) and the DuckDB oracle's `try_cast` BOTH accept
+    * (verified case-by-case against both) —
+    *   - decimal/scientific notation, with PEP-515 underscore groups
+    *     between digits (`'1_000'` → 1000.0 in both engines);
+    *   - infinity literals, any case, optional sign ([[InfRe]]).
+    * Spark's non-ANSI cast alone would add Java-only forms — `'1d'`,
+    * `'1f'`, hex floats like `'0x1p3'` — that Python and DuckDB
+    * reject, and would MISS `'inf'`/underscores that they accept; the
+    * guard + [[numParse]]'s explicit handling pin Spark to the common
+    * subset. `'nan'` stays excluded: the reference would propagate
+    * NaN, we coerce to the default (documented deviation — NaN
+    * poisons digests). Python's `int('1_0')` underscore acceptance in
+    * `H:M:S` PIECES is deliberately not mirrored (pieces stay
+    * digits-only in both the engine and the oracle). */
+  private val D = "[0-9]+(_[0-9]+)*"
+  private[graft] val NumRe = s"^[+-]?($D\\.?($D)?|\\.$D)([eE][+-]?$D)?$$"
+  private[graft] val InfRe = "^[+-]?[iI][nN][fF]([iI][nN][iI][tT][yY])?$"
+
+  /** The same two grammars, anchor-free, for DuckDB
+    * `regexp_full_match` in the oracle SQL — generated from ONE
+    * definition so the engine and the oracle cannot drift. */
+  private[graft] val NumReSql = NumRe.stripPrefix("^").stripSuffix("$")
+  private[graft] val InfReSql = InfRe.stripPrefix("^").stripSuffix("$")
+
+  /** Parse under the engine-common grammar; NULL when unparseable.
+    * Infinity literals are mapped explicitly (Spark's cast cannot
+    * parse 'inf') and underscores are stripped before the cast. */
+  private def numParse(s: Column): Column =
+    when(s.rlike(InfRe),
+      when(s.startsWith("-"), lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.PositiveInfinity)))
+      .when(s.rlike(NumRe), regexp_replace(s, "_", "").cast("double"))
 
   /** Strip ALL leading/trailing whitespace/control chars (<= U+0020),
     * not just spaces: Spark's `trim()` removes only ' ', but the
@@ -75,7 +95,7 @@ object Coerce {
     val p1 = intPiece(parts, 1)
     val p2 = intPiece(parts, 2)
     val p3 = intPiece(parts, 3)
-    val plain = when(s.rlike(NumRe), s.cast("double"))
+    val plain = numParse(s)
     when(c.isNull || s.isin(NullTokens: _*), lit(0.0))
       .when(
         s.contains(":"),
@@ -89,24 +109,33 @@ object Coerce {
         when(plain.isNull, lit(0.0)).otherwise(plain))
   }
 
-  /** Lenient double: garbage/NULL/NaN → 0.0
+  /** Lenient double: garbage/NULL/NaN → 0.0; infinity literals →
+    * ±Infinity, like Python float()
     * (reference main.py:516-528, `to_numeric(errors='coerce').fillna(0.0)`). */
   def lenientDouble(c: Column): Column = {
     val s = wsTrim(c.cast("string"))
-    val d = when(s.rlike(NumRe), s.cast("double"))
+    val d = numParse(s)
     when(d.isNull, lit(0.0)).otherwise(d)
   }
 
   /** Lenient int: parse as double then truncate toward zero, garbage → 0
     * (reference main.py:501-513, `.fillna(0).astype(int)` truncates).
-    * Returns LONG — the reference's `int` is int64; a 32-bit cast
-    * would silently WRAP values beyond ±2^31 (e.g. '3000000000' →
+    * Non-finite values also → 0: pandas `astype(int)` RAISES on them
+    * ("cannot convert non-finite values"), so like every other
+    * unconvertible input they coerce to the default (DuckDB's
+    * bigint try_cast of infinity is NULL — same family). Returns
+    * LONG — the reference's `int` is int64; a 32-bit cast would
+    * silently WRAP values beyond ±2^31 (e.g. '3000000000' →
     * -1294967296) where both the reference and the DuckDB oracle keep
     * the value. Callers conforming to an INT-typed target schema cast
     * down explicitly there, where the DDL makes the range contract
     * visible. */
-  def lenientInt(c: Column): Column =
-    lenientDouble(c).cast("long")
+  def lenientInt(c: Column): Column = {
+    val d = lenientDouble(c)
+    when(d === lit(Double.PositiveInfinity) ||
+      d === lit(Double.NegativeInfinity), lit(0L))
+      .otherwise(d.cast("long"))
+  }
 
   /** Day-first date parse, garbage → NULL (then droppable)
     * (reference main.py:1239/1295, `to_datetime(dayfirst=True)`). */

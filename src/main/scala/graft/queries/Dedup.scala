@@ -36,7 +36,11 @@ object Dedup {
     * repeated invocations (verify + bench passes share one session)
     * reuse the SAME cached DataFrame instead of re-persisting an
     * identical plan — guaranteed cache hits, no reliance on
-    * CacheManager plan canonicalization, no re-cache warnings. */
+    * CacheManager plan canonicalization, no re-cache warnings.
+    * ASSUMES IMMUTABLE INPUT: files under `dir` rewritten mid-session
+    * would keep serving the stale persisted data (fine for the
+    * verify/bench harness; a dev loop that regenerates data in place
+    * should start a fresh session, which evicts the entry). */
   private val tableMemo =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String), DataFrame]

@@ -58,7 +58,7 @@ object Reference {
   }
 
   val timeToMinutesSql: String =
-    """WITH synth AS (
+    s"""WITH synth AS (
       |  SELECT CAST(l_orderkey % 13 AS INTEGER) AS bucket,
       |    CASE CAST(l_orderkey % 13 AS INTEGER)
       |      WHEN 0 THEN '-'
@@ -98,9 +98,11 @@ object Reference {
       |                      ELSE try_cast(string_split(trim(raw), ':')[1] AS DOUBLE) * 60
       |                         + try_cast(string_split(trim(raw), ':')[2] AS DOUBLE) END
       |          ELSE 0.0 END
-      |      WHEN NOT regexp_full_match(trim(raw),
-      |        '[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?') THEN 0.0
-      |      ELSE try_cast(trim(raw) AS DOUBLE)
+      |      WHEN regexp_full_match(trim(raw), '${Coerce.InfReSql}')
+      |        THEN try_cast(trim(raw) AS DOUBLE)
+      |      WHEN NOT regexp_full_match(trim(raw), '${Coerce.NumReSql}')
+      |        THEN 0.0
+      |      ELSE try_cast(replace(trim(raw), '_', '') AS DOUBLE)
       |    END AS minutes
       |  FROM synth)
       |SELECT bucket, round(sum(minutes), 4) AS sum_min, count(*) AS n
@@ -133,22 +135,26 @@ object Reference {
   }
 
   val lenientCastsSql: String =
-    """WITH synth AS (
-      |  SELECT CAST(event_id % 8 AS INTEGER) AS bucket,
-      |    CASE CAST(event_id % 8 AS INTEGER)
-      |      WHEN 0 THEN '42' WHEN 1 THEN '  7  ' WHEN 2 THEN '3.9'
-      |      WHEN 3 THEN 'x9' WHEN 4 THEN '' WHEN 5 THEN '-5.2'
-      |      WHEN 6 THEN '1d' ELSE 'inf' END AS raw
-      |  FROM events),
-      |conv AS (
-      |  SELECT bucket,
-      |    CASE WHEN NOT regexp_full_match(trim(raw),
-      |           '[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?') THEN 0.0
-      |         ELSE try_cast(trim(raw) AS DOUBLE) END AS d
-      |  FROM synth)
-      |SELECT bucket, CAST(sum(CAST(trunc(d) AS BIGINT)) AS BIGINT) AS sum_int,
-      |  round(sum(d), 4) AS sum_double, count(*) AS n
-      |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin
+    s"""WITH synth AS (
+       |  SELECT CAST(event_id % 8 AS INTEGER) AS bucket,
+       |    CASE CAST(event_id % 8 AS INTEGER)
+       |      WHEN 0 THEN '42' WHEN 1 THEN '  7  ' WHEN 2 THEN '3.9'
+       |      WHEN 3 THEN 'x9' WHEN 4 THEN '' WHEN 5 THEN '-5.2'
+       |      WHEN 6 THEN '1d' ELSE 'inf' END AS raw
+       |  FROM events),
+       |conv AS (
+       |  SELECT bucket,
+       |    CASE WHEN regexp_full_match(trim(raw), '${Coerce.InfReSql}')
+       |           THEN try_cast(trim(raw) AS DOUBLE)
+       |         WHEN NOT regexp_full_match(trim(raw), '${Coerce.NumReSql}')
+       |           THEN 0.0
+       |         ELSE try_cast(replace(trim(raw), '_', '') AS DOUBLE) END AS d
+       |  FROM synth)
+       |SELECT bucket,
+       |  CAST(sum(CASE WHEN isfinite(d) THEN CAST(trunc(d) AS BIGINT)
+       |               ELSE 0 END) AS BIGINT) AS sum_int,
+       |  round(sum(d), 4) AS sum_double, count(*) AS n
+       |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** X5 day-first date parsing (reference main.py:1239/1295):
     * format out as DD/MM/YYYY, parse back, roll up by month. */

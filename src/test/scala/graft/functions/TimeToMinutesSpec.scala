@@ -13,10 +13,11 @@ class TimeToMinutesSpec extends SparkSpec {
     "1:30", "01:30:30", "0:05", "2:-30", "1.5:30", "1:xx", "1:2:3:4",
     ":30", "1:", "90", "  7.5  ", "-3", "0", "garbage", "0:90", "1:30:90",
     "12abc", "+5", "1e2",
-    // Java-only numeric forms: Double.parseDouble accepts these but
-    // Python float(), DuckDB try_cast, and the strict-regex guard all
-    // reject them — both implementations must yield 0.0.
-    "1d", "1f", "1D", "0x1p3", "inf", "Infinity", "-inf", "1_000")
+    // Java-only numeric forms (rejected → 0.0 in both implementations)
+    // and Python/DuckDB-common forms (accepted: ±infinity literals,
+    // PEP-515 underscore groups) — parity either way.
+    "1d", "1f", "1D", "0x1p3", "inf", "Infinity", "-inf", "1_000",
+    "iNfInItY", "+inf", "1_0.0_1e1_0", "_1", "1_", "1__0", "1e_1")
 
   test("native expression == Coerce combinator on all input classes") {
     import spark.implicits._
@@ -54,18 +55,29 @@ class TimeToMinutesSpec extends SparkSpec {
       .findFirstIn(plan).isDefined, plan)
   }
 
-  test("Java-only numeric forms are rejected in both implementations") {
+  test("Java-only forms rejected; Python/DuckDB-common forms accepted") {
     import spark.implicits._
     GraftFunctions.register(spark)
-    val forms = Seq("1d", "1f", "0x1p3", "inf", "Infinity", "-inf", "1_000")
-    val df = forms.toDF("s")
+    // expected = Python float() semantics (== DuckDB try_cast,
+    // verified against both): Java-only forms are garbage → 0.0;
+    // infinity literals and underscore groups parse.
+    val cases = Seq(
+      "1d" -> 0.0, "1f" -> 0.0, "0x1p3" -> 0.0,
+      "inf" -> Double.PositiveInfinity,
+      "Infinity" -> Double.PositiveInfinity,
+      "iNfInItY" -> Double.PositiveInfinity,
+      "+inf" -> Double.PositiveInfinity,
+      "-inf" -> Double.NegativeInfinity,
+      "1_000" -> 1000.0, "1_0.0_1e1_0" -> 1.001e11,
+      "_1" -> 0.0, "1_" -> 0.0, "1__0" -> 0.0, "1e_1" -> 0.0)
+    val df = cases.map(_._1).toDF("s")
     df.createOrReplaceTempView("t2m_java")
     val native = spark.sql("SELECT time_to_minutes(s) AS m FROM t2m_java")
       .collect().map(_.getDouble(0)).toSeq
     val combinator = df.select(Coerce.timeToMinutes(col("s")).as("m"))
       .collect().map(_.getDouble(0)).toSeq
-    assert(native === forms.map(_ => 0.0))
-    assert(combinator === forms.map(_ => 0.0))
+    assert(native === cases.map(_._2))
+    assert(combinator === cases.map(_._2))
   }
 
   test("known values through the SQL surface") {
