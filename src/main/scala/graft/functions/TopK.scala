@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** One scored candidate inside a per-group top-k: ordering is
+  * (cos DESC, vec_id ASC) — identical to the row_number windows it
+  * replaces, so results are hash-stable. */
+case class TopKEntry(cos: Double, vec_id: Long)
+
+/** Bounded-heap top-k aggregate: keeps at most ~2k entries per
+  * aggregation buffer and returns the k best, sorted.
+  *
+  * This is the scale-safe replacement for
+  * `Window.partitionBy(qid).orderBy(cos desc)` + `row_number <= k`:
+  * the window form shuffles EVERY scored row into one partition per
+  * group and fully sorts it there — at a 1e9-row corpus that is a
+  * 1e9-row single-partition sort per query. As an aggregate, Spark
+  * runs it with map-side partial aggregation (ScalaAggregator is a
+  * Catalyst TypedImperativeAggregate under the hood, executed by
+  * ObjectHashAggregate), so each map task reduces its slice to <= 2k
+  * entries per group BEFORE the shuffle; the final merge sees only
+  * ~2k * numPartitions rows per group, never the full scored set.
+  *
+  * The buffer is trimmed lazily (sort only when it doubles past k),
+  * so per-row cost is amortized O(1) append + O(k log k) every k rows.
+  */
+class TopKAgg(k: Int)
+    extends Aggregator[TopKEntry, Seq[TopKEntry], Seq[TopKEntry]] {
+
+  private def better(a: TopKEntry, b: TopKEntry): Boolean =
+    a.cos > b.cos || (a.cos == b.cos && a.vec_id < b.vec_id)
+
+  private def trim(s: Seq[TopKEntry]): Seq[TopKEntry] =
+    s.sortWith(better).take(k)
+
+  override def zero: Seq[TopKEntry] = Vector.empty
+
+  override def reduce(b: Seq[TopKEntry], a: TopKEntry): Seq[TopKEntry] = {
+    val nb = b :+ a
+    if (nb.size >= 2 * k) trim(nb) else nb
+  }
+
+  override def merge(x: Seq[TopKEntry], y: Seq[TopKEntry]): Seq[TopKEntry] =
+    trim(x ++ y)
+
+  override def finish(r: Seq[TopKEntry]): Seq[TopKEntry] = trim(r)
+
+  override def bufferEncoder: Encoder[Seq[TopKEntry]] =
+    ExpressionEncoder[Seq[TopKEntry]]()
+  override def outputEncoder: Encoder[Seq[TopKEntry]] =
+    ExpressionEncoder[Seq[TopKEntry]]()
+}
+
+object TopK {
+  /** `top_k(k)(cos, vec_id)` -> `array<struct<cos, vec_id>>` of the k
+    * best rows per group, best first. Rank = array position + 1. */
+  def topK(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopKAgg(k), Encoders.product[TopKEntry])
+    (cos: Column, id: Column) => fn(cos, id)
+  }
+}

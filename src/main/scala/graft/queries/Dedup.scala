@@ -32,26 +32,8 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import Tables._
 
-  /** Per-(session, dir) memo of the persisted signature/gram tables:
-    * repeated invocations (verify + bench passes share one session)
-    * reuse the SAME cached DataFrame instead of re-persisting an
-    * identical plan — guaranteed cache hits, no reliance on
-    * CacheManager plan canonicalization, no re-cache warnings.
-    * ASSUMES IMMUTABLE INPUT: files under `dir` rewritten mid-session
-    * would keep serving the stale persisted data (fine for the
-    * verify/bench harness; a dev loop that regenerates data in place
-    * should start a fresh session, which evicts the entry). */
-  private val tableMemo =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String, String), DataFrame]
-  private def memo(spark: SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame = {
-    // Drop entries whose session has stopped so the memo cannot pin
-    // dead sessions' object graphs — live size stays bounded by
-    // (active sessions x data dirs), a handful.
-    tableMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    tableMemo.getOrElseUpdate((spark, dir, key), build.persist())
-  }
+  // Derived-table memoization lives in [[Tables.memo]] (shared with
+  // the IVF codebook in [[Similarity]]).
 
   /** 60-bit deterministic hash of a string expression, identical in
     * Spark and DuckDB (md5 prefix, hex->int; 15 hex chars = 60 bits so

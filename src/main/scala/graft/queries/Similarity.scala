@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *
   *   - q60 brute-force cosine top-k: the small QUERY side is
   *     broadcast (bounded by [[QueryBudget]]); the corpus side
-  *     streams through a narrow projection and only k rows per query
-  *     survive the window — the correct baseline shape at any corpus
-  *     size.
+  *     streams through a narrow projection and each map task reduces
+  *     its slice to k rows per query BEFORE the shuffle (bounded-heap
+  *     aggregate, [[topkRank]]) — the correct baseline shape at any
+  *     corpus size.
   *   - q61 hyperplane-LSH ANN: a 60-bit sign signature from 60
   *     deterministic md5-sign hyperplanes, banded into 5 x 12-bit
   *     keys (the same wide-block geometry as [[Dedup.simhash]]);
@@ -37,6 +38,26 @@ object Similarity {
   import Tables._
 
   private val Dim = 64
+
+  /** Two-phase per-group top-k: groupBy(grp) + the bounded-heap
+    * [[graft.functions.TopKAgg]] aggregate, then posexplode the k-array
+    * back into (grp, rnk, vec_id, cos) rows.
+    *
+    * Replaces `Window.partitionBy(grp).orderBy(cos desc)` + row_number:
+    * the window form funnels EVERY scored row of a group into one
+    * partition and fully sorts it there (a 1e9-row single-partition
+    * sort per query at corpus scale); the aggregate form reduces each
+    * map task's slice to <= 2k entries per group BEFORE the shuffle, so
+    * the exchange moves ~2k * numPartitions rows per group and nothing
+    * ever sorts the full scored set. Ordering (cos desc, vec_id asc)
+    * matches the windows it replaces — results are hash-identical. */
+  private def topkRank(scored: DataFrame, grp: String, k: Int): DataFrame =
+    scored.groupBy(col(grp))
+      .agg(graft.functions.TopK.topK(k)(col("cos"), col("vec_id")).as("tk"))
+      .select(col(grp), posexplode(col("tk")).as(Seq("i", "s")))
+      .select(col(grp), (col("i") + 1).as("rnk"),
+        col("s.vec_id").as("vec_id"), col("s.cos").as("cos"))
+      .orderBy(grp, "rnk")
 
   /** embeddings with double-precision vector + L2 norm. Floats are
     * upcast before any arithmetic so Spark and DuckDB accumulate in
@@ -76,8 +97,9 @@ object Similarity {
 
   /** Exact cosine top-10 for each query vector ([[queryPred]]).
     * The bounded query side is broadcast; no shuffle of the corpus —
-    * each partition scores its vectors against all queries, and the
-    * final per-query window only moves the scored rows. */
+    * each partition scores its vectors against all queries and keeps
+    * only its local top-10 per query; the shuffle moves k rows per
+    * (query, partition). */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val e = vecs(spark, dir)
@@ -87,12 +109,7 @@ object Similarity {
       .withColumn("cos", round(
         expr("array_dot(qv, v)") /
           (col("qn") * col("nrm")), 4))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
-      .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
-      .orderBy("qid", "rnk")
+    topkRank(scored, "qid", 10)
   }
 
   val cosineTopKSql: String =
@@ -180,12 +197,7 @@ object Similarity {
           (col("qn") * col("nrm")), 4))
       .select(col("qid"), col("vec_id"), col("cos"))
       .distinct()
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    cands.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
-      .orderBy("qid", "rnk")
+    topkRank(cands, "qid", 5)
   }
 
   /** DuckDB literal plane array for plane p — same [[planeSign]]
@@ -250,12 +262,7 @@ object Similarity {
       .withColumn("cos", round(
         expr("array_dot(cv, v)") /
           (col("cn") * col("nrm")), 4))
-    val w = Window.partitionBy(col("label"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-      .select(col("label"), col("rnk"), col("vec_id"), col("cos"))
-      .orderBy("label", "rnk")
+    topkRank(scored, "label", 3)
   }
 
   val labelCentroidsSql: String =
@@ -296,37 +303,47 @@ object Similarity {
     *     order cannot flip later assignments.
     *
     * At 100 TB each iteration is one broadcast + one narrow argmax
-    * pass + one (cell, dim)-keyed shuffle of partial sums — the
-    * canonical distributed Lloyd's shape. A cell that loses all
-    * members drops out of the codebook (both engines agree). */
+    * pass (a map-side-combining `max_by` aggregation — never a
+    * per-vector window sort) + one (cell, dim)-keyed shuffle of
+    * partial sums — the canonical distributed Lloyd's shape. A cell
+    * that loses all members drops out of the codebook (both engines
+    * agree).
+    *
+    * The trained codebook is memoized per (session, dir) and
+    * PERSISTED ([[Tables.memo]]): it is a <= [[IvfK]]-row constant of
+    * the corpus, and without the persist every downstream branch that
+    * references it (assignment, query probing) would re-execute the
+    * whole iterative Lloyd's lineage — at 100 TB the codebook is
+    * trained offline exactly once, and the memo is the local-mode
+    * stand-in for that. */
   private[graft] def kmeansCodebook(
-      spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
-    val wSeed = Window.orderBy(col("hk"), col("vec_id"))
-    var cent = e.withColumn("hk", expr(
-      "cast(conv(substr(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigint)"))
-      .orderBy(col("hk"), col("vec_id")).limit(IvfK)
-      .withColumn("cell", row_number().over(wSeed) - 1)
-      .select(col("cell"), col("v").as("cv"))
-    for (_ <- 1 to IvfIters) {
-      val cb = cent.withColumn("cn", expr("sqrt(array_dot(cv, cv))"))
-      val scored = e.join(broadcast(cb), expr("true"))
-        .withColumn("ccos", round(
-          expr("array_dot(cv, v)") / (col("cn") * col("nrm")), 4))
-      val wC = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cell").asc)
-      cent = scored.withColumn("rc", row_number().over(wC))
-        .filter(col("rc") === 1)
-        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy(col("cell"), col("i"))
-        .agg(avg(col("x")).as("cx"))
-        .groupBy(col("cell"))
-        .agg(expr(
-          "transform(array_sort(collect_list(struct(i, cx))), s -> round(s.cx, 6))")
-          .as("cv"))
+      spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "ivf_codebook") {
+      val e = vecs(spark, dir)
+      val wSeed = Window.orderBy(col("hk"), col("vec_id"))
+      var cent = e.withColumn("hk", expr(
+        "cast(conv(substr(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigint)"))
+        .orderBy(col("hk"), col("vec_id")).limit(IvfK)
+        .withColumn("cell", row_number().over(wSeed) - 1)
+        .select(col("cell"), col("v").as("cv"))
+      for (_ <- 1 to IvfIters) {
+        val cb = cent.withColumn("cn", expr("sqrt(array_dot(cv, cv))"))
+        cent = e.join(broadcast(cb), expr("true"))
+          .withColumn("ccos", round(
+            expr("array_dot(cv, v)") / (col("cn") * col("nrm")), 4))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("cell"), col("v")),
+            struct(col("ccos"), -col("cell"))).as("m"))
+          .select(col("m.cell").as("cell"), posexplode(col("m.v")).as(Seq("i", "x")))
+          .groupBy(col("cell"), col("i"))
+          .agg(avg(col("x")).as("cx"))
+          .groupBy(col("cell"))
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(i, cx))), s -> round(s.cx, 6))")
+            .as("cv"))
+      }
+      cent
     }
-    cent
-  }
 
   /** IVF-shaped ANN over a TRAINED k-means codebook ([[IvfK]] cells,
     * [[kmeansCodebook]]): every vector is assigned to its NEAREST
@@ -351,25 +368,35 @@ object Similarity {
       .select(col("cell"), col("cv"),
         expr("sqrt(array_dot(cv, cv))").as("cn"))
     // quantize: nearest cell per vector (broadcast the tiny codebook).
-    // ccos is ROUNDED before the argmax ranking, like every other
-    // cosine here: the centroid components come from avg() aggregates
-    // whose accumulation order differs between engines, so an
-    // unrounded near-tie could flip a cell assignment vs the oracle.
+    // ccos is ROUNDED before the argmax, like every other cosine here:
+    // the centroid components come from avg() aggregates whose
+    // accumulation order differs between engines, so an unrounded
+    // near-tie could flip a cell assignment vs the oracle. The argmax
+    // itself is a map-side-combining max_by aggregation (ordering
+    // (ccos desc, cell asc), encoded as max of (ccos, -cell)) — never
+    // a per-vector window sort, so the corpus-wide assignment shuffles
+    // one row per vector, not one per (vector, cell).
     val scored = e.join(broadcast(cent),
       expr("true")) // score against every centroid, keep the argmax
       .withColumn("ccos",
         round(expr("array_dot(cv, v)") /
           (col("cn") * col("nrm")), 4))
+    val assigned = scored
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("label"), col("v"), col("nrm"), col("cell")),
+        struct(col("ccos"), -col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.label").as("label"), col("m.v").as("v"),
+        col("m.nrm").as("nrm"), col("m.cell").as("cell"))
+    // Query side probes its `nprobe` nearest cells (one probe row per
+    // (query, cell)); corpus membership stays the argmax, so the probe
+    // candidate sets are disjoint — union without dedup. queryPred
+    // filters FIRST, so this window ranks ~100 * IvfK rows, not the
+    // corpus.
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cell").asc)
-    val ranked = scored.withColumn("rc", row_number().over(wCell))
-    val assigned = ranked.filter(col("rc") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"))
-    // Query side probes its `nprobe` nearest cells (one probe row per
-    // (query, cell)); corpus membership stays rc=1, so the probe
-    // candidate sets are disjoint — union without dedup.
-    val q = ranked.filter(col("rc") <= nprobe)
-      .filter(queryPred)
+    val q = scored.filter(queryPred)
+      .withColumn("rc", row_number().over(wCell))
+      .filter(col("rc") <= nprobe)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell").as("qcell"))
     val cands = assigned.join(broadcast(q),
@@ -377,12 +404,7 @@ object Similarity {
       .withColumn("cos", round(
         expr("array_dot(qv, v)") /
           (col("qn") * col("nrm")), 4))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    cands.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
-      .orderBy("qid", "rnk")
+    topkRank(cands, "qid", 5)
   }
 
   /** DuckDB mirror of [[kmeansCodebook]]: seed CTE + one (assign,

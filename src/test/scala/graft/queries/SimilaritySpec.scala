@@ -74,6 +74,45 @@ class SimilaritySpec extends SparkSpec {
     assert(r2 > 0, "nprobe=2 found none of the exact top-5 neighbors")
   }
 
+  test("rankers are two-phase top-k aggregates, not full-sort-per-group " +
+      "windows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val dir = corpus(120)
+    // Build first (prep() turns AQE on), then plan with AQE off so the
+    // physical tree is a plain SparkPlan we can traverse.
+    val dfs = Seq(
+      "cosineTopK" -> Similarity.cosineTopK(spark, dir),
+      "annLsh" -> Similarity.annLsh(spark, dir),
+      "labelCentroids" -> Similarity.labelCentroids(spark, dir),
+      "ivfAnn" -> Similarity.ivfAnn(spark, dir))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, df) <- dfs) {
+        val plan = df.queryExecution.executedPlan
+        val windows = plan.collect { case w: WindowExec => w }
+        val heapAggs = plan.collect { case o: ObjectHashAggregateExec => o }
+        assert(heapAggs.nonEmpty,
+          s"$name: bounded-heap top-k aggregate missing from plan:\n$plan")
+        if (name == "ivfAnn") {
+          // The one window left is the query-side nprobe cell ranking,
+          // fed by the queryPred filter (~QueryBudget * IvfK rows) —
+          // never the corpus.
+          assert(windows.size <= 1, s"$name: extra window sorts:\n$plan")
+          for (w <- windows)
+            assert(w.collectFirst {
+              case f: org.apache.spark.sql.execution.FilterExec
+                  if f.condition.toString.contains("% 100") => f
+            }.nonEmpty,
+              s"$name: window not fed by the bounded query-side filter:\n$plan")
+        } else {
+          assert(windows.isEmpty,
+            s"$name: still ranks via a full-sort window:\n$plan")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("label centroids: 3 nearest members per label, cos in [-1, 1]") {
     val dir = corpus(120)
     val out = Similarity.labelCentroids(spark, dir).collect()
