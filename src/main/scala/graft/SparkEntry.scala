@@ -30,6 +30,8 @@ object SparkEntry {
       "q38_estados_pipeline",  // driver-local fixture
       "q42_jdbc_roundtrip",    // embedded-Derby load per call
       "q76_empty_write_guard", // writes a scratch table per call
-      "q78_xlsx_roundtrip"     // writes a local xlsx fixture per call
+      "q78_xlsx_roundtrip",    // writes a local xlsx fixture per call
+      "q79_read_fallback",     // writes local xlsx+csv fixtures per call
+      "q80_retry_load"         // writes scratch parquet + simulated failure
     )).sorted
 }

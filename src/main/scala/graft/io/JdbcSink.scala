@@ -202,7 +202,14 @@ object JdbcSink {
 
     // Atomic swap: old date partition out, staged rows in — one driver
     // transaction (reference main.py:1533-1537's DELETE + INSERT,
-    // with real all-or-nothing semantics).
+    // with real all-or-nothing semantics). The swap retries under the
+    // R1 policy on TRANSIENT driver-reported failures (lock timeouts,
+    // deadlocks): a failed attempt rolled back, so re-running the same
+    // DELETE+INSERT..SELECT is idempotent by construction.
+    Orchestrate.retry(Orchestrate.RetryPolicy(
+      retryOn = _.isInstanceOf[java.sql.SQLTransientException],
+      onRetry = (n, e) => System.err.println(
+        s"[jdbc] swap attempt $n failed transiently (${e.getMessage}); retrying")))(
     run(url) { c =>
       c.setAutoCommit(false)
       try {
@@ -220,7 +227,7 @@ object JdbcSink {
         c.commit()
         n.toLong
       } catch { case e: Throwable => c.rollback(); throw e }
-    }
+    })
   }
 
   private def run[A](url: String)(f: Connection => A): A = {

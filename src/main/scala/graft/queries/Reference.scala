@@ -676,6 +676,91 @@ object Reference {
       |  CAST(n_regionkey AS INTEGER) AS region
       |FROM nation ORDER BY 1""".stripMargin
 
+  /** S1→S2 dispatch, driver-checked: the SAME nation rows arrive
+    * twice — once as a real xlsx workbook, once as CSV text
+    * mis-labeled `.xlsx` — and BOTH enter through the unified
+    * [[graft.io.ArrivalRead]] read. The binary drop must route to the
+    * spreadsheet reader; the mis-labeled text drop must still parse
+    * as CSV (reference main.py:1334-1349: CSV is always attempted
+    * first, Excel only when the bytes cannot be CSV). Both flows then
+    * share the same conformance chain, and the oracle states every
+    * row twice, tagged by the branch that must have produced it. */
+  def readFallbackQ(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val src = nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy("n_nationkey").collect()
+      .map(r => Seq(r.get(0).toString, r.get(1).toString, r.get(2).toString))
+    val tmp = Files.createTempDirectory("graft_arrival")
+    val xlsxPath = tmp.resolve("reporte_nation.xlsx").toString
+    graft.io.XlsxRead.writeMinimal(xlsxPath,
+      Seq(Seq("ID", "Nombre País", "Región")) ++ src.map(_.toSeq))
+    val csvPath = tmp.resolve("nation_texto.xlsx")
+    Files.writeString(csvPath,
+      (Seq("ID;Nombre País;Región") ++ src.map(_.mkString(";")))
+        .mkString("\n"))
+    val target = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("nombre_pais", StringType),
+      StructField("region", IntegerType)))
+    val viaXlsx = Conform.conformTo(target)(
+      graft.io.ArrivalRead.read(spark, xlsxPath))
+      .withColumn("via", lit("xlsx"))
+    val viaCsv = Conform.conformTo(target)(
+      graft.io.ArrivalRead.read(spark, csvPath.toString))
+      .withColumn("via", lit("csv"))
+    viaXlsx.unionByName(viaCsv).orderBy("via", "id")
+  }
+
+  val readFallbackSql: String =
+    """SELECT CAST(n_nationkey AS INTEGER) AS id, n_name AS nombre_pais,
+      |  CAST(n_regionkey AS INTEGER) AS region, v.via
+      |FROM nation, (SELECT 'xlsx' AS via UNION ALL SELECT 'csv') v
+      |ORDER BY via, id""".stripMargin
+
+  /** R1+R3 run orchestration, driver-checked: three datasets load
+    * under [[graft.io.Orchestrate.continueOnFailure]] — `pedidos`
+    * fails TRANSIENTLY on its first attempt and succeeds on the R1
+    * retry, `corrupto` is an unreadable drop that fails every attempt,
+    * and `clientes` must still load AFTER the failure (the reference's
+    * one-bad-report-never-kills-the-run loop, main.py:1154-1167). The
+    * output is the per-dataset outcome table the reference logs; the
+    * oracle states outcomes and loaded rowcounts independently. */
+  def retryLoadQ(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val path = Files.createTempDirectory("graft_retry").toString
+    val flaky = new java.util.concurrent.atomic.AtomicInteger(0)
+    val datasets: Seq[(String, Option[DataFrame])] = Seq(
+      "pedidos" -> Some(orders(spark, dir)
+        .filter(col("o_orderkey") < 100).select("o_orderkey")),
+      "corrupto" -> None,
+      "clientes" -> Some(customer(spark, dir).select("c_custkey")))
+    val policy = graft.io.Orchestrate.RetryPolicy(sleep = _ => ())
+    val outcomes = graft.io.Orchestrate.continueOnFailure(datasets) {
+      (name, dfOpt) =>
+        graft.io.Orchestrate.retry(policy) {
+          if (name == "pedidos" && flaky.incrementAndGet() == 1)
+            throw new java.io.IOException("transient sink failure")
+          val df = dfOpt.getOrElse(
+            throw new IllegalArgumentException(s"unreadable drop: $name"))
+          df.write.mode("overwrite").parquet(s"$path/$name")
+          spark.read.parquet(s"$path/$name").count()
+        }
+    }
+    import spark.implicits._
+    outcomes.map(o => (o.name, o.ok, o.result.getOrElse(-1L)))
+      .toDF("dataset", "ok", "n_rows")
+      .orderBy("dataset")
+  }
+
+  val retryLoadSql: String =
+    """SELECT * FROM (
+      |  SELECT 'pedidos' AS dataset, TRUE AS ok,
+      |    (SELECT count(*) FROM orders WHERE o_orderkey < 100) AS n_rows
+      |  UNION ALL SELECT 'corrupto', FALSE, -1
+      |  UNION ALL SELECT 'clientes', TRUE, (SELECT count(*) FROM customer)
+      |) ORDER BY dataset""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_time_to_minutes" -> timeToMinutesQ,
     "q31_lenient_casts" -> lenientCasts,
@@ -692,7 +777,9 @@ object Reference {
     "q75_route_by_name" -> routeByNameQ,
     "q76_empty_write_guard" -> emptyWriteGuard,
     "q77_date_helpers" -> dateHelpersQ,
-    "q78_xlsx_roundtrip" -> xlsxRoundtrip
+    "q78_xlsx_roundtrip" -> xlsxRoundtrip,
+    "q79_read_fallback" -> readFallbackQ,
+    "q80_retry_load" -> retryLoadQ
   )
 
   val oracle: Map[String, String] = Map(
@@ -711,6 +798,8 @@ object Reference {
     "q75_route_by_name" -> routeByNameSql,
     "q76_empty_write_guard" -> emptyWriteGuardSql,
     "q77_date_helpers" -> dateHelpersSql,
-    "q78_xlsx_roundtrip" -> xlsxRoundtripSql
+    "q78_xlsx_roundtrip" -> xlsxRoundtripSql,
+    "q79_read_fallback" -> readFallbackSql,
+    "q80_retry_load" -> retryLoadSql
   )
 }
