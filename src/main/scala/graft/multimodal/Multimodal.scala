@@ -6,10 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads carried as
   * opaque `binary` columns with typed metadata, processed batch-wise.
   *
-  * The decode step is a STUB — this container has no image/audio
-  * codecs, so [[decodeStub]] derives deterministic fake metadata from
-  * the payload bytes and says so loudly. Everything AROUND the stub
-  * is real and is what actually matters at 100 TB:
+  * The decode step has one REAL codec — binary PPM (Netpbm P6), the
+  * simplest raster format, parsed byte-for-byte by [[decodePpm]]
+  * (header grammar incl. comments, dimensions, 8-bit RGB plane) with
+  * per-channel pixel statistics; q81 value-checks it against an
+  * oracle that recomputes the same pixels independently. Payloads
+  * that are not PPM fall back to [[decodeStub]], the deterministic
+  * fake standing in for libjpeg/ffmpeg (not present in this
+  * container). Everything AROUND decode is real and is what actually
+  * matters at 100 TB:
   *
   *   - the schema contract (media_id, kind, payload binary, meta struct),
   *   - range-partitioning by media_id so huge blobs spread evenly
@@ -32,7 +37,59 @@ object Multimodal {
   case class MediaBlob(media_id: Long, kind: String, payload: Array[Byte])
 
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
-      checksum: Long, op_sum: Long, meta_width: Int)
+      checksum: Long, op_sum: Long, meta_width: Int,
+      ppm_w: Int, ppm_h: Int, ppm_sum_rgb: Long)
+
+  /** Decoded binary-PPM raster: dimensions + per-image channel sums
+    * (the "pixel stats" a feature-extract pass emits). */
+  case class PpmImage(width: Int, height: Int, sumR: Long, sumG: Long,
+      sumB: Long) {
+    def sumRgb: Long = sumR + sumG + sumB
+  }
+
+  /** REAL image decode for binary PPM (Netpbm "P6"): magic, then
+    * whitespace/`#`-comment-separated width, height, maxval (8-bit
+    * only), ONE whitespace byte, then `width*height*3` raw RGB bytes.
+    * Returns None for anything that is not a well-formed 8-bit P6 —
+    * truncated planes, maxval > 255, or a non-PPM payload — so the
+    * caller can fall back to [[decodeStub]]. Pure JDK, no codecs. */
+  def decodePpm(payload: Array[Byte]): Option[PpmImage] = {
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
+      return None
+    var i = 2
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && i < payload.length) {
+        val c = payload(i).toChar
+        if (c == '#') while (i < payload.length && payload(i) != '\n') i += 1
+        else if (c.isWhitespace) i += 1
+        else done = true
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      var v = -1
+      while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+        v = math.max(v, 0) * 10 + (payload(i) - '0')
+        i += 1
+      }
+      v
+    }
+    val w = int(); val h = int(); val maxv = int()
+    i += 1 // exactly one whitespace byte separates maxval from pixels
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255 ||
+        payload.length - i < w.toLong * h * 3) return None
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var p = 0
+    val n = w * h
+    while (p < n) {
+      sr += payload(i) & 0xff
+      sg += payload(i + 1) & 0xff
+      sb += payload(i + 2) & 0xff
+      i += 3; p += 1
+    }
+    Some(PpmImage(w, h, sr, sg, sb))
+  }
 
   /** STUB decode — deterministic fake standing in for libjpeg/ffmpeg
     * (not present in this environment). Derives metadata purely from
@@ -81,14 +138,35 @@ object Multimodal {
       .mapPartitions { it =>
         // decoder init would happen HERE, once per partition
         it.map { b =>
-          val meta = decodeStub(b.kind, b.payload)
+          // Real codec first (PPM magic), stub for everything else —
+          // PpmImage fields are -1 sentinels when the payload is not a
+          // decodable raster, so downstream can filter on ppm_w >= 0.
+          val ppm = if (b.kind == "image") decodePpm(b.payload) else None
+          val meta = ppm match {
+            case Some(img) => MediaMeta(img.width, img.height, 0, 0L)
+            case None      => decodeStub(b.kind, b.payload)
+          }
           var checksum = 0L
           var i = 0
           while (i < b.payload.length) { checksum += b.payload(i) & 0xff; i += 1 }
           MediaFeatures(b.media_id, b.kind, b.payload.length, checksum,
-            blobOp(b.kind, b.payload), meta.width)
+            blobOp(b.kind, b.payload), meta.width,
+            ppm.map(_.width).getOrElse(-1), ppm.map(_.height).getOrElse(-1),
+            ppm.map(_.sumRgb).getOrElse(-1L))
         }
       }
+  }
+
+  /** Deterministic synthetic P6 fixture: width `4 + id%8`, height
+    * `3 + id%5`, pixel byte k = `(id*7 + k*13) % 256`. The q81 oracle
+    * restates this generation formula independently in SQL, so what
+    * the query checks is the DECODER ([[decodePpm]]), end to end. */
+  def syntheticPpm(id: Long): Array[Byte] = {
+    val w = 4 + (id % 8).toInt
+    val h = 3 + (id % 5).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = Array.tabulate(w * h * 3)(k => ((id * 7 + k * 13) % 256).toByte)
+    header ++ px
   }
 
   /** Deterministic fake media table derived from `documents`: payload

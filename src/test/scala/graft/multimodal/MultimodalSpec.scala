@@ -46,6 +46,29 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(blobs(0).payload, "UTF-8") === "plain ascii")
   }
 
+  test("decodePpm parses a real P6 raster: header grammar, comments, " +
+      "channel sums") {
+    // 2x2 RGB image, hand-built: pixels (1,2,3)(4,5,6)(7,8,9)(10,11,12)
+    val px = Array.tabulate[Byte](12)(i => (i + 1).toByte)
+    val img = ("P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++ px)
+    val d = decodePpm(img).get
+    assert((d.width, d.height) === (2, 2))
+    assert(d.sumR === 1 + 4 + 7 + 10)
+    assert(d.sumG === 2 + 5 + 8 + 11)
+    assert(d.sumB === 3 + 6 + 9 + 12)
+    // malformed inputs fall back to None, never throw
+    assert(decodePpm("P6\n2 2\n255\n".getBytes ++ px.take(5)).isEmpty) // truncated
+    assert(decodePpm("P6\n0 2\n255\n".getBytes).isEmpty)  // zero dim
+    assert(decodePpm("P6\n2 2\n65535\n".getBytes ++ px).isEmpty) // 16-bit
+    assert(decodePpm("P3\n2 2\n255\n".getBytes).isEmpty)  // ASCII ppm
+    assert(decodePpm("not an image".getBytes).isEmpty)
+    // round-trip with the synthetic fixture generator
+    val s = decodePpm(syntheticPpm(13L)).get
+    assert((s.width, s.height) === (4 + 13 % 8, 3 + 13 % 5))
+    assert(s.sumRgb === (0 until s.width * s.height * 3)
+      .map(k => (13L * 7 + k * 13) % 256).sum)
+  }
+
   test("partitioning: range partition by media_id spreads blobs") {
     import spark.implicits._
     val blobs = (0L until 100L).map(i =>
