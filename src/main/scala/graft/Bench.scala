@@ -25,6 +25,13 @@ object Bench {
     // machine noise (a multi-minute co-tenant storm inflates
     // DIFFERENT queries in each sweep, so the per-query min
     // recovers; back-to-back pairs would both sit inside the storm).
+    // Untimed warm-up pass first: the alphabetically-first query used
+    // to pay the session's one-time costs (codegen compiler + JIT
+    // warm-up, parquet footer caches, shuffle service init) inside its
+    // sweep-1 timing, and since both sweeps share one cold start,
+    // best-of-2 never recovered — q01 benched 3-4x its steady state.
+    // One discarded pass moves those costs outside every clock.
+    names.headOption.foreach(once)
     val sweep1 = names.map(n => n -> once(n)).toMap
     val sweep2 = names.map(n => n -> once(n)).toMap
     val results = names.map { name =>
