@@ -25,12 +25,24 @@ object Pipeline {
   private def stringified(target: StructType): StructType =
     StructType(target.fields.map(f => StructField(f.name, StringType)))
 
+  /** The NATIVE coercion forms (registered SQL functions,
+    * [[graft.functions.GraftFunctions]]), deliberately: these chains
+    * coerce 22-32 columns inside one whole-stage-codegen stage, and
+    * the regexp combinators would put ~4-10 compiled matchers per
+    * column into a single generated method — past Janino's 64 KB
+    * limit, which silently drops the whole conform stage to
+    * interpreted execution (observed as `InternalCompilerException:
+    * sort_addToSorter_0`). Semantics are identical (parity specs);
+    * LenientNumSpec pins the compiles-under-codegen property with
+    * codegen fallback disabled. */
   private def coerceAll(df: DataFrame, ints: Seq[String], doubles: Seq[String],
       times: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    def fn(name: String)(c: String) = expr(s"$name(cast(`$c` as string))")
     val d1 = df.withColumn("fecha", Coerce.parseDateDayFirst(col("fecha")))
-    val d2 = ints.foldLeft(d1)((d, c) => d.withColumn(c, Coerce.lenientInt(col(c))))
-    val d3 = doubles.foldLeft(d2)((d, c) => d.withColumn(c, Coerce.lenientDouble(col(c))))
-    times.foldLeft(d3)((d, c) => d.withColumn(c, Coerce.timeToMinutes(col(c))))
+    val d2 = ints.foldLeft(d1)((d, c) => d.withColumn(c, fn("lenient_long")(c)))
+    val d3 = doubles.foldLeft(d2)((d, c) => d.withColumn(c, fn("lenient_double")(c)))
+    times.foldLeft(d3)((d, c) => d.withColumn(c, fn("time_to_minutes")(c)))
   }
 
   /** F1: drop rows where EVERY column is null, applied to the raw

@@ -52,18 +52,6 @@ case class TimeToMinutes(child: Expression) extends UnaryExpression {
   * boxing). Total function, mirrors main.py:425-462 exactly. */
 object TimeToMinutesImpl {
 
-  /** THE [[graft.norm.Coerce.NumRe]]/InfRe grammars, compiled (shared
-    * constants, so the combinator and the native expression cannot
-    * drift): the engine-common numeric grammar — what Python float()
-    * and DuckDB try_cast BOTH accept — including infinity literals
-    * and PEP-515 underscore groups, excluding Java-only forms
-    * (`'1d'`, `'0x1p3'`) that `s.toDouble` alone would admit.
-    * (`matches()` makes the anchors redundant but harmless.) */
-  private val NumPattern =
-    java.util.regex.Pattern.compile(graft.norm.Coerce.NumRe)
-  private val InfPattern =
-    java.util.regex.Pattern.compile(graft.norm.Coerce.InfRe)
-
   def convert(u: UTF8String): Double = {
     val s = u.toString.trim
     // null tokens, exact case (main.py:441-444)
@@ -81,13 +69,11 @@ object TimeToMinutesImpl {
         if (h == null || m == null) 0.0
         else h.toDouble * 60 + m.toDouble
       } else 0.0
-    } else if (InfPattern.matcher(s).matches()) {
-      if (s.charAt(0) == '-') Double.NegativeInfinity
-      else Double.PositiveInfinity
-    } else if (NumPattern.matcher(s).matches()) {
-      try s.replace("_", "").toDouble
-      catch { case _: NumberFormatException => 0.0 }
-    } else 0.0
+      // plain-number branch: the engine-common numeric grammar —
+      // [[LenientNumImpl.parse]] compiles THE Coerce.NumRe/InfRe
+      // constants, so the combinator, this expression, and the
+      // lenient casts cannot drift.
+    } else LenientNumImpl.parse(s)
   }
 
   /** Python int() semantics: optional sign, digits only, surrounding
@@ -118,6 +104,8 @@ object GraftFunctions {
           org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, builder, "built-in")
     ensure("time_to_minutes", exprs => TimeToMinutes(exprs.head))
+    ensure("lenient_double", exprs => LenientDouble(exprs.head))
+    ensure("lenient_long", exprs => LenientLong(exprs.head))
     ensure("array_dot", exprs => ArrayDot(exprs(0), exprs(1)))
     ensure("sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)))

@@ -26,6 +26,14 @@ case class TopKEntry(cos: Double, vec_id: Long)
   *
   * The buffer is trimmed lazily (sort only when it doubles past k),
   * so per-row cost is amortized O(1) append + O(k log k) every k rows.
+  *
+  * Identical entries — same (cos, vec_id) — are collapsed at every
+  * trim (SELECT DISTINCT semantics within the group). This lets
+  * callers whose candidate streams carry structural duplicates (e.g.
+  * an LSH pair matching in several bands arrives once per band) rank
+  * directly without a separate `.distinct()` pass — which would be a
+  * full extra shuffle of the candidate set — and is a no-op for
+  * callers whose entries are already unique.
   */
 class TopKAgg(k: Int)
     extends Aggregator[TopKEntry, Seq[TopKEntry], Seq[TopKEntry]] {
@@ -34,7 +42,7 @@ class TopKAgg(k: Int)
     a.cos > b.cos || (a.cos == b.cos && a.vec_id < b.vec_id)
 
   private def trim(s: Seq[TopKEntry]): Seq[TopKEntry] =
-    s.sortWith(better).take(k)
+    s.distinct.sortWith(better).take(k)
 
   override def zero: Seq[TopKEntry] = Vector.empty
 

@@ -143,4 +143,16 @@ object Coerce {
     val s = wsTrim(c.cast("string"))
     coalesce(to_date(s, "dd/MM/yyyy"), to_date(s, "d/M/yyyy"))
   }
+
+  // Native codegen'd forms of these coercions exist as registered SQL
+  // functions — `time_to_minutes`, `lenient_double`, `lenient_long`
+  // ([[graft.functions.GraftFunctions.register]]) — with IDENTICAL
+  // semantics (parity-asserted input-class-by-input-class in
+  // TimeToMinutesSpec / LenientNumSpec) but one static Java call per
+  // row instead of a multi-regexp `when`-tree. The wide conform
+  // pipelines ([[graft.conform.Pipeline]]) use those: coercing 22-32
+  // columns with the regexp combinators puts ~100-250 compiled
+  // matchers into ONE whole-stage-codegen method, which blows
+  // Janino's 64 KB method limit and silently drops the entire conform
+  // stage to interpreted execution.
 }

@@ -186,9 +186,12 @@ object Similarity {
         col("nrm").as("qn"), explode(bandCol("sig")).as("b"))
       .select(col("qid"), col("qv"), col("qn"),
         col("b.bk").as("qbk"), col("b.bv").as("qbv"))
-    // A pair matching in several bands arises once per band — dedup on
-    // (qid, vec_id, cos); cos is deterministic per pair, so the
-    // distinct collapses to the pair.
+    // A pair matching in several bands arises once per band; cos is
+    // deterministic per pair, so the duplicates are identical
+    // (cos, vec_id) entries and [[graft.functions.TopKAgg]] collapses
+    // them inside its buffer — no separate `.distinct()` pass (that
+    // would be a full extra shuffle of the candidate set before the
+    // one the rank aggregate already does).
     val cands = eb.join(broadcast(qb),
       col("bk") === col("qbk") && col("bv") === col("qbv") &&
         col("vec_id") =!= col("qid"))
@@ -196,7 +199,6 @@ object Similarity {
         expr("array_dot(qv, v)") /
           (col("qn") * col("nrm")), 4))
       .select(col("qid"), col("vec_id"), col("cos"))
-      .distinct()
     topkRank(cands, "qid", 5)
   }
 
