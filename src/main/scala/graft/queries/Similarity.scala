@@ -165,6 +165,19 @@ object Similarity {
       s"k -> named_struct('bk', k, " +
       s"'bv', ($sig >> (k * $SigBandBits)) & $SigBandMask))")
 
+  /** Corpus signatures, memoized + persisted per (session, dir) and
+    * shared by q61 (probing) and q65 (pair mining): the 60-projection
+    * signature is by far the most expensive per-row term (60 x Dim
+    * fused multiply loops), and without the memo each query branch —
+    * q61 computes it on BOTH the corpus and the filtered query side —
+    * re-runs it over the whole corpus. At 100 TB signatures are a
+    * precomputed column written next to the embeddings; the memo is
+    * the local-mode stand-in, exactly like [[kmeansCodebook]]. */
+  private def sigTable(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "embed_sig") {
+      vecs(spark, dir).withColumn("sig", expr(sigExpr))
+    }
+
   /** ANN via banded hyperplane LSH: candidates = corpus vectors
     * sharing ANY 12-bit signature band with the query (equality join
     * on the exploded (band, value) key — co-partitioned, never
@@ -176,7 +189,7 @@ object Similarity {
     * quadratically. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val e = vecs(spark, dir).withColumn("sig", expr(sigExpr))
+    val e = sigTable(spark, dir)
     val eb = e.select(col("vec_id"), col("v"), col("nrm"),
       explode(bandCol("sig")).as("b"))
       .select(col("vec_id"), col("v"), col("nrm"),
@@ -482,7 +495,7 @@ object Similarity {
     * visible) and the verified-pair aggregates. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val e = vecs(spark, dir).withColumn("sig", expr(sigExpr))
+    val e = sigTable(spark, dir)
       .select(col("vec_id"), col("v"), col("nrm"),
         explode(bandCol("sig")).as("b"))
       .select(col("vec_id"), col("v"), col("nrm"),

@@ -19,12 +19,30 @@ object Tables {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String), DataFrame]
 
+  /** Contexts that already carry the memo-eviction listener. */
+  private val cleanupRegistered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.SparkContext, java.lang.Boolean])
+
+  /** Evict a context's memo entries when it ENDS (listener), rather
+    * than walking the whole map under concurrent access on every memo
+    * call: the map cannot pin dead sessions' object graphs, and live
+    * size stays bounded by (active sessions x data dirs). */
+  private def ensureCleanup(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (cleanupRegistered.add(sc))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          tableMemo.filterInPlace((k, _) => k._1.sparkContext ne sc)
+          cleanupRegistered.remove(sc)
+        }
+      })
+  }
+
   private[queries] def memo(spark: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = {
-    // Drop entries whose session has stopped so the memo cannot pin
-    // dead sessions' object graphs — live size stays bounded by
-    // (active sessions x data dirs), a handful.
-    tableMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    ensureCleanup(spark)
     tableMemo.getOrElseUpdate((spark, dir, key), build.persist())
   }
 
