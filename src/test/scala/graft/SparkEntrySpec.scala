@@ -15,4 +15,14 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(SparkEntry.benchQueries.toSet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.benchQueries.nonEmpty)
   }
+
+  test("README's stated query count matches the registry") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val m = """\*\*Every registered query has a DuckDB oracle\*\* \((\d+)"""
+      .r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README no longer states the oracle-count sentence")
+    assert(m.get.group(1).toInt === SparkEntry.queries.size,
+      "README's query count drifted from SparkEntry.queries.size")
+  }
 }
