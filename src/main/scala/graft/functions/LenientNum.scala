@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
@@ -23,7 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * conform pass running de-vectorized. The native calls keep the
   * generated method a few lines per column.
   */
-case class LenientDouble(child: Expression) extends UnaryExpression {
+case class LenientDouble(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.StringType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = false
   override def prettyName: String = "lenient_double"
@@ -49,7 +52,10 @@ case class LenientDouble(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class LenientLong(child: Expression) extends UnaryExpression {
+case class LenientLong(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.StringType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override def prettyName: String = "lenient_long"

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -20,7 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Registered as SQL function `time_to_minutes` via
   * [[GraftFunctions.register]].
   */
-case class TimeToMinutes(child: Expression) extends UnaryExpression {
+case class TimeToMinutes(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+
+  // Analysis-time contract: a non-string argument is implicitly CAST
+  // to string (a bare UnaryExpression would instead crash at runtime
+  // with a UTF8String ClassCastException in the interpreted path).
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.StringType)
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = false

@@ -38,11 +38,30 @@ case class TopKEntry(cos: Double, vec_id: Long)
 class TopKAgg(k: Int)
     extends Aggregator[TopKEntry, Seq[TopKEntry], Seq[TopKEntry]] {
 
-  private def better(a: TopKEntry, b: TopKEntry): Boolean =
-    a.cos > b.cos || (a.cos == b.cos && a.vec_id < b.vec_id)
+  /** cos comparison with Spark's SQL ordering semantics (NaN largest,
+    * ±0.0 equal — `nanSafeCompareDoubles`): raw `>`/`==` on doubles is
+    * not a total order under NaN (both directions false), which would
+    * make `sortWith` placement arrival-order-dependent exactly where
+    * the window ranking this aggregate replaces was deterministic. */
+  private def cmpCos(x: Double, y: Double): Int =
+    if (x.isNaN && y.isNaN) 0
+    else if (x.isNaN) 1
+    else if (y.isNaN) -1
+    else if (x > y) 1
+    else if (x < y) -1
+    else 0
+
+  private def better(a: TopKEntry, b: TopKEntry): Boolean = {
+    val c = cmpCos(a.cos, b.cos)
+    c > 0 || (c == 0 && a.vec_id < b.vec_id)
+  }
 
   private def trim(s: Seq[TopKEntry]): Seq[TopKEntry] =
-    s.distinct.sortWith(better).take(k)
+    // distinctBy on raw bits, not distinct: case-class equality uses
+    // primitive ==, under which NaN != NaN — band-duplicate entries
+    // with NaN cos would never collapse.
+    s.distinctBy(e => (e.vec_id, java.lang.Double.doubleToLongBits(e.cos)))
+      .sortWith(better).take(k)
 
   override def zero: Seq[TopKEntry] = Vector.empty
 

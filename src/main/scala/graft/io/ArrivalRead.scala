@@ -27,27 +27,40 @@ object ArrivalRead {
   private val BiffMagic =
     Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
 
+  private def readHead(path: String): Array[Byte] = {
+    val in = Files.newInputStream(Paths.get(path))
+    try in.readNBytes(4096) finally in.close()
+  }
+
   /** True when the file head can never be CSV text: zip / OLE magic or
     * embedded NUL bytes. */
   private[io] def looksBinary(path: String): Boolean = {
-    val in = Files.newInputStream(Paths.get(path))
-    val head = try in.readNBytes(4096) finally in.close()
+    val head = readHead(path)
     head.startsWith(ZipMagic) || head.startsWith(BiffMagic) ||
       head.contains(0.toByte)
   }
 
-  /** Try CSV, fall back to xlsx by extension; error out otherwise.
-    * Both branches surface all-string columns, so the downstream
-    * conform/coerce pipeline is identical whichever reader fires. */
+  /** Try CSV, fall back to xlsx; error out otherwise. Binary content
+    * dispatches on the DETECTED container magic before the claimed
+    * extension: a legacy BIFF workbook renamed `.xlsx` (a common
+    * mislabeled export) gets the actionable re-export error, not a
+    * raw ZipException from the xlsx reader. Both read branches
+    * surface all-string columns, so the downstream conform/coerce
+    * pipeline is identical whichever reader fires. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val lower = path.toLowerCase
-    if (!looksBinary(path)) CsvProbe.read(spark, path)
-    else if (lower.endsWith(".xlsx")) XlsxRead.read(spark, path)
-    else if (lower.endsWith(".xls"))
+    val head = readHead(path)
+    val binary = head.startsWith(ZipMagic) || head.startsWith(BiffMagic) ||
+      head.contains(0.toByte)
+    if (!binary) CsvProbe.read(spark, path)
+    else if (head.startsWith(BiffMagic))
       throw new IllegalArgumentException(
         s"'$path' is a legacy binary .xls (BIFF/OLE) workbook; re-export " +
           "it as .xlsx — the xlsx fallback reads only zip-based workbooks " +
           "(openpyxl, the reference's engine, has the same limit)")
+    else if (head.startsWith(ZipMagic) &&
+        (lower.endsWith(".xlsx") || lower.endsWith(".xls")))
+      XlsxRead.read(spark, path)
     else throw new IllegalArgumentException(
       s"could not read '$path': binary content and the extension is not " +
         ".xls/.xlsx (reference main.py:1347-1349, 'No se pudo leer')")

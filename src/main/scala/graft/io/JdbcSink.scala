@@ -195,7 +195,14 @@ object JdbcSink {
             c.commit()
           } finally ps.close()
         } catch {
-          case e: Throwable => c.rollback(); throw e
+          case e: Throwable =>
+            // rollback/close on a broken connection must not REPLACE
+            // the original failure: the retry policy dispatches on the
+            // original exception class (SQLTransientException), and a
+            // masking close() error would defeat it.
+            try c.rollback()
+            catch { case r: Throwable => e.addSuppressed(r) }
+            throw e
         } finally c.close()
       }
     }
@@ -226,12 +233,29 @@ object JdbcSink {
           finally ins.close()
         c.commit()
         n.toLong
-      } catch { case e: Throwable => c.rollback(); throw e }
+      } catch {
+        case e: Throwable =>
+          try c.rollback()
+          catch { case r: Throwable => e.addSuppressed(r) }
+          throw e
+      }
     })
   }
 
   private def run[A](url: String)(f: Connection => A): A = {
     val conn = DriverManager.getConnection(url)
-    try f(conn) finally conn.close()
+    var primary: Throwable = null
+    try f(conn)
+    catch { case e: Throwable => primary = e; throw e }
+    finally {
+      // close() on a connection broken by a transient fault throws —
+      // suppress rather than replace the primary exception, or the
+      // swap's retry-on-transient classification never sees it.
+      try conn.close()
+      catch {
+        case c: Throwable =>
+          if (primary != null) primary.addSuppressed(c) else throw c
+      }
+    }
   }
 }

@@ -68,15 +68,22 @@ object Multimodal {
     }
     def int(): Int = {
       skipWs()
-      var v = -1
+      var v = -1L // Long accumulator: a digit string past Int.MaxValue
+      // must read as malformed (-1), not wrap to a small positive int
+      // that would pass the dimension guards against the wrong bytes.
       while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
-        v = math.max(v, 0) * 10 + (payload(i) - '0')
+        v = math.min(math.max(v, 0L) * 10 + (payload(i) - '0'), Int.MaxValue.toLong + 1)
         i += 1
       }
-      v
+      if (v > Int.MaxValue) -1 else v.toInt
     }
     val w = int(); val h = int(); val maxv = int()
-    i += 1 // exactly one whitespace byte separates maxval from pixels
+    // exactly ONE whitespace byte separates maxval from the pixel
+    // plane (Netpbm spec) — and it must BE whitespace: a CRLF-written
+    // header would otherwise shift the whole plane by one byte and
+    // "decode" garbage that still passes the length guard.
+    if (i >= payload.length || !payload(i).toChar.isWhitespace) return None
+    i += 1
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255 ||
         payload.length - i < w.toLong * h * 3) return None
     var (sr, sg, sb) = (0L, 0L, 0L)

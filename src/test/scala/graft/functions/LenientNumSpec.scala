@@ -57,6 +57,17 @@ class LenientNumSpec extends SparkSpec {
     assert(r.getLong(3) === -2L) // truncation toward zero
   }
 
+  test("non-string arguments are implicitly cast at analysis, not " +
+      "crashed on at runtime") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT lenient_double(42) a, lenient_long(7.9) b, " +
+        "time_to_minutes(90) c").head
+    assert(r.getDouble(0) === 42.0)
+    assert(r.getLong(1) === 7L)
+    assert(r.getDouble(2) === 90.0)
+  }
+
   test("wide conform pipelines compile under codegen (no Janino fallback)") {
     import graft.conform.Pipeline
     import spark.implicits._

@@ -42,6 +42,25 @@ class TopKSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("NaN cosines rank deterministically (largest, like the window " +
+      "ordering) and NaN duplicates collapse") {
+    import spark.implicits._
+    val nan = Double.NaN
+    // duplicated NaN entry (a band-duplicate pair with a zero-norm
+    // vector) + finite entries, shuffled across partitions
+    val df = Seq(
+      ("g", nan, 7L), ("g", nan, 7L), ("g", 0.9, 1L), ("g", nan, 3L),
+      ("g", 0.8, 2L), ("g", 0.9, 0L))
+      .toDF("grp", "cos", "vec_id").repartition(3)
+    val out = df.groupBy($"grp")
+      .agg(TopK.topK(4)($"cos", $"vec_id").as("tk"))
+      .select(posexplode($"tk").as(Seq("i", "s")))
+      .select($"s.vec_id").as[Long].collect().toSeq
+    // NaN sorts largest (Spark/DuckDB window parity), ties by vec_id;
+    // the duplicate (NaN, 7) appears once
+    assert(out === Seq(3L, 7L, 0L, 1L))
+  }
+
   test("topK is a no-op dedup for unique entries and keeps k best") {
     import spark.implicits._
     val df = (0 until 100).map(i => ("g", i / 100.0, i.toLong))

@@ -40,6 +40,15 @@ class ArrivalReadSpec extends SparkSpec {
     assert(e.getMessage.contains(".xlsx"))
   }
 
+  test("legacy BIFF workbook RENAMED .xlsx still gets the actionable " +
+      "error (magic wins over extension), not a ZipException") {
+    val ole = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+      .map(_.toByte) ++ Array.fill(64)(0.toByte)
+    val p = tmp("mislabeled.xlsx", ole)
+    val e = intercept[IllegalArgumentException](ArrivalRead.read(spark, p))
+    assert(e.getMessage.contains("re-export"))
+  }
+
   test("binary bytes with a non-spreadsheet extension cannot be read") {
     val p = tmp("blob.bin", Array[Byte](0, 1, 2, 3, 0, 5))
     val e = intercept[IllegalArgumentException](ArrivalRead.read(spark, p))

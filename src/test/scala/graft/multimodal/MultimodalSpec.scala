@@ -62,6 +62,13 @@ class MultimodalSpec extends SparkSpec {
     assert(decodePpm("P6\n2 2\n65535\n".getBytes ++ px).isEmpty) // 16-bit
     assert(decodePpm("P3\n2 2\n255\n".getBytes).isEmpty)  // ASCII ppm
     assert(decodePpm("not an image".getBytes).isEmpty)
+    // non-whitespace byte where the single maxval separator belongs:
+    // must reject, not decode a plane shifted into the garbage
+    assert(decodePpm("P6\n2 2\n255X".getBytes ++ px).isEmpty)
+    // dimension token past Int.MaxValue must read as malformed, not
+    // wrap to a small positive value that passes the guards
+    assert(decodePpm(s"P6\n${Int.MaxValue.toLong + 2} 1\n255\n".getBytes
+      ++ px).isEmpty)
     // round-trip with the synthetic fixture generator
     val s = decodePpm(syntheticPpm(13L)).get
     assert((s.width, s.height) === (4 + 13 % 8, 3 + 13 % 5))
