@@ -47,13 +47,13 @@ object Multimodal {
     def sumRgb: Long = sumR + sumG + sumB
   }
 
-  /** REAL image decode for binary PPM (Netpbm "P6"): magic, then
-    * whitespace/`#`-comment-separated width, height, maxval (8-bit
-    * only), ONE whitespace byte, then `width*height*3` raw RGB bytes.
-    * Returns None for anything that is not a well-formed 8-bit P6 —
-    * truncated planes, maxval > 255, or a non-PPM payload — so the
-    * caller can fall back to [[decodeStub]]. Pure JDK, no codecs. */
-  def decodePpm(payload: Array[Byte]): Option[PpmImage] = {
+  /** Validated P6 header parse: returns (width, height, pixel-plane
+    * offset) with ALL well-formedness guards applied — magic,
+    * whitespace/`#`-comment-separated dimensions and maxval (8-bit
+    * only), the single whitespace separator, and a full pixel plane
+    * present. None for anything malformed. Shared by [[decodePpm]]
+    * and [[resizePpm]] so the two cannot disagree on the grammar. */
+  private def parsePpmHeader(payload: Array[Byte]): Option[(Int, Int, Int)] = {
     if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
       return None
     var i = 2
@@ -86,16 +86,87 @@ object Multimodal {
     i += 1
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255 ||
         payload.length - i < w.toLong * h * 3) return None
-    var (sr, sg, sb) = (0L, 0L, 0L)
-    var p = 0
-    val n = w * h
-    while (p < n) {
-      sr += payload(i) & 0xff
-      sg += payload(i + 1) & 0xff
-      sb += payload(i + 2) & 0xff
-      i += 3; p += 1
+    Some((w, h, i))
+  }
+
+  /** REAL image decode for binary PPM (Netpbm "P6"): header grammar
+    * per [[parsePpmHeader]], then per-channel sums over the RGB plane.
+    * Returns None for anything that is not a well-formed 8-bit P6 —
+    * truncated planes, maxval > 255, or a non-PPM payload — so the
+    * caller can fall back to [[decodeStub]]. Pure JDK, no codecs. */
+  def decodePpm(payload: Array[Byte]): Option[PpmImage] = {
+    parsePpmHeader(payload).map { case (w, h, off) =>
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var i = off
+      var p = 0
+      val n = w * h
+      while (p < n) {
+        sr += payload(i) & 0xff
+        sg += payload(i + 1) & 0xff
+        sb += payload(i + 2) & 0xff
+        i += 3; p += 1
+      }
+      PpmImage(w, h, sr, sg, sb)
     }
-    Some(PpmImage(w, h, sr, sg, sb))
+  }
+
+  /** REAL image resize: nearest-neighbor downsample of a binary PPM
+    * by integer `factor` — output pixel (ox, oy) = source pixel
+    * (ox*factor, oy*factor), output dims = ceil(dim/factor). Indexes
+    * the source plane in place (no intermediate raster allocation —
+    * the batch-processing shape a 100 TB thumbnailing pass needs) and
+    * returns the resized dimensions + per-channel sums. None when the
+    * payload is not a well-formed 8-bit P6. */
+  def resizePpm(payload: Array[Byte], factor: Int): Option[PpmImage] = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    parsePpmHeader(payload).map { case (w, h, off) =>
+      val w2 = (w + factor - 1) / factor
+      val h2 = (h + factor - 1) / factor
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var oy = 0
+      while (oy < h2) {
+        var ox = 0
+        val rowBase = off + oy * factor * w * 3
+        while (ox < w2) {
+          val k = rowBase + ox * factor * 3
+          sr += payload(k) & 0xff
+          sg += payload(k + 1) & 0xff
+          sb += payload(k + 2) & 0xff
+          ox += 1
+        }
+        oy += 1
+      }
+      PpmImage(w2, h2, sr, sg, sb)
+    }
+  }
+
+  /** One video's frame-sampling digest. */
+  case class FrameSample(n_frames: Int, n_sampled: Int, sum_sampled: Long)
+
+  /** REAL frame sampling: treat the payload as `n_frames` consecutive
+    * fixed-size frames (a trailing partial frame is ignored, like a
+    * truncated container tail), keep every `stride`-th frame, and
+    * digest the kept frames' bytes. The byte-level form of the
+    * every-Nth-frame sampling a video training pipeline runs before
+    * feature extraction. */
+  def sampleFrames(payload: Array[Byte], frameBytes: Int,
+      stride: Int): FrameSample = {
+    require(frameBytes >= 1 && stride >= 1,
+      s"frameBytes/stride must be >= 1, got $frameBytes/$stride")
+    val nf = payload.length / frameBytes
+    var s = 0L
+    var sampled = 0
+    var f = 0
+    while (f < nf) {
+      if (f % stride == 0) {
+        sampled += 1
+        var k = f * frameBytes
+        val end = k + frameBytes
+        while (k < end) { s += payload(k) & 0xff; k += 1 }
+      }
+      f += 1
+    }
+    FrameSample(nf, sampled, s)
   }
 
   /** STUB decode — deterministic fake standing in for libjpeg/ffmpeg
@@ -174,6 +245,17 @@ object Multimodal {
     val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
     val px = Array.tabulate(w * h * 3)(k => ((id * 7 + k * 13) % 256).toByte)
     header ++ px
+  }
+
+  /** Deterministic synthetic "video" fixture: `6 + id%5` frames of 48
+    * bytes each, frame f's byte k = `(id*11 + f*17 + k*19) % 256`.
+    * The q83 oracle restates this formula independently in SQL, so
+    * what the query checks is the SAMPLER ([[sampleFrames]]). */
+  def syntheticVideo(id: Long): Array[Byte] = {
+    val frames = 6 + (id % 5).toInt
+    val frameBytes = 48
+    Array.tabulate(frames * frameBytes)(k =>
+      ((id * 11 + (k / frameBytes) * 17 + (k % frameBytes) * 19) % 256).toByte)
   }
 
   /** Deterministic fake media table derived from `documents`: payload

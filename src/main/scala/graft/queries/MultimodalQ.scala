@@ -99,13 +99,92 @@ object MultimodalQ {
       |  CAST(list_sum(pix) AS BIGINT) AS ppm_sum_rgb
       |FROM px ORDER BY media_id""".stripMargin
 
+  /** REAL image resize, value-checked: the q81 synthetic rasters
+    * nearest-neighbor-downsampled by 2 inside the same mapPartitions
+    * batch shape ([[Multimodal.resizePpm]]: output pixel (ox, oy) =
+    * source pixel (2ox, 2oy), dims = ceil(dim/2)). The oracle
+    * recomputes every SAMPLED pixel from the generation formula via
+    * the output→source index map — an off-by-one in the stride walk
+    * or the ceil-dims breaks the hash. */
+  def imageResize(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    import spark.implicits._
+    nation(spark, dir)
+      .select(col("n_nationkey").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val r = Multimodal.resizePpm(Multimodal.syntheticPpm(id), 2)
+        (id, r.map(_.width).getOrElse(-1), r.map(_.height).getOrElse(-1),
+          r.map(_.sumRgb).getOrElse(-1L))
+      })
+      .toDF("media_id", "rw", "rh", "r_sum_rgb")
+      .orderBy("media_id")
+  }
+
+  /** j-th output byte (j = (oy*rw + ox)*3 + c) maps to source pixel
+    * byte k = ((oy*2)*w + ox*2)*3 + c; value = (id*7 + k*13) % 256. */
+  val imageResizeSql: String =
+    """WITH ids AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+      |    4 + n_nationkey % 8 AS w, 3 + n_nationkey % 5 AS h
+      |  FROM nation),
+      |r AS (SELECT media_id, w, h,
+      |        (w + 1) // 2 AS rw, (h + 1) // 2 AS rh FROM ids),
+      |s AS (
+      |  SELECT media_id, rw, rh,
+      |    list_sum(list_transform(range(0, rw * rh * 3),
+      |      j -> (media_id * 7 +
+      |            (((j // (rw * 3)) * 2 * w + ((j % (rw * 3)) // 3) * 2) * 3
+      |             + j % 3) * 13) % 256)) AS r_sum_rgb
+      |  FROM r)
+      |SELECT media_id, CAST(rw AS INTEGER) AS rw, CAST(rh AS INTEGER) AS rh,
+      |  CAST(r_sum_rgb AS BIGINT) AS r_sum_rgb
+      |FROM s ORDER BY media_id""".stripMargin
+
+  /** REAL video frame sampling, value-checked: synthetic fixed-size
+    * frame containers ([[Multimodal.syntheticVideo]]) sampled at
+    * stride 2 ([[Multimodal.sampleFrames]]); the oracle recomputes the
+    * kept frames' byte sum from the generation formula. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    import spark.implicits._
+    nation(spark, dir)
+      .select(col("n_nationkey").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val s = Multimodal.sampleFrames(Multimodal.syntheticVideo(id), 48, 2)
+        (id, s.n_frames, s.n_sampled, s.sum_sampled)
+      })
+      .toDF("media_id", "n_frames", "n_sampled", "sum_sampled")
+      .orderBy("media_id")
+  }
+
+  val frameSampleSql: String =
+    """WITH ids AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+      |    6 + n_nationkey % 5 AS nf
+      |  FROM nation),
+      |s AS (
+      |  SELECT media_id, nf,
+      |    list_sum(list_transform(range(0, nf * 48),
+      |      k -> CASE WHEN (k // 48) % 2 = 0
+      |        THEN (media_id * 11 + (k // 48) * 17 + (k % 48) * 19) % 256
+      |        ELSE 0 END)) AS sum_sampled
+      |  FROM ids)
+      |SELECT media_id, CAST(nf AS INTEGER) AS n_frames,
+      |  CAST((nf + 1) // 2 AS INTEGER) AS n_sampled,
+      |  CAST(sum_sampled AS BIGINT) AS sum_sampled
+      |FROM s ORDER BY media_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_media_features" -> mediaFeatures,
-    "q81_image_decode" -> imageDecode
+    "q81_image_decode" -> imageDecode,
+    "q82_image_resize" -> imageResize,
+    "q83_frame_sample" -> frameSample
   )
 
   val oracle: Map[String, String] = Map(
     "q63_media_features" -> mediaFeaturesSql,
-    "q81_image_decode" -> imageDecodeSql
+    "q81_image_decode" -> imageDecodeSql,
+    "q82_image_resize" -> imageResizeSql,
+    "q83_frame_sample" -> frameSampleSql
   )
 }

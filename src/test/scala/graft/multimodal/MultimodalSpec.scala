@@ -76,6 +76,33 @@ class MultimodalSpec extends SparkSpec {
       .map(k => (13L * 7 + k * 13) % 256).sum)
   }
 
+  test("resizePpm: nearest-neighbor stride, ceil dims, malformed -> None") {
+    // 3x3 image, factor 2 -> 2x2 keeping pixels (0,0),(2,0),(0,2),(2,2)
+    val px = Array.tabulate[Byte](27)(i => (i + 1).toByte)
+    val img = "P6\n3 3\n255\n".getBytes("US-ASCII") ++ px
+    val r = resizePpm(img, 2).get
+    assert((r.width, r.height) === (2, 2))
+    // kept pixel base offsets: 0, 6, 18, 24 (RGB triples, 1-based bytes)
+    assert(r.sumR === 1 + 7 + 19 + 25)
+    assert(r.sumG === 2 + 8 + 20 + 26)
+    assert(r.sumB === 3 + 9 + 21 + 27)
+    // factor 1 = identity (same sums as full decode)
+    val full = decodePpm(img).get
+    assert(resizePpm(img, 1).get === full.copy())
+    assert(resizePpm("garbage".getBytes, 2).isEmpty)
+  }
+
+  test("sampleFrames: every stride-th frame, partial tail ignored") {
+    // 3.5 frames of 4 bytes: frames 0,1,2 complete, 2 trailing bytes
+    val payload = Array.tabulate[Byte](14)(i => (i + 1).toByte)
+    val s = sampleFrames(payload, 4, 2)
+    assert(s.n_frames === 3)
+    assert(s.n_sampled === 2) // frames 0 and 2
+    assert(s.sum_sampled === (1 + 2 + 3 + 4) + (9 + 10 + 11 + 12))
+    val all = sampleFrames(payload, 4, 1)
+    assert(all.n_sampled === 3)
+  }
+
   test("partitioning: range partition by media_id spreads blobs") {
     import spark.implicits._
     val blobs = (0L until 100L).map(i =>
