@@ -247,6 +247,60 @@ object Multimodal {
     header ++ px
   }
 
+  /** One audio clip's windowed-energy digest. */
+  case class AudioEnergy(n_samples: Int, n_windows: Int, sum_abs: Long,
+      max_window_abs: Long)
+
+  /** REAL audio decode + windowing: parse the payload as little-endian
+    * signed 16-bit PCM (byte-level two's-complement reassembly) and
+    * compute per-window absolute-amplitude sums over complete
+    * `windowSamples`-sample windows (a partial tail window is ignored,
+    * like a truncated stream). The byte-level form of the
+    * energy/VAD-style windowing an audio training pipeline runs before
+    * segment selection. */
+  def pcmWindowEnergy(payload: Array[Byte], windowSamples: Int): AudioEnergy = {
+    require(windowSamples >= 1, s"windowSamples must be >= 1, got $windowSamples")
+    val n = payload.length / 2
+    val nw = n / windowSamples
+    var sumAbs = 0L
+    var maxW = 0L
+    var w = 0
+    while (w < nw) {
+      var s = w * windowSamples
+      val end = s + windowSamples
+      var acc = 0L
+      while (s < end) {
+        val lo = payload(2 * s) & 0xff
+        val hi = payload(2 * s + 1) // SIGNED high byte: sign-extends
+        val v = (hi << 8) | lo
+        acc += math.abs(v)
+        s += 1
+      }
+      sumAbs += acc
+      if (acc > maxW) maxW = acc
+      w += 1
+    }
+    AudioEnergy(n, nw, sumAbs, maxW)
+  }
+
+  /** Deterministic synthetic PCM fixture: `256 + (id%4)*64` samples,
+    * sample s = `(id*31 + s*77) % 4096 - 2048` (signed, ±2048),
+    * little-endian int16. The q84 oracle restates the formula in SQL,
+    * so what the query checks is the byte-level PCM DECODE + windowing
+    * ([[pcmWindowEnergy]]) — including negative-sample sign handling. */
+  def syntheticPcm(id: Long): Array[Byte] = {
+    val n = 256 + (id % 4).toInt * 64
+    val out = new Array[Byte](n * 2)
+    var s = 0
+    while (s < n) {
+      val v = ((id * 31 + s * 77) % 4096 - 2048).toInt
+      out(2 * s) = (v & 0xff).toByte
+      out(2 * s + 1) = ((v >> 8) & 0xff).toByte
+      s += 1
+    }
+    out
+  }
+
   /** Deterministic synthetic "video" fixture: `6 + id%5` frames of 48
     * bytes each, frame f's byte k = `(id*11 + f*17 + k*19) % 256`.
     * The q83 oracle restates this formula independently in SQL, so

@@ -174,17 +174,58 @@ object MultimodalQ {
       |  CAST(sum_sampled AS BIGINT) AS sum_sampled
       |FROM s ORDER BY media_id""".stripMargin
 
+  /** REAL audio decode + energy windowing, value-checked: synthetic
+    * little-endian int16 PCM clips ([[Multimodal.syntheticPcm]],
+    * signed samples) decoded byte-level and windowed in 64-sample
+    * windows ([[Multimodal.pcmWindowEnergy]]). The oracle recomputes
+    * the per-window absolute-amplitude sums from the sample formula —
+    * a sign-extension or little-endian defect in the PCM reassembly
+    * breaks the hash. */
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    import spark.implicits._
+    nation(spark, dir)
+      .select(col("n_nationkey").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val e = Multimodal.pcmWindowEnergy(Multimodal.syntheticPcm(id), 64)
+        (id, e.n_samples, e.n_windows, e.sum_abs, e.max_window_abs)
+      })
+      .toDF("media_id", "n_samples", "n_windows", "sum_abs",
+        "max_window_abs")
+      .orderBy("media_id")
+  }
+
+  val audioEnergySql: String =
+    """WITH ids AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+      |    256 + (n_nationkey % 4) * 64 AS n
+      |  FROM nation),
+      |w AS (SELECT media_id, n, n // 64 AS nw FROM ids),
+      |e AS (
+      |  SELECT media_id, n, nw,
+      |    list_transform(range(0, nw), wi ->
+      |      list_sum(list_transform(range(wi * 64, wi * 64 + 64),
+      |        s -> abs((media_id * 31 + s * 77) % 4096 - 2048)))) AS wins
+      |  FROM w)
+      |SELECT media_id, CAST(n AS INTEGER) AS n_samples,
+      |  CAST(nw AS INTEGER) AS n_windows,
+      |  CAST(list_sum(wins) AS BIGINT) AS sum_abs,
+      |  CAST(list_max(wins) AS BIGINT) AS max_window_abs
+      |FROM e ORDER BY media_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_media_features" -> mediaFeatures,
     "q81_image_decode" -> imageDecode,
     "q82_image_resize" -> imageResize,
-    "q83_frame_sample" -> frameSample
+    "q83_frame_sample" -> frameSample,
+    "q84_audio_energy" -> audioEnergy
   )
 
   val oracle: Map[String, String] = Map(
     "q63_media_features" -> mediaFeaturesSql,
     "q81_image_decode" -> imageDecodeSql,
     "q82_image_resize" -> imageResizeSql,
-    "q83_frame_sample" -> frameSampleSql
+    "q83_frame_sample" -> frameSampleSql,
+    "q84_audio_energy" -> audioEnergySql
   )
 }

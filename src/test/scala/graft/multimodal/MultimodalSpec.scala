@@ -92,6 +92,22 @@ class MultimodalSpec extends SparkSpec {
     assert(resizePpm("garbage".getBytes, 2).isEmpty)
   }
 
+  test("pcmWindowEnergy: LE int16 sign handling, complete windows only") {
+    // samples: 100, -100, 32767, -32768, 1 (partial window of 2 dropped)
+    def le(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val payload = Seq(100, -100, 32767, -32768, 1).flatMap(le).toArray
+    val e = pcmWindowEnergy(payload, 2)
+    assert(e.n_samples === 5)
+    assert(e.n_windows === 2)
+    assert(e.sum_abs === (100 + 100) + (32767 + 32768))
+    assert(e.max_window_abs === 32767 + 32768)
+    // synthetic round trip: encode then decode recovers the formula
+    val s = pcmWindowEnergy(syntheticPcm(3L), 64)
+    assert(s.n_samples === 256 + 3 % 4 * 64)
+    assert(s.sum_abs === (0 until s.n_windows * 64)
+      .map(k => math.abs((3L * 31 + k * 77) % 4096 - 2048)).sum)
+  }
+
   test("sampleFrames: every stride-th frame, partial tail ignored") {
     // 3.5 frames of 4 bytes: frames 0,1,2 complete, 2 trailing bytes
     val payload = Array.tabulate[Byte](14)(i => (i + 1).toByte)
