@@ -313,6 +313,130 @@ object TextAnalysis {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Within-document repetition stats — the Gopher/MassiveText-style
+    * quality signal (duplicate n-gram fraction + most-common-token
+    * fraction) a curation pass filters on. All per-doc terms are
+    * INTEGER counts computed with higher-order array functions (zero
+    * shuffles until the per-language rollup), and each ratio is ONE
+    * division of two summed counts — no per-doc double rounding to
+    * drift between engines. The top-token count is
+    * O(distinct × tokens) per document: pure embarrassingly-parallel
+    * compute in the scan stage, chosen over an explode + (doc, token)
+    * groupBy that would shuffle one row per TOKEN of a 100 TB corpus. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    documents(spark, dir)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")))
+      // n-2 3-grams from n tokens; the size < 3 branch matters because
+      // Spark's sequence(0, -1) DESCENDS (yields [0, -1]) rather than
+      // returning empty like DuckDB's half-open range(0, 0).
+      .withColumn("grams", expr(
+        "if(size(toks) < 3, cast(array() as array<string>), " +
+          "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))"))
+      .withColumn("n_grams", size(col("grams")))
+      .withColumn("n_dup_grams",
+        col("n_grams") - size(array_distinct(col("grams"))))
+      .withColumn("max_tok_cnt", expr(
+        "array_max(transform(array_distinct(toks), " +
+          "t -> size(filter(toks, x -> x = t))))"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("sum_grams"),
+        sum(col("n_dup_grams")).as("sum_dup_grams"),
+        round(sum(col("n_dup_grams")) / sum(col("n_grams")), 6)
+          .as("dup_gram_ratio"),
+        round(sum(col("max_tok_cnt")) / sum(col("n_tokens")), 6)
+          .as("top_token_frac"))
+      .orderBy("lang")
+  }
+
+  val repetitionStatsSql: String =
+    """WITH t AS (
+      |  SELECT lang, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, len(toks) AS n_tokens,
+      |    list_transform(range(0, greatest(len(toks) - 2, 0)),
+      |      i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])
+      |      AS grams,
+      |    list_max(list_transform(list_distinct(toks),
+      |      t -> len(list_filter(toks, x -> x = t)))) AS max_tok_cnt
+      |  FROM t),
+      |d AS (
+      |  SELECT lang, n_tokens, max_tok_cnt, len(grams) AS n_grams,
+      |    len(grams) - len(list_distinct(grams)) AS n_dup_grams
+      |  FROM g)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_grams) AS BIGINT) AS sum_grams,
+      |  CAST(sum(n_dup_grams) AS BIGINT) AS sum_dup_grams,
+      |  round(CAST(sum(n_dup_grams) AS DOUBLE) / sum(n_grams), 6)
+      |    AS dup_gram_ratio,
+      |  round(CAST(sum(max_tok_cnt) AS DOUBLE) / sum(n_tokens), 6)
+      |    AS top_token_frac
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** PII redaction — the scrubbing pass a training corpus runs before
+    * anything else: emails and phone-shaped numbers replaced by typed
+    * placeholder tokens, redaction counted per class. PII is INJECTED
+    * deterministically per doc_id (the harness corpus has none), so
+    * the redactor runs against known ground truth and the oracle
+    * checks the full redacted-text length arithmetic, not just counts.
+    * Patterns stay in the regex subset Java and RE2 interpret
+    * identically (character classes + bounded repeats, no
+    * lookaround). */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    // Patterns go through the Column API only (regexp_count /
+    // regexp_replace with a literal Column) — never an expr() SQL
+    // string, whose literal parser would eat the `\.` escape.
+    val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    documents(spark, dir)
+      .withColumn("dirty", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or "),
+        (col("doc_id") % 800 + 100).cast("string"), lit("-"),
+        (col("doc_id") % 9000 + 1000).cast("string")))
+      .withColumn("n_emails", regexp_count(col("dirty"), lit(emailRe)))
+      .withColumn("n_phones", regexp_count(col("dirty"), lit(phoneRe)))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).as("sum_emails"),
+        sum(col("n_phones")).as("sum_phones"),
+        sum(length(col("dirty"))).as("sum_dirty_chars"),
+        sum(length(col("clean"))).as("sum_clean_chars"))
+      .orderBy("lang")
+  }
+
+  val piiRedactSql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |      || '@example.com or '
+      |      || CAST(doc_id % 800 + 100 AS VARCHAR) || '-'
+      |      || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS dirty
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, dirty,
+      |    len(regexp_extract_all(dirty, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+      |      AS n_emails,
+      |    len(regexp_extract_all(dirty, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+      |    regexp_replace(regexp_replace(dirty,
+      |      '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+      |      '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+      |  FROM d)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_emails) AS BIGINT) AS sum_emails,
+      |  CAST(sum(n_phones) AS BIGINT) AS sum_phones,
+      |  CAST(sum(strlen(dirty)) AS BIGINT) AS sum_dirty_chars,
+      |  CAST(sum(strlen(clean)) AS BIGINT) AS sum_clean_chars
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_token_stats" -> tokenStats,
     "q51_quality_score" -> qualityScore,
@@ -321,7 +445,9 @@ object TextAnalysis {
     "q54_token_bpe" -> tokenBpe,
     "q59_rolling_hash" -> rollingHash,
     "q67_word_count" -> wordCount,
-    "q73_hash_split" -> hashSplit
+    "q73_hash_split" -> hashSplit,
+    "q85_repetition_stats" -> repetitionStats,
+    "q86_pii_redact" -> piiRedact
   )
 
   val oracle: Map[String, String] = Map(
@@ -332,6 +458,8 @@ object TextAnalysis {
     "q54_token_bpe" -> tokenBpeSql,
     "q59_rolling_hash" -> rollingHashSql,
     "q67_word_count" -> wordCountSql,
-    "q73_hash_split" -> hashSplitSql
+    "q73_hash_split" -> hashSplitSql,
+    "q85_repetition_stats" -> repetitionStatsSql,
+    "q86_pii_redact" -> piiRedactSql
   )
 }

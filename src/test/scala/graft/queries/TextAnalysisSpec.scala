@@ -1,0 +1,72 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Curation-filter operators on constructed corpora with known
+  * ground truth. */
+class TextAnalysisSpec extends SparkSpec {
+
+  /** documents.parquet fixture with controlled texts. */
+  private def corpus(texts: Seq[String]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("text_spec").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, "en", s"src$i", t, t.length) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("repetition stats: known dup-gram and top-token ground truth") {
+    // doc 0: 'a b c a b c a b c' -> 9 tokens, 7 3-grams, 3 distinct
+    //   -> 4 dup grams; top token count = 3 ('a'), n_tokens = 9
+    // doc 1: 'x y z w' -> 4 tokens, 2 3-grams, 0 dup; top count 1
+    // doc 2: 'p q' -> SHORTER THAN A 3-GRAM: 0 grams (the
+    //   sequence-descends edge Spark must not hit), top count 1
+    val dir = corpus(Seq("a b c a b c a b c", "x y z w", "p q"))
+    val r = TextAnalysis.repetitionStats(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(1) === 3L) // n_docs
+    assert(row.getLong(2) === 9L) // sum_grams = 7 + 2 + 0
+    assert(row.getLong(3) === 4L) // sum_dup_grams
+    assert(row.getDouble(4) === math.rint(4.0 / 9.0 * 1e6) / 1e6)
+    // top_token_frac = (3 + 1 + 1) / (9 + 4 + 2)
+    assert(row.getDouble(5) === math.rint(5.0 / 15.0 * 1e6) / 1e6)
+  }
+
+  test("pii redact: injected email+phone both redacted, lengths shrink") {
+    val dir = corpus(Seq("hello world", "no pii here at all"))
+    val r = TextAnalysis.piiRedact(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(1) === 2L) // n_docs
+    assert(row.getLong(2) === 2L) // one injected email per doc
+    assert(row.getLong(3) === 2L) // one injected phone per doc
+    // every redaction replaced a longer span with the 7-char token
+    assert(row.getLong(5) < row.getLong(4))
+  }
+
+  test("pii redact: the clean text carries typed placeholder tokens") {
+    import spark.implicits._
+    val dir = corpus(Seq("sample text"))
+    // re-run the same injection+redaction shape on the raw fixture and
+    // check the output string itself (the digest query only sums)
+    val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    val clean = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("dirty", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or "),
+        (col("doc_id") % 800 + 100).cast("string"), lit("-"),
+        (col("doc_id") % 9000 + 1000).cast("string")))
+      .select(regexp_replace(
+        regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>").as("clean"))
+      .as[String].head()
+    assert(clean === "sample text contact <EMAIL> or <PHONE>")
+  }
+}
