@@ -99,6 +99,23 @@ object MultimodalQ {
       |  CAST(list_sum(pix) AS BIGINT) AS ppm_sum_rgb
       |FROM px ORDER BY media_id""".stripMargin
 
+  /** Shared per-media-op scaffold: nation keys → one synthetic blob
+    * per id → byte-level digest inside the mapPartitions batch shape
+    * (one closure invocation per partition — where a real codec's init
+    * cost would amortize) → named columns, ordered. Every per-nation
+    * media query (q82/q83/q84) is this with a different digest
+    * lambda. */
+  private def mediaDigest[T <: Product : org.apache.spark.sql.Encoder](
+      spark: SparkSession, dir: String, cols: Seq[String])(
+      digest: Long => T): DataFrame = {
+    import spark.implicits._
+    nation(spark, dir)
+      .select(col("n_nationkey").cast("long")).as[Long]
+      .mapPartitions(_.map(digest))
+      .toDF(("media_id" +: cols): _*)
+      .orderBy("media_id")
+  }
+
   /** REAL image resize, value-checked: the q81 synthetic rasters
     * nearest-neighbor-downsampled by 2 inside the same mapPartitions
     * batch shape ([[Multimodal.resizePpm]]: output pixel (ox, oy) =
@@ -109,15 +126,11 @@ object MultimodalQ {
   def imageResize(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     import spark.implicits._
-    nation(spark, dir)
-      .select(col("n_nationkey").cast("long")).as[Long]
-      .mapPartitions(_.map { id =>
-        val r = Multimodal.resizePpm(Multimodal.syntheticPpm(id), 2)
-        (id, r.map(_.width).getOrElse(-1), r.map(_.height).getOrElse(-1),
-          r.map(_.sumRgb).getOrElse(-1L))
-      })
-      .toDF("media_id", "rw", "rh", "r_sum_rgb")
-      .orderBy("media_id")
+    mediaDigest(spark, dir, Seq("rw", "rh", "r_sum_rgb")) { id =>
+      val r = Multimodal.resizePpm(Multimodal.syntheticPpm(id), 2)
+      (id, r.map(_.width).getOrElse(-1), r.map(_.height).getOrElse(-1),
+        r.map(_.sumRgb).getOrElse(-1L))
+    }
   }
 
   /** j-th output byte (j = (oy*rw + ox)*3 + c) maps to source pixel
@@ -147,14 +160,11 @@ object MultimodalQ {
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     import spark.implicits._
-    nation(spark, dir)
-      .select(col("n_nationkey").cast("long")).as[Long]
-      .mapPartitions(_.map { id =>
+    mediaDigest(spark, dir, Seq("n_frames", "n_sampled", "sum_sampled")) {
+      id =>
         val s = Multimodal.sampleFrames(Multimodal.syntheticVideo(id), 48, 2)
         (id, s.n_frames, s.n_sampled, s.sum_sampled)
-      })
-      .toDF("media_id", "n_frames", "n_sampled", "sum_sampled")
-      .orderBy("media_id")
+    }
   }
 
   val frameSampleSql: String =
@@ -184,15 +194,11 @@ object MultimodalQ {
   def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     import spark.implicits._
-    nation(spark, dir)
-      .select(col("n_nationkey").cast("long")).as[Long]
-      .mapPartitions(_.map { id =>
-        val e = Multimodal.pcmWindowEnergy(Multimodal.syntheticPcm(id), 64)
-        (id, e.n_samples, e.n_windows, e.sum_abs, e.max_window_abs)
-      })
-      .toDF("media_id", "n_samples", "n_windows", "sum_abs",
-        "max_window_abs")
-      .orderBy("media_id")
+    mediaDigest(spark, dir,
+      Seq("n_samples", "n_windows", "sum_abs", "max_window_abs")) { id =>
+      val e = Multimodal.pcmWindowEnergy(Multimodal.syntheticPcm(id), 64)
+      (id, e.n_samples, e.n_windows, e.sum_abs, e.max_window_abs)
+    }
   }
 
   val audioEnergySql: String =

@@ -386,24 +386,34 @@ object TextAnalysis {
     * Patterns stay in the regex subset Java and RE2 interpret
     * identically (character classes + bounded repeats, no
     * lookaround). */
+  // Patterns go through the Column API only (regexp_count /
+  // regexp_replace with a literal Column) — never an expr() SQL
+  // string, whose literal parser would eat the `\.` escape. Exposed
+  // private[queries] with the column builders so TextAnalysisSpec
+  // asserts on the PRODUCTION redaction, not a copy.
+  private[queries] val EmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private[queries] val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** doc_id-keyed PII injection (the harness corpus has none). */
+  private[queries] def piiDirty: org.apache.spark.sql.Column =
+    concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or "),
+      (col("doc_id") % 800 + 100).cast("string"), lit("-"),
+      (col("doc_id") % 9000 + 1000).cast("string"))
+
+  private[queries] def piiClean(dirty: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(dirty, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    // Patterns go through the Column API only (regexp_count /
-    // regexp_replace with a literal Column) — never an expr() SQL
-    // string, whose literal parser would eat the `\.` escape.
-    val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
-    val phoneRe = "[0-9]{3}-[0-9]{4}"
     documents(spark, dir)
-      .withColumn("dirty", concat(col("text"),
-        lit(" contact user"), col("doc_id").cast("string"),
-        lit("@example.com or "),
-        (col("doc_id") % 800 + 100).cast("string"), lit("-"),
-        (col("doc_id") % 9000 + 1000).cast("string")))
-      .withColumn("n_emails", regexp_count(col("dirty"), lit(emailRe)))
-      .withColumn("n_phones", regexp_count(col("dirty"), lit(phoneRe)))
-      .withColumn("clean",
-        regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
-          phoneRe, "<PHONE>"))
+      .withColumn("dirty", piiDirty)
+      .withColumn("n_emails", regexp_count(col("dirty"), lit(EmailRe)))
+      .withColumn("n_phones", regexp_count(col("dirty"), lit(PhoneRe)))
+      .withColumn("clean", piiClean(col("dirty")))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_emails")).as("sum_emails"),
@@ -433,8 +443,8 @@ object TextAnalysis {
       |SELECT lang, count(*) AS n_docs,
       |  CAST(sum(n_emails) AS BIGINT) AS sum_emails,
       |  CAST(sum(n_phones) AS BIGINT) AS sum_phones,
-      |  CAST(sum(strlen(dirty)) AS BIGINT) AS sum_dirty_chars,
-      |  CAST(sum(strlen(clean)) AS BIGINT) AS sum_clean_chars
+      |  CAST(sum(length(dirty)) AS BIGINT) AS sum_dirty_chars,
+      |  CAST(sum(length(clean)) AS BIGINT) AS sum_clean_chars
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

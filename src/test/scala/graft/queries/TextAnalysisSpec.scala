@@ -53,19 +53,12 @@ class TextAnalysisSpec extends SparkSpec {
   test("pii redact: the clean text carries typed placeholder tokens") {
     import spark.implicits._
     val dir = corpus(Seq("sample text"))
-    // re-run the same injection+redaction shape on the raw fixture and
-    // check the output string itself (the digest query only sums)
-    val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
-    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    // the PRODUCTION injection + redaction columns (TextAnalysis
+    // helpers), asserted on the output string itself (the digest
+    // query only sums)
     val clean = spark.read.parquet(s"$dir/documents.parquet")
-      .withColumn("dirty", concat(col("text"),
-        lit(" contact user"), col("doc_id").cast("string"),
-        lit("@example.com or "),
-        (col("doc_id") % 800 + 100).cast("string"), lit("-"),
-        (col("doc_id") % 9000 + 1000).cast("string")))
-      .select(regexp_replace(
-        regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
-        phoneRe, "<PHONE>").as("clean"))
+      .withColumn("dirty", TextAnalysis.piiDirty)
+      .select(TextAnalysis.piiClean(col("dirty")).as("clean"))
       .as[String].head()
     assert(clean === "sample text contact <EMAIL> or <PHONE>")
   }
