@@ -447,6 +447,70 @@ object TextAnalysis {
       |  CAST(sum(length(clean)) AS BIGINT) AS sum_clean_chars
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val LmVocabSize = 500
+
+  /** Unigram language-model quality score — the CCNet-style filter
+    * shape: a corpus-derived top-[[LmVocabSize]] vocabulary (cutoff
+    * deterministic: count desc, token asc), then per-document
+    * bits-per-token under the unigram distribution with a 0.5-count
+    * OOV penalty, digested per language.
+    *
+    * The scale shape matters more than the model: the vocabulary is
+    * ONE explode + groupBy shuffle (the unavoidable corpus statistic)
+    * reduced to a 1-row map via `map_from_entries` and BROADCAST back,
+    * so scoring is a per-document array fold inside the scan stage —
+    * no per-token join, no per-token shuffle, no driver collect. The
+    * per-lang rollup is the only other exchange. Per-doc bits are
+    * rounded to 4 decimals before summing so cross-engine log/sum
+    * ulp drift cannot reach the digest. */
+  def unigramLm(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val docs = documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+    val vocab = docs.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(LmVocabSize)
+    val vmap = vocab.agg(map_from_entries(
+      collect_list(struct(col("tok"), col("cnt")))).as("vm"))
+    val total = docs.select(sum(size(col("toks"))).as("n_total"))
+    docs.crossJoin(broadcast(vmap)).crossJoin(broadcast(total))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("bits", round(expr(
+        "aggregate(toks, 0D, (a, t) -> a + -log2(" +
+          "coalesce(cast(element_at(vm, t) as double), 0.5D) / n_total))"),
+        4))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("bits")), 4).as("sum_bits"),
+        round(sum(col("bits")) / sum(col("n_toks")), 4)
+          .as("avg_bits_per_tok"))
+      .orderBy("lang")
+  }
+
+  val unigramLmSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |u AS (SELECT unnest(toks) AS tok FROM t),
+       |c AS (SELECT tok, count(*) AS cnt FROM u GROUP BY 1),
+       |v AS (SELECT tok, cnt FROM c
+       |      ORDER BY cnt DESC, tok ASC LIMIT $LmVocabSize),
+       |m AS (SELECT map(list(tok ORDER BY tok), list(cnt ORDER BY tok))
+       |        AS vm FROM v),
+       |n AS (SELECT count(*) AS n_total FROM u),
+       |s AS (
+       |  SELECT lang, len(toks) AS n_toks,
+       |    round(list_sum(list_transform(toks,
+       |      tk -> -log2(coalesce(
+       |        CAST(list_extract(map_extract(vm, tk), 1) AS DOUBLE), 0.5)
+       |        / n_total))), 4) AS bits
+       |  FROM t, m, n)
+       |SELECT lang, count(*) AS n_docs,
+       |  round(sum(bits), 4) AS sum_bits,
+       |  round(sum(bits) / sum(n_toks), 4) AS avg_bits_per_tok
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_token_stats" -> tokenStats,
     "q51_quality_score" -> qualityScore,
@@ -457,7 +521,8 @@ object TextAnalysis {
     "q67_word_count" -> wordCount,
     "q73_hash_split" -> hashSplit,
     "q85_repetition_stats" -> repetitionStats,
-    "q86_pii_redact" -> piiRedact
+    "q86_pii_redact" -> piiRedact,
+    "q87_unigram_lm" -> unigramLm
   )
 
   val oracle: Map[String, String] = Map(
@@ -470,6 +535,7 @@ object TextAnalysis {
     "q67_word_count" -> wordCountSql,
     "q73_hash_split" -> hashSplitSql,
     "q85_repetition_stats" -> repetitionStatsSql,
-    "q86_pii_redact" -> piiRedactSql
+    "q86_pii_redact" -> piiRedactSql,
+    "q87_unigram_lm" -> unigramLmSql
   )
 }

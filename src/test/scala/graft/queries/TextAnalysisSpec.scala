@@ -50,6 +50,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getLong(5) < row.getLong(4))
   }
 
+  test("unigram LM: hand-computed bits for in-vocab corpus") {
+    // tokens: a a b | a c -> freqs a=3, b=1, c=1, N=5 (all in vocab)
+    val dir = corpus(Seq("a a b", "a c"))
+    val r = TextAnalysis.unigramLm(spark, dir).collect()
+    assert(r.length === 1)
+    def bits(freqs: Seq[Double]): Double = {
+      val raw = freqs.map(f => -math.log(f / 5.0) / math.log(2.0)).sum
+      math.rint(raw * 1e4) / 1e4
+    }
+    val expected = math.rint(
+      (bits(Seq(3, 3, 1)) + bits(Seq(3, 1))) * 1e4) / 1e4
+    assert(r.head.getLong(1) === 2L)
+    assert(r.head.getDouble(2) === expected)
+  }
+
+  test("unigram LM: tokens past the vocab cutoff pay the OOV penalty") {
+    // 520 distinct single-occurrence tokens: vocab keeps the 500
+    // lexicographically-first (count ties broken token asc); the other
+    // 20 score with the 0.5 OOV count instead of 1 -> exactly +1 bit
+    // each over an in-vocab singleton.
+    val toks = (0 until 520).map(i => f"w$i%04d")
+    val dir = corpus(Seq(toks.take(260).mkString(" "),
+      toks.drop(260).mkString(" ")))
+    val r = TextAnalysis.unigramLm(spark, dir).collect()
+    val inVocabBits = -math.log(1.0 / 520) / math.log(2.0)
+    val raw260a = math.rint(260 * inVocabBits * 1e4) / 1e4 // doc 0: all in vocab
+    val raw260b = math.rint(
+      (240 * inVocabBits + 20 * (inVocabBits + 1.0)) * 1e4) / 1e4
+    val expected = math.rint((raw260a + raw260b) * 1e4) / 1e4
+    assert(r.head.getDouble(2) === expected)
+  }
+
   test("pii redact: the clean text carries typed placeholder tokens") {
     import spark.implicits._
     val dir = corpus(Seq("sample text"))
