@@ -82,6 +82,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.head.getDouble(2) === expected)
   }
 
+  test("unigram LM plan: vocab map and total are BROADCAST to the " +
+      "scoring stage; no per-token join anywhere") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val dir = corpus(Seq("a a b", "a c", "b c a"))
+    val df = TextAnalysis.unigramLm(spark, dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = df.queryExecution.executedPlan
+      val bcast = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      val shuffleJoins = plan.collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      // the 1-row vocab map and the 1-row total each arrive broadcast
+      assert(bcast.size === 2, s"expected 2 broadcast cross joins:\n$plan")
+      // scoring is an in-scan fold: no row-matching join of tokens
+      assert(shuffleJoins.isEmpty, s"per-token shuffle join found:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("pii redact: the clean text carries typed placeholder tokens") {
     import spark.implicits._
     val dir = corpus(Seq("sample text"))
