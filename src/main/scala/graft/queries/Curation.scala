@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline
+  * runs AFTER pair mining and scoring: near-dup cluster consolidation
+  * (connected components over the verified LSH pairs), benchmark
+  * decontamination (n-gram overlap against a held-out eval set), and
+  * deterministic weighted source sampling (domain mixing).
+  *
+  * Scale design:
+  *   - Cluster consolidation uses the alternating large-star /
+  *     small-star algorithm (Kiveris et al., "Connected Components in
+  *     MapReduce and Beyond", SoCC'14): O(log n) rounds, each round
+  *     two co-partitioned shuffles of the PAIR set (which is orders of
+  *     magnitude smaller than the corpus), never an all-pairs or
+  *     whole-corpus iteration. Per-round `localCheckpoint` truncates
+  *     the iterative lineage — on a cluster this would be a
+  *     reliably-replicated checkpoint, locally it pins the iterate in
+  *     block storage so re-planning never re-runs prior rounds.
+  *   - Decontamination broadcasts the EVAL-set gram hashes (eval
+  *     benchmarks are MBs; the corpus is the 100 TB side) so the
+  *     corpus is scanned exactly once with a broadcast semi-join in
+  *     the scan stage — the corpus never shuffles.
+  *   - Weighted sampling is a pure scan-stage filter on a
+  *     deterministic per-row hash — zero shuffles before the final
+  *     tiny per-source rollup, and re-runs select the SAME rows
+  *     (reproducible corpus builds, like the q73 split).
+  */
+object Curation {
+  import Tables._
+
+  // ---------------------------------------------------------------
+  // q88 near-dup cluster consolidation (connected components)
+  // ---------------------------------------------------------------
+
+  /** Rounds bound for large-star/small-star: converges in O(log n)
+    * rounds (SoCC'14 Thm 3.2); 12 covers any graph that fits in 2^12
+    * chained hops after the first collapse — far beyond real dedup
+    * graphs. A non-converged exit raises rather than digesting a
+    * wrong partition. */
+  private val MaxCcRounds = 12
+
+  /** Both directions of a normalized (u < v) pair set. */
+  private def bidir(p: DataFrame): DataFrame =
+    p.select(col("u"), col("v"))
+      .union(p.select(col("v").as("u"), col("u").as("v")))
+
+  /** Normalize directed edges to a distinct (u < v) pair set,
+    * dropping self-loops. */
+  private def normalize(e: DataFrame): DataFrame =
+    e.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+
+  /** Large-star: every node connects its strictly-LARGER neighbors to
+    * the minimum of its closed neighborhood. Computed as a groupBy-min
+    * + self-join — no neighborhood collection, so high-degree hubs
+    * never materialize an adjacency list on one task. */
+  private def largeStar(p: DataFrame): DataFrame = {
+    val e = bidir(p)
+    val m = e.groupBy("u")
+      .agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("mu"))
+    normalize(
+      e.filter(col("v") > col("u")).join(m, "u")
+        .select(col("v").as("u"), col("mu").as("v")))
+  }
+
+  /** Small-star: every node connects its smaller-or-equal neighbors
+    * (and itself) to the minimum among them. */
+  private def smallStar(p: DataFrame): DataFrame = {
+    val le = bidir(p).filter(col("v") < col("u"))
+    val m = le.groupBy("u").agg(min(col("v")).as("mu"))
+    normalize(
+      le.join(m, "u").select(col("v").as("u"), col("mu").as("v"))
+        .union(m.select(col("u"), col("mu").as("v"))))
+  }
+
+  /** Order-independent digest of a normalized distinct pair set —
+    * fixpoint detection compares consecutive digests driver-side, so
+    * each round costs ONE tiny aggregate instead of two `except`
+    * joins. (count, xor of per-edge hashes): two equal-size distinct
+    * sets with equal xor differ only on a 2^-64 hash collision. */
+  private def edgeDigest(p: DataFrame): (Long, Long) = {
+    val r = p.agg(count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Connected components of a normalized (u < v) pair set: iterate
+    * large-star/small-star to the fixpoint, at which every component
+    * is a star rooted at its minimum node. Returns (node, label) for
+    * every node that appears in any pair; label = component min.
+    * Nodes in no pair are singletons and are NOT emitted (the caller
+    * labels them with their own id).
+    *
+    * Each iterate is lazily `localCheckpoint`ed: the digest action
+    * materializes it, truncating the iterative lineage, and every
+    * later reference reads the checkpoint — one job per round. */
+  private[queries] def connectedComponents(pairs: DataFrame): DataFrame = {
+    var cur = normalize(pairs.toDF("u", "v")).localCheckpoint(false)
+    var curDigest = edgeDigest(cur)
+    var converged = curDigest._1 == 0L
+    var round = 0
+    while (!converged && round < MaxCcRounds) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
+      val nextDigest = edgeDigest(next)
+      converged = nextDigest == curDigest
+      cur = next
+      curDigest = nextDigest
+      round += 1
+    }
+    require(converged,
+      s"connected components did not converge in $MaxCcRounds rounds")
+    // Fixpoint is a star per component: u is the root on every edge.
+    cur.select(col("v").as("node"), col("u").as("label"))
+      .union(cur.select(col("u").as("node"), col("u").as("label")))
+      .distinct()
+  }
+
+  /** q88: consolidate the verified MinHash near-dup pairs
+    * ([[Dedup.minhashPairs]], the q56 stream) into dedup clusters and
+    * digest the cluster-size histogram — the step that turns pairwise
+    * LSH output into keep-one-per-cluster decisions. Singleton
+    * documents count as size-1 clusters so the histogram partitions
+    * the whole corpus. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val labels = connectedComponents(
+      Dedup.minhashPairs(spark, dir).select(col("ia"), col("ib")))
+    documents(spark, dir).select(col("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(coalesce(col("label"), col("doc_id")).as("root"))
+      .groupBy(col("root")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("root")).as("sum_roots"))
+      .orderBy("csize")
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE ${Dedup.duckVerifiedPairCtes},
+       |e AS (SELECT ia AS u, ib AS v FROM pairs
+       |      UNION SELECT ib, ia FROM pairs),
+       |reach(n, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.n),
+       |lab AS (SELECT n AS node, min(r) AS root FROM reach GROUP BY 1),
+       |cl AS (SELECT root, count(*) AS csize FROM lab GROUP BY 1)
+       |SELECT csize, count(*) AS n_clusters,
+       |  CAST(sum(root) AS BIGINT) AS sum_roots
+       |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q89 benchmark decontamination (n-gram overlap vs eval set)
+  // ---------------------------------------------------------------
+
+  /** Contamination gram width. Real pipelines use 8–13-token grams;
+    * the harness corpus is 20–80-token synthetic docs, so 4 keeps the
+    * overlap test non-vacuous at sf0.01 while exercising the exact
+    * same dataflow. */
+  private val GramN = 4
+
+  /** Distinct GramN-token grams of the lowercased text. */
+  private def gramCol = expr(
+    s"""array_distinct(
+       |  CASE WHEN size(t) >= $GramN THEN
+       |    transform(sequence(1, size(t) - ${GramN - 1}),
+       |      i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+       |                          element_at(t, i + 2), element_at(t, i + 3)))
+       |  ELSE cast(array() as array<string>) END)""".stripMargin)
+
+  /** q89: flag training documents sharing any $GramN-gram with the
+    * held-out benchmark slice (doc_id % 97 == 0 — stand-in for an
+    * eval set). The benchmark gram set is hashed, deduped, and
+    * BROADCAST; the training side is scanned once and semi-joined in
+    * the scan stage, so the 100 TB side never shuffles. Grams compare
+    * as xxhash64 (native 64-bit, no hex round-trip); the oracle
+    * compares plain gram strings — same verdicts unless a 64-bit
+    * collision occurs. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val grams = documents(spark, dir)
+      .withColumn("t", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("grams", gramCol)
+      .select(col("doc_id"), col("lang"), col("grams"))
+    val benchGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("grams")).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+    val train = grams.filter(col("doc_id") % 97 =!= 0)
+    val contaminated = train
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .join(broadcast(benchGrams), Seq("gh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    train.select(col("doc_id"), col("lang"))
+      .join(contaminated.withColumn("c", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"),
+        coalesce(sum(col("c")), lit(0L)).as("n_contaminated"),
+        coalesce(sum(when(col("c") === 1L, col("doc_id"))), lit(0L))
+          .as("sum_contaminated_ids"))
+      .orderBy("lang")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(t) - ${GramN - 2}, 1)),
+       |      i -> array_to_string(t[i:i+${GramN - 1}], ' '))) AS grams
+       |  FROM (SELECT doc_id, lang,
+       |          string_split_regex(lower(trim(text)), '\\s+') AS t
+       |        FROM documents)),
+       |bset AS (
+       |  SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id % 97 = 0),
+       |train AS (SELECT * FROM g WHERE doc_id % 97 <> 0),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id
+       |  FROM (SELECT doc_id, unnest(grams) AS gr FROM train) t
+       |  JOIN bset USING (gr))
+       |SELECT lang, count(*) AS n_train,
+       |  CAST(count(c.doc_id) AS BIGINT) AS n_contaminated,
+       |  CAST(coalesce(sum(c.doc_id), 0) AS BIGINT)
+       |    AS sum_contaminated_ids
+       |FROM train LEFT JOIN contaminated c USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q90 deterministic weighted source sampling (domain mixing)
+  // ---------------------------------------------------------------
+
+  /** Per-source keep rates in ten-thousandths (domain-mixing weights a
+    * corpus build chooses); sources not listed keep [[DefaultRateBp]].
+    * Integer basis points so the threshold compare is exact on both
+    * engines — no double rounding at the keep boundary. */
+  private val RatesBp: Seq[(String, Int)] =
+    Seq("src0" -> 10000, "src1" -> 7500, "src2" -> 5000, "src3" -> 2500)
+  private val DefaultRateBp = 1000
+
+  /** q90: reproducible weighted sampling — keep a document iff its
+    * 60-bit md5 hash mod 10000 falls under its source's rate. The
+    * same deterministic-hash trick as the q73 split (re-runs and
+    * backfills select identical rows); the predicate is a pure
+    * scan-stage filter, so at 100 TB this is one pass with no
+    * shuffle before the per-source rollup. Digest keeps both the
+    * kept-count and the kept-id sum so every keep decision lands in
+    * the hash. */
+  def sourceSample(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val rate = RatesBp.foldLeft(lit(DefaultRateBp)) { case (acc, (s, r)) =>
+      when(col("source") === s, r).otherwise(acc)
+    }
+    documents(spark, dir)
+      .withColumn("u", expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 10000"))
+      .withColumn("keep", (col("u") < rate).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_kept"),
+        sum(col("keep") * col("doc_id")).as("sum_kept_ids"))
+      .orderBy("source")
+  }
+
+  val sourceSampleSql: String = {
+    val cases = RatesBp
+      .map { case (s, r) => s"WHEN source = '$s' THEN $r" }
+      .mkString(" ")
+    s"""WITH a AS (
+       |  SELECT source, doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |      % 10000 AS u,
+       |    CASE $cases ELSE $DefaultRateBp END AS rate
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(sum(CASE WHEN u < rate THEN doc_id ELSE 0 END) AS BIGINT)
+       |    AS sum_kept_ids
+       |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_dedup_clusters" -> dedupClusters,
+    "q89_decontaminate" -> decontaminate,
+    "q90_source_sample" -> sourceSample
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q88_dedup_clusters" -> dedupClustersSql,
+    "q89_decontaminate" -> decontaminateSql,
+    "q90_source_sample" -> sourceSampleSql
+  )
+}

@@ -159,17 +159,30 @@ object Dedup {
     * |A∪B| = |A|+|B|-|A∩B| (one intersect per pair, no union). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    // Verify-side shingle sets are carried as SORTED xxhash64 arrays:
-    // the per-pair intersect is then a native merge walk
-    // (sorted_intersect_count) instead of a per-pair hash set, and the
-    // oracle's plain-string intersect yields the same CARDINALITY
-    // (distinct strings -> distinct 64-bit hashes at any realistic
-    // corpus size). The md5-based h0 stays — the oracle mirrors the
-    // minhash SIGNATURES value-for-value. The repartition comes BEFORE
-    // the signature projection so the expensive per-doc hashing runs
-    // across all cores (and, on a cluster, all executors) — computed
-    // after the exchange, not in the source file's scan stage — and so
-    // every downstream scan of the persisted base is parallel.
+    minhashPairs(spark, dir)
+      .select(col("ia"), col("ib"), round(col("jraw"), 4).as("jaccard"))
+      .orderBy("ia", "ib")
+  }
+
+  /** The VERIFIED near-dup pair stream (ia < ib, exact shingle-set
+    * Jaccard >= 0.5 on the banded MinHash candidates) — q56 digests it
+    * directly; [[Curation.dedupClusters]] consolidates it into
+    * connected components.
+    *
+    * Verify-side shingle sets are carried as SORTED xxhash64 arrays:
+    * the per-pair intersect is then a native merge walk
+    * (sorted_intersect_count) instead of a per-pair hash set, and the
+    * oracle's plain-string intersect yields the same CARDINALITY
+    * (distinct strings -> distinct 64-bit hashes at any realistic
+    * corpus size). The md5-based h0 stays — the oracle mirrors the
+    * minhash SIGNATURES value-for-value. The repartition comes BEFORE
+    * the signature projection so the expensive per-doc hashing runs
+    * across all cores (and, on a cluster, all executors) — computed
+    * after the exchange, not in the source file's scan stage — and so
+    * every downstream scan of the persisted base is parallel. */
+  private[queries] def minhashPairs(
+      spark: SparkSession, dir: String): DataFrame = memo(
+    spark, dir, "minhash_pairs") {
     val docs = minhashSigs(spark, dir)
     val bands = minhashBands(spark, dir)
     // shuffle_hash on both sides pins the self-join to a SHUFFLED plan:
@@ -193,8 +206,7 @@ object Dedup {
       .withColumn("jraw",
         col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
       .filter(col("jraw") >= 0.5)
-      .select(col("ia"), col("ib"), round(col("jraw"), 4).as("jaccard"))
-      .orderBy("ia", "ib")
+      .select(col("ia"), col("ib"), col("jraw"))
   }
 
   /** Shared DuckDB CTE chain mirroring [[shingleHashes]]+minhash
@@ -234,6 +246,24 @@ object Dedup {
        |FROM j WHERE inter / (sa + sb - inter) >= 0.5
        |ORDER BY ia, ib""".stripMargin
   }
+
+  /** DuckDB CTE chain ending in `pairs(ia, ib)` = the verified pair
+    * set of [[minhashPairs]] — ONE definition shared by q88's cluster
+    * oracle so the clustering input cannot drift from q56's pair
+    * semantics. Embed inside a `WITH [RECURSIVE]` clause. */
+  private[queries] val duckVerifiedPairCtes: String =
+    s"""$duckMinhashSigCtes,
+       |cand AS (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.shingles AS sha,
+       |         b.shingles AS shb
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE $duckSigBandMatch),
+       |pairs AS (
+       |  SELECT ia, ib FROM (
+       |    SELECT ia, ib, len(list_intersect(sha, shb)) * 1.0 AS inter,
+       |           len(sha) AS sa, len(shb) AS sb
+       |    FROM cand)
+       |  WHERE inter / (sa + sb - inter) >= 0.5)""".stripMargin
 
   // ---------------------------------------------------------------
   // q57 SimHash near-dup (exact blocked Hamming join)

@@ -1,0 +1,105 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Curation operators on constructed inputs with known answers, plus
+  * the plan-shape guarantees the 100 TB posture depends on. */
+class CurationSpec extends SparkSpec {
+
+  private def ccLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Curation.connectedComponents(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connected components: chain, triangle, crossing star, singleton-free") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, star centered on a
+    // LARGE id (20 center, smaller leaves — exercises both star steps),
+    // plus an edge listed in both orders and a self-contained pair.
+    val labels = ccLabels(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 7L), (20L, 8L), (20L, 9L),
+      (30L, 31L), (31L, 30L)))
+    assert(labels === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 20L -> 7L,
+      30L -> 30L, 31L -> 30L))
+  }
+
+  test("connected components: long chain converges within the round bound") {
+    // 40-node chain: diameter 39 >> MaxCcRounds, so convergence proves
+    // the O(log n) star-collapse (min-propagation would need 39 rounds).
+    val n = 40L
+    val labels = ccLabels((1L until n).map(i => (i, i + 1)))
+    assert(labels === (1L to n).map(_ -> 1L).toMap)
+  }
+
+  test("connected components: empty pair set yields no labels") {
+    import spark.implicits._
+    assert(Curation.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("u", "v")).isEmpty)
+  }
+
+  /** Scratch corpus dir for the document-level operators. */
+  private def corpus(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("curation_spec").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("decontamination flags exactly the docs sharing a 4-gram with the benchmark slice") {
+    // doc 0 (id % 97 == 0) is the benchmark. doc 1 embeds one of its
+    // 4-grams verbatim; doc 2 shares only a trigram; doc 3 disjoint.
+    val dir = corpus(Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "en", "s"),
+      (1L, "noise words then alpha beta gamma delta closing", "en", "s"),
+      (2L, "alpha beta gamma but never the fourth token", "en", "s"),
+      (3L, "entirely unrelated text with other words here", "en", "s")))
+    val out = Curation.decontaminate(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === (3L, 1L, 1L))
+  }
+
+  test("decontamination broadcasts the benchmark gram set") {
+    val dir = corpus(Seq(
+      (0L, "alpha beta gamma delta", "en", "s"),
+      (1L, "alpha beta gamma delta too", "en", "s")))
+    val plan = Curation.decontaminate(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast:\n$plan")
+  }
+
+  test("weighted sampling is deterministic and respects per-source rates") {
+    // src0 keeps everything (rate 10000/10000); a made-up source gets
+    // the 10% default — with 40 docs the kept set must be a strict,
+    // stable subset.
+    val rows = (0L until 40L).map(i =>
+      (i, s"doc $i body", "en", if (i < 20) "src0" else "srcX"))
+    val dir = corpus(rows)
+    val first = Curation.sourceSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(first.find(_._1 == "src0").get._3 === 20L) // rate 1.0 keeps all
+    val x = first.find(_._1 == "srcX").get
+    assert(x._3 < x._2) // default 10% keeps a strict subset
+    val second = Curation.sourceSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(first.toSeq === second.toSeq) // re-run selects identical rows
+  }
+
+  test("sampling filter involves no join or extra exchange before the rollup") {
+    val dir = corpus(Seq((0L, "t", "en", "src0")))
+    val plan = Curation.sourceSample(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"sampling must be a pure filter:\n$plan")
+  }
+}
