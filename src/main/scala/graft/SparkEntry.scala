@@ -32,6 +32,7 @@ object SparkEntry {
       "q76_empty_write_guard", // writes a scratch table per call
       "q78_xlsx_roundtrip",    // writes a local xlsx fixture per call
       "q79_read_fallback",     // writes local xlsx+csv fixtures per call
-      "q80_retry_load"         // writes scratch parquet + simulated failure
+      "q80_retry_load",        // writes scratch parquet + simulated failure
+      "q92_jsonl_quarantine"   // writes a local jsonl fixture per call
     )).sorted
 }

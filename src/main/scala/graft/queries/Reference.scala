@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.conform.Conform
-import graft.io.{CsvProbe, IdempotentWriter, JdbcSink}
+import graft.io.{CsvProbe, IdempotentWriter, JdbcSink, JsonlRead}
 import graft.norm.Coerce
 
 /** Layer-A queries: the reference's literal operator semantics
@@ -761,6 +761,48 @@ object Reference {
       |  UNION ALL SELECT 'clientes', TRUE, (SELECT count(*) FROM customer)
       |) ORDER BY dataset""".stripMargin
 
+  /** JSONL ingestion with corrupt-record quarantine
+    * ([[graft.io.JsonlRead]]): a six-line crawl-shaped fixture — three
+    * fully valid docs, one with missing fields (typed-null fill, NOT
+    * corruption, the P3 semantics), one syntactically broken line and
+    * one with a type-mismatched field (both quarantined with the raw
+    * line preserved). The digest pins the clean/quarantined partition
+    * and every clean value; JsonlReadSpec pins the same split so a
+    * Spark parse-policy change is caught locally before the driver. */
+  def jsonlQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val jsonl = Seq(
+      """{"doc_id":1,"text":"hello world","lang":"en","meta":{"src":"web","score":0.9}}""",
+      """{"doc_id":2,"text":"hola mundo","lang":"es","meta":{"src":"book","score":0.75}}""",
+      """{"doc_id":3,"lang":"fr","meta":{"src":"web"}}""",
+      """this line is not json at all""",
+      """{"doc_id":"seven","text":"bad key type","lang":"en","meta":{"src":"x","score":0.1}}""",
+      """{"doc_id":6,"text":"tail doc","lang":"de","meta":null}"""
+    ).mkString("\n")
+    val f = writeFixture("graft_docs.jsonl", jsonl, "UTF-8")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("meta", StructType(Seq(
+        StructField("src", StringType),
+        StructField("score", DoubleType))))))
+    JsonlRead.read(spark, f, schema)
+      .withColumn("bad", col(JsonlRead.CorruptCol).isNotNull)
+      .agg(
+        sum(when(!col("bad"), 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_quarantined"),
+        sum(when(!col("bad"), col("doc_id"))).as("sum_ids"),
+        round(sum(when(!col("bad"), col("meta.score"))), 4).as("sum_score"),
+        array_join(array_sort(collect_list(when(!col("bad"), col("lang")))),
+          ",").as("langs"))
+  }
+
+  val jsonlQuarantineSql: String =
+    """SELECT CAST(4 AS BIGINT) AS n_clean, CAST(2 AS BIGINT) AS n_quarantined,
+      |  CAST(12 AS BIGINT) AS sum_ids, CAST(1.65 AS DOUBLE) AS sum_score,
+      |  'de,en,es,fr' AS langs""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_time_to_minutes" -> timeToMinutesQ,
     "q31_lenient_casts" -> lenientCasts,
@@ -779,7 +821,8 @@ object Reference {
     "q77_date_helpers" -> dateHelpersQ,
     "q78_xlsx_roundtrip" -> xlsxRoundtrip,
     "q79_read_fallback" -> readFallbackQ,
-    "q80_retry_load" -> retryLoadQ
+    "q80_retry_load" -> retryLoadQ,
+    "q92_jsonl_quarantine" -> jsonlQuarantine
   )
 
   val oracle: Map[String, String] = Map(
@@ -800,6 +843,7 @@ object Reference {
     "q77_date_helpers" -> dateHelpersSql,
     "q78_xlsx_roundtrip" -> xlsxRoundtripSql,
     "q79_read_fallback" -> readFallbackSql,
-    "q80_retry_load" -> retryLoadSql
+    "q80_retry_load" -> retryLoadSql,
+    "q92_jsonl_quarantine" -> jsonlQuarantineSql
   )
 }

@@ -158,12 +158,37 @@ object StreamingQ {
       | AND p.tsus >= c.tsus AND p.tsus <= c.tsus + 600000000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Stream-static enrichment: the events stream broadcast-joined to
+    * the static `nation` dimension per micro-batch (user_id % 25 →
+    * nation key), aggregated per nation — stateless (no state store),
+    * the streaming form of the batch dimension join (q06). The oracle
+    * is the identical batch join, so stream == batch again. */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val dim = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val enriched = Streams.enrichWithDim(
+      Streams.eventsStream(spark, dir), dim,
+      col("user_id") % 25 === col("n_nationkey"))
+    val out = Streams.runToMemory(
+      enriched.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value")),
+      sink(spark, "s_enrich"), OutputMode.Complete())
+    out.orderBy("n_name")
+  }
+
+  val streamEnrichSql: String =
+    """SELECT n.n_name, count(*) AS n, round(sum(e.value), 4) AS sum_value
+      |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_stream_tumbling" -> streamTumbling,
     "q40_stream_dedup" -> streamDedup,
     "q41_stream_sessions" -> streamSessions,
     "q71_stream_sliding" -> streamSliding,
-    "q72_stream_join" -> streamJoin
+    "q72_stream_join" -> streamJoin,
+    "q91_stream_enrich" -> streamEnrich
   )
 
   val oracle: Map[String, String] = Map(
@@ -171,6 +196,7 @@ object StreamingQ {
     "q40_stream_dedup" -> streamDedupSql,
     "q41_stream_sessions" -> streamSessionsSql,
     "q71_stream_sliding" -> streamSlidingSql,
-    "q72_stream_join" -> streamJoinSql
+    "q72_stream_join" -> streamJoinSql,
+    "q91_stream_enrich" -> streamEnrichSql
   )
 }

@@ -71,6 +71,18 @@ object Streams {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sv"))
 
+  /** Stream-static dimension enrichment: every micro-batch joins the
+    * (small) static dimension table with an explicit broadcast — the
+    * standard stateless enrichment shape. No state store is involved
+    * at all (unlike any stream-stream join), and the static side is
+    * re-planned per micro-batch, so a slowly-changing dimension
+    * refreshed in place is picked up on the next batch — at 100 TB/day
+    * the stream side only ever flows through a broadcast hash join in
+    * its scan stage. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      joinExpr: org.apache.spark.sql.Column): DataFrame =
+    events.join(broadcast(dim), joinExpr)
+
   /** Stream-stream interval join: purchases attributed to a same-user
     * click within the preceding 10 minutes. Both sides carry
     * watermarks and the join predicate bounds event time in BOTH
