@@ -718,6 +718,61 @@ object Relational {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The q93 join under scoped runtime-bloom-filter confs, pre-digest —
+    * exposed so the plan spec can assert the `might_contain` injection
+    * on the exact plan the query materializes. */
+  private[queries] def bloomPruneJoinPlan(
+      spark: SparkSession, dir: String): DataFrame = {
+    val l = lineitem(spark, dir).hint("merge")
+    val o = orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").hint("merge")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("avg_revenue"))
+  }
+
+  /** Fact-fact join with a SELECTIVE dimension-side predicate, executed
+    * under Catalyst's runtime bloom-filter injection (InjectRuntimeFilter):
+    * the optimizer builds a bloom filter over the filtered orders keys
+    * as a subquery and applies `might_contain` on lineitem BEFORE its
+    * shuffle — at 100 TB, ~3/4 of the fact rows (here: the non-URGENT
+    * share) never leave the scan stage. Thresholds are scoped to this
+    * query (set, eagerly materialized via localCheckpoint, restored):
+    * the driver-shared session must not inherit a 1 KB application-side
+    * threshold. Pruning is semantics-preserving (the bloom admits every
+    * true key; the join verifies exactly), so the oracle is the plain
+    * join. */
+  def bloomPruneJoin(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    // autoBroadcastJoinThreshold=-1 reproduces the 100 TB condition at
+    // toy scale: InjectRuntimeFilter only fires for probably-SHUFFLE
+    // joins, and fact tables this small look broadcast-able.
+    val scoped = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = scoped.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // Eager materialization: injection happens at optimization time,
+      // which must run while the scoped confs are in force.
+      bloomPruneJoinPlan(spark, dir).localCheckpoint(true).orderBy("l_returnflag")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  val bloomPruneJoinSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(avg(l_extendedprice * (1 - l_discount)), 4) AS avg_revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_events_daily" -> eventsDaily,
@@ -748,7 +803,8 @@ object Relational {
     "q29_pivot_status" -> pivotStatus,
     "q66_sliding_window" -> slidingWindow,
     "q68_grouping_sets" -> groupingSets,
-    "q69_approx_percentile" -> approxPercentile
+    "q69_approx_percentile" -> approxPercentile,
+    "q93_bloom_prune_join" -> bloomPruneJoin
   )
 
   val oracle: Map[String, String] = Map(
@@ -781,6 +837,7 @@ object Relational {
     "q29_pivot_status" -> pivotStatusSql,
     "q66_sliding_window" -> slidingWindowSql,
     "q68_grouping_sets" -> groupingSetsSql,
-    "q69_approx_percentile" -> approxPercentileSql
+    "q69_approx_percentile" -> approxPercentileSql,
+    "q93_bloom_prune_join" -> bloomPruneJoinSql
   )
 }

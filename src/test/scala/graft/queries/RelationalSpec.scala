@@ -33,6 +33,36 @@ class RelationalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q93 injects a runtime bloom filter that prunes the fact side pre-shuffle") {
+    Tables.prep(spark)
+    val scoped = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // injection requires a probably-shuffle join; see bloomPruneJoin
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = scoped.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    val withBloom = try {
+      val df = Relational.bloomPruneJoinPlan(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"runtime bloom filter must inject under the scoped confs:\n$plan")
+      assert(plan.contains("bloom_filter_agg"), plan)
+      df.collect().map(_.toSeq).toSet
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    // pruning is semantics-preserving: same rows without the bloom
+    val without = {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      try Relational.bloomPruneJoinPlan(spark, dir).collect().map(_.toSeq).toSet
+      finally spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    }
+    assert(withBloom === without)
+  }
+
   test("plain fact-fact join DOES shuffle (the contrast q23 removes)") {
     Tables.prep(spark)
     val o = Tables.orders(spark, dir).select(col("o_orderkey"))
