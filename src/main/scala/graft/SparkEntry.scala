@@ -33,6 +33,7 @@ object SparkEntry {
       "q78_xlsx_roundtrip",    // writes a local xlsx fixture per call
       "q79_read_fallback",     // writes local xlsx+csv fixtures per call
       "q80_retry_load",        // writes scratch parquet + simulated failure
-      "q92_jsonl_quarantine"   // writes a local jsonl fixture per call
+      "q92_jsonl_quarantine",  // writes a local jsonl fixture per call
+      "q94_compact"            // rewrites a scratch dataset per call
     )).sorted
 }

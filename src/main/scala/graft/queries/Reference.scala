@@ -803,6 +803,35 @@ object Reference {
       |  CAST(12 AS BIGINT) AS sum_ids, CAST(1.65 AS DOUBLE) AS sum_score,
       |  'de,en,es,fr' AS langs""".stripMargin
 
+  /** Small-files compaction ([[graft.io.Compact]]), driver-checked:
+    * the documents table is written lang-partitioned as many small
+    * round-robin files (the post-incremental-load state), compacted to
+    * maxRecordsPerFile=200, and re-read. The digest pins that the data
+    * survived byte-for-byte (count + id sum), that the file count
+    * landed exactly on the per-partition ceil(rows/200) formula, and
+    * that compaction strictly reduced the file count. */
+  def compactQ(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val scratch = Files.createTempDirectory("graft_compact")
+      .resolve("docs").toString
+    documents(spark, dir).repartition(8)
+      .write.mode("overwrite").partitionBy("lang").parquet(scratch)
+    val stats = graft.io.Compact.compact(spark, scratch, Seq("lang"), 200)
+    spark.read.parquet(scratch)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_ids"))
+      .withColumn("files_after", lit(stats.filesAfter))
+      .withColumn("compacted", lit(stats.filesBefore > stats.filesAfter))
+  }
+
+  val compactSql: String =
+    """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      |  (SELECT CAST(sum(CAST(ceil(cnt / 200.0) AS BIGINT)) AS BIGINT)
+      |   FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang))
+      |    AS files_after,
+      |  TRUE AS compacted
+      |FROM documents""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_time_to_minutes" -> timeToMinutesQ,
     "q31_lenient_casts" -> lenientCasts,
@@ -822,7 +851,8 @@ object Reference {
     "q78_xlsx_roundtrip" -> xlsxRoundtrip,
     "q79_read_fallback" -> readFallbackQ,
     "q80_retry_load" -> retryLoadQ,
-    "q92_jsonl_quarantine" -> jsonlQuarantine
+    "q92_jsonl_quarantine" -> jsonlQuarantine,
+    "q94_compact" -> compactQ
   )
 
   val oracle: Map[String, String] = Map(
@@ -844,6 +874,7 @@ object Reference {
     "q78_xlsx_roundtrip" -> xlsxRoundtripSql,
     "q79_read_fallback" -> readFallbackSql,
     "q80_retry_load" -> retryLoadSql,
-    "q92_jsonl_quarantine" -> jsonlQuarantineSql
+    "q92_jsonl_quarantine" -> jsonlQuarantineSql,
+    "q94_compact" -> compactSql
   )
 }
