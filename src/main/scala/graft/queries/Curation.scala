@@ -36,11 +36,11 @@ object Curation {
   // ---------------------------------------------------------------
 
   /** Rounds bound for large-star/small-star: converges in O(log n)
-    * rounds (SoCC'14 Thm 3.2); 12 covers any graph that fits in 2^12
-    * chained hops after the first collapse — far beyond real dedup
-    * graphs. A non-converged exit raises rather than digesting a
-    * wrong partition. */
-  private val MaxCcRounds = 12
+    * rounds (SoCC'14 Thm 3.2), so 24 covers ~2^24-hop chain components
+    * — beyond any real dedup graph, and a converged run exits at its
+    * fixpoint long before the bound costs anything. A non-converged
+    * exit raises rather than digesting a wrong partition. */
+  private val MaxCcRounds = 24
 
   /** Both directions of a normalized (u < v) pair set. */
   private def bidir(p: DataFrame): DataFrame =

@@ -143,6 +143,25 @@ object Dedup {
     minhashSigs(spark, dir).select(col("doc_id"),
       posexplode(col("sig")).as(Seq("band", "mh")))
 
+  /** Distinct candidate pairs (ia < ib) from the banded self-join —
+    * memoized because BOTH verify paths consume the identical pair
+    * stream (q56/q88 via shingle Jaccard, q58 via char-trigram
+    * Jaccard), and the band join is the expensive half of each.
+    * shuffle_hash on both sides pins the self-join to a SHUFFLED
+    * plan: cached-size statistics must never flip it to a broadcast
+    * join, which would funnel all pair generation through the
+    * streamed side's (possibly single) input partitions. */
+  private def bandCandidates(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "minhash_cands") {
+      val bands = minhashBands(spark, dir)
+      bands.as("a").hint("shuffle_hash")
+        .join(bands.as("b").hint("shuffle_hash"),
+          col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .distinct()
+    }
+
   /** MinHash(k=8) signatures over 3-token shingles, one band per
     * signature row (r=1): candidate pairs are docs sharing ANY minhash
     * value, generated by a self-join on (band, value) — co-partitioned
@@ -184,17 +203,7 @@ object Dedup {
       spark: SparkSession, dir: String): DataFrame = memo(
     spark, dir, "minhash_pairs") {
     val docs = minhashSigs(spark, dir)
-    val bands = minhashBands(spark, dir)
-    // shuffle_hash on both sides pins the self-join to a SHUFFLED plan:
-    // cached-size statistics must never flip it to a broadcast join,
-    // which would funnel all pair generation through the streamed
-    // side's (possibly single) input partitions.
-    val cands = bands.as("a").hint("shuffle_hash")
-      .join(bands.as("b").hint("shuffle_hash"),
-        col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-      .distinct()
+    val cands = bandCandidates(spark, dir)
     val sa = docs.select(col("doc_id").as("ia"), col("hsh").as("sha"))
     val sb = docs.select(col("doc_id").as("ib"), col("hsh").as("shb"))
     cands.join(sa, "ia").join(sb, "ib")
@@ -382,13 +391,7 @@ object Dedup {
         .select(col("doc_id"), col("lang"), col("grams"),
           size(col("grams")).as("ng"))
     }
-    val bands = minhashBands(spark, dir)
-    val cands = bands.as("a").hint("shuffle_hash")
-      .join(bands.as("b").hint("shuffle_hash"),
-        col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-      .distinct()
+    val cands = bandCandidates(spark, dir)
     val ga = grams.select(col("doc_id").as("ia"), col("lang"),
       col("grams").as("gra"), col("ng").as("na"))
     val gb = grams.select(col("doc_id").as("ib"),
