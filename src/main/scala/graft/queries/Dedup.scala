@@ -308,24 +308,28 @@ object Dedup {
     prep(spark)
     // Derives from the shared shingle-hash base (one md5 pass for
     // q56+q57). bit_majority is the native one-pass kernel (the
-    // per-bit filter() walks cost ~4s alone at sf0.1).
-    val docs = memo(spark, dir, "simhash_sh") {
-      shingleHashes(spark, dir)
-        .select(col("doc_id"), expr("bit_majority(hs)").as("sh"))
+    // per-bit filter() walks cost ~4s alone at sf0.1). The candidate
+    // set is memoized like the MinHash bandCandidates: the block
+    // self-join is the expensive half and q57 re-runs per sweep.
+    memo(spark, dir, "simhash_cands") {
+      val docs = memo(spark, dir, "simhash_sh") {
+        shingleHashes(spark, dir)
+          .select(col("doc_id"), expr("bit_majority(hs)").as("sh"))
+      }
+      val blocks = docs.select(col("doc_id"), col("sh"),
+        explode(expr(
+          s"transform(sequence(0, ${SimhashBlocks - 1}), " +
+            s"k -> named_struct('blk', k, " +
+            s"'v', (sh >> (k * $SimhashBlockBits)) & $SimhashBlockMask))")).as("b"))
+        .select(col("doc_id"), col("sh"), col("b.blk"), col("b.v"))
+      blocks.as("a").hint("shuffle_hash")
+        .join(blocks.as("b").hint("shuffle_hash"),
+          col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+          col("a.sh").as("sha"), col("b.sh").as("shb"))
+        .distinct()
     }
-    val blocks = docs.select(col("doc_id"), col("sh"),
-      explode(expr(
-        s"transform(sequence(0, ${SimhashBlocks - 1}), " +
-          s"k -> named_struct('blk', k, " +
-          s"'v', (sh >> (k * $SimhashBlockBits)) & $SimhashBlockMask))")).as("b"))
-      .select(col("doc_id"), col("sh"), col("b.blk"), col("b.v"))
-    blocks.as("a").hint("shuffle_hash")
-      .join(blocks.as("b").hint("shuffle_hash"),
-        col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
-      .distinct()
   }
 
   val simhashSql: String =
