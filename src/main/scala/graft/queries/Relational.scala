@@ -773,6 +773,42 @@ object Relational {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Weekly cohort retention over the events table — the standard
+    * product-BI query: users cohort by the week of their FIRST event;
+    * a (cohort, offset) cell counts the cohort's distinct users still
+    * active `offset` weeks later. Scale shape: one distinct over
+    * (user, week), a groupBy-min for the cohorts, and a join back on
+    * user_id where BOTH sides are already hash-partitioned on user_id
+    * from the preceding aggregates (exchange reuse, no extra
+    * shuffle), then the small rollup. Week grains are Monday-start in
+    * both engines. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val weekly = events(spark, dir)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val cohorts = weekly.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+    weekly.join(cohorts, "user_id")
+      .withColumn("offset",
+        (datediff(col("wk"), col("cohort")) / 7).cast("int"))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH w AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+      |  FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1)
+      |SELECT cohort,
+      |  CAST(datediff('day', cohort, wk) // 7 AS INT) AS "offset",
+      |  count(DISTINCT w.user_id) AS n_users
+      |FROM w JOIN c ON w.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_events_daily" -> eventsDaily,
@@ -804,7 +840,8 @@ object Relational {
     "q66_sliding_window" -> slidingWindow,
     "q68_grouping_sets" -> groupingSets,
     "q69_approx_percentile" -> approxPercentile,
-    "q93_bloom_prune_join" -> bloomPruneJoin
+    "q93_bloom_prune_join" -> bloomPruneJoin,
+    "q95_cohort_retention" -> cohortRetention
   )
 
   val oracle: Map[String, String] = Map(
@@ -838,6 +875,7 @@ object Relational {
     "q66_sliding_window" -> slidingWindowSql,
     "q68_grouping_sets" -> groupingSetsSql,
     "q69_approx_percentile" -> approxPercentileSql,
-    "q93_bloom_prune_join" -> bloomPruneJoinSql
+    "q93_bloom_prune_join" -> bloomPruneJoinSql,
+    "q95_cohort_retention" -> cohortRetentionSql
   )
 }

@@ -45,6 +45,41 @@ class CurationSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("u", "v")).isEmpty)
   }
 
+  /** Driver-side union-find — the 20-line reference implementation the
+    * distributed star-collapse must agree with on arbitrary graphs. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // normalize: label every node with its component MIN (paths are
+    // compressed toward the min because we always parent max->min)
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connected components agree with union-find on random graphs") {
+    val gen = for {
+      n <- org.scalacheck.Gen.choose(2, 24)
+      m <- org.scalacheck.Gen.choose(1, 40)
+      edges <- org.scalacheck.Gen.listOfN(m, for {
+        a <- org.scalacheck.Gen.choose(0L, n.toLong)
+        b <- org.scalacheck.Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield edges
+    // a modest sample: each case is a full distributed CC run
+    val cases = Iterator.continually(gen.sample).flatten.take(12).toSeq
+    cases.foreach { edges =>
+      val real = edges.filter { case (a, b) => a != b }
+      val expected = unionFind(real)
+      assert(ccLabels(real) === expected, s"edges: $real")
+    }
+  }
+
   /** Scratch corpus dir for the document-level operators. */
   private def corpus(rows: Seq[(Long, String, String, String)]): String = {
     import spark.implicits._
