@@ -776,24 +776,26 @@ object Relational {
   /** Weekly cohort retention over the events table — the standard
     * product-BI query: users cohort by the week of their FIRST event;
     * a (cohort, offset) cell counts the cohort's distinct users still
-    * active `offset` weeks later. Scale shape: one distinct over
-    * (user, week), a groupBy-min for the cohorts, and a join back on
-    * user_id where BOTH sides are already hash-partitioned on user_id
-    * from the preceding aggregates (exchange reuse, no extra
-    * shuffle), then the small rollup. Week grains are Monday-start in
-    * both engines. */
+    * active `offset` weeks later. Scale shape: ONE shuffle — a single
+    * groupBy(user_id) collects each user's distinct active-week set
+    * (bounded by the calendar, so per-group state is tiny), the
+    * cohort is the set's min, and the exploded (cohort, offset) rows
+    * are already distinct per user, so the final rollup is a plain
+    * count. No self-join, no second distinct. Week grains are
+    * Monday-start in both engines. */
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val weekly = events(spark, dir)
+    events(spark, dir)
       .select(col("user_id"),
         to_date(date_trunc("week", col("ts"))).as("wk"))
-      .distinct()
-    val cohorts = weekly.groupBy("user_id").agg(min(col("wk")).as("cohort"))
-    weekly.join(cohorts, "user_id")
+      .groupBy("user_id")
+      .agg(collect_set(col("wk")).as("wks"))
+      .select(array_min(col("wks")).as("cohort"),
+        explode(col("wks")).as("wk"))
       .withColumn("offset",
         (datediff(col("wk"), col("cohort")) / 7).cast("int"))
       .groupBy(col("cohort"), col("offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort", "offset")
   }
 
