@@ -34,6 +34,7 @@ object SparkEntry {
       "q79_read_fallback",     // writes local xlsx+csv fixtures per call
       "q80_retry_load",        // writes scratch parquet + simulated failure
       "q92_jsonl_quarantine",  // writes a local jsonl fixture per call
-      "q94_compact"            // rewrites a scratch dataset per call
+      "q94_compact",           // rewrites a scratch dataset per call
+      "q96_stream_load"        // writes scratch partitioned output per call
     )).sorted
 }

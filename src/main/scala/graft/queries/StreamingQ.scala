@@ -182,13 +182,44 @@ object StreamingQ {
       |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The incremental daily load end-to-end: the events stream,
+    * projected to a date-partitioned fact shape, lands through
+    * foreachBatch + idempotent partition overwrite and is read back
+    * for the digest — run TWICE, so the digest also proves the
+    * re-run-replaces-not-duplicates contract (the reference's
+    * delete-then-insert, README.md:111). The oracle is the same
+    * digest straight off the events table. */
+  def streamLoad(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_stream_load")
+    val out = scratch.resolve("fact").toString
+    def runOnce(tag: String): Unit = Streams.incrementalLoad(
+      Streams.eventsStream(spark, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          to_date(col("ts")).as("fecha")),
+      out, "fecha", scratch.resolve(s"ckpt_$tag").toString)
+    runOnce("a")
+    runOnce("b") // fresh checkpoint -> full replay -> must REPLACE
+    spark.read.parquet(out)
+      .groupBy(col("fecha"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("fecha")
+  }
+
+  val streamLoadSql: String =
+    """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS fecha,
+      |  count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_stream_tumbling" -> streamTumbling,
     "q40_stream_dedup" -> streamDedup,
     "q41_stream_sessions" -> streamSessions,
     "q71_stream_sliding" -> streamSliding,
     "q72_stream_join" -> streamJoin,
-    "q91_stream_enrich" -> streamEnrich
+    "q91_stream_enrich" -> streamEnrich,
+    "q96_stream_load" -> streamLoad
   )
 
   val oracle: Map[String, String] = Map(
@@ -197,6 +228,7 @@ object StreamingQ {
     "q41_stream_sessions" -> streamSessionsSql,
     "q71_stream_sliding" -> streamSlidingSql,
     "q72_stream_join" -> streamJoinSql,
-    "q91_stream_enrich" -> streamEnrichSql
+    "q91_stream_enrich" -> streamEnrichSql,
+    "q96_stream_load" -> streamLoadSql
   )
 }

@@ -195,6 +195,36 @@ object Streams {
       }
   }
 
+  /** The reference's daily load in INCREMENTAL form (SURVEY §2.10):
+    * run the stream to completion (AvailableNow) and land each
+    * micro-batch through [[graft.io.IdempotentWriter
+    * .overwritePartitions]] via foreachBatch — the S9 arrival stream
+    * composed with the S7 idempotent partition overwrite. Re-running
+    * the whole job replaces the same partitions with the same rows
+    * (the reference's delete-then-insert semantics, README.md:111);
+    * within one run, each partition value must arrive in a single
+    * micro-batch (true for date-partitioned daily loads — one day per
+    * arrival file), because a later batch REPLACES any partition it
+    * touches. Checkpointing makes the replay restartable; the file
+    * commit protocol makes each batch's overwrite atomic. */
+  def incrementalLoad(df: DataFrame, path: String, partitionCol: String,
+      checkpoint: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = df.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.io.IdempotentWriter.overwritePartitions(
+            batch, path, partitionCol, addLoadDate = false)
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a
     * memory sink and return the sink table.
     *
