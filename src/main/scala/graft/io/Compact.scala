@@ -55,16 +55,28 @@ object Compact {
       else df.repartition(
         math.max(1, math.ceil(rows.toDouble / maxRecordsPerFile).toInt))
     val staging = path + ".compact_stg"
+    val retired = path + ".compact_old"
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new Path(staging), true)
+    fs.delete(new Path(retired), true)
     val writer = clustered.write
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(staging)
-    fs.delete(new Path(path), true)
+    // Rename-aside swap: the dataset is renamed away, staging renamed
+    // in, THEN the old copy is deleted — a crash between any two steps
+    // leaves a complete copy on disk (at `.compact_old` or staging),
+    // recoverable by rename, instead of a destroyed dataset. The
+    // missing-at-`path` window is two metadata renames, not a data
+    // delete. (On object stores whose rename is copy-based the window
+    // widens; there you'd swap a catalog pointer instead.)
+    require(fs.rename(new Path(path), new Path(retired)),
+      s"compaction swap failed: could not retire $path")
     require(fs.rename(new Path(staging), new Path(path)),
-      s"compaction swap failed: could not rename $staging to $path")
+      s"compaction swap failed: could not move $staging into place; " +
+        s"original data preserved at $retired")
+    fs.delete(new Path(retired), true)
     Stats(before, dataFiles(spark, path), rows)
   }
 }

@@ -164,14 +164,19 @@ object Curation {
     * same dataflow. */
   private val GramN = 4
 
-  /** Distinct GramN-token grams of the lowercased text. */
-  private def gramCol = expr(
-    s"""array_distinct(
-       |  CASE WHEN size(t) >= $GramN THEN
-       |    transform(sequence(1, size(t) - ${GramN - 1}),
-       |      i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
-       |                          element_at(t, i + 2), element_at(t, i + 3)))
-       |  ELSE cast(array() as array<string>) END)""".stripMargin)
+  /** Distinct GramN-token grams of the lowercased text (the term list
+    * is generated from GramN so the knob is real). */
+  private def gramCol = {
+    val terms = (0 until GramN)
+      .map(o => if (o == 0) "element_at(t, i)" else s"element_at(t, i + $o)")
+      .mkString(", ")
+    expr(
+      s"""array_distinct(
+         |  CASE WHEN size(t) >= $GramN THEN
+         |    transform(sequence(1, size(t) - ${GramN - 1}),
+         |      i -> concat_ws(' ', $terms))
+         |  ELSE cast(array() as array<string>) END)""".stripMargin)
+  }
 
   /** q89: flag training documents sharing any $GramN-gram with the
     * held-out benchmark slice (doc_id % 97 == 0 — stand-in for an

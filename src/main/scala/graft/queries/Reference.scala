@@ -807,9 +807,12 @@ object Reference {
     * the documents table is written lang-partitioned as many small
     * round-robin files (the post-incremental-load state), compacted to
     * maxRecordsPerFile=200, and re-read. The digest pins that the data
-    * survived byte-for-byte (count + id sum), that the file count
-    * landed exactly on the per-partition ceil(rows/200) formula, and
-    * that compaction strictly reduced the file count. */
+    * survived byte-for-byte (count + id sum) and that the file count
+    * landed exactly on the per-partition ceil(rows/200) formula.
+    * (That compaction strictly REDUCES file counts is pinned by
+    * CompactSpec on a controlled fixture — it is a property of the
+    * input layout, not corpus-size-invariant, so it has no place in
+    * a scale-parameterized oracle.) */
   def compactQ(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val scratch = Files.createTempDirectory("graft_compact")
@@ -821,15 +824,13 @@ object Reference {
       .agg(count(lit(1)).as("n_rows"),
         sum(col("doc_id")).as("sum_ids"))
       .withColumn("files_after", lit(stats.filesAfter))
-      .withColumn("compacted", lit(stats.filesBefore > stats.filesAfter))
   }
 
   val compactSql: String =
     """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
       |  (SELECT CAST(sum(CAST(ceil(cnt / 200.0) AS BIGINT)) AS BIGINT)
       |   FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang))
-      |    AS files_after,
-      |  TRUE AS compacted
+      |    AS files_after
       |FROM documents""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
