@@ -481,6 +481,187 @@ object Similarity {
   val ivfAnnNprobe2Sql: String = ivfAnnSqlImpl(2)
 
   // ---------------------------------------------------------------
+  // q97 product-quantized ANN (PQ codebooks -> ADC -> exact rerank)
+  // ---------------------------------------------------------------
+
+  private val PqM = 4          // subspaces
+  private val PqSub = Dim / PqM // 16 dims each
+  private val PqK = 16         // codes per subspace -> 4-byte code/vector
+  private val PqIters = 2
+
+  /** (vec_id, sub, sv): every vector split into its [[PqM]] contiguous
+    * subvectors — a narrow explode, no shuffle. */
+  private def subVectors(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir).select(col("vec_id"), explode(expr(
+      s"""transform(sequence(0, ${PqM - 1}),
+         |  m -> named_struct('sub', m, 'sv', slice(v, m * $PqSub + 1, $PqSub)))"""
+        .stripMargin)).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+
+  /** Product-quantization codebooks: an independent k-means per
+    * subspace, all [[PqM]] trained in ONE pipeline keyed by `sub`
+    * (4x16 centroids of 16 dims). Seeds are the [[PqK]]
+    * smallest-md5-hash VECTORS (one global TakeOrdered — sampling
+    * once and seeding every subspace from the same rows is standard,
+    * and avoids a per-subspace corpus sort); each Lloyd's iteration
+    * assigns by ROUNDED squared L2 (broadcast codebook, map-side
+    * max_by argmin) and recomputes per-(sub, cell, dim) means rounded
+    * to 6 decimals — the exact determinism discipline of the q64
+    * codebook, which the oracle mirrors CTE-for-CTE. Memoized and
+    * persisted per (session, dir) like every trained-model table. */
+  private[graft] def pqCodebook(
+      spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "pq_codebook") {
+      val subs = subVectors(spark, dir)
+      val wSeed = Window.orderBy(col("hk"), col("vec_id"))
+      var cent = vecs(spark, dir).withColumn("hk", expr(
+        "cast(conv(substr(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigint)"))
+        .orderBy(col("hk"), col("vec_id")).limit(PqK)
+        .withColumn("cell", row_number().over(wSeed) - 1)
+        .select(explode(expr(
+          s"""transform(sequence(0, ${PqM - 1}),
+             |  m -> named_struct('sub', m, 'cv', slice(v, m * $PqSub + 1, $PqSub)))"""
+            .stripMargin)).as("s"), col("cell"))
+        .select(col("s.sub").as("sub"), col("cell"), col("s.cv").as("cv"))
+      for (_ <- 1 to PqIters) {
+        cent = subs.join(broadcast(cent), "sub")
+          .withColumn("d", round(expr(
+            "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0d, (a, x) -> a + x)"),
+            6))
+          .groupBy(col("vec_id"), col("sub"))
+          .agg(max_by(struct(col("cell"), col("sv")),
+            struct(-col("d"), -col("cell"))).as("m"))
+          .select(col("sub"), col("m.cell").as("cell"),
+            posexplode(col("m.sv")).as(Seq("i", "x")))
+          .groupBy(col("sub"), col("cell"), col("i"))
+          .agg(avg(col("x")).as("cx"))
+          .groupBy(col("sub"), col("cell"))
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(i, cx))), s -> round(s.cx, 6))")
+            .as("cv"))
+      }
+      cent
+    }
+
+  /** PQ-compressed ANN: the corpus is ENCODED as [[PqM]] one-byte
+    * codes per vector (16x smaller than float32) by nearest-centroid
+    * per subspace; queries score against the RECONSTRUCTED
+    * (decoded-centroid) vectors — asymmetric distance computation,
+    * full-precision query vs compressed corpus — to build a top-15
+    * shortlist per query, then the shortlist alone is reranked with
+    * exact cosine to the final top-5. At 100 TB the scan side of ADC
+    * touches only the 4-byte codes + the broadcast 64-centroid
+    * codebook (the float corpus is read only for the ~15 rerank rows
+    * per query), and both ranking stages are bounded-heap topkRank
+    * aggregates, never a corpus-wide window sort. */
+  def pqAnn(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val e = vecs(spark, dir)
+    val cb = pqCodebook(spark, dir)
+    // encode + decode in one pass: nearest cell per (vector, subspace),
+    // then the reconstruction is the assigned centroids concatenated
+    // in subspace order. Memoized: at 100 TB the codes are the
+    // MATERIALIZED store the float corpus is compressed into — every
+    // query serves from them, none re-encodes.
+    val deq = memo(spark, dir, "pq_deq") {
+      subVectors(spark, dir).join(broadcast(cb), "sub")
+      .withColumn("d", round(expr(
+        "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0d, (a, x) -> a + x)"),
+        6))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(max_by(col("cv"), struct(-col("d"), -col("cell"))).as("cv"))
+      .groupBy(col("vec_id"))
+      .agg(expr(
+        "flatten(transform(array_sort(collect_list(struct(sub, cv))), s -> s.cv))")
+        .as("deq"))
+      .withColumn("dn", expr("sqrt(greatest(array_dot(deq, deq), 1e-30))"))
+    }
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val adc = deq.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(
+        expr("array_dot(qv, deq)") / (col("qn") * col("dn")), 4))
+    val shortlist = topkRank(adc, "qid", 15)
+      .select(col("qid"), col("vec_id"))
+    val rerank = shortlist
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(broadcast(q), "qid")
+      .withColumn("cos", round(
+        expr("array_dot(qv, v)") / (col("qn") * col("nrm")), 4))
+    topkRank(rerank, "qid", 5)
+  }
+
+  val pqAnnSql: String = {
+    val seed =
+      s"""p0 AS (
+         |  SELECT m.m AS sub, cell,
+         |    v[m.m * $PqSub + 1 : m.m * $PqSub + $PqSub] AS cv
+         |  FROM (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cell, v
+         |        FROM (SELECT vec_id, v,
+         |                ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+         |                  AS hk
+         |              FROM n)
+         |        QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= $PqK),
+         |       range(0, $PqM) m(m))""".stripMargin
+    val iters = (1 to PqIters).map { t =>
+      s"""a$t AS (
+         |  SELECT vec_id, sub, cell, sv,
+         |    row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d ASC, cell ASC) AS rc
+         |  FROM (SELECT s.vec_id, s.sub, c.cell, s.sv,
+         |          round(list_sum(list_transform(range(1, ${PqSub + 1}),
+         |            i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6) AS d
+         |        FROM subs s JOIN p${t - 1} c ON s.sub = c.sub)),
+         |p$t AS (
+         |  SELECT sub, cell, list(round(cx, 6) ORDER BY i) AS cv
+         |  FROM (SELECT sub, cell, i, avg(sv[i]) AS cx
+         |        FROM a$t, range(1, ${PqSub + 1}) t(i) WHERE rc = 1
+         |        GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    s"""WITH n AS ($duckVecs),
+       |subs AS (
+       |  SELECT vec_id, m.m AS sub,
+       |    v[m.m * $PqSub + 1 : m.m * $PqSub + $PqSub] AS sv
+       |  FROM n, range(0, $PqM) m(m)),
+       |${(seed +: iters).mkString(",\n")},
+       |enc AS (
+       |  SELECT vec_id, sub, cv,
+       |    row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY d ASC, cell ASC) AS rc
+       |  FROM (SELECT s.vec_id, s.sub, c.cell, c.cv,
+       |          round(list_sum(list_transform(range(1, ${PqSub + 1}),
+       |            i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6) AS d
+       |        FROM subs s JOIN p$PqIters c ON s.sub = c.sub)),
+       |deq AS (
+       |  SELECT vec_id, flatten(list(cv ORDER BY sub)) AS deq
+       |  FROM enc WHERE rc = 1 GROUP BY 1),
+       |dn AS (SELECT vec_id, deq,
+       |         sqrt(greatest(list_dot_product(deq, deq), 1e-30)) AS dn
+       |       FROM deq),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+       |      WHERE $queryPredSql),
+       |adc AS (SELECT qid, d.vec_id,
+       |          round(list_dot_product(qv, deq) / (qn * dn), 4) AS cos
+       |        FROM q JOIN dn d ON d.vec_id != qid),
+       |sl AS (SELECT qid, vec_id FROM (
+       |         SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, vec_id ASC) AS rnk
+       |         FROM adc) WHERE rnk <= 15),
+       |rr AS (SELECT sl.qid, sl.vec_id,
+       |         round(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 4) AS cos
+       |       FROM sl JOIN n ON sl.vec_id = n.vec_id
+       |               JOIN q ON sl.qid = q.qid),
+       |r AS (SELECT qid, vec_id, cos,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, vec_id ASC) AS rnk
+       |      FROM rr)
+       |SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q65 embedding-cosine near-dup (bucketed pair mining)
   // ---------------------------------------------------------------
 
@@ -605,7 +786,8 @@ object Similarity {
     "q64_ivf_ann" -> ivfAnn,
     "q65_embedding_neardup" -> embeddingNearDup,
     "q70_ivf_nprobe2" -> ivfAnnNprobe2,
-    "q74_int8_quant" -> int8Quant
+    "q74_int8_quant" -> int8Quant,
+    "q97_pq_ann" -> pqAnn
   )
 
   val oracle: Map[String, String] = Map(
@@ -615,6 +797,7 @@ object Similarity {
     "q64_ivf_ann" -> ivfAnnSql,
     "q65_embedding_neardup" -> embeddingNearDupSql,
     "q70_ivf_nprobe2" -> ivfAnnNprobe2Sql,
-    "q74_int8_quant" -> int8QuantSql
+    "q74_int8_quant" -> int8QuantSql,
+    "q97_pq_ann" -> pqAnnSql
   )
 }
