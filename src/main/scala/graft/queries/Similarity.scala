@@ -489,6 +489,13 @@ object Similarity {
   private val PqK = 16         // codes per subspace -> 4-byte code/vector
   private val PqIters = 2
 
+  /** ADC shortlist size — the PQ recall/cost dial (a bigger shortlist
+    * reranks more true vectors). Measured recall@5 vs exact on the
+    * sf0.01 harness embeddings (near-uniform random — the WORST case
+    * for any quantizer, real corpora cluster): 15 -> 0.32, 50 -> 0.68,
+    * 100 -> 0.76, 200 -> 0.96. */
+  private val PqShortlist = 50
+
   /** (vec_id, sub, sv): every vector split into its [[PqM]] contiguous
     * subvectors — a narrow explode, no shuffle. */
   private def subVectors(spark: SparkSession, dir: String): DataFrame =
@@ -581,7 +588,7 @@ object Similarity {
     val adc = deq.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("cos", round(
         expr("array_dot(qv, deq)") / (col("qn") * col("dn")), 4))
-    val shortlist = topkRank(adc, "qid", 15)
+    val shortlist = topkRank(adc, "qid", PqShortlist)
       .select(col("qid"), col("vec_id"))
     val rerank = shortlist
       .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
@@ -648,7 +655,7 @@ object Similarity {
        |         SELECT qid, vec_id,
        |           row_number() OVER (PARTITION BY qid
        |             ORDER BY cos DESC, vec_id ASC) AS rnk
-       |         FROM adc) WHERE rnk <= 15),
+       |         FROM adc) WHERE rnk <= $PqShortlist),
        |rr AS (SELECT sl.qid, sl.vec_id,
        |         round(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 4) AS cos
        |       FROM sl JOIN n ON sl.vec_id = n.vec_id
