@@ -113,6 +113,30 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("PQ: codebook is per-subspace-width, codes reconstruct full width, " +
+      "rerank is exact and self-excluded") {
+    val dir = corpus(120)
+    Tables.prep(spark) // registers array_dot before the direct codebook call
+    val cb = Similarity.pqCodebook(spark, dir).collect()
+    assert(cb.length <= 4 * 16) // M*K, cells may drop if emptied
+    assert(cb.forall(_.getSeq[Double](2).length === 16)) // PqSub width
+    assert(cb.map(r => (r.getInt(0), r.getInt(1))).distinct.length === cb.length)
+    val out = Similarity.pqAnn(spark, dir).collect()
+    val qids = out.map(_.getLong(0)).distinct
+    assert(qids.toSeq === Seq(0L, 100L))
+    for (q <- qids) {
+      val mine = out.filter(_.getLong(0) == q)
+      assert(mine.length === 5)
+      assert(!mine.map(_.getLong(2)).contains(q)) // self excluded
+      val cosines = mine.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(cosines === cosines.sorted.reverse)
+      // reranked scores are valid cosines (vec i and i+64 differ only
+      // in the tail coordinate, so the top ones legitimately round to
+      // 1.0 at 4 decimals)
+      assert(cosines.forall(c => c > 0.0 && c <= 1.0))
+    }
+  }
+
   test("label centroids: 3 nearest members per label, cos in [-1, 1]") {
     val dir = corpus(120)
     val out = Similarity.labelCentroids(spark, dir).collect()
