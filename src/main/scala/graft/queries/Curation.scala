@@ -47,24 +47,29 @@ object Curation {
     p.select(col("u"), col("v"))
       .union(p.select(col("v").as("u"), col("u").as("v")))
 
-  /** Normalize directed edges to a distinct (u < v) pair set,
-    * dropping self-loops. */
-  private def normalize(e: DataFrame): DataFrame =
+  /** Orient directed edges to (u < v), dropping self-loops. */
+  private def orient(e: DataFrame): DataFrame =
     e.filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
-      .distinct()
+
+  /** Orient + dedup — the canonical pair-set form the fixpoint
+    * comparison and the round inputs use. */
+  private def normalize(e: DataFrame): DataFrame = orient(e).distinct()
 
   /** Large-star: every node connects its strictly-LARGER neighbors to
     * the minimum of its closed neighborhood. Computed as a groupBy-min
     * + self-join — no neighborhood collection, so high-degree hubs
-    * never materialize an adjacency list on one task. */
+    * never materialize an adjacency list on one task. Output is
+    * oriented but NOT deduped: the only consumer is [[smallStar]],
+    * whose groupBy absorbs duplicate pairs, so a distinct here would
+    * be a wasted shuffle per round. */
   private def largeStar(p: DataFrame): DataFrame = {
     val e = bidir(p)
     val m = e.groupBy("u")
       .agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("u"), col("mv")).as("mu"))
-    normalize(
+    orient(
       e.filter(col("v") > col("u")).join(m, "u")
         .select(col("v").as("u"), col("mu").as("v")))
   }
@@ -164,19 +169,9 @@ object Curation {
     * same dataflow. */
   private val GramN = 4
 
-  /** Distinct GramN-token grams of the lowercased text (the term list
-    * is generated from GramN so the knob is real). */
-  private def gramCol = {
-    val terms = (0 until GramN)
-      .map(o => if (o == 0) "element_at(t, i)" else s"element_at(t, i + $o)")
-      .mkString(", ")
-    expr(
-      s"""array_distinct(
-         |  CASE WHEN size(t) >= $GramN THEN
-         |    transform(sequence(1, size(t) - ${GramN - 1}),
-         |      i -> concat_ws(' ', $terms))
-         |  ELSE cast(array() as array<string>) END)""".stripMargin)
-  }
+  /** Distinct GramN-token grams of the lowercased text (shared
+    * n-gram builder, [[Exprs.tokenNgrams]] — the width knob is real). */
+  private def gramCol = expr(Exprs.tokenNgrams("t", GramN))
 
   /** q89: flag training documents sharing any $GramN-gram with the
     * held-out benchmark slice (doc_id % 97 == 0 — stand-in for an
@@ -260,8 +255,8 @@ object Curation {
       when(col("source") === s, r).otherwise(acc)
     }
     documents(spark, dir)
-      .withColumn("u", expr(
-        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 10000"))
+      .withColumn("u",
+        expr(s"${Exprs.hash60("cast(doc_id as string)")} % 10000"))
       .withColumn("keep", (col("u") < rate).cast("long"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

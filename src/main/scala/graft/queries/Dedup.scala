@@ -35,24 +35,14 @@ object Dedup {
   // Derived-table memoization lives in [[Tables.memo]] (shared with
   // the IVF codebook in [[Similarity]]).
 
-  /** 60-bit deterministic hash of a string expression, identical in
-    * Spark and DuckDB (md5 prefix, hex->int; 15 hex chars = 60 bits so
-    * it fits a signed 64-bit int on both engines). */
-  private def hSql(e: String): String =
-    s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
+  /** 60-bit oracle-mirrorable hash ([[Exprs.hash60]]). */
+  private def hSql(e: String): String = Exprs.hash60(e)
 
   /** documents -> (doc_id, shingles): distinct 3-token shingles of the
-    * lowercased text. Pure narrow projection. */
+    * lowercased text ([[Exprs.tokenNgrams]]). Pure narrow projection. */
   private def withShingles(df: DataFrame): DataFrame =
     df.withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
-      .withColumn("shingles", expr(
-        """array_distinct(
-          |  CASE WHEN size(toks) >= 3 THEN
-          |    transform(sequence(1, size(toks) - 2),
-          |      i -> concat_ws(' ', element_at(toks, i),
-          |                          element_at(toks, i + 1),
-          |                          element_at(toks, i + 2)))
-          |  ELSE cast(array() as array<string>) END)""".stripMargin))
+      .withColumn("shingles", expr(Exprs.tokenNgrams("toks", 3)))
 
   /** Shared per-doc shingle-hash base (one md5 pass serves BOTH the
     * minhash signatures and the simhash bits — the hash is the

@@ -336,8 +336,7 @@ object Similarity {
     memo(spark, dir, "ivf_codebook") {
       val e = vecs(spark, dir)
       val wSeed = Window.orderBy(col("hk"), col("vec_id"))
-      var cent = e.withColumn("hk", expr(
-        "cast(conv(substr(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigint)"))
+      var cent = e.withColumn("hk", expr(Exprs.hash60("cast(vec_id as string)")))
         .orderBy(col("hk"), col("vec_id")).limit(IvfK)
         .withColumn("cell", row_number().over(wSeed) - 1)
         .select(col("cell"), col("v").as("cv"))
@@ -496,6 +495,11 @@ object Similarity {
     * 100 -> 0.76, 200 -> 0.96. */
   private val PqShortlist = 50
 
+  /** Squared L2 between a subvector and a centroid — ONE definition
+    * for the training assignment and the encoder, which must agree. */
+  private val PqDist =
+    "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0d, (a, x) -> a + x)"
+
   /** (vec_id, sub, sv): every vector split into its [[PqM]] contiguous
     * subvectors — a narrow explode, no shuffle. */
   private def subVectors(spark: SparkSession, dir: String): DataFrame =
@@ -521,8 +525,7 @@ object Similarity {
     memo(spark, dir, "pq_codebook") {
       val subs = subVectors(spark, dir)
       val wSeed = Window.orderBy(col("hk"), col("vec_id"))
-      var cent = vecs(spark, dir).withColumn("hk", expr(
-        "cast(conv(substr(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigint)"))
+      var cent = vecs(spark, dir).withColumn("hk", expr(Exprs.hash60("cast(vec_id as string)")))
         .orderBy(col("hk"), col("vec_id")).limit(PqK)
         .withColumn("cell", row_number().over(wSeed) - 1)
         .select(explode(expr(
@@ -532,9 +535,7 @@ object Similarity {
         .select(col("s.sub").as("sub"), col("cell"), col("s.cv").as("cv"))
       for (_ <- 1 to PqIters) {
         cent = subs.join(broadcast(cent), "sub")
-          .withColumn("d", round(expr(
-            "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0d, (a, x) -> a + x)"),
-            6))
+          .withColumn("d", round(expr(PqDist), 6))
           .groupBy(col("vec_id"), col("sub"))
           .agg(max_by(struct(col("cell"), col("sv")),
             struct(-col("d"), -col("cell"))).as("m"))
@@ -572,9 +573,7 @@ object Similarity {
     // query serves from them, none re-encodes.
     val deq = memo(spark, dir, "pq_deq") {
       subVectors(spark, dir).join(broadcast(cb), "sub")
-      .withColumn("d", round(expr(
-        "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0d, (a, x) -> a + x)"),
-        6))
+      .withColumn("d", round(expr(PqDist), 6))
       .groupBy(col("vec_id"), col("sub"))
       .agg(max_by(col("cv"), struct(-col("d"), -col("cell"))).as("cv"))
       .groupBy(col("vec_id"))

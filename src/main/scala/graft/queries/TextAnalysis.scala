@@ -285,7 +285,7 @@ object TextAnalysis {
     prep(spark)
     documents(spark, dir)
       .withColumn("bucket", expr(
-        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100"))
+        s"${Exprs.hash60("cast(doc_id as string)")} % 100"))
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
