@@ -62,8 +62,10 @@ object Curation {
     * + self-join — no neighborhood collection, so high-degree hubs
     * never materialize an adjacency list on one task. Output is
     * oriented but NOT deduped: the only consumer is [[smallStar]],
-    * whose groupBy absorbs duplicate pairs, so a distinct here would
-    * be a wasted shuffle per round. */
+    * whose terminal `normalize` distinct collapses duplicates (its
+    * groupBy-min is dup-insensitive and the join branch just carries
+    * the extra rows until then), so a distinct here would be a wasted
+    * shuffle per round. Any NEW consumer of this output must dedup. */
   private def largeStar(p: DataFrame): DataFrame = {
     val e = bidir(p)
     val m = e.groupBy("u")

@@ -553,24 +553,32 @@ object Similarity {
 
   /** PQ-compressed ANN: the corpus is ENCODED as [[PqM]] one-byte
     * codes per vector (16x smaller than float32) by nearest-centroid
-    * per subspace; queries score against the RECONSTRUCTED
-    * (decoded-centroid) vectors — asymmetric distance computation,
-    * full-precision query vs compressed corpus — to build a top-15
+    * per subspace; queries score against the quantized corpus —
+    * asymmetric distance computation, full-precision query vs
+    * compressed representation — to build a [[PqShortlist]]-row
     * shortlist per query, then the shortlist alone is reranked with
-    * exact cosine to the final top-5. At 100 TB the scan side of ADC
-    * touches only the 4-byte codes + the broadcast 64-centroid
-    * codebook (the float corpus is read only for the ~15 rerank rows
-    * per query), and both ranking stages are bounded-heap topkRank
-    * aggregates, never a corpus-wide window sort. */
+    * exact cosine to the final top-5. Both ranking stages are
+    * bounded-heap topkRank aggregates, never a corpus-wide window
+    * sort.
+    *
+    * Representation honesty: this implementation materializes the
+    * RECONSTRUCTED vectors (assigned centroids concatenated — 64
+    * doubles per row) and scans those, which is value-identical to
+    * code-based ADC but does NOT realize PQ's storage win. A
+    * production deployment stores only the M one-byte codes and
+    * scores each query through its per-query M x K
+    * centroid-dot-product lookup table; the reconstruction table here
+    * is the oracle-checkable local stand-in for that serving path
+    * (identical scores by construction), chosen so DuckDB can mirror
+    * the scan value-for-value. */
   def pqAnn(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val e = vecs(spark, dir)
     val cb = pqCodebook(spark, dir)
     // encode + decode in one pass: nearest cell per (vector, subspace),
     // then the reconstruction is the assigned centroids concatenated
-    // in subspace order. Memoized: at 100 TB the codes are the
-    // MATERIALIZED store the float corpus is compressed into — every
-    // query serves from them, none re-encodes.
+    // in subspace order. Memoized per (session, dir): queries serve
+    // from the encoded table, none re-encodes the corpus.
     val deq = memo(spark, dir, "pq_deq") {
       subVectors(spark, dir).join(broadcast(cb), "sub")
       .withColumn("d", round(expr(PqDist), 6))
