@@ -561,40 +561,47 @@ object Similarity {
     * bounded-heap topkRank aggregates, never a corpus-wide window
     * sort.
     *
-    * Representation honesty: this implementation materializes the
-    * RECONSTRUCTED vectors (assigned centroids concatenated — 64
-    * doubles per row) and scans those, which is value-identical to
-    * code-based ADC but does NOT realize PQ's storage win. A
-    * production deployment stores only the M one-byte codes and
-    * scores each query through its per-query M x K
-    * centroid-dot-product lookup table; the reconstruction table here
-    * is the oracle-checkable local stand-in for that serving path
-    * (identical scores by construction), chosen so DuckDB can mirror
-    * the scan value-for-value. */
+    * This is TRUE code-based ADC: the scan side reads only the
+    * encoded table ([[pqCodes]] — M codes + one norm per vector, ~8
+    * bytes vs 256 of float32) and resolves each score with [[PqM]]
+    * probes into the query's broadcast M x K dot-product lookup
+    * table; the float corpus is touched only by the bounded query
+    * side and the ~[[PqShortlist]] rerank rows per query.
+    * dot(q, reconstruction) == sum over subspaces of
+    * lut[sub, code_sub] by bilinearity, and both engines sum the M
+    * terms in subspace order, so the oracle mirrors the LUT scores
+    * exactly. */
   def pqAnn(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val e = vecs(spark, dir)
     val cb = pqCodebook(spark, dir)
-    // encode + decode in one pass: nearest cell per (vector, subspace),
-    // then the reconstruction is the assigned centroids concatenated
-    // in subspace order. Memoized per (session, dir): queries serve
-    // from the encoded table, none re-encodes the corpus.
-    val deq = memo(spark, dir, "pq_deq") {
-      subVectors(spark, dir).join(broadcast(cb), "sub")
-      .withColumn("d", round(expr(PqDist), 6))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(max_by(col("cv"), struct(-col("d"), -col("cell"))).as("cv"))
-      .groupBy(col("vec_id"))
-      .agg(expr(
-        "flatten(transform(array_sort(collect_list(struct(sub, cv))), s -> s.cv))")
-        .as("deq"))
-      .withColumn("dn", expr("sqrt(greatest(array_dot(deq, deq), 1e-30))"))
-    }
+    val enc = pqCodes(spark, dir)
     val q = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val adc = deq.join(broadcast(q), col("vec_id") =!= col("qid"))
+    // Per-query LUT: dot(q_sub, centroid) for every (sub, cell) —
+    // M x K = 64 doubles per query, keyed sub*K + cell. ~100 queries
+    // x 64 entries broadcast; the corpus scan then resolves each
+    // vector's score with M map probes, touching ONLY the codes.
+    val qlut = q.select(col("qid"), col("qn"), explode(expr(
+      s"""transform(sequence(0, ${PqM - 1}),
+         |  m -> named_struct('sub', m, 'qsv', slice(qv, m * $PqSub + 1, $PqSub)))"""
+        .stripMargin)).as("s"))
+      .select(col("qid"), col("qn"), col("s.sub").as("sub"), col("s.qsv").as("qsv"))
+      .join(broadcast(cb), "sub")
+      .withColumn("k", col("sub") * PqK + col("cell"))
+      .withColumn("dd", expr("array_dot(qsv, cv)"))
+      .groupBy(col("qid"), col("qn"))
+      .agg(map_from_entries(collect_list(struct(col("k"), col("dd"))))
+        .as("lut"))
+    // ADC: score = sum over subspaces of lut[sub*K + code_sub], an
+    // in-order fold (deterministic summation; the oracle sums the
+    // same four terms in the same sub order).
+    val adc = enc.join(broadcast(qlut), col("vec_id") =!= col("qid"))
       .withColumn("cos", round(
-        expr("array_dot(qv, deq)") / (col("qn") * col("dn")), 4))
+        expr(
+          s"""aggregate(sequence(0, ${PqM - 1}), 0D,
+             |  (a, m) -> a + element_at(lut, m * $PqK + element_at(codes, m + 1)))"""
+            .stripMargin) / (col("qn") * col("dn")), 4))
     val shortlist = topkRank(adc, "qid", PqShortlist)
       .select(col("qid"), col("vec_id"))
     val rerank = shortlist
@@ -604,6 +611,32 @@ object Similarity {
         expr("array_dot(qv, v)") / (col("qn") * col("nrm")), 4))
     topkRank(rerank, "qid", 5)
   }
+
+  /** The encoded corpus — PQ's ACTUAL store: per vector, the M
+    * one-byte codes (sub-ordered) and the reconstruction norm, ~8
+    * bytes against 256 of float32. Memoized per (session, dir):
+    * queries serve from the codes, none re-encodes. The norm is
+    * summed per-subspace IN SUB ORDER (sorted before the fold) so
+    * its floating-point value is deterministic and mirrored by the
+    * oracle's ordered list_sum. */
+  private def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "pq_codes") {
+      subVectors(spark, dir).join(broadcast(pqCodebook(spark, dir)), "sub")
+        .withColumn("d", round(expr(PqDist), 6))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(max_by(struct(col("cell"), col("cv")),
+          struct(-col("d"), -col("cell"))).as("m"))
+        .groupBy(col("vec_id"))
+        .agg(
+          expr(
+            "transform(array_sort(collect_list(struct(sub, m.cell as cell))), s -> s.cell)")
+            .as("codes"),
+          expr(
+            """sqrt(greatest(aggregate(
+              |  transform(array_sort(collect_list(struct(sub, array_dot(m.cv, m.cv) as dd))),
+              |            s -> s.dd),
+              |  0D, (a, x) -> a + x), 1e-30))""".stripMargin).as("dn"))
+    }
 
   val pqAnnSql: String = {
     val seed =
@@ -640,24 +673,35 @@ object Similarity {
        |  FROM n, range(0, $PqM) m(m)),
        |${(seed +: iters).mkString(",\n")},
        |enc AS (
-       |  SELECT vec_id, sub, cv,
+       |  SELECT vec_id, sub, cell, cv,
        |    row_number() OVER (PARTITION BY vec_id, sub
        |      ORDER BY d ASC, cell ASC) AS rc
        |  FROM (SELECT s.vec_id, s.sub, c.cell, c.cv,
        |          round(list_sum(list_transform(range(1, ${PqSub + 1}),
        |            i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6) AS d
        |        FROM subs s JOIN p$PqIters c ON s.sub = c.sub)),
-       |deq AS (
-       |  SELECT vec_id, flatten(list(cv ORDER BY sub)) AS deq
+       |codes AS (SELECT vec_id, sub, cell FROM enc WHERE rc = 1),
+       |dn AS (
+       |  SELECT vec_id,
+       |    sqrt(greatest(list_sum(
+       |      list(list_dot_product(cv, cv) ORDER BY sub)), 1e-30)) AS dn
        |  FROM enc WHERE rc = 1 GROUP BY 1),
-       |dn AS (SELECT vec_id, deq,
-       |         sqrt(greatest(list_dot_product(deq, deq), 1e-30)) AS dn
-       |       FROM deq),
        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
        |      WHERE $queryPredSql),
-       |adc AS (SELECT qid, d.vec_id,
-       |          round(list_dot_product(qv, deq) / (qn * dn), 4) AS cos
-       |        FROM q JOIN dn d ON d.vec_id != qid),
+       |qd AS (SELECT qid, qn, c.sub, c.cell,
+       |         list_dot_product(
+       |           qv[c.sub * $PqSub + 1 : c.sub * $PqSub + $PqSub], c.cv) AS dd
+       |       FROM q, p$PqIters c),
+       |adc AS (
+       |  SELECT qid, vec_id,
+       |    round(list_sum(list(dd ORDER BY sub))
+       |          / (any_value(qn) * any_value(dn)), 4) AS cos
+       |  FROM (SELECT qd.qid, co.vec_id, co.sub, qd.dd, qd.qn, dn.dn
+       |        FROM codes co
+       |        JOIN qd ON qd.sub = co.sub AND qd.cell = co.cell
+       |        JOIN dn ON dn.vec_id = co.vec_id
+       |        WHERE co.vec_id != qd.qid)
+       |  GROUP BY 1, 2),
        |sl AS (SELECT qid, vec_id FROM (
        |         SELECT qid, vec_id,
        |           row_number() OVER (PARTITION BY qid
