@@ -331,14 +331,23 @@ object Similarity {
     * whole iterative Lloyd's lineage — at 100 TB the codebook is
     * trained offline exactly once, and the memo is the local-mode
     * stand-in for that. */
+  /** The k smallest-md5-hash vectors, numbered 0..k-1 — the shared
+    * deterministic seed sample for BOTH trained codebooks (IVF full
+    * vectors, PQ subvector slices). TakeOrderedAndProject, no global
+    * sort; the window ranks only the k collected rows. */
+  private def seedRows(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val wSeed = Window.orderBy(col("hk"), col("vec_id"))
+    vecs(spark, dir)
+      .withColumn("hk", expr(Exprs.hash60("cast(vec_id as string)")))
+      .orderBy(col("hk"), col("vec_id")).limit(k)
+      .withColumn("cell", row_number().over(wSeed) - 1)
+  }
+
   private[graft] def kmeansCodebook(
       spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "ivf_codebook") {
       val e = vecs(spark, dir)
-      val wSeed = Window.orderBy(col("hk"), col("vec_id"))
-      var cent = e.withColumn("hk", expr(Exprs.hash60("cast(vec_id as string)")))
-        .orderBy(col("hk"), col("vec_id")).limit(IvfK)
-        .withColumn("cell", row_number().over(wSeed) - 1)
+      var cent = seedRows(spark, dir, IvfK)
         .select(col("cell"), col("v").as("cv"))
       for (_ <- 1 to IvfIters) {
         val cb = cent.withColumn("cn", expr("sqrt(array_dot(cv, cv))"))
@@ -424,15 +433,20 @@ object Similarity {
   /** DuckDB mirror of [[kmeansCodebook]]: seed CTE + one (assign,
     * recompute) CTE pair per iteration, ending in centroid table
     * `c$IvfIters`. */
+  /** DuckDB mirror of [[seedRows]]: the k smallest-hash vectors with
+    * 0-based cell numbers, shared by the IVF and PQ seed CTEs. */
+  private def duckSeedRows(k: Int): String =
+    s"""SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cell, v
+       |  FROM (SELECT vec_id, v,
+       |          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+       |            AS hk
+       |        FROM n)
+       |  QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= $k""".stripMargin
+
   private def duckKmeansCtes: String = {
     val seed =
       s"""c0 AS (
-         |  SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cell, v AS cv
-         |  FROM (SELECT vec_id, v,
-         |          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
-         |            AS hk
-         |        FROM n)
-         |  QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= $IvfK)""".stripMargin
+         |  SELECT cell, v AS cv FROM (${duckSeedRows(IvfK)}))""".stripMargin
     val iters = (1 to IvfIters).map { t =>
       s"""s$t AS (
          |  SELECT cell, v,
@@ -524,10 +538,7 @@ object Similarity {
       spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "pq_codebook") {
       val subs = subVectors(spark, dir)
-      val wSeed = Window.orderBy(col("hk"), col("vec_id"))
-      var cent = vecs(spark, dir).withColumn("hk", expr(Exprs.hash60("cast(vec_id as string)")))
-        .orderBy(col("hk"), col("vec_id")).limit(PqK)
-        .withColumn("cell", row_number().over(wSeed) - 1)
+      var cent = seedRows(spark, dir, PqK)
         .select(explode(expr(
           s"""transform(sequence(0, ${PqM - 1}),
              |  m -> named_struct('sub', m, 'cv', slice(v, m * $PqSub + 1, $PqSub)))"""
@@ -643,13 +654,7 @@ object Similarity {
       s"""p0 AS (
          |  SELECT m.m AS sub, cell,
          |    v[m.m * $PqSub + 1 : m.m * $PqSub + $PqSub] AS cv
-         |  FROM (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cell, v
-         |        FROM (SELECT vec_id, v,
-         |                ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
-         |                  AS hk
-         |              FROM n)
-         |        QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= $PqK),
-         |       range(0, $PqM) m(m))""".stripMargin
+         |  FROM (${duckSeedRows(PqK)}), range(0, $PqM) m(m))""".stripMargin
     val iters = (1 to PqIters).map { t =>
       s"""a$t AS (
          |  SELECT vec_id, sub, cell, sv,
