@@ -232,6 +232,105 @@ object Curation {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // q98 exact-substring span dedup
+  // ---------------------------------------------------------------
+
+  /** Span width for exact-substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" use
+    * 50 BPE tokens; 16 whitespace tokens is the proportionate width
+    * for the 20–80-token harness docs). */
+  private val SpanTok = 16
+
+  /** Polynomial span-hash modulus (prime near 2^44): the rolling
+    * value stays under 2^51 (< BIGINT on both engines, and DuckDB
+    * ERRORS on overflow where Spark wraps), while the birthday bound
+    * for ~1e9 spans is ~3e-5 expected collisions per 2^44 bucket
+    * domain per partition-sized corpus slice. */
+  private val SpanP = 17592186044423L
+  private val SpanB = 131
+
+  /** q98: exact-substring span dedup — the member of the dedup family
+    * that catches VERBATIM REGIONS shared across otherwise-different
+    * documents (boilerplate, quotations, mirrored passages), which
+    * document-level fingerprints and near-dup similarity both miss.
+    * Finds every [[SpanTok]]-token span occurring in >= 2 distinct
+    * documents and digests the affected documents per language.
+    *
+    * Spans are compared as POLYNOMIAL HASHES over per-token 60-bit
+    * md5 hashes (each token hashed once, each span a 16-step
+    * multiply-add fold — the q59 rolling-hash ethos), never as
+    * materialized span strings: the string form built+exploded ~50
+    * bytes x SpanTok per position and benched 30x slower. At 100 TB
+    * this is the span-hash-partitioned formulation: ONE shuffle of
+    * (span-hash, doc_id) pairs — the distributed alternative to a
+    * monolithic suffix array, with the same detection power at span
+    * granularity. The oracle mirrors the exact hash arithmetic
+    * (list_reduce's first-element seed equals the 0-seeded fold's
+    * first step, verified). */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    // Token hashes are computed behind an AGGREGATION BARRIER
+    // (posexplode -> hash one row per token -> reassemble in position
+    // order), not as a same-projection array: higher-order lambdas
+    // evaluate interpreted, and CollapseProject would inline the
+    // whole md5 token-hash array into the per-position span lambda —
+    // re-hashing every token once per span position (measured 16x
+    // slower). The (doc, pos, hash) shuffle is the materialization
+    // point, and each token is md5-hashed exactly once. Memoized per
+    // (session, dir) like the shingle/minhash bases: both consumers
+    // below (dup detection and the affected-doc semi-join) read it.
+    val th = memo(spark, dir, "span_tok_hashes") { documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(lower(trim(col("text"))), "\\s+"))
+          .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("lang"), col("pos"),
+        expr(s"${Exprs.hash60("tok")} % $SpanP").as("h"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, h))), s -> s.h)")
+        .as("th"))
+    }
+    val g = th
+      .withColumn("sh", expr(
+        s"""CASE WHEN size(th) >= $SpanTok THEN
+           |  array_distinct(transform(sequence(1, size(th) - ${SpanTok - 1}),
+           |    i -> aggregate(slice(th, i, $SpanTok), 0L,
+           |           (a, h) -> (a * $SpanB + h) % $SpanP)))
+           |ELSE cast(array() as array<bigint>) END""".stripMargin))
+      .select(col("doc_id"), col("lang"), explode(col("sh")).as("gh"))
+    val dup = g.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("gh"))
+    g.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("lang")).distinct()
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_affected"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy("lang")
+  }
+
+  val spanDedupSql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, lang,
+       |    list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+       |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $SpanP) AS th
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN len(th) >= $SpanTok THEN
+       |      list_distinct(list_transform(range(1, len(th) - ${SpanTok - 2}),
+       |        i -> list_reduce(th[i:i+${SpanTok - 1}],
+       |               (a, h) -> (a * $SpanB + h) % $SpanP)))
+       |    ELSE CAST([] AS BIGINT[]) END AS sh
+       |  FROM th),
+       |e AS (SELECT doc_id, lang, unnest(sh) AS gh FROM sh),
+       |d AS (SELECT gh FROM e GROUP BY gh
+       |      HAVING count(DISTINCT doc_id) >= 2),
+       |a AS (SELECT DISTINCT doc_id, lang FROM e JOIN d USING (gh))
+       |SELECT lang, count(*) AS n_affected,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // q90 deterministic weighted source sampling (domain mixing)
   // ---------------------------------------------------------------
 
@@ -288,12 +387,14 @@ object Curation {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_dedup_clusters" -> dedupClusters,
     "q89_decontaminate" -> decontaminate,
-    "q90_source_sample" -> sourceSample
+    "q90_source_sample" -> sourceSample,
+    "q98_span_dedup" -> spanDedup
   )
 
   val oracle: Map[String, String] = Map(
     "q88_dedup_clusters" -> dedupClustersSql,
     "q89_decontaminate" -> decontaminateSql,
-    "q90_source_sample" -> sourceSampleSql
+    "q90_source_sample" -> sourceSampleSql,
+    "q98_span_dedup" -> spanDedupSql
   )
 }

@@ -114,6 +114,20 @@ class CurationSpec extends SparkSpec {
       s"benchmark side must broadcast:\n$plan")
   }
 
+  test("span dedup flags exactly the docs sharing a 16-token verbatim span") {
+    val span = (1 to 16).map(i => s"tok$i").mkString(" ")
+    val dir = corpus(Seq(
+      (0L, s"prefix words $span trailing bits", "en", "s"),
+      (1L, s"other opening $span different close", "en", "s"),
+      // doc 2 shares only 15 of the 16 tokens consecutively
+      (2L, s"alpha ${(2 to 16).map(i => s"tok$i").mkString(" ")} omega", "en", "s"),
+      (3L, "entirely unrelated filler text with plenty of words to spare here today", "en", "s")))
+    val out = Curation.spanDedup(spark, dir).collect()
+    assert(out.length === 1)
+    assert((out.head.getString(0), out.head.getLong(1), out.head.getLong(2))
+      === ("en", 2L, 1L)) // docs 0 and 1; ids sum to 1
+  }
+
   test("weighted sampling is deterministic and respects per-source rates") {
     // src0 keeps everything (rate 10000/10000); a made-up source gets
     // the 10% default — with 40 docs the kept set must be a strict,
