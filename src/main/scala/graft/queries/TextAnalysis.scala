@@ -518,6 +518,113 @@ object TextAnalysis {
        |  round(sum(bits) / sum(n_toks), 4) AS avg_bits_per_tok
        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q99 BPE merge training
+  // ---------------------------------------------------------------
+
+  private val BpeMerges = 8
+  private val SymL = "\u0001" // symbol-open sentinel (never in text)
+  private val SymR = "\u0002" // symbol-close sentinel
+
+  /** q99: train [[BpeMerges]] BPE merges on the corpus — the trainer
+    * half of the tokenizer story (q54 counts with a fixed BPE-ish
+    * rule; this LEARNS the merge table, the artifact a real tokenizer
+    * build produces). Output: the learned merges in order, with their
+    * pair frequencies — deterministic via the (count desc, pair asc)
+    * tie order.
+    *
+    * Scale shape: the classic trainer operates on the WORD-FREQUENCY
+    * table, not the raw corpus — corpus-scale work is exactly ONE
+    * token count; every merge iteration runs over the vocab-sized
+    * (word, freq, symbols) table with frequencies carrying the corpus
+    * weight, and the chosen pair is broadcast. Each iterate is
+    * checkpointed (truncating the iterative lineage, like the q88
+    * star-collapse rounds).
+    *
+    * Symbol sequences are encoded as sentinel-bracketed strings
+    * (`<a><b><c>` with \\u0001/\\u0002 brackets): merging pair (a, b)
+    * is then a plain string `replace` whose leftmost-non-overlapping
+    * scan implements exactly the greedy left-to-right BPE merge (no
+    * shared characters between adjacent occurrences, so runs like
+    * `abab` merge fully in one pass, and mid-symbol false matches are
+    * impossible). Chosen over an index-fold with a (out, skip)
+    * accumulator because DuckDB 1.0 lambdas mis-evaluate captured
+    * columns in chained CTEs — the string form needs NO lambdas in
+    * the oracle's iteration, so both engines run the same trivially
+    * auditable scan. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    import org.apache.spark.sql.DataFrame
+    val words = documents(spark, dir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var st = words.withColumn("enc",
+        concat(lit(SymL), array_join(split(col("w"), ""), SymR + SymL),
+          lit(SymR)))
+      .select("w", "freq", "enc").localCheckpoint(true)
+    val merges = Seq.newBuilder[DataFrame]
+    for (t <- 1 to BpeMerges) {
+      val pairs = st.select(col("freq"),
+          expr(s"split(substring(enc, 2, length(enc) - 2), '$SymR$SymL')")
+            .as("ca"))
+        .withColumn("cb", expr("slice(ca, 2, size(ca))"))
+        .select(col("freq"), explode(expr(
+          "filter(arrays_zip(ca, cb), p -> p.cb is not null)")).as("p"))
+        .select(col("freq"), col("p.ca").as("a"), col("p.cb").as("b"))
+        .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
+      val m = pairs.orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).localCheckpoint(true)
+      merges += m.withColumn("rnk", lit(t))
+      st = st.crossJoin(broadcast(m.select(col("a"), col("b"))))
+        .withColumn("enc", expr(
+          s"replace(enc, concat('$SymL', a, '$SymR$SymL', b, '$SymR'), " +
+            s"concat('$SymL', a, b, '$SymR'))"))
+        .select("w", "freq", "enc").localCheckpoint(true)
+    }
+    merges.result().reduce(_ unionByName _)
+      .select(col("rnk"), col("a").as("left_sym"), col("b").as("right_sym"),
+        col("cnt"))
+      .orderBy("rnk")
+  }
+
+  val bpeTrainSql: String = {
+    val sep = "chr(2)||chr(1)"
+    val ctes = Seq(
+      """words AS (
+        |  SELECT tok AS w, count(*) AS freq
+        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |          AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY 1)""".stripMargin,
+      s"""s0 AS (SELECT w, freq,
+         |  chr(1) || array_to_string(string_split(w, ''), $sep) || chr(2)
+         |    AS enc
+         |  FROM words)""".stripMargin) ++
+      (1 to BpeMerges).flatMap { t =>
+        Seq(
+          s"""pc$t AS (
+             |  SELECT pr[1] AS a, pr[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+             |  FROM (SELECT freq, unnest(list_zip(arr, arr[2:])) AS pr
+             |        FROM (SELECT freq,
+             |                string_split(substr(enc, 2, length(enc) - 2),
+             |                             $sep) AS arr
+             |              FROM s${t - 1}))
+             |  WHERE pr[2] IS NOT NULL
+             |  GROUP BY 1, 2)""".stripMargin,
+          s"""m$t AS (SELECT a, b, cnt FROM pc$t
+             |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""".stripMargin,
+          s"""s$t AS (SELECT w, freq,
+             |  replace(enc, chr(1)||m.a||chr(2)||chr(1)||m.b||chr(2),
+             |          chr(1)||m.a||m.b||chr(2)) AS enc
+             |  FROM s${t - 1}, m$t m)""".stripMargin)
+      }
+    val union = (1 to BpeMerges)
+      .map(t => s"SELECT $t AS rnk, a AS left_sym, b AS right_sym, cnt FROM m$t")
+      .mkString("\nUNION ALL ")
+    s"WITH ${ctes.mkString(",\n")}\nSELECT * FROM (\n$union) ORDER BY rnk"
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_token_stats" -> tokenStats,
     "q51_quality_score" -> qualityScore,
@@ -529,7 +636,8 @@ object TextAnalysis {
     "q73_hash_split" -> hashSplit,
     "q85_repetition_stats" -> repetitionStats,
     "q86_pii_redact" -> piiRedact,
-    "q87_unigram_lm" -> unigramLm
+    "q87_unigram_lm" -> unigramLm,
+    "q99_bpe_train" -> bpeTrain
   )
 
   val oracle: Map[String, String] = Map(
@@ -543,6 +651,7 @@ object TextAnalysis {
     "q73_hash_split" -> hashSplitSql,
     "q85_repetition_stats" -> repetitionStatsSql,
     "q86_pii_redact" -> piiRedactSql,
-    "q87_unigram_lm" -> unigramLmSql
+    "q87_unigram_lm" -> unigramLmSql,
+    "q99_bpe_train" -> bpeTrainSql
   )
 }
