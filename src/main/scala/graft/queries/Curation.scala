@@ -241,13 +241,19 @@ object Curation {
     * for the 20–80-token harness docs). */
   private val SpanTok = 16
 
-  /** Polynomial span-hash modulus (prime near 2^44): the rolling
-    * value stays under 2^51 (< BIGINT on both engines, and DuckDB
-    * ERRORS on overflow where Spark wraps), while the birthday bound
-    * for ~1e9 spans is ~3e-5 expected collisions per 2^44 bucket
-    * domain per partition-sized corpus slice. */
-  private val SpanP = 17592186044423L
-  private val SpanB = 131
+  /** TWO independent polynomial span hashes (distinct bases and
+    * near-2^44 prime moduli); spans are equal iff BOTH agree — a
+    * combined ~88-bit key, because the dup join is corpus-GLOBAL: a
+    * single 2^44 hash would expect n²/2^45 false duplicate pairs
+    * (~28k at 1e9 spans — each falsely branding two unrelated docs as
+    * sharing verbatim text), while the pair expects n²/2^89 ≈ 1.6e-9.
+    * The rolling value stays under 2^61 (fold accumulator < 2^44,
+    * times base 131, plus a 60-bit token hash — inside BIGINT on both
+    * engines; DuckDB ERRORS on overflow where Spark wraps). */
+  private val SpanP1 = 17592186044423L
+  private val SpanB1 = 131
+  private val SpanP2 = 17592186044399L
+  private val SpanB2 = 137
 
   /** q98: exact-substring span dedup — the member of the dedup family
     * that catches VERBATIM REGIONS shared across otherwise-different
@@ -256,17 +262,19 @@ object Curation {
     * Finds every [[SpanTok]]-token span occurring in >= 2 distinct
     * documents and digests the affected documents per language.
     *
-    * Spans are compared as POLYNOMIAL HASHES over per-token 60-bit
-    * md5 hashes (each token hashed once, each span a 16-step
-    * multiply-add fold — the q59 rolling-hash ethos), never as
-    * materialized span strings: the string form built+exploded ~50
-    * bytes x SpanTok per position and benched 30x slower. At 100 TB
-    * this is the span-hash-partitioned formulation: ONE shuffle of
-    * (span-hash, doc_id) pairs — the distributed alternative to a
-    * monolithic suffix array, with the same detection power at span
-    * granularity. The oracle mirrors the exact hash arithmetic
-    * (list_reduce's first-element seed equals the 0-seeded fold's
-    * first step, verified). */
+    * Spans are compared as a PAIR of independent POLYNOMIAL HASHES
+    * over per-token 60-bit md5 hashes (each token hashed once, each
+    * span two 16-step multiply-add folds — the q59 rolling-hash
+    * ethos), never as materialized span strings: the string form
+    * built+exploded ~50 bytes x SpanTok per position and benched 30x
+    * slower. At 100 TB this is the span-hash-partitioned formulation:
+    * one shuffle of the distinct (span-hash pair, doc_id) set into
+    * the dup groupBy (plus its re-read for the affected-doc
+    * semi-join) — the distributed alternative to a monolithic suffix
+    * array, with the same detection power at span granularity. The
+    * oracle mirrors the exact hash arithmetic (list_reduce's
+    * first-element seed equals the 0-seeded fold's first step,
+    * verified). */
   def spanDedup(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     // Token hashes are computed behind an AGGREGATION BARRIER
@@ -275,33 +283,41 @@ object Curation {
     // evaluate interpreted, and CollapseProject would inline the
     // whole md5 token-hash array into the per-position span lambda —
     // re-hashing every token once per span position (measured 16x
-    // slower). The (doc, pos, hash) shuffle is the materialization
-    // point, and each token is md5-hashed exactly once. Memoized per
-    // (session, dir) like the shingle/minhash bases: both consumers
-    // below (dup detection and the affected-doc semi-join) read it.
-    val th = memo(spark, dir, "span_tok_hashes") { documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        posexplode(split(lower(trim(col("text"))), "\\s+"))
-          .as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("lang"), col("pos"),
-        expr(s"${Exprs.hash60("tok")} % $SpanP").as("h"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(pos, h))), s -> s.h)")
-        .as("th"))
+    // slower). The memo holds the EXPLODED per-doc span-hash set (the
+    // expensive folds run once), read by both consumers below (dup
+    // detection and the affected-doc semi-join).
+    def foldExpr(b: Int, p: Long): String =
+      s"""transform(sequence(1, size(th) - ${SpanTok - 1}),
+         |  i -> aggregate(slice(th, i, $SpanTok), 0L,
+         |         (a, h) -> (a * $b + h) % $p))""".stripMargin
+    val g = memo(spark, dir, "span_hashes") {
+      documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(lower(trim(col("text"))), "\\s+"))
+            .as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("lang"), col("pos"),
+          expr(Exprs.hash60("tok")).as("h"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, h))), s -> s.h)")
+          .as("th"))
+        // zip the two aligned per-position folds FIRST, then distinct
+        // over the pair structs (per-fold distinct would misalign).
+        .withColumn("sh", expr(
+          s"""CASE WHEN size(th) >= $SpanTok THEN
+             |  array_distinct(zip_with(${foldExpr(SpanB1, SpanP1)},
+             |    ${foldExpr(SpanB2, SpanP2)},
+             |    (x, y) -> named_struct('g1', x, 'g2', y)))
+             |ELSE cast(array() as array<struct<g1: bigint, g2: bigint>>)
+             |END""".stripMargin))
+        .select(col("doc_id"), col("lang"), explode(col("sh")).as("p"))
+        .select(col("doc_id"), col("lang"),
+          col("p.g1").as("g1"), col("p.g2").as("g2"))
     }
-    val g = th
-      .withColumn("sh", expr(
-        s"""CASE WHEN size(th) >= $SpanTok THEN
-           |  array_distinct(transform(sequence(1, size(th) - ${SpanTok - 1}),
-           |    i -> aggregate(slice(th, i, $SpanTok), 0L,
-           |           (a, h) -> (a * $SpanB + h) % $SpanP)))
-           |ELSE cast(array() as array<bigint>) END""".stripMargin))
-      .select(col("doc_id"), col("lang"), explode(col("sh")).as("gh"))
-    val dup = g.groupBy(col("gh"))
+    val dup = g.groupBy(col("g1"), col("g2"))
       .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("gh"))
-    g.join(dup, Seq("gh"), "left_semi")
+      .filter(col("nd") >= 2).select(col("g1"), col("g2"))
+    g.join(dup, Seq("g1", "g2"), "left_semi")
       .select(col("doc_id"), col("lang")).distinct()
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_affected"), sum(col("doc_id")).as("sum_ids"))
@@ -312,20 +328,29 @@ object Curation {
     s"""WITH th AS (
        |  SELECT doc_id, lang,
        |    list_transform(string_split_regex(lower(trim(text)), '\\s+'),
-       |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $SpanP) AS th
+       |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS th
        |  FROM documents),
        |sh AS (
+       |  -- no per-doc distinct here (DuckDB cannot list_distinct a
+       |  -- struct list); harmless, because every downstream aggregate
+       |  -- is doc-distinct. The Spark side keeps array_distinct as a
+       |  -- map-side reduction only.
        |  SELECT doc_id, lang,
        |    CASE WHEN len(th) >= $SpanTok THEN
-       |      list_distinct(list_transform(range(1, len(th) - ${SpanTok - 2}),
-       |        i -> list_reduce(th[i:i+${SpanTok - 1}],
-       |               (a, h) -> (a * $SpanB + h) % $SpanP)))
-       |    ELSE CAST([] AS BIGINT[]) END AS sh
+       |      list_transform(range(1, len(th) - ${SpanTok - 2}),
+       |        i -> {'g1': list_reduce(
+       |                     list_prepend(0::BIGINT, th[i:i+${SpanTok - 1}]),
+       |                     (a, h) -> (a * $SpanB1 + h) % $SpanP1),
+       |              'g2': list_reduce(
+       |                     list_prepend(0::BIGINT, th[i:i+${SpanTok - 1}]),
+       |                     (a, h) -> (a * $SpanB2 + h) % $SpanP2)})
+       |    ELSE CAST([] AS STRUCT(g1 BIGINT, g2 BIGINT)[]) END AS sh
        |  FROM th),
-       |e AS (SELECT doc_id, lang, unnest(sh) AS gh FROM sh),
-       |d AS (SELECT gh FROM e GROUP BY gh
+       |e AS (SELECT doc_id, lang, pr.g1 AS g1, pr.g2 AS g2
+       |      FROM (SELECT doc_id, lang, unnest(sh) AS pr FROM sh)),
+       |d AS (SELECT g1, g2 FROM e GROUP BY 1, 2
        |      HAVING count(DISTINCT doc_id) >= 2),
-       |a AS (SELECT DISTINCT doc_id, lang FROM e JOIN d USING (gh))
+       |a AS (SELECT DISTINCT doc_id, lang FROM e JOIN d USING (g1, g2))
        |SELECT lang, count(*) AS n_affected,
        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin

@@ -304,6 +304,18 @@ object Similarity {
   private val IvfK = 16 // codebook size; deliberately > |labels| = 10
   private val IvfIters = 2
 
+  /** The k smallest-md5-hash vectors, numbered 0..k-1 — the shared
+    * deterministic seed sample for BOTH trained codebooks (IVF full
+    * vectors, PQ subvector slices). TakeOrderedAndProject, no global
+    * sort; the window ranks only the k collected rows. */
+  private def seedRows(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val wSeed = Window.orderBy(col("hk"), col("vec_id"))
+    vecs(spark, dir)
+      .withColumn("hk", expr(Exprs.hash60("cast(vec_id as string)")))
+      .orderBy(col("hk"), col("vec_id")).limit(k)
+      .withColumn("cell", row_number().over(wSeed) - 1)
+  }
+
   /** K-means (Lloyd's) coarse-quantizer codebook, trained entirely as
     * DataFrame ops — the real IVF training step, not a label proxy:
     *
@@ -331,18 +343,6 @@ object Similarity {
     * whole iterative Lloyd's lineage — at 100 TB the codebook is
     * trained offline exactly once, and the memo is the local-mode
     * stand-in for that. */
-  /** The k smallest-md5-hash vectors, numbered 0..k-1 — the shared
-    * deterministic seed sample for BOTH trained codebooks (IVF full
-    * vectors, PQ subvector slices). TakeOrderedAndProject, no global
-    * sort; the window ranks only the k collected rows. */
-  private def seedRows(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val wSeed = Window.orderBy(col("hk"), col("vec_id"))
-    vecs(spark, dir)
-      .withColumn("hk", expr(Exprs.hash60("cast(vec_id as string)")))
-      .orderBy(col("hk"), col("vec_id")).limit(k)
-      .withColumn("cell", row_number().over(wSeed) - 1)
-  }
-
   private[graft] def kmeansCodebook(
       spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "ivf_codebook") {
@@ -430,9 +430,6 @@ object Similarity {
     topkRank(cands, "qid", 5)
   }
 
-  /** DuckDB mirror of [[kmeansCodebook]]: seed CTE + one (assign,
-    * recompute) CTE pair per iteration, ending in centroid table
-    * `c$IvfIters`. */
   /** DuckDB mirror of [[seedRows]]: the k smallest-hash vectors with
     * 0-based cell numbers, shared by the IVF and PQ seed CTEs. */
   private def duckSeedRows(k: Int): String =
@@ -443,6 +440,9 @@ object Similarity {
        |        FROM n)
        |  QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= $k""".stripMargin
 
+  /** DuckDB mirror of [[kmeansCodebook]]: seed CTE + one (assign,
+    * recompute) CTE pair per iteration, ending in centroid table
+    * `c$IvfIters`. */
   private def duckKmeansCtes: String = {
     val seed =
       s"""c0 AS (

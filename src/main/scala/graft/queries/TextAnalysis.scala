@@ -554,7 +554,6 @@ object TextAnalysis {
     * auditable scan. */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    import org.apache.spark.sql.DataFrame
     val words = documents(spark, dir)
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(col("w") =!= "")
@@ -576,10 +575,16 @@ object TextAnalysis {
       val m = pairs.orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(1).localCheckpoint(true)
       merges += m.withColumn("rnk", lit(t))
-      st = st.crossJoin(broadcast(m.select(col("a"), col("b"))))
-        .withColumn("enc", expr(
+      // LEFT join on true (not a cross join): when the vocabulary is
+      // fully merged before BpeMerges iterations, m is EMPTY — a cross
+      // join would annihilate the word table and every later iteration;
+      // the left join keeps rows with null a/b and coalesce makes the
+      // exhausted iteration a no-op. The oracle's LEFT JOIN ON TRUE +
+      // coalesce mirrors this exactly.
+      st = st.join(broadcast(m.select(col("a"), col("b"))), lit(true), "left")
+        .withColumn("enc", coalesce(expr(
           s"replace(enc, concat('$SymL', a, '$SymR$SymL', b, '$SymR'), " +
-            s"concat('$SymL', a, b, '$SymR'))"))
+            s"concat('$SymL', a, b, '$SymR'))"), col("enc")))
         .select("w", "freq", "enc").localCheckpoint(true)
     }
     merges.result().reduce(_ unionByName _)
@@ -615,9 +620,9 @@ object TextAnalysis {
           s"""m$t AS (SELECT a, b, cnt FROM pc$t
              |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""".stripMargin,
           s"""s$t AS (SELECT w, freq,
-             |  replace(enc, chr(1)||m.a||chr(2)||chr(1)||m.b||chr(2),
-             |          chr(1)||m.a||m.b||chr(2)) AS enc
-             |  FROM s${t - 1}, m$t m)""".stripMargin)
+             |  coalesce(replace(enc, chr(1)||m.a||chr(2)||chr(1)||m.b||chr(2),
+             |           chr(1)||m.a||m.b||chr(2)), enc) AS enc
+             |  FROM s${t - 1} LEFT JOIN m$t m ON TRUE)""".stripMargin)
       }
     val union = (1 to BpeMerges)
       .map(t => s"SELECT $t AS rnk, a AS left_sym, b AS right_sym, cnt FROM m$t")
