@@ -20,6 +20,16 @@ class TextAnalysisSpec extends SparkSpec {
     dir
   }
 
+  test("bpe training: learns the dominant pair first; exhausted merges are no-ops") {
+    // 'ab' x3 and 'cd' x1: merge 1 must be (a,b) cnt 3, merge 2 (c,d)
+    // cnt 1; afterwards NO pairs remain, so ranks 3..8 must not exist
+    // (and must not annihilate the earlier output).
+    val dir = corpus(Seq("ab ab", "ab cd"))
+    val out = TextAnalysis.bpeTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1, "a", "b", 3L), (2, "c", "d", 1L)))
+  }
+
   test("repetition stats: known dup-gram and top-token ground truth") {
     // doc 0: 'a b c a b c a b c' -> 9 tokens, 7 3-grams, 3 distinct
     //   -> 4 dup grams; top token count = 3 ('a'), n_tokens = 9
