@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines over the
@@ -526,76 +526,163 @@ object TextAnalysis {
   private val SymL = "\u0001" // symbol-open sentinel (never in text)
   private val SymR = "\u0002" // symbol-close sentinel
 
+  /** Codepoint-safe initial symbol encoding of the word column: one
+    * sentinel-bracketed symbol per Unicode CODEPOINT. `split(w, "")`
+    * would split on UTF-16 code units, halving non-BMP characters
+    * (emoji, astral CJK) into surrogate halves on the Spark side only
+    * — DuckDB's `string_split(w, '')` splits on codepoints, so the
+    * regex form (java.util.regex advances by codepoint; `(?s).`
+    * matches any single codepoint) is the parity-correct seed. */
+  private def encInit(colName: String): Column =
+    concat(lit(SymL),
+      array_join(expr(s"regexp_extract_all($colName, '(?s).', 0)"),
+        SymR + SymL),
+      lit(SymR))
+
+  /** Apply one learned merge (a, b) to a sentinel-encoded symbol
+    * string: a plain string `replace` whose leftmost-non-overlapping
+    * scan implements exactly the greedy left-to-right BPE merge (no
+    * shared characters between adjacent occurrences, so runs like
+    * `abab` merge fully in one pass, and mid-symbol false matches are
+    * impossible). `lit`-argument form, not an interpolated `expr`, so
+    * corpus symbols containing quotes can never corrupt the SQL. */
+  private def applyMerge(enc: Column, a: String, b: String): Column =
+    replace(enc, lit(SymL + a + SymR + SymL + b + SymR),
+      lit(SymL + a + b + SymR))
+
+  /** Adjacent-pair frequency table of a (freq, enc) vocab iterate,
+    * frequencies carrying the corpus weight. */
+  private def pairCounts(st: DataFrame): DataFrame =
+    st.select(col("freq"),
+        expr(s"split(substring(enc, 2, length(enc) - 2), '$SymR$SymL')")
+          .as("ca"))
+      .withColumn("cb", expr("slice(ca, 2, size(ca))"))
+      .select(col("freq"), explode(expr(
+        "filter(arrays_zip(ca, cb), p -> p.cb is not null)")).as("p"))
+      .select(col("freq"), col("p.ca").as("a"), col("p.cb").as("b"))
+      .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
+
+  /** Corpus word-frequency table — the ONE corpus-scale scan the
+    * trainer makes; memoized+persisted so q99 train and q100 apply
+    * share it within a session. */
+  private def bpeWords(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "bpe_words") {
+      documents(spark, dir)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    }
+
+  /** Driver-local cache of the learned merge list per (session, dir)
+    * — the merge table is the MODEL ARTIFACT (its size is the merge
+    * hyperparameter, not data-dependent: 8 here, ~50k for a real
+    * tokenizer), so holding it driver-side is the same posture as the
+    * IVF codebook, and entries are a few tuples each. */
+  private val mergeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Int, String, String, Long)]]
+
+  /** Train [[BpeMerges]] merges: each round aggregates adjacent-pair
+    * frequencies over the VOCAB-sized iterate (the corpus weight rides
+    * the `freq` column), collects the single argmax row — the
+    * "broadcast the chosen pair" step, realized as a literal in the
+    * next iterate's plan — and rewrites the encoding. Because the
+    * chosen pair is a literal, each iterate is a chain of at most
+    * [[BpeMerges]] string `replace`s over the persisted word table:
+    * the plan stays tiny with NO per-round checkpoint (and therefore
+    * no cached-block accumulation across bench sweeps — the r5 advice
+    * item). Exhaustion (vocabulary fully merged before the budget)
+    * ends training early: with no pair left, every later round is
+    * necessarily empty too, matching the oracle's empty m_t CTEs. */
+  private[queries] def trainedMerges(
+      spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    mergeCache.getOrElseUpdate((spark, dir), {
+      var st = bpeWords(spark, dir).withColumn("enc", encInit("w"))
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var t = 1
+      var exhausted = false
+      while (t <= BpeMerges && !exhausted) {
+        val top = pairCounts(st)
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val r = top(0)
+          val (a, b) = (r.getString(0), r.getString(1))
+          out += ((t, a, b, r.getLong(2)))
+          st = st.withColumn("enc", applyMerge(col("enc"), a, b))
+        }
+        t += 1
+      }
+      out.result()
+    })
+
   /** q99: train [[BpeMerges]] BPE merges on the corpus — the trainer
     * half of the tokenizer story (q54 counts with a fixed BPE-ish
     * rule; this LEARNS the merge table, the artifact a real tokenizer
-    * build produces). Output: the learned merges in order, with their
-    * pair frequencies — deterministic via the (count desc, pair asc)
-    * tie order.
+    * build produces; q100 APPLIES it). Output: the learned merges in
+    * order, with their pair frequencies — deterministic via the
+    * (count desc, pair asc) tie order.
     *
     * Scale shape: the classic trainer operates on the WORD-FREQUENCY
     * table, not the raw corpus — corpus-scale work is exactly ONE
     * token count; every merge iteration runs over the vocab-sized
-    * (word, freq, symbols) table with frequencies carrying the corpus
-    * weight, and the chosen pair is broadcast. Each iterate is
-    * checkpointed (truncating the iterative lineage, like the q88
-    * star-collapse rounds).
+    * (word, freq, symbols) table and the chosen pair crosses to the
+    * driver as ONE row (see [[trainedMerges]]).
     *
     * Symbol sequences are encoded as sentinel-bracketed strings
-    * (`<a><b><c>` with \\u0001/\\u0002 brackets): merging pair (a, b)
-    * is then a plain string `replace` whose leftmost-non-overlapping
-    * scan implements exactly the greedy left-to-right BPE merge (no
-    * shared characters between adjacent occurrences, so runs like
-    * `abab` merge fully in one pass, and mid-symbol false matches are
-    * impossible). Chosen over an index-fold with a (out, skip)
-    * accumulator because DuckDB 1.0 lambdas mis-evaluate captured
-    * columns in chained CTEs — the string form needs NO lambdas in
-    * the oracle's iteration, so both engines run the same trivially
-    * auditable scan. */
+    * (`<a><b><c>` with \\u0001/\\u0002 brackets); see [[applyMerge]]
+    * for why merge application is a plain string replace. The string
+    * form was chosen over an index-fold with a (out, skip) accumulator
+    * because DuckDB 1.0 lambdas mis-evaluate captured columns in
+    * chained CTEs — the string form needs NO lambdas in the oracle's
+    * iteration, so both engines run the same trivially auditable
+    * scan. */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val words = documents(spark, dir)
-      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    var st = words.withColumn("enc",
-        concat(lit(SymL), array_join(split(col("w"), ""), SymR + SymL),
-          lit(SymR)))
-      .select("w", "freq", "enc").localCheckpoint(true)
-    val merges = Seq.newBuilder[DataFrame]
-    for (t <- 1 to BpeMerges) {
-      val pairs = st.select(col("freq"),
-          expr(s"split(substring(enc, 2, length(enc) - 2), '$SymR$SymL')")
-            .as("ca"))
-        .withColumn("cb", expr("slice(ca, 2, size(ca))"))
-        .select(col("freq"), explode(expr(
-          "filter(arrays_zip(ca, cb), p -> p.cb is not null)")).as("p"))
-        .select(col("freq"), col("p.ca").as("a"), col("p.cb").as("b"))
-        .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
-      val m = pairs.orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).localCheckpoint(true)
-      merges += m.withColumn("rnk", lit(t))
-      // LEFT join on true (not a cross join): when the vocabulary is
-      // fully merged before BpeMerges iterations, m is EMPTY — a cross
-      // join would annihilate the word table and every later iteration;
-      // the left join keeps rows with null a/b and coalesce makes the
-      // exhausted iteration a no-op. The oracle's LEFT JOIN ON TRUE +
-      // coalesce mirrors this exactly.
-      st = st.join(broadcast(m.select(col("a"), col("b"))), lit(true), "left")
-        .withColumn("enc", coalesce(expr(
-          s"replace(enc, concat('$SymL', a, '$SymR$SymL', b, '$SymR'), " +
-            s"concat('$SymL', a, b, '$SymR'))"), col("enc")))
-        .select("w", "freq", "enc").localCheckpoint(true)
-    }
-    merges.result().reduce(_ unionByName _)
-      .select(col("rnk"), col("a").as("left_sym"), col("b").as("right_sym"),
-        col("cnt"))
-      .orderBy("rnk")
+    import spark.implicits._
+    trainedMerges(spark, dir)
+      .toDF("rnk", "left_sym", "right_sym", "cnt").orderBy("rnk")
   }
 
-  val bpeTrainSql: String = {
+  /** q100: APPLY the q99-trained merge table to the corpus — the
+    * consuming half of the tokenizer story: tokenize every word
+    * occurrence with the learned merges (in rank order, same sentinel
+    * mechanics as training) and digest per-language token counts.
+    *
+    * Scale shape: the merge table is a broadcast-sized model artifact
+    * (it rides into the plan as literals), so tokenization is a pure
+    * SCAN-STAGE expression chain — explode, encode, [[BpeMerges]]
+    * replaces, count sentinels — embarrassingly parallel with ZERO
+    * joins and zero shuffles before the per-language rollup. Token
+    * count per word = number of `SymL` sentinels in the final
+    * encoding (length minus sentinel-stripped length), avoiding a
+    * split+size array materialization per occurrence. */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val enc = trainedMerges(spark, dir).foldLeft(encInit("w")) {
+      case (e, (_, a, b, _)) => applyMerge(e, a, b)
+    }
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("n_tok",
+        length(enc) - length(replace(enc, lit(SymL), lit(""))))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"),
+        round(sum(col("n_tok")).cast("double") / count(lit(1)), 4)
+          .as("toks_per_word"))
+      .orderBy("lang")
+  }
+
+  /** The training CTE chain (words → s0 → (pc_t, m_t, s_t)*) shared by
+    * the q99 and q100 oracles: m_t is round t's chosen merge, s_t the
+    * vocab encoding after applying it. */
+  private val bpeTrainCtes: Seq[String] = {
     val sep = "chr(2)||chr(1)"
-    val ctes = Seq(
+    Seq(
       """words AS (
         |  SELECT tok AS w, count(*) AS freq
         |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
@@ -624,10 +711,46 @@ object TextAnalysis {
              |           chr(1)||m.a||m.b||chr(2)), enc) AS enc
              |  FROM s${t - 1} LEFT JOIN m$t m ON TRUE)""".stripMargin)
       }
+  }
+
+  val bpeTrainSql: String = {
     val union = (1 to BpeMerges)
       .map(t => s"SELECT $t AS rnk, a AS left_sym, b AS right_sym, cnt FROM m$t")
       .mkString("\nUNION ALL ")
-    s"WITH ${ctes.mkString(",\n")}\nSELECT * FROM (\n$union) ORDER BY rnk"
+    s"WITH ${bpeTrainCtes.mkString(",\n")}\nSELECT * FROM (\n$union) ORDER BY rnk"
+  }
+
+  /** q100 oracle: re-derive the merges with the training CTEs, then
+    * apply them per word OCCURRENCE (a0 → a8, each the identical
+    * LEFT-JOIN-ON-TRUE + replace step the trainer used on the vocab)
+    * and digest token counts per language — token count = number of
+    * chr(1) sentinels left in the final encoding. */
+  val bpeApplySql: String = {
+    val sep = "chr(2)||chr(1)"
+    val applyCtes = Seq(
+      """dw AS (
+        |  SELECT doc_id, lang, tok AS w
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '')""".stripMargin,
+      s"""a0 AS (SELECT doc_id, lang,
+         |  chr(1) || array_to_string(string_split(w, ''), $sep) || chr(2)
+         |    AS enc
+         |  FROM dw)""".stripMargin) ++
+      (1 to BpeMerges).map { t =>
+        s"""a$t AS (SELECT doc_id, lang,
+           |  coalesce(replace(enc, chr(1)||m.a||chr(2)||chr(1)||m.b||chr(2),
+           |           chr(1)||m.a||m.b||chr(2)), enc) AS enc
+           |  FROM a${t - 1} LEFT JOIN m$t m ON TRUE)""".stripMargin
+      }
+    s"""WITH ${(bpeTrainCtes ++ applyCtes).mkString(",\n")}
+       |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_words,
+       |  CAST(sum(length(enc) - length(replace(enc, chr(1), ''))) AS BIGINT)
+       |    AS n_tokens,
+       |  round(CAST(sum(length(enc) - length(replace(enc, chr(1), '')))
+       |          AS DOUBLE) / count(*), 4) AS toks_per_word
+       |FROM a$BpeMerges GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -642,7 +765,8 @@ object TextAnalysis {
     "q85_repetition_stats" -> repetitionStats,
     "q86_pii_redact" -> piiRedact,
     "q87_unigram_lm" -> unigramLm,
-    "q99_bpe_train" -> bpeTrain
+    "q99_bpe_train" -> bpeTrain,
+    "q100_bpe_apply" -> bpeApply
   )
 
   val oracle: Map[String, String] = Map(
@@ -657,6 +781,7 @@ object TextAnalysis {
     "q85_repetition_stats" -> repetitionStatsSql,
     "q86_pii_redact" -> piiRedactSql,
     "q87_unigram_lm" -> unigramLmSql,
-    "q99_bpe_train" -> bpeTrainSql
+    "q99_bpe_train" -> bpeTrainSql,
+    "q100_bpe_apply" -> bpeApplySql
   )
 }

@@ -30,6 +30,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq === Seq((1, "a", "b", 3L), (2, "c", "d", 1L)))
   }
 
+  test("bpe apply: trained merges tokenize a known corpus to hand-computed counts") {
+    // merges learned: (a,b) then (c,d) -> both words collapse to ONE
+    // token, so 4 word occurrences = 4 tokens, toks_per_word = 1.0
+    val dir = corpus(Seq("ab ab", "ab cd"))
+    val r = TextAnalysis.bpeApply(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "en")
+    assert(row.getLong(1) === 2L) // n_docs
+    assert(row.getLong(2) === 4L) // n_words
+    assert(row.getLong(3) === 4L) // n_tokens: every word fully merged
+    assert(row.getDouble(4) === 1.0)
+  }
+
+  test("bpe apply: trained counts differ from the fixed-rule q54 counts " +
+      "and sit strictly between full-merge and char-level") {
+    // Real corpus where merges matter: 8 merges leave most words
+    // multi-token, so trained counts land strictly above the
+    // word-level fixed-rule counts and strictly below the char-level
+    // baseline (what apply would give with ZERO merges).
+    val dir = "/root/testdata/sf0.001"
+    val trained = TextAnalysis.bpeApply(spark, dir)
+      .agg(sum("n_tokens")).head().getLong(0)
+    val fixedRule = TextAnalysis.tokenBpe(spark, dir)
+      .agg(sum("sum_tok")).head().getLong(0)
+    val charBaseline = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .agg(sum(length(col("w")))).head().getLong(0)
+    assert(trained !== fixedRule)
+    assert(trained < charBaseline, "the 8 learned merges must shrink counts")
+    assert(trained > fixedRule, "8 merges cannot reach word-level counts")
+  }
+
+  test("bpe train+apply: non-BMP characters stay whole codepoints") {
+    // '𝄞' (U+1D11E musical G clef) is an astral char: a
+    // UTF-16 code-unit split would halve it into surrogates and the
+    // learned merge would pair broken halves; the codepoint-safe seed
+    // must learn (clef, a) as ONE merge of TWO whole symbols.
+    val clef = new String(Character.toChars(0x1D11E))
+    val dir = corpus(Seq(s"${clef}a ${clef}a"))
+    val merges = TextAnalysis.bpeTrain(spark, dir).collect()
+    assert(merges.length === 1)
+    assert(merges.head.getString(1) === clef)
+    assert(merges.head.getString(2) === "a")
+    assert(merges.head.getLong(3) === 2L)
+    val applied = TextAnalysis.bpeApply(spark, dir).collect()
+    assert(applied.head.getLong(3) === 2L) // 2 occurrences x 1 token
+  }
+
   test("repetition stats: known dup-gram and top-token ground truth") {
     // doc 0: 'a b c a b c a b c' -> 9 tokens, 7 3-grams, 3 distinct
     //   -> 4 dup grams; top token count = 3 ('a'), n_tokens = 9
