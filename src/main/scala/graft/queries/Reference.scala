@@ -647,33 +647,45 @@ object Reference {
       |FROM orders""".stripMargin
 
   /** S2 xlsx fallback read, driver-checked end to end: the nation
-    * table is written out as a minimal spreadsheet, read back through
-    * [[graft.io.XlsxRead]] (JDK-only zip+XML — the pd.read_excel
-    * fallback, reference main.py:1345-1346), and pushed through the
-    * SAME conformance chain as a CSV drop (accented headers
-    * normalized, typed casts). The oracle states the nation rows
-    * directly, so any codec or conformance defect breaks the hash. */
+    * table — extended with a numeric and a date column — is written
+    * out as a TYPED spreadsheet (numeric cells, date-styled serial
+    * cells) and read back through [[graft.io.XlsxRead.readTyped]]
+    * (JDK-only zip+XML — the pd.read_excel fallback, reference
+    * main.py:1345-1346, which returns typed numeric/date cells). The
+    * typed columns round-trip with NO string detour: the reader must
+    * recover LONG/DOUBLE from numeric cells and TIMESTAMP from
+    * date-format cells via the styles part, exactly like openpyxl.
+    * The oracle states the rows directly, so any codec, styles, or
+    * serial-date defect breaks the hash. */
   def xlsxRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val src = nation(spark, dir)
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       .orderBy("n_nationkey").collect()
-      .map(r => Seq(r.get(0).toString, r.get(1).toString, r.get(2).toString))
+      .map { r =>
+        val k = r.get(0).toString.toLong
+        Seq[Any](k, r.get(1).toString, r.get(2).toString.toLong,
+          k + 0.25,
+          java.sql.Timestamp.from(java.time.LocalDate.of(2024, 1, 1)
+            .plusDays(k).atStartOfDay(java.time.ZoneOffset.UTC).toInstant))
+      }
     val path = Files.createTempDirectory("graft_xlsx")
       .resolve("nation.xlsx").toString
     graft.io.XlsxRead.writeMinimal(path,
-      Seq(Seq("ID", "Nombre País", "Región")) ++ src.map(_.toSeq))
-    val target = StructType(Seq(
-      StructField("id", IntegerType),
-      StructField("nombre_pais", StringType),
-      StructField("region", IntegerType)))
-    Conform.conformTo(target)(graft.io.XlsxRead.read(spark, path))
+      Seq(Seq[Any]("ID", "Nombre País", "Región", "Valor", "Fecha")) ++ src)
+    graft.io.XlsxRead.readTyped(spark, path)
+      .select(col("ID").as("id"), col("Nombre País").as("nombre_pais"),
+        col("Región").as("region"), col("Valor").as("valor"),
+        col("Fecha").as("fecha"))
       .orderBy("id")
   }
 
   val xlsxRoundtripSql: String =
-    """SELECT CAST(n_nationkey AS INTEGER) AS id, n_name AS nombre_pais,
-      |  CAST(n_regionkey AS INTEGER) AS region
+    """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS nombre_pais,
+      |  CAST(n_regionkey AS BIGINT) AS region,
+      |  CAST(n_nationkey AS DOUBLE) + 0.25 AS valor,
+      |  CAST(DATE '2024-01-01' + CAST(n_nationkey AS INTEGER) AS TIMESTAMP)
+      |    AS fecha
       |FROM nation ORDER BY 1""".stripMargin
 
   /** S1→S2 dispatch, driver-checked: the SAME nation rows arrive

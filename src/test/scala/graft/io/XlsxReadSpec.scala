@@ -59,6 +59,60 @@ class XlsxReadSpec extends SparkSpec {
     assert(rows === Seq(Seq("hello", null, "3.25"), Seq("rich")))
   }
 
+  test("readTyped: numeric, double, date, bool, string columns land typed") {
+    import org.apache.spark.sql.types._
+    val ts = java.sql.Timestamp.from(java.time.LocalDate.of(2024, 3, 15)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
+    val p = tmp("typed.xlsx")
+    XlsxRead.writeMinimal(p, Seq(
+      Seq[Any]("id", "valor", "fecha", "ok", "nombre"),
+      Seq[Any](7L, 1.25, ts, java.lang.Boolean.TRUE, "Ana"),
+      Seq[Any](8L, 2.5, ts, java.lang.Boolean.FALSE, "Luz")))
+    val df = XlsxRead.readTyped(spark, p)
+    assert(df.schema.map(_.dataType) ===
+      Seq(LongType, DoubleType, TimestampType, BooleanType, StringType))
+    val r = df.orderBy("id").collect()
+    assert(r(0).getLong(0) === 7L)
+    assert(r(0).getDouble(1) === 1.25)
+    assert(r(0).getTimestamp(2) === ts)
+    assert(r(0).getBoolean(3) === true)
+    assert(r(1).getString(4) === "Luz")
+  }
+
+  test("readTyped: a mixed-type column degrades to string (object dtype)") {
+    import org.apache.spark.sql.types._
+    val p = tmp("mixed.xlsx")
+    XlsxRead.writeMinimal(p, Seq(
+      Seq[Any]("mix"),
+      Seq[Any](7L),
+      Seq[Any]("texto")))
+    val df = XlsxRead.readTyped(spark, p)
+    assert(df.schema.head.dataType === StringType)
+    assert(df.collect().map(_.getString(0)).toSet === Set("7", "texto"))
+  }
+
+  test("custom date format codes: openpyxl-style heuristic") {
+    assert(XlsxRead.isDateFormatCode("dd/mm/yyyy"))
+    assert(XlsxRead.isDateFormatCode("[$-409]d\\-mmm\\-yy"))
+    assert(!XlsxRead.isDateFormatCode("0.00%"))
+    // 'd' only inside a quoted literal is NOT a date token
+    assert(!XlsxRead.isDateFormatCode("0.0\"dB\""))
+  }
+
+  test("driver-parse size guard: over-cap workbook fails with an " +
+      "actionable error") {
+    val p = tmp("big.xlsx")
+    XlsxRead.writeMinimal(p, Seq(Seq("a"), Seq("1")))
+    val e = intercept[IllegalArgumentException] {
+      XlsxRead.read(spark, p, maxBytes = 10L)
+    }
+    assert(e.getMessage.contains("driver-parse"))
+    assert(e.getMessage.contains("10-byte"))
+    assert(e.getMessage.contains("raise the cap"))
+    // the same file passes under the default cap
+    assert(XlsxRead.readRows(p).length === 2)
+  }
+
   test("read(): header row becomes the schema, data rows padded") {
     val p = tmp("df.xlsx")
     XlsxRead.writeMinimal(p, Seq(
