@@ -2,8 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cfg = graft.io.Config.fromEnv
+    val sfDir = cfg.optional("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = cfg.int("SPARK_GRAFT_CPUS", 32).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -9,7 +9,7 @@ object Verify {
     // Optional extra args: run only these query names (local dev loop;
     // the driver always passes exactly two args -> full run).
     val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = graft.io.Config.fromEnv.int("SPARK_GRAFT_CPUS", 4).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
