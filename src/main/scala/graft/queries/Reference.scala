@@ -327,19 +327,25 @@ object Reference {
     * missing entirely) → probe → conform → coerce → drop-bad-fecha →
     * idempotent partitioned write → read back. The oracle pins every
     * one of the 66 output cells. */
+  /** The golden conducta arrival fixture (shared by q37 and the q101
+    * audited run): the CRM's real dirty headers (accents, `%`,
+    * reserved words, two columns missing entirely), 5 raw rows of
+    * which exactly 3 survive the transform. */
+  private val conductaCsvFixture: String =
+    "Agente;Fecha;ID;Campaña;In;% In;In Rechazadas / Ignoradas;% In Rechazadas / Ignoradas;" +
+      "In Atendidas;% In Atendidas;Out;% Out;Out Rechazadas / Ignoradas;% Out Rechazadas / Ignoradas;" +
+      "Out Atendidas;% Out Atendidas;Out Dialing;% Out Dialing;" +
+      "Tiempo Medio De Respuesta In;Tiempo Medio De Respuesta Out\n" +
+      "Juan Pérez;15/01/2024;101;Ventas;25;95.5;2;7.7;23;92.0;10;40.0;1;10.0;9;90.0;5;50.0;00:02:30;0:45\n" +
+      "María García;16/01/2024;102;Café;-;;x;5;7;28.5;8;junk;;-;3;37.5;0;0;90;-\n" +
+      ";;;;;;;;;;;;;;;;;;;\n" + // all-null row -> F1 dropna(how='all')
+      "Fantasma;not-a-date;103;X;1;1;1;1;1;1;1;1;1;1;1;1;1;1;1:00;1:00\n" +
+      "Ñandú Ops;5/2/2024;007;Niño;0;0;0;0;0;0;0;0;0;0;0;0;0;0;1:02:30;10:30\n"
+
   def conductaPipeline(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val csv =
-      "Agente;Fecha;ID;Campaña;In;% In;In Rechazadas / Ignoradas;% In Rechazadas / Ignoradas;" +
-        "In Atendidas;% In Atendidas;Out;% Out;Out Rechazadas / Ignoradas;% Out Rechazadas / Ignoradas;" +
-        "Out Atendidas;% Out Atendidas;Out Dialing;% Out Dialing;" +
-        "Tiempo Medio De Respuesta In;Tiempo Medio De Respuesta Out\n" +
-        "Juan Pérez;15/01/2024;101;Ventas;25;95.5;2;7.7;23;92.0;10;40.0;1;10.0;9;90.0;5;50.0;00:02:30;0:45\n" +
-        "María García;16/01/2024;102;Café;-;;x;5;7;28.5;8;junk;;-;3;37.5;0;0;90;-\n" +
-        ";;;;;;;;;;;;;;;;;;;\n" + // all-null row -> F1 dropna(how='all')
-        "Fantasma;not-a-date;103;X;1;1;1;1;1;1;1;1;1;1;1;1;1;1;1:00;1:00\n" +
-        "Ñandú Ops;5/2/2024;007;Niño;0;0;0;0;0;0;0;0;0;0;0;0;0;0;1:02:30;10:30\n"
-    val path = writeFixture("graft_conducta_full.csv", csv, "ISO-8859-1")
+    val path =
+      writeFixture("graft_conducta_full.csv", conductaCsvFixture, "ISO-8859-1")
     val transformed = graft.conform.Pipeline.conducta(CsvProbe.read(spark, path))
     val out = java.nio.file.Paths
       .get(System.getProperty("java.io.tmpdir"), "graft_conducta_tbl").toString
@@ -845,6 +851,58 @@ object Reference {
       |    AS files_after
       |FROM documents""".stripMargin
 
+  /** R2 run-audit, driver-checked end to end: the conducta golden
+    * pipeline runs AUDITED — extract / transform / load each record a
+    * structured (dataset, phase, rows in/out, duration, outcome) row
+    * via [[graft.io.RunAudit]] (the reference's per-phase operational
+    * log, main.py:1260/1307/1577, as a queryable table). The audit
+    * trail lands in a parquet table and the query digests it; the
+    * oracle pins the deterministic columns (row counts per phase,
+    * outcomes) — 5 raw rows in, 3 conformed out, 3 loaded. */
+  def runAuditQ(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val path =
+      writeFixture("graft_conducta_audit.csv", conductaCsvFixture, "ISO-8859-1")
+    val out = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), "graft_conducta_audit_tbl")
+      .toString
+    val auditTbl = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), "graft_run_audit_tbl")
+      .toString
+    deleteRecursively(out)
+    deleteRecursively(auditTbl)
+    val audit = new graft.io.RunAudit("q101")
+    val raw = audit.phase[DataFrame]("conducta", "extract") {
+      val df = CsvProbe.read(spark, path)
+      (df, df.count())
+    }
+    val nRaw = raw.count()
+    val transformed =
+      audit.phase[DataFrame]("conducta", "transform", Some(nRaw)) {
+        val t = graft.conform.Pipeline.conducta(raw)
+        (t, t.count())
+      }
+    val nTrans = transformed.count()
+    audit.phase[Unit]("conducta", "load", Some(nTrans)) {
+      IdempotentWriter.overwritePartitions(transformed, out)
+      ((), spark.read.parquet(out).count())
+    }
+    audit.write(spark, auditTbl)
+    spark.read.parquet(auditTbl)
+      .select(col("seq"), col("dataset"), col("phase"), col("rows_in"),
+        col("rows_out"), col("outcome"))
+      .orderBy("seq")
+  }
+
+  val runAuditSql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS INTEGER), 'conducta', 'extract', CAST(NULL AS BIGINT),
+      |   CAST(5 AS BIGINT), 'ok'),
+      |  (2, 'conducta', 'transform', 5, 3, 'ok'),
+      |  (3, 'conducta', 'load', 3, 3, 'ok'))
+      |  t(seq, dataset, phase, rows_in, rows_out, outcome)
+      |ORDER BY seq""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_time_to_minutes" -> timeToMinutesQ,
     "q31_lenient_casts" -> lenientCasts,
@@ -865,7 +923,8 @@ object Reference {
     "q79_read_fallback" -> readFallbackQ,
     "q80_retry_load" -> retryLoadQ,
     "q92_jsonl_quarantine" -> jsonlQuarantine,
-    "q94_compact" -> compactQ
+    "q94_compact" -> compactQ,
+    "q101_run_audit" -> runAuditQ
   )
 
   val oracle: Map[String, String] = Map(
@@ -888,6 +947,7 @@ object Reference {
     "q79_read_fallback" -> readFallbackSql,
     "q80_retry_load" -> retryLoadSql,
     "q92_jsonl_quarantine" -> jsonlQuarantineSql,
-    "q94_compact" -> compactSql
+    "q94_compact" -> compactSql,
+    "q101_run_audit" -> runAuditSql
   )
 }
