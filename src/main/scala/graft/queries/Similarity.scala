@@ -842,6 +842,78 @@ object Similarity {
        |  round(avg(cos_rec), 6) AS avg_cos_rec
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q102 ANN recall vs exact (the quality ladder as a first-class query)
+  // ---------------------------------------------------------------
+
+  /** q102: recall@5 of every ANN variant against the exact q60
+    * baseline, computed INSIDE the engine — the measurement a real
+    * ANN deployment runs continuously (an index whose recall silently
+    * collapses is worse than a slow exact scan, so the quality ladder
+    * must be a monitored table, not a number in a commit message).
+    *
+    * Shape: exact top-5 (bounded: ~[[QueryBudget]] x 5 rows) and each
+    * approximate top-5 are tiny derived tables; the hit join and the
+    * rollup never touch the corpus beyond what the underlying queries
+    * (whose signature/codebook/codes tables are memoized and shared)
+    * already do. recall@5 = hits / (5 x queries), micro-averaged.
+    * n_results is carried so a variant quietly returning fewer than 5
+    * rows per query (sparse LSH candidates) is visible, not absorbed
+    * into the recall denominator. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val exact5 = cosineTopK(spark, dir).filter(col("rnk") <= 5)
+      .select(col("qid"), col("vec_id"))
+    val methods = Seq(
+      "ivf_nprobe1" -> ivfAnn(spark, dir),
+      "ivf_nprobe2" -> ivfAnnNprobe2(spark, dir),
+      "lsh" -> annLsh(spark, dir),
+      "pq" -> pqAnn(spark, dir))
+    val approx = methods.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("qid"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    val flagged = approx.join(
+      exact5.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+    val nq = exact5.agg(countDistinct(col("qid")).as("n_queries"))
+    flagged.groupBy(col("method"))
+      .agg(count(lit(1)).as("n_results"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("method"), col("n_queries"), col("n_results"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / (lit(5) * col("n_queries")), 4)
+          .as("recall_at_5"))
+      .orderBy("method")
+  }
+
+  /** The oracle re-derives exact and every ANN variant from their OWN
+    * oracle SQL (verbatim, as derived tables — DuckDB scopes each
+    * nested WITH) and mirrors the same hit join and rollup, so q102
+    * cross-checks the recall arithmetic end to end. */
+  val annRecallSql: String =
+    s"""WITH ex AS (SELECT qid, vec_id FROM ($cosineTopKSql) WHERE rnk <= 5),
+       |ap AS (
+       |  SELECT 'ivf_nprobe1' AS method, qid, vec_id FROM ($ivfAnnSql)
+       |  UNION ALL
+       |  SELECT 'ivf_nprobe2' AS method, qid, vec_id FROM ($ivfAnnNprobe2Sql)
+       |  UNION ALL
+       |  SELECT 'lsh' AS method, qid, vec_id FROM ($annLshSql)
+       |  UNION ALL
+       |  SELECT 'pq' AS method, qid, vec_id FROM ($pqAnnSql)),
+       |nq AS (SELECT count(DISTINCT qid) AS n_queries FROM ex),
+       |h AS (
+       |  SELECT method, count(*) AS n_results,
+       |    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM (SELECT ap.method, ap.qid, ap.vec_id,
+       |          EXISTS(SELECT 1 FROM ex
+       |                 WHERE ex.qid = ap.qid AND ex.vec_id = ap.vec_id)
+       |            AS hit
+       |        FROM ap)
+       |  GROUP BY 1)
+       |SELECT method, n_queries, n_results, n_hits,
+       |  round(CAST(n_hits AS DOUBLE) / (5 * n_queries), 4) AS recall_at_5
+       |FROM h, nq ORDER BY method""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_cosine_topk" -> cosineTopK,
     "q61_ann_lsh" -> annLsh,
@@ -850,7 +922,8 @@ object Similarity {
     "q65_embedding_neardup" -> embeddingNearDup,
     "q70_ivf_nprobe2" -> ivfAnnNprobe2,
     "q74_int8_quant" -> int8Quant,
-    "q97_pq_ann" -> pqAnn
+    "q97_pq_ann" -> pqAnn,
+    "q102_ann_recall" -> annRecall
   )
 
   val oracle: Map[String, String] = Map(
@@ -861,6 +934,7 @@ object Similarity {
     "q65_embedding_neardup" -> embeddingNearDupSql,
     "q70_ivf_nprobe2" -> ivfAnnNprobe2Sql,
     "q74_int8_quant" -> int8QuantSql,
-    "q97_pq_ann" -> pqAnnSql
+    "q97_pq_ann" -> pqAnnSql,
+    "q102_ann_recall" -> annRecallSql
   )
 }
