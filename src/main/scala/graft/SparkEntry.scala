@@ -36,6 +36,7 @@ object SparkEntry {
       "q92_jsonl_quarantine",  // writes a local jsonl fixture per call
       "q94_compact",           // rewrites a scratch dataset per call
       "q96_stream_load",       // writes scratch partitioned output per call
-      "q101_run_audit"         // driver-local fixture + audited write per call
+      "q101_run_audit",        // driver-local fixture + audited write per call
+      "q103_stream_dedup_corpus" // writes scratch corpus output per call
     )).sorted
 }

@@ -212,6 +212,48 @@ object StreamingQ {
       |  count(*) AS n, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The q55 canonical token-set fingerprint as a Column — ONE
+    * definition shared with the streaming dedup load so batch and
+    * stream cannot disagree on document identity. */
+  private[graft] val docFingerprint =
+    md5(expr(
+      "array_join(array_sort(array_distinct(split(lower(trim(text)), '\\\\s+'))), ' ')"))
+
+  /** Incremental corpus dedup end-to-end (q96's incremental-load shape
+    * composed with q55's exact dedup): the documents arrival stream
+    * lands through [[Streams.dedupCorpusLoad]] — within-batch keeper
+    * collapse, anti-join against the corpus table's seen-fingerprint
+    * set, append survivors — run TWICE (second run = fresh checkpoint
+    * full replay) so the digest also proves the all-seen re-run
+    * appends NOTHING. The oracle is the batch q55 keeper set digested
+    * per language: stream == batch including every keeper choice. */
+  def streamDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_stream_dedup")
+    val out = scratch.resolve("corpus").toString
+    def runOnce(tag: String): Unit = Streams.dedupCorpusLoad(
+      Streams.documentsStream(spark, dir), docFingerprint,
+      out, scratch.resolve(s"ckpt_$tag").toString)
+    runOnce("a")
+    runOnce("b") // full replay -> all fingerprints seen -> no appends
+    spark.read.parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy("lang")
+  }
+
+  val streamDedupCorpusSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    md5(array_to_string(list_sort(list_distinct(
+      |      string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
+      |  FROM documents),
+      |k AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY 1),
+      |s AS (SELECT f.lang, k.doc_id FROM k JOIN f ON f.doc_id = k.doc_id)
+      |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_stream_tumbling" -> streamTumbling,
     "q40_stream_dedup" -> streamDedup,
@@ -219,7 +261,8 @@ object StreamingQ {
     "q71_stream_sliding" -> streamSliding,
     "q72_stream_join" -> streamJoin,
     "q91_stream_enrich" -> streamEnrich,
-    "q96_stream_load" -> streamLoad
+    "q96_stream_load" -> streamLoad,
+    "q103_stream_dedup_corpus" -> streamDedupCorpus
   )
 
   val oracle: Map[String, String] = Map(
@@ -229,6 +272,7 @@ object StreamingQ {
     "q71_stream_sliding" -> streamSlidingSql,
     "q72_stream_join" -> streamJoinSql,
     "q91_stream_enrich" -> streamEnrichSql,
-    "q96_stream_load" -> streamLoadSql
+    "q96_stream_load" -> streamLoadSql,
+    "q103_stream_dedup_corpus" -> streamDedupCorpusSql
   )
 }

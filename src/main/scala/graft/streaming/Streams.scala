@@ -225,6 +225,73 @@ object Streams {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  private val DocsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming source over the documents parquet — the corpus-arrival
+    * stream (new crawl/dump drops discovered by listing, the S9 shape
+    * over documents instead of events). */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(DocsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+
+  /** Incremental corpus dedup — how the 100 TB pipeline actually runs
+    * daily: arriving documents are deduped against the SEEN fingerprint
+    * set and only first-seen documents land in the corpus table. Each
+    * micro-batch (via foreachBatch, so the batch is a plain DataFrame):
+    *
+    *   1. fingerprints its documents (`fpExpr` — the q55 canonical
+    *      token-set fingerprint),
+    *   2. collapses within-batch duplicates keeping the smallest
+    *      doc_id (the q55 keeper rule),
+    *   3. anti-joins against the corpus table's fingerprint column
+    *      (the seen set), and
+    *   4. APPENDS the survivors.
+    *
+    * The seen set is the corpus TABLE itself, not stream state: corpus
+    * identity is unbounded by design, and a state store is the wrong
+    * home for it (state is for horizons a watermark can seal — q40's
+    * event dedup; a corpus fingerprint never expires). At 100 TB the
+    * corpus table is BUCKETED by fingerprint, so step 3 is a
+    * co-partitioned anti-join that reads only the fingerprint column
+    * and step 4 appends bucket-aligned files — no shuffle of history,
+    * ever. Re-running the whole job (fresh checkpoint) replays the
+    * same arrivals into an all-seen anti-join and appends NOTHING —
+    * the idempotent re-run contract, dedup-flavored. */
+  def dedupCorpusLoad(docs: DataFrame, fpExpr: org.apache.spark.sql.Column,
+      path: String, checkpoint: String): Unit = {
+    val spark = docs.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = docs.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val cols = batch.columns.map(col).toIndexedSeq
+          val keepers = batch.withColumn("fp", fpExpr)
+            .groupBy(col("fp"))
+            .agg(min_by(struct(cols: _*), col("doc_id")).as("d"))
+            .select(col("fp") +: cols.map(c => col(s"d.$c")): _*)
+          val fresh =
+            if (new java.io.File(path).exists())
+              keepers.join(
+                batch.sparkSession.read.parquet(path).select("fp"),
+                Seq("fp"), "left_anti")
+            else keepers
+          fresh.write.mode("append").parquet(path)
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a
     * memory sink and return the sink table.
     *

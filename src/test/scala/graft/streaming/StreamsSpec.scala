@@ -10,6 +10,62 @@ import org.apache.spark.sql.functions._
   * receiving any further data. */
 class StreamsSpec extends SparkSpec {
 
+  test("dedup corpus load: cross-arrival dedup, keeper rule, idempotent replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val arrivals = java.nio.file.Files.createTempDirectory("dedup_arrivals")
+    val scratch = java.nio.file.Files.createTempDirectory("dedup_corpus")
+    // Each arrival is ONE flat parquet file in the listed directory
+    // (written to staging, then moved in — exactly how drops land).
+    def writeArrival(name: String, docs: Seq[(Long, String, String)]): Unit = {
+      val staging = scratch.resolve(s"staging_$name")
+      docs.map { case (id, text, lang) =>
+        (id, text, lang, "src", text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging).iterator()
+      val it = scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
+      val src = it.find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(src, arrivals.resolve(s"$name.parquet"))
+    }
+    val out = scratch.resolve("corpus").toString
+    val fp = graft.queries.StreamingQ.docFingerprint
+    def stream() = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(arrivals.toString)
+    // Arrival 1: docs 10 and 11 duplicate each other (same token set,
+    // order/case differences) -> keeper = 10; doc 20 unique.
+    writeArrival("a1", Seq(
+      (10L, "alpha beta gamma", "en"),
+      (11L, "Gamma  ALPHA beta", "en"),
+      (20L, "uno dos", "es")))
+    Streams.dedupCorpusLoad(stream(), fp, out,
+      scratch.resolve("ck1").toString)
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      === Array(10L, 20L))
+    // Arrival 2, CONTINUING the same checkpoint (the true incremental
+    // path — only the new file is processed): doc 30 duplicates the
+    // ALREADY-LANDED doc 10, so it must be dropped by the anti-join
+    // against the corpus fingerprint set; doc 40 is new.
+    writeArrival("a2", Seq(
+      (30L, "beta gamma alpha", "en"),
+      (40L, "tres cuatro", "es")))
+    Streams.dedupCorpusLoad(stream(), fp, out,
+      scratch.resolve("ck1").toString)
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      === Array(10L, 20L, 40L))
+    // Full replay with a fresh checkpoint: every fingerprint seen ->
+    // appends nothing (idempotent re-run).
+    Streams.dedupCorpusLoad(stream(), fp, out,
+      scratch.resolve("ck3").toString)
+    assert(spark.read.parquet(out).count() === 3)
+  }
+
   test("open session flushes via event-time timeout, exactly once") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
