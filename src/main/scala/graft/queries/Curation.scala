@@ -107,7 +107,15 @@ object Curation {
     * Each iterate is lazily `localCheckpoint`ed: the digest action
     * materializes it, truncating the iterative lineage, and every
     * later reference reads the checkpoint — one job per round. */
-  private[queries] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[queries] def connectedComponents(pairs: DataFrame): DataFrame =
+    ccWithRounds(pairs)._1
+
+  /** [[connectedComponents]] plus the executed round count — exposed
+    * so the scale specs can pin round-count STABILITY under corpus
+    * growth (rounds track component diameter, not corpus size; a
+    * round count that grew with the corpus would multiply the whole
+    * iterative cost at 100 TB). */
+  private[queries] def ccWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     var cur = normalize(pairs.toDF("u", "v")).localCheckpoint(false)
     var curDigest = edgeDigest(cur)
     var converged = curDigest._1 == 0L
@@ -123,9 +131,9 @@ object Curation {
     require(converged,
       s"connected components did not converge in $MaxCcRounds rounds")
     // Fixpoint is a star per component: u is the root on every edge.
-    cur.select(col("v").as("node"), col("u").as("label"))
+    (cur.select(col("v").as("node"), col("u").as("label"))
       .union(cur.select(col("u").as("node"), col("u").as("label")))
-      .distinct()
+      .distinct(), round)
   }
 
   /** q88: consolidate the verified MinHash near-dup pairs

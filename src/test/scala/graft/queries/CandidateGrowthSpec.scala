@@ -89,4 +89,60 @@ class CandidateGrowthSpec extends SparkSpec {
       s"candidate growth $small -> $large (x$ratio) is super-linear; " +
         "quadratic geometry doubles to ~x4")
   }
+
+  /** Span-dedup corpus: clusters of 3 where the FIRST TWO docs share a
+    * cluster-specific verbatim 16-token span (inside distinct random
+    * context) and the third is fully random — so exactly 2n/3 docs are
+    * span-affected by construction, and any extra affected doc means a
+    * false dual-hash collision branded unrelated docs as sharing text. */
+  private def spanCorpus(n: Int): String = {
+    val rnd = new scala.util.Random(99)
+    def word() = (1 to 6).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    def words(k: Int) = (1 to k).map(_ => word()).mkString(" ")
+    val spans = (0 until (n + 2) / 3).map(_ => words(16))
+    val rows = (0 until n).map { i =>
+      val text =
+        if (i % 3 < 2) s"${words(4)} ${spans(i / 3)} ${words(4)}"
+        else words(24)
+      (i.toLong, text)
+    }
+    import spark.implicits._
+    val dir = Files.createTempDirectory("growth_spans").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("span-dedup affected set is EXACT and grows linearly on corpus doubling") {
+    def affected(n: Int): Long =
+      Curation.spanDedup(spark, spanCorpus(n))
+        .agg(sum("n_affected")).head().getLong(0)
+    // exactness: precisely the 2-per-cluster sharers, zero false
+    // collisions (the dual ~2^44 span hashes at work), at both scales —
+    // which also pins the growth law: 2n/3 -> 4n/3, exactly linear.
+    assert(affected(150) === 100L)
+    assert(affected(300) === 200L)
+  }
+
+  test("cc round count is stable when the pair set doubles") {
+    import spark.implicits._
+    // nc disjoint triangles: component diameter stays 1 as the pair
+    // set doubles, so the star-collapse round count must NOT grow with
+    // corpus size (rounds track diameter, not N — the property that
+    // keeps the q88 iterative cost flat at 100 TB).
+    def rounds(nc: Int): Int = {
+      val edges = (0 until nc).flatMap { c =>
+        val b = c * 10L
+        Seq((b, b + 1), (b + 1, b + 2), (b + 2, b))
+      }
+      Curation.ccWithRounds(edges.toDF("u", "v"))._2
+    }
+    val r1 = rounds(40)
+    val r2 = rounds(80)
+    assert(r2 <= r1,
+      s"round count grew with corpus size: $r1 -> $r2 on doubled pairs")
+  }
 }
