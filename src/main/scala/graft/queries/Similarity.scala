@@ -255,6 +255,71 @@ object Similarity {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  /** Multi-probe LSH ANN — q61's documented recall dial, realized:
+    * each query probes, per band, its own 12-bit value AND the 12
+    * values at Hamming distance 1 (one flipped bit), so near misses
+    * where a single projection's sign flipped still collide. The
+    * probe expansion multiplies only the BOUNDED query side (~100
+    * rows -> ~100 x 5 x 13 probe keys, still broadcast); the corpus
+    * side is untouched — candidates stay an equality join on the
+    * (band, value) key, and widen ~13x linearly, never
+    * quadratically. Identical duplicate candidates (a pair matching
+    * several probes) collapse inside the TopKAgg buffer exactly as
+    * in q61. The q102 ladder measures what the dial buys. */
+  def annLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val e = sigTable(spark, dir)
+    val eb = e.select(col("vec_id"), col("v"), col("nrm"),
+      explode(bandCol("sig")).as("b"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("b.bk").as("bk"), col("b.bv").as("bv"))
+    val qb = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), explode(bandCol("sig")).as("b"))
+      .select(col("qid"), col("qv"), col("qn"),
+        col("b.bk").as("qbk"), col("b.bv").as("qbv"))
+      // probe 0 = the band value itself; probes 1..12 flip one bit
+      .select(col("qid"), col("qv"), col("qn"), col("qbk"),
+        explode(expr(
+          s"""transform(sequence(0, $SigBandBits),
+             |  j -> CASE WHEN j = 0 THEN qbv
+             |       ELSE cast(qbv as bigint) ^ shiftleft(1L, j - 1) END)"""
+            .stripMargin)).as("qbv"))
+    val cands = eb.join(broadcast(qb),
+      col("bk") === col("qbk") && col("bv") === col("qbv") &&
+        col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(
+        expr("array_dot(qv, v)") /
+          (col("qn") * col("nrm")), 4))
+      .select(col("qid"), col("vec_id"), col("cos"))
+    topkRank(cands, "qid", 5)
+  }
+
+  /** DuckDB multi-probe band-match: some band's values are within
+    * Hamming distance 1 — the predicate form of the probe expansion
+    * (identical pair set, no explode needed at oracle scale). */
+  private def duckBandMatchH1(a: String, b: String): String =
+    (0 until SigBands).map { k =>
+      s"bit_count(xor(($a >> ${k * SigBandBits}) & $SigBandMask, " +
+        s"($b >> ${k * SigBandBits}) & $SigBandMask)) <= 1"
+    }.mkString("(", " OR ", ")")
+
+  val annLshMultiprobeSql: String =
+    s"""WITH n AS ($duckVecs),
+       |b AS (SELECT vec_id, v, nrm, ($duckSig) AS sig FROM n),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, sig AS qsig
+       |      FROM b WHERE $queryPredSql),
+       |c AS (SELECT qid, vec_id,
+       |        round(list_dot_product(qv, v) / (qn * nrm), 4) AS cos
+       |      FROM q JOIN b ON ${duckBandMatchH1("sig", "qsig")}
+       |       AND vec_id != qid),
+       |r AS (SELECT qid, vec_id, cos,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, vec_id ASC) AS rnk
+       |      FROM c)
+       |SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+
   // ---------------------------------------------------------------
   // q62 label-centroid assignment
   // ---------------------------------------------------------------
@@ -868,6 +933,7 @@ object Similarity {
       "ivf_nprobe1" -> ivfAnn(spark, dir),
       "ivf_nprobe2" -> ivfAnnNprobe2(spark, dir),
       "lsh" -> annLsh(spark, dir),
+      "lsh_multiprobe" -> annLshMultiprobe(spark, dir),
       "pq" -> pqAnn(spark, dir))
     val approx = methods.map { case (m, df) =>
       df.select(lit(m).as("method"), col("qid"), col("vec_id"))
@@ -899,6 +965,9 @@ object Similarity {
        |  UNION ALL
        |  SELECT 'lsh' AS method, qid, vec_id FROM ($annLshSql)
        |  UNION ALL
+       |  SELECT 'lsh_multiprobe' AS method, qid, vec_id
+       |  FROM ($annLshMultiprobeSql)
+       |  UNION ALL
        |  SELECT 'pq' AS method, qid, vec_id FROM ($pqAnnSql)),
        |nq AS (SELECT count(DISTINCT qid) AS n_queries FROM ex),
        |h AS (
@@ -923,7 +992,8 @@ object Similarity {
     "q70_ivf_nprobe2" -> ivfAnnNprobe2,
     "q74_int8_quant" -> int8Quant,
     "q97_pq_ann" -> pqAnn,
-    "q102_ann_recall" -> annRecall
+    "q102_ann_recall" -> annRecall,
+    "q104_ann_lsh_multiprobe" -> annLshMultiprobe
   )
 
   val oracle: Map[String, String] = Map(
@@ -935,6 +1005,7 @@ object Similarity {
     "q70_ivf_nprobe2" -> ivfAnnNprobe2Sql,
     "q74_int8_quant" -> int8QuantSql,
     "q97_pq_ann" -> pqAnnSql,
-    "q102_ann_recall" -> annRecallSql
+    "q102_ann_recall" -> annRecallSql,
+    "q104_ann_lsh_multiprobe" -> annLshMultiprobeSql
   )
 }
