@@ -11,6 +11,23 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
   }
 
+  test("no oracle SQL interpolated a null Scala constant") {
+    // Object-initialization order bites silently: a `val` oracle that
+    // interpolates a sibling `val` defined LATER in the object embeds
+    // the literal string "null" into its SQL (caught live in q104,
+    // where "(null) AS sig" made a whole CTE silently NULL). Oracles
+    // spell SQL NULL uppercase, so any lowercase bare `null` is an
+    // uninitialized Scala constant.
+    val bare = """(?<![A-Za-z_])null(?![A-Za-z_])""".r
+    for ((name, sql) <- SparkEntry.oracleSql) {
+      assert(sql != null, s"$name oracle SQL is itself null")
+      bare.findFirstMatchIn(sql).foreach { hit =>
+        fail(s"$name oracle embeds a null Scala constant near: " +
+          sql.slice(hit.start - 40, hit.end + 20))
+      }
+    }
+  }
+
   test("bench set is a subset of the registry") {
     assert(SparkEntry.benchQueries.toSet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.benchQueries.nonEmpty)
