@@ -37,6 +37,7 @@ object SparkEntry {
       "q94_compact",           // rewrites a scratch dataset per call
       "q96_stream_load",       // writes scratch partitioned output per call
       "q101_run_audit",        // driver-local fixture + audited write per call
-      "q103_stream_dedup_corpus" // writes scratch corpus output per call
+      "q103_stream_dedup_corpus", // writes scratch corpus output per call
+      "q105_merge_upsert"      // writes + merges a scratch table per call
     )).sorted
 }

@@ -34,6 +34,46 @@ object IdempotentWriter {
     (df.filter(ok), df.filter(!ok))
   }
 
+  /** Keyed MERGE-upsert: apply a batch of row-level upserts to a
+    * partitioned table, rewriting ONLY the partitions the batch
+    * touches — the row-granular generalization of the reference's
+    * date-granular delete-then-insert. Within each touched partition,
+    * existing rows whose key does not appear in the batch survive;
+    * batch rows replace matching keys (update) and add new keys
+    * (insert). Re-applying the same batch yields the same table.
+    *
+    * Scale shape: the touched-partition VALUES are collected (bounded
+    * by the batch's distinct partition values — for daily loads, a
+    * handful) and pushed as an `isin` filter, so the existing-side
+    * scan partition-prunes to exactly the touched directories; the
+    * anti-join and rewrite never see the rest of the table. This is
+    * what lakehouse MERGE does under a transaction log, expressed at
+    * partition granularity with the plain file commit protocol.
+    *
+    * CONTRACT: the key is partition-stable (the partition column is
+    * functionally dependent on the key — true for the reference's
+    * (id, fecha) facts). A key that MOVES partitions would strand its
+    * old row in an untouched partition; migrating keys need
+    * row-level delete vectors (a transaction-log design), out of
+    * scope by the same reasoning as §2's Delta exclusion. */
+  def mergeUpsert(batch: DataFrame, path: String, keyCol: String,
+      partitionCol: String = "fecha"): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val merged =
+      if (!new java.io.File(path).exists()) batch
+      else {
+        val touched = batch.select(col(partitionCol)).distinct()
+          .collect().map(_.get(0))
+        val scoped = spark.read.parquet(path)
+          .filter(col(partitionCol).isin(touched.toIndexedSeq: _*))
+        val survivors = scoped
+          .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
+        survivors.unionByName(batch, allowMissingColumns = false)
+      }
+    overwritePartitions(merged, path, partitionCol, addLoadDate = false)
+  }
+
   /** Overwrite exactly the `partitionCol` partitions present in `df`,
     * appending the `load_date` audit column (DDL default GETDATE(),
     * reference main.py:1400/1439). */

@@ -903,6 +903,54 @@ object Reference {
       |  t(seq, dataset, phase, rows_in, rows_out, outcome)
       |ORDER BY seq""".stripMargin
 
+  /** Keyed MERGE-upsert, driver-checked end to end: a base fact table
+    * (3 date partitions keyed by id) takes a batch that UPDATES an
+    * overlapping key range (doubled amounts) and INSERTS a new one,
+    * through [[IdempotentWriter.mergeUpsert]] — the row-granular
+    * generalization of the reference's delete-then-insert (S7). Only
+    * touched partitions rewrite (partition-pruned scope; asserted in
+    * IdempotentWriterSpec); the oracle states the merged table's
+    * digest from the same base/batch definitions. */
+  def mergeUpsertQ(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_merge").resolve("fact").toString
+    val o = orders(spark, dir)
+    def shaped(amount: org.apache.spark.sql.Column) =
+      o.select(col("o_orderkey").as("id"), amount.as("amount"),
+        date_add(lit("2024-01-01").cast("date"),
+          (col("o_orderkey") % 3).cast("int")).as("fecha"))
+    val base = shaped(col("o_totalprice"))
+      .filter(col("id") % 7 < 5)
+    IdempotentWriter.overwritePartitions(base, out, "fecha",
+      addLoadDate = false)
+    val batch = shaped(col("o_totalprice") * 2)
+      .filter(col("id") % 7 >= 3)
+    IdempotentWriter.mergeUpsert(batch, out, "id", "fecha")
+    spark.read.parquet(out)
+      .groupBy(col("fecha"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_ids"),
+        round(sum(col("amount")), 2).as("sum_amount"))
+      .orderBy("fecha")
+  }
+
+  val mergeUpsertSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS id, o_totalprice AS amount,
+      |    DATE '2024-01-01' + CAST(o_orderkey % 3 AS INTEGER) AS fecha
+      |  FROM orders WHERE o_orderkey % 7 < 5),
+      |b AS (
+      |  SELECT o_orderkey AS id, o_totalprice * 2 AS amount,
+      |    DATE '2024-01-01' + CAST(o_orderkey % 3 AS INTEGER) AS fecha
+      |  FROM orders WHERE o_orderkey % 7 >= 3),
+      |merged AS (
+      |  SELECT * FROM b
+      |  UNION ALL
+      |  SELECT * FROM base WHERE id NOT IN (SELECT id FROM b))
+      |SELECT fecha, count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_ids,
+      |  round(sum(amount), 2) AS sum_amount
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_time_to_minutes" -> timeToMinutesQ,
     "q31_lenient_casts" -> lenientCasts,
@@ -924,7 +972,8 @@ object Reference {
     "q80_retry_load" -> retryLoadQ,
     "q92_jsonl_quarantine" -> jsonlQuarantine,
     "q94_compact" -> compactQ,
-    "q101_run_audit" -> runAuditQ
+    "q101_run_audit" -> runAuditQ,
+    "q105_merge_upsert" -> mergeUpsertQ
   )
 
   val oracle: Map[String, String] = Map(
@@ -948,6 +997,7 @@ object Reference {
     "q80_retry_load" -> retryLoadSql,
     "q92_jsonl_quarantine" -> jsonlQuarantineSql,
     "q94_compact" -> compactSql,
-    "q101_run_audit" -> runAuditSql
+    "q101_run_audit" -> runAuditSql,
+    "q105_merge_upsert" -> mergeUpsertSql
   )
 }

@@ -83,4 +83,48 @@ class IdempotentWriterSpec extends SparkSpec {
       assert(back === rows.sorted, s"rows $rows")
     }
   }
+
+  test("mergeUpsert: update + insert + survivors; untouched partitions " +
+      "keep their exact files; re-apply is a no-op") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("merge_spec").resolve("t").toString
+    def files(part: String): Set[String] = {
+      val d = java.nio.file.Paths.get(dir, s"fecha=$part")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(d).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    }
+    val base = Seq((1, 10.0, "2024-01-01"), (2, 20.0, "2024-01-01"),
+      (3, 30.0, "2024-01-02")).toDF("id", "amount", "fecha")
+    IdempotentWriter.overwritePartitions(base, dir, addLoadDate = false)
+    val day2Files = files("2024-01-02")
+    // batch: update id=1, insert id=4 — touches ONLY 2024-01-01
+    val batch = Seq((1, 11.0, "2024-01-01"), (4, 40.0, "2024-01-01"))
+      .toDF("id", "amount", "fecha")
+    IdempotentWriter.mergeUpsert(batch, dir, "id")
+    def state() = spark.read.parquet(dir)
+      .select(col("id"), col("amount"), col("fecha").cast("string"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getString(2)))
+      .toSeq.sorted
+    assert(state() === Seq(
+      (1, 11.0, "2024-01-01"), // updated
+      (2, 20.0, "2024-01-01"), // survivor in the touched partition
+      (3, 30.0, "2024-01-02"), // untouched partition intact
+      (4, 40.0, "2024-01-01"))) // inserted
+    // the untouched partition was NOT rewritten: same physical files
+    assert(files("2024-01-02") === day2Files,
+      "merge must rewrite only touched partitions")
+    // idempotency: re-applying the identical batch changes nothing
+    IdempotentWriter.mergeUpsert(batch, dir, "id")
+    assert(state() === Seq((1, 11.0, "2024-01-01"), (2, 20.0, "2024-01-01"),
+      (3, 30.0, "2024-01-02"), (4, 40.0, "2024-01-01")))
+  }
+
+  test("mergeUpsert on a fresh path creates the table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("merge_fresh").resolve("t").toString
+    val batch = Seq((7, 70.0, "2024-02-01")).toDF("id", "amount", "fecha")
+    IdempotentWriter.mergeUpsert(batch, dir, "id")
+    assert(spark.read.parquet(dir).count() === 1)
+  }
 }

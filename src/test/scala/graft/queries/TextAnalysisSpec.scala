@@ -64,6 +64,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(trained > fixedRule, "8 merges cannot reach word-level counts")
   }
 
+  test("bpe apply plan: pure scan-stage expression chain, no join anywhere") {
+    // the merge table rides into the plan as literals, so tokenizing
+    // the corpus must involve NO join operator of any kind — explode,
+    // replace chain, aggregate only.
+    val dir = corpus(Seq("ab ab", "ab cd"))
+    val plan = TextAnalysis.bpeApply(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"bpe apply must not join (merges are literals):\n$plan")
+  }
+
   test("bpe train+apply: non-BMP characters stay whole codepoints") {
     // '𝄞' (U+1D11E musical G clef) is an astral char: a
     // UTF-16 code-unit split would halve it into surrogates and the
