@@ -573,14 +573,6 @@ object TextAnalysis {
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     }
 
-  /** Driver-local cache of the learned merge list per (session, dir)
-    * — the merge table is the MODEL ARTIFACT (its size is the merge
-    * hyperparameter, not data-dependent: 8 here, ~50k for a real
-    * tokenizer), so holding it driver-side is the same posture as the
-    * IVF codebook, and entries are a few tuples each. */
-  private val mergeCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Seq[(Int, String, String, Long)]]
-
   /** Train [[BpeMerges]] merges: each round aggregates adjacent-pair
     * frequencies over the VOCAB-sized iterate (the corpus weight rides
     * the `freq` column), collects the single argmax row — the
@@ -592,10 +584,17 @@ object TextAnalysis {
     * no cached-block accumulation across bench sweeps — the r5 advice
     * item). Exhaustion (vocabulary fully merged before the budget)
     * ends training early: with no pair left, every later round is
-    * necessarily empty too, matching the oracle's empty m_t CTEs. */
+    * necessarily empty too, matching the oracle's empty m_t CTEs.
+    *
+    * The learned merge table is the MODEL ARTIFACT (its size is the
+    * merge hyperparameter, not data-dependent: 8 here, ~50k for a
+    * real tokenizer). It lives in [[Tables.memo]] as a tiny local
+    * DataFrame — the same per-(session, dir) store as the IVF
+    * codebook, with the same session-end eviction — and consumers
+    * collect it back to literals. */
   private[queries] def trainedMerges(
       spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
-    mergeCache.getOrElseUpdate((spark, dir), {
+    memo(spark, dir, "bpe_merges") {
       var st = bpeWords(spark, dir).withColumn("enc", encInit("w"))
       val out = Seq.newBuilder[(Int, String, String, Long)]
       var t = 1
@@ -613,8 +612,10 @@ object TextAnalysis {
         }
         t += 1
       }
-      out.result()
-    })
+      import spark.implicits._
+      out.result().toDF("rnk", "left_sym", "right_sym", "cnt")
+    }.collect().toIndexedSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
 
   /** q99: train [[BpeMerges]] BPE merges on the corpus — the trainer
     * half of the tokenizer story (q54 counts with a fixed BPE-ish
@@ -644,6 +645,13 @@ object TextAnalysis {
       .toDF("rnk", "left_sym", "right_sym", "cnt").orderBy("rnk")
   }
 
+  /** Ordering guard: [[trainedMerges]] collects from the memoized
+    * table, which is a 1-partition local relation, so row order is
+    * the insertion (rank) order — but consumers must not depend on
+    * that silently; bpeApply folds in rank order explicitly. */
+  private def byRank(ms: Seq[(Int, String, String, Long)]) =
+    ms.sortBy(_._1)
+
   /** q100: APPLY the q99-trained merge table to the corpus — the
     * consuming half of the tokenizer story: tokenize every word
     * occurrence with the learned merges (in rank order, same sentinel
@@ -659,7 +667,7 @@ object TextAnalysis {
     * split+size array materialization per occurrence. */
   def bpeApply(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val enc = trainedMerges(spark, dir).foldLeft(encInit("w")) {
+    val enc = byRank(trainedMerges(spark, dir)).foldLeft(encInit("w")) {
       case (e, (_, a, b, _)) => applyMerge(e, a, b)
     }
     documents(spark, dir)
