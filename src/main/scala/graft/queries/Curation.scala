@@ -417,17 +417,74 @@ object Curation {
        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q106 deterministic exact-k per-group sampling
+  // ---------------------------------------------------------------
+
+  /** Per-source sample size — the eval-slice / debug-sample knob. */
+  private val GroupSampleK = 50
+
+  /** q106: EXACT-k deterministic sampling per source — keep each
+    * source's [[GroupSampleK]] documents with the smallest 50-bit
+    * content-id hash. The determinized reservoir sample: q90's rate
+    * sampling keeps a deterministic FRACTION (count varies with N);
+    * this keeps an exact COUNT per group (eval slices, debug samples,
+    * per-domain caps), still reproducible across re-runs, backfills,
+    * and repartitionings because membership depends only on the hash
+    * order, never on arrival order.
+    *
+    * Scale shape: the ranking is the bounded-heap TopKAgg, so each
+    * map task reduces its slice to <= 2k rows per source BEFORE the
+    * shuffle and nothing ever sorts a full group — the same two-phase
+    * geometry as the ANN rankers, vs. the row_number window that
+    * funnels every group through one sorting partition. The hash is
+    * truncated to 50 bits so its negation is EXACT in the aggregate's
+    * double sort key (2^50 < 2^53); a 50-bit collision (~1e-6 at 60k
+    * docs) ties identically in both engines via the doc_id
+    * tiebreak. */
+  def groupSample(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        expr(s"${Exprs.hash60("cast(doc_id as string)")} % ${1L << 50}")
+          .as("hk"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopK.topK(GroupSampleK)(
+        -col("hk").cast("double"), col("doc_id")).as("tk"))
+      .select(col("source"), explode(col("tk")).as("s"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("s.vec_id")).as("sum_kept_ids"))
+      .orderBy("source")
+  }
+
+  val groupSampleSql: String =
+    s"""WITH h AS (
+       |  SELECT source, doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |      % ${1L << 50} AS hk
+       |  FROM documents),
+       |r AS (SELECT source, doc_id,
+       |        row_number() OVER (PARTITION BY source
+       |          ORDER BY hk ASC, doc_id ASC) AS rn
+       |      FROM h)
+       |SELECT source, count(*) AS n_kept,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+       |FROM r WHERE rn <= $GroupSampleK GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_dedup_clusters" -> dedupClusters,
     "q89_decontaminate" -> decontaminate,
     "q90_source_sample" -> sourceSample,
-    "q98_span_dedup" -> spanDedup
+    "q98_span_dedup" -> spanDedup,
+    "q106_group_sample" -> groupSample
   )
 
   val oracle: Map[String, String] = Map(
     "q88_dedup_clusters" -> dedupClustersSql,
     "q89_decontaminate" -> decontaminateSql,
     "q90_source_sample" -> sourceSampleSql,
-    "q98_span_dedup" -> spanDedupSql
+    "q98_span_dedup" -> spanDedupSql,
+    "q106_group_sample" -> groupSampleSql
   )
 }

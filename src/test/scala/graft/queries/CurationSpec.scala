@@ -144,6 +144,21 @@ class CurationSpec extends SparkSpec {
     assert(first.toSeq === second.toSeq) // re-run selects identical rows
   }
 
+  test("group sampling keeps EXACTLY k per source (all, when the group is smaller)") {
+    // 'big' has 60 docs -> exactly 50 kept; 'tiny' has 10 -> all 10.
+    val rows = (0L until 60L).map(i => (i, s"doc $i", "en", "big")) ++
+      (100L until 110L).map(i => (i, s"doc $i", "en", "tiny"))
+    val dir = corpus(rows)
+    val first = Curation.groupSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(first.find(_._1 == "big").get._2 === 50L)
+    assert(first.find(_._1 == "tiny").get._2 === 10L)
+    // deterministic: the same rows are selected on a re-run
+    val second = Curation.groupSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(first.toSeq === second.toSeq)
+  }
+
   test("sampling filter involves no join or extra exchange before the rollup") {
     val dir = corpus(Seq((0L, "t", "en", "src0")))
     val plan = Curation.sourceSample(spark, dir)
