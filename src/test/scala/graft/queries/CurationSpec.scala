@@ -159,6 +159,16 @@ class CurationSpec extends SparkSpec {
     assert(first.toSeq === second.toSeq)
   }
 
+  test("group sampling plan: bounded-heap aggregate, no per-group window sort") {
+    val dir = corpus(Seq((0L, "t", "en", "src0"), (1L, "u", "en", "src0")))
+    val plan = Curation.groupSample(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"exact-k sampling must not window-sort groups:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("HashAggregate"),
+      s"expected the two-phase top-k aggregate:\n$plan")
+  }
+
   test("sampling filter involves no join or extra exchange before the rollup") {
     val dir = corpus(Seq((0L, "t", "en", "src0")))
     val plan = Curation.sourceSample(spark, dir)
