@@ -68,8 +68,9 @@ object TextAnalysis {
     * quality-gate pass before expensive downstream stages); the
     * digest keeps verify output small instead of dumping one row per
     * document through a global sort. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    prep(spark)
+  /** Per-document composite quality score (the q51 scoring pass,
+    * shared with the q107 median gate): a pure narrow projection. */
+  private def scoredDocs(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .withColumn("n_tokens", size(col("toks")))
@@ -81,6 +82,10 @@ object TextAnalysis {
         round(
           least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
             (col("n_stop") / col("n_tokens")) * 0.5, 4))
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    scoredDocs(spark, dir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("quality") >= 0.5, 1).otherwise(0)).as("n_keep"),
@@ -90,22 +95,29 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
-  val qualityScoreSql: String =
-    s"""WITH t AS (
-       |  SELECT lang,
+  /** The q51 scoring pass as shared CTEs (ending in
+    * q(doc_id, lang, n_tokens, n_stop, chars_nows, quality)) — one
+    * definition for the q51 digest and the q107 gate, so the two
+    * oracles cannot drift apart. */
+  private val scoredDocsSqlCtes: String =
+    s"""t AS (
+       |  SELECT doc_id, lang,
        |    string_split_regex(trim(text), '\\s+') AS toks,
        |    length(regexp_replace(text, '\\s+', '', 'g')) AS chars_nows
        |  FROM documents),
        |m AS (
-       |  SELECT lang, len(toks) AS n_tokens,
+       |  SELECT doc_id, lang, len(toks) AS n_tokens,
        |    len(list_filter(toks, t -> t IN ${sqlList(Stopwords)})) AS n_stop,
        |    chars_nows
        |  FROM t),
        |q AS (
-       |  SELECT lang, n_tokens, n_stop, chars_nows,
+       |  SELECT doc_id, lang, n_tokens, n_stop, chars_nows,
        |    round(least(n_tokens / 100.0, 1.0) * 0.5
        |          + (n_stop / CAST(n_tokens AS DOUBLE)) * 0.5, 4) AS quality
-       |  FROM m)
+       |  FROM m)""".stripMargin
+
+  val qualityScoreSql: String =
+    s"""WITH $scoredDocsSqlCtes
        |SELECT lang, count(*) AS n_docs,
        |  CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_keep,
@@ -113,6 +125,50 @@ object TextAnalysis {
        |  round(sum(chars_nows / CAST(n_tokens AS DOUBLE)), 4) AS sum_awl,
        |  round(sum(n_stop / CAST(n_tokens AS DOUBLE)), 4) AS sum_stop_ratio
        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q107: statistic-conditioned quality gate — keep each language's
+    * documents at or above the language's MEDIAN quality score, the
+    * CCNet-style "keep the best slice per group" pass (fixed
+    * thresholds like q51's 0.5 misfire when quality distributions
+    * differ per language; conditioning on a group statistic
+    * self-calibrates).
+    *
+    * Scale shape: the per-group statistic is a tiny table (one row
+    * per language) computed with an exact `percentile` here —
+    * `approx_percentile` is the 100 TB dial, same digest, documented
+    * error bound (q69's treatment) — then BROADCAST back, so the gate
+    * itself is a scan-stage predicate on the corpus: score, compare,
+    * aggregate. Scores are rounded to 4dp BEFORE the median, so the
+    * interpolated midpoint is deterministic across engines. */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val scored = scoredDocs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("quality"))
+    val med = scored.groupBy(col("lang"))
+      .agg(expr("percentile(quality, 0.5D)").as("med"))
+    scored.join(broadcast(med), Seq("lang"))
+      .withColumn("keep", (col("quality") >= col("med")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_kept"),
+        sum(col("keep") * col("doc_id")).as("sum_kept_ids"),
+        round(sum(when(col("keep") === 1L, col("quality")).otherwise(0.0)), 4)
+          .as("sum_kept_quality"))
+      .orderBy("lang")
+  }
+
+  val qualityGateSql: String =
+    s"""WITH $scoredDocsSqlCtes,
+       |med AS (SELECT lang, median(quality) AS med FROM q GROUP BY 1)
+       |SELECT q.lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN quality >= med THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(sum(CASE WHEN quality >= med THEN doc_id ELSE 0 END) AS BIGINT)
+       |    AS sum_kept_ids,
+       |  round(sum(CASE WHEN quality >= med THEN quality ELSE 0 END), 4)
+       |    AS sum_kept_quality
+       |FROM q JOIN med ON q.lang = med.lang
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
@@ -774,7 +830,8 @@ object TextAnalysis {
     "q86_pii_redact" -> piiRedact,
     "q87_unigram_lm" -> unigramLm,
     "q99_bpe_train" -> bpeTrain,
-    "q100_bpe_apply" -> bpeApply
+    "q100_bpe_apply" -> bpeApply,
+    "q107_quality_gate" -> qualityGate
   )
 
   val oracle: Map[String, String] = Map(
@@ -790,6 +847,7 @@ object TextAnalysis {
     "q86_pii_redact" -> piiRedactSql,
     "q87_unigram_lm" -> unigramLmSql,
     "q99_bpe_train" -> bpeTrainSql,
-    "q100_bpe_apply" -> bpeApplySql
+    "q100_bpe_apply" -> bpeApplySql,
+    "q107_quality_gate" -> qualityGateSql
   )
 }

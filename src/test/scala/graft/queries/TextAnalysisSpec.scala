@@ -91,6 +91,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(applied.head.getLong(3) === 2L) // 2 occurrences x 1 token
   }
 
+  test("quality gate keeps exactly the at-or-above-median docs per language") {
+    // quality = min(n_tokens/100, 1)*0.5 + stop_ratio*0.5; with no
+    // stopwords, quality is monotone in token count. 3 docs with 10,
+    // 20, 30 tokens -> qualities 0.05/0.10/0.15, median 0.10 -> docs
+    // 1 (20 toks) and 2 (30 toks) kept.
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val dir = corpus(Seq(doc(10), doc(20), doc(30)))
+    val r = TextAnalysis.qualityGate(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(1) === 3L) // n_docs
+    assert(row.getLong(2) === 2L) // n_kept: median itself + above
+    assert(row.getLong(3) === 1L + 2L) // kept ids
+    assert(row.getDouble(4) === 0.10 + 0.15)
+  }
+
   test("repetition stats: known dup-gram and top-token ground truth") {
     // doc 0: 'a b c a b c a b c' -> 9 tokens, 7 3-grams, 3 distinct
     //   -> 4 dup grams; top token count = 3 ('a'), n_tokens = 9
