@@ -38,6 +38,7 @@ object SparkEntry {
       "q96_stream_load",       // writes scratch partitioned output per call
       "q101_run_audit",        // driver-local fixture + audited write per call
       "q103_stream_dedup_corpus", // writes scratch corpus output per call
-      "q105_merge_upsert"      // writes + merges a scratch table per call
+      "q105_merge_upsert",     // writes + merges a scratch table per call
+      "q108_stream_ivf_index"  // writes a scratch index per call
     )).sorted
 }

@@ -532,6 +532,41 @@ object Similarity {
     (seed +: iters).mkString(",\n")
   }
 
+  /** Assign every vector of `df` (vec_id, embedding) to its nearest
+    * codebook cell — the IVF quantize step factored out for reuse by
+    * the q108 incremental index load: broadcast codebook, rounded
+    * cosine, map-side max_by argmax (one output row per vector, no
+    * window). */
+  private[queries] def ivfAssign(
+      spark: SparkSession, dir: String, df: DataFrame): DataFrame = {
+    val cent = kmeansCodebook(spark, dir)
+      .select(col("cell"), col("cv"),
+        expr("sqrt(array_dot(cv, cv))").as("cn"))
+    df.withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm", expr("sqrt(array_dot(v, v))"))
+      .join(broadcast(cent), expr("true"))
+      .withColumn("ccos", round(
+        expr("array_dot(cv, v)") / (col("cn") * col("nrm")), 4))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"))
+  }
+
+  /** DuckDB mirror of the full-corpus [[ivfAssign]] digest (per-cell
+    * counts + id sums) — the q108 oracle body. */
+  val ivfAssignDigestSql: String =
+    s"""WITH n AS ($duckVecs),
+       |$duckKmeansCtes,
+       |cb AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn
+       |       FROM c$IvfIters),
+       |sc AS (SELECT vec_id, cell,
+       |         round(list_dot_product(cv, v) / (cn * nrm), 4) AS ccos
+       |       FROM n, cb),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |         ORDER BY ccos DESC, cell ASC) AS rc FROM sc),
+       |asg AS (SELECT vec_id, cell FROM rk WHERE rc = 1)
+       |SELECT cell, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS sum_ids
+       |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def ivfAnnSqlImpl(nprobe: Int): String =
     s"""WITH n AS ($duckVecs),
        |$duckKmeansCtes,

@@ -254,6 +254,43 @@ object StreamingQ {
       |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q108: incremental ANN index maintenance — the embeddings arrival
+    * stream is assigned to the TRAINED IVF codebook
+    * ([[Similarity.ivfAssign]]: broadcast codebook, map-side argmax)
+    * and appended CELL-PARTITIONED via foreachBatch. This is how an
+    * IVF index stays fresh at 100 TB: the codebook is a fixed trained
+    * artifact, each arriving batch quantizes in its scan stage (no
+    * shuffle — one broadcast join + map-side combine per batch), and
+    * appends land in the inverted lists' partition layout so q64-style
+    * cell-local probes read only their directory. Retraining the
+    * codebook is a separate offline event, exactly as in a production
+    * IVF deployment. The digest (per-cell counts + id sums) equals
+    * the batch assignment of the whole corpus: stream == batch for
+    * the index build too. */
+  def streamIvfIndex(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_ivf_index")
+    val out = scratch.resolve("index").toString
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = Streams.embeddingsStream(spark, dir).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Similarity.ivfAssign(spark, dir, batch)
+            .write.mode("append").partitionBy("cell").parquet(out)
+        }
+        .option("checkpointLocation", scratch.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(out)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_ids"))
+      .orderBy("cell")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_stream_tumbling" -> streamTumbling,
     "q40_stream_dedup" -> streamDedup,
@@ -262,7 +299,8 @@ object StreamingQ {
     "q72_stream_join" -> streamJoin,
     "q91_stream_enrich" -> streamEnrich,
     "q96_stream_load" -> streamLoad,
-    "q103_stream_dedup_corpus" -> streamDedupCorpus
+    "q103_stream_dedup_corpus" -> streamDedupCorpus,
+    "q108_stream_ivf_index" -> streamIvfIndex
   )
 
   val oracle: Map[String, String] = Map(
@@ -273,6 +311,7 @@ object StreamingQ {
     "q72_stream_join" -> streamJoinSql,
     "q91_stream_enrich" -> streamEnrichSql,
     "q96_stream_load" -> streamLoadSql,
-    "q103_stream_dedup_corpus" -> streamDedupCorpusSql
+    "q103_stream_dedup_corpus" -> streamDedupCorpusSql,
+    "q108_stream_ivf_index" -> Similarity.ivfAssignDigestSql
   )
 }

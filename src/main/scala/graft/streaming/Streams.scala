@@ -241,6 +241,20 @@ object Streams {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
 
+  private val EmbSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming source over the embeddings parquet — the
+    * embedding-arrival stream (freshly embedded batches discovered by
+    * listing). */
+  def embeddingsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(EmbSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+
   /** Incremental corpus dedup — how the 100 TB pipeline actually runs
     * daily: arriving documents are deduped against the SEEN fingerprint
     * set and only first-seen documents land in the corpus table. Each
