@@ -55,23 +55,49 @@ object IdempotentWriter {
     * (id, fecha) facts). A key that MOVES partitions would strand its
     * old row in an untouched partition; migrating keys need
     * row-level delete vectors (a transaction-log design), out of
-    * scope by the same reasoning as §2's Delta exclusion. */
+    * scope by the same reasoning as §2's Delta exclusion.
+    *
+    * Durability: the merged rows are STAGED to a sibling directory
+    * before the target is touched (the [[Compact]] discipline). The
+    * naive one-job form — read survivors from the target while
+    * dynamically overwriting it — holds the pre-merge rows nowhere
+    * else once the commit starts, so a crash mid-commit would lose
+    * survivors unrecoverably; with staging, a crash before the final
+    * overwrite leaves the target intact, and a crash during it leaves
+    * the staged merge on disk for recovery. */
   def mergeUpsert(batch: DataFrame, path: String, keyCol: String,
       partitionCol: String = "fecha"): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val merged =
-      if (!new java.io.File(path).exists()) batch
-      else {
-        val touched = batch.select(col(partitionCol)).distinct()
-          .collect().map(_.get(0))
-        val scoped = spark.read.parquet(path)
-          .filter(col(partitionCol).isin(touched.toIndexedSeq: _*))
-        val survivors = scoped
-          .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
-        survivors.unionByName(batch, allowMissingColumns = false)
-      }
-    overwritePartitions(merged, path, partitionCol, addLoadDate = false)
+    if (!new java.io.File(path).exists()) {
+      overwritePartitions(batch, path, partitionCol, addLoadDate = false)
+      return
+    }
+    val touched = batch.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0))
+    val scoped = spark.read.parquet(path)
+      .filter(col(partitionCol).isin(touched.toIndexedSeq: _*))
+    val survivors = scoped
+      .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val staging = path + "_merge_staging"
+    survivors.unionByName(batch, allowMissingColumns = false)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(staging)
+    // staging is removed only on SUCCESS: after a failed or killed
+    // overwrite it is the recovery copy of the merged partitions
+    overwritePartitions(
+      spark.read.parquet(staging), path, partitionCol, addLoadDate = false)
+    deleteRecursively(staging)
+  }
+
+  /** Remove a scratch directory tree if present (children first). */
+  private def deleteRecursively(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val stream = java.nio.file.Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally stream.close()
+    }
   }
 
   /** Overwrite exactly the `partitionCol` partitions present in `df`,

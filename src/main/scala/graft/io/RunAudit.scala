@@ -37,22 +37,32 @@ final class RunAudit(val runId: String) {
 
   /** Run `body` as an audited phase: `body` returns (result, rowsOut).
     * Success records outcome='ok'; an exception records
-    * outcome='error' with the message, then RETHROWS. */
+    * outcome='error' with the message, then RETHROWS.
+    *
+    * The BODY runs OUTSIDE the instance lock — phases are whole Spark
+    * jobs, and a pipeline auditing N datasets concurrently through one
+    * trail must not serialize them (nor let a hung phase block toDF
+    * from a monitoring thread). Only the seq draw and the record
+    * append synchronize; seq therefore orders phase STARTS, which is
+    * the honest ordering for concurrent phases. */
   def phase[A](dataset: String, name: String, rowsIn: Option[Long] = None)(
-      body: => (A, Long)): A = synchronized {
-    seq += 1
-    val mySeq = seq
+      body: => (A, Long)): A = {
+    val mySeq = synchronized { seq += 1; seq }
     val t0 = System.nanoTime()
     def durMs = (System.nanoTime() - t0) / 1000000L
     try {
       val (a, rowsOut) = body
-      recs += Rec(mySeq, dataset, name, rowsIn, Some(rowsOut), "ok", None,
-        durMs)
+      synchronized {
+        recs += Rec(mySeq, dataset, name, rowsIn, Some(rowsOut), "ok", None,
+          durMs)
+      }
       a
     } catch {
       case e: Throwable =>
-        recs += Rec(mySeq, dataset, name, rowsIn, None, "error",
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName)), durMs)
+        synchronized {
+          recs += Rec(mySeq, dataset, name, rowsIn, None, "error",
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName)), durMs)
+        }
         throw e
     }
   }

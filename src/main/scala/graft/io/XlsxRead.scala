@@ -87,6 +87,11 @@ object XlsxRead {
     letters.foldLeft(0)((acc, c) => acc * 26 + (c.toUpper - 'A' + 1)) - 1
   }
 
+  /** xlsx compresses its XML heavily, so the real driver-memory cost
+    * is the DECOMPRESSED part size; parts are allowed this multiple
+    * of the compressed-file cap before the guard trips. */
+  private val MaxInflation = 16L
+
   private def guard(path: String, maxBytes: Long): Unit = {
     val size = new java.io.File(path).length()
     require(size <= maxBytes,
@@ -96,6 +101,21 @@ object XlsxRead {
         "read, or raise the cap explicitly via the maxBytes argument if " +
         "the driver has the memory for it.")
   }
+
+  /** The compressed-file cap alone is not enough: repetitive sheet XML
+    * routinely inflates 10-50x, and the OOM risk tracks decompressed
+    * bytes (plus materialized cells). The central directory records
+    * each part's uncompressed size, so this is a free pre-parse
+    * check; an unrecorded size (-1, never produced by real writers)
+    * passes and the file cap still bounds it. */
+  private def guardPart(path: String, e: ZipEntry, maxBytes: Long): Unit =
+    require(e.getSize < 0 || e.getSize <= maxBytes * MaxInflation,
+      s"xlsx '$path' part '${e.getName}' decompresses to ${e.getSize} " +
+        s"bytes, over the ${maxBytes * MaxInflation}-byte driver-parse " +
+        "cap (compressed cap x" + MaxInflation + "): the workbook parses " +
+        "single-process on the driver. Convert the file to CSV/parquet " +
+        "for a distributed read, or raise the cap explicitly via the " +
+        "maxBytes argument if the driver has the memory for it.")
 
   private def sharedStrings(zip: ZipFile): IndexedSeq[String] = {
     val entry = zip.getEntry("xl/sharedStrings.xml")
@@ -182,14 +202,14 @@ object XlsxRead {
     } finally in.close()
   }
 
-  private def firstSheet(zip: ZipFile): InputStream = {
+  private def firstSheet(zip: ZipFile): ZipEntry = {
     import scala.jdk.CollectionConverters._
     val sheets = zip.entries().asScala
       .filter(e => e.getName.startsWith("xl/worksheets/") &&
         e.getName.endsWith(".xml"))
       .toSeq.sortBy(_.getName)
     require(sheets.nonEmpty, "xlsx has no xl/worksheets/*.xml part")
-    zip.getInputStream(sheets.head)
+    sheets.head
   }
 
   /** Excel serial number -> timestamp (UTC instant; serials are
@@ -201,12 +221,18 @@ object XlsxRead {
 
   /** Parse the first worksheet into typed cells (ragged; omitted
     * trailing cells are absent, in-row gaps are nulls). */
-  private def parseSheet(path: String): Seq[Seq[XCell]] = {
+  private def parseSheet(path: String, maxBytes: Long): Seq[Seq[XCell]] = {
     val zip = new ZipFile(path)
     try {
+      Seq("xl/sharedStrings.xml", "xl/styles.xml").foreach { n =>
+        val e = zip.getEntry(n)
+        if (e != null) guardPart(path, e, maxBytes)
+      }
+      val sheetEntry = firstSheet(zip)
+      guardPart(path, sheetEntry, maxBytes)
       val strings = sharedStrings(zip)
       val dateStyleIdx = dateStyles(zip)
-      val in = firstSheet(zip)
+      val in = zip.getInputStream(sheetEntry)
       try {
         val r = xif.createXMLStreamReader(in)
         val rows = mutable.ArrayBuffer.empty[Seq[XCell]]
@@ -281,7 +307,7 @@ object XlsxRead {
   def readRows(path: String,
       maxBytes: Long = DefaultMaxBytes): Seq[Seq[String]] = {
     guard(path, maxBytes)
-    parseSheet(path).map(_.map(c => if (c == null) null else c.text))
+    parseSheet(path, maxBytes).map(_.map(c => if (c == null) null else c.text))
   }
 
   /** First row = header (normalized downstream like the CSV path),
@@ -311,7 +337,7 @@ object XlsxRead {
   def readTyped(spark: SparkSession, path: String,
       maxBytes: Long = DefaultMaxBytes): DataFrame = {
     guard(path, maxBytes)
-    val rows = parseSheet(path)
+    val rows = parseSheet(path, maxBytes)
     require(rows.nonEmpty, s"xlsx '$path' has no rows")
     val header = rows.head.map(c => if (c == null || c.text == null) "" else c.text)
     val width = header.length

@@ -872,17 +872,19 @@ object Reference {
     deleteRecursively(out)
     deleteRecursively(auditTbl)
     val audit = new graft.io.RunAudit("q101")
-    val raw = audit.phase[DataFrame]("conducta", "extract") {
+    // each phase returns (result, its own recorded count) so the next
+    // phase's rows_in reuses it — no count job runs twice
+    val (raw, nRaw) = audit.phase[(DataFrame, Long)]("conducta", "extract") {
       val df = CsvProbe.read(spark, path)
-      (df, df.count())
+      val n = df.count()
+      ((df, n), n)
     }
-    val nRaw = raw.count()
-    val transformed =
-      audit.phase[DataFrame]("conducta", "transform", Some(nRaw)) {
+    val (transformed, nTrans) =
+      audit.phase[(DataFrame, Long)]("conducta", "transform", Some(nRaw)) {
         val t = graft.conform.Pipeline.conducta(raw)
-        (t, t.count())
+        val n = t.count()
+        ((t, n), n)
       }
-    val nTrans = transformed.count()
     audit.phase[Unit]("conducta", "load", Some(nTrans)) {
       IdempotentWriter.overwritePartitions(transformed, out)
       ((), spark.read.parquet(out).count())

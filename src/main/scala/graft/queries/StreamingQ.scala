@@ -226,7 +226,11 @@ object StreamingQ {
     * set, append survivors — run TWICE (second run = fresh checkpoint
     * full replay) so the digest also proves the all-seen re-run
     * appends NOTHING. The oracle is the batch q55 keeper set digested
-    * per language: stream == batch including every keeper choice. */
+    * per language: here the corpus arrives as ONE batch (single-file
+    * source), where the stream's first-seen keeper contract
+    * provably coincides with batch min-doc_id — see the
+    * [[Streams.dedupCorpusLoad]] contract note for the multi-batch
+    * semantics, which StreamsSpec pins. */
   def streamDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val scratch = java.nio.file.Files

@@ -268,6 +268,19 @@ object Streams {
     *      (the seen set), and
     *   4. APPENDS the survivors.
     *
+    * KEEPER CONTRACT: across batches the keeper is FIRST-SEEN — an
+    * already-landed document is never retracted when a later arrival
+    * carries a duplicate with a smaller doc_id (a published corpus
+    * row is immutable; retraction would need the mergeUpsert/
+    * delete-vector machinery, not an append stream). Within one
+    * batch, ties resolve to min doc_id. The stream therefore equals
+    * the batch q55 keeper set exactly when arrival order respects
+    * doc_id order across batches — trivially including the
+    * whole-corpus-in-one-batch replay the q103 probe runs — and may
+    * keep a LARGER id than batch q55 when a smaller-id duplicate
+    * arrives in a later batch (first-seen is the semantics production
+    * pipelines actually want there).
+    *
     * The seen set is the corpus TABLE itself, not stream state: corpus
     * identity is unbounded by design, and a state store is the wrong
     * home for it (state is for horizons a watermark can seal — q40's

@@ -59,6 +59,15 @@ class StreamsSpec extends SparkSpec {
       scratch.resolve("ck1").toString)
     assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
       === Array(10L, 20L, 40L))
+    // Arrival 3: doc 5 duplicates landed doc 10 with a SMALLER id —
+    // the FIRST-SEEN keeper contract keeps 10 and drops 5 (batch q55
+    // would have kept 5; an append stream never retracts a published
+    // row — the documented divergence case).
+    writeArrival("a3", Seq((5L, "gamma beta alpha", "en")))
+    Streams.dedupCorpusLoad(stream(), fp, out,
+      scratch.resolve("ck1").toString)
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      === Array(10L, 20L, 40L))
     // Full replay with a fresh checkpoint: every fingerprint seen ->
     // appends nothing (idempotent re-run).
     Streams.dedupCorpusLoad(stream(), fp, out,
