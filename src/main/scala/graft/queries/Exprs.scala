@@ -4,7 +4,7 @@ package graft.queries
   * ONE definition for each construct that must stay value-identical
   * between its call sites (and, for the hash, with the DuckDB
   * oracles' `('0x' || substr(md5(..)))::BIGINT` mirror). */
-private[queries] object Exprs {
+private[graft] object Exprs {
 
   /** 60-bit deterministic hash of a string expression, identical in
     * Spark and DuckDB (md5 prefix, hex->int; 15 hex chars = 60 bits

@@ -953,6 +953,67 @@ object Reference {
       |  round(sum(amount), 2) AS sum_amount
       |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q109: table reconciliation — compare a fact load against a
+    * deterministically perturbed copy (one row class dropped, one
+    * value class shifted) with [[graft.io.Reconcile]]: per-partition
+    * (count, xor-of-row-hashes) digests, full-outer joined, statuses
+    * assigned. The operational answer to "did the backfill reproduce
+    * prod?" at 100 TB: two map-side-combining scans + a
+    * partition-count-sized join, no row-level compare until a flagged
+    * partition scopes one. The oracle recomputes both digests with
+    * the same portable md5-prefix hash and the same status rules. */
+  def reconcileQ(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val a = lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"))
+    // perturb per flag so every status arm is exercised: 'A' loses a
+    // row class (count_mismatch), 'N' shifts a value class
+    // (content_mismatch), 'R' is untouched (match)
+    val b = a
+      .filter(!(col("l_returnflag") === "A" &&
+        col("l_orderkey") % 1000 === 2 && col("l_linenumber") === 1))
+      .withColumn("qty",
+        when(col("l_returnflag") === "N" && col("l_orderkey") % 1000 === 1,
+          col("qty") + 1).otherwise(col("qty")))
+    graft.io.Reconcile
+      .compare(a, b, "l_returnflag", Seq("l_orderkey", "l_linenumber", "qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val reconcileSql: String = {
+    def rowHash(qty: String) =
+      "('0x' || substr(md5(concat_ws(chr(1), " +
+        "CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), " +
+        s"CAST($qty AS VARCHAR))), 1, 15))::BIGINT"
+    s"""WITH a AS (
+       |  SELECT l_returnflag, l_orderkey, l_linenumber,
+       |    CAST(l_quantity AS BIGINT) AS qty
+       |  FROM lineitem),
+       |b AS (
+       |  SELECT l_returnflag, l_orderkey, l_linenumber,
+       |    CASE WHEN l_returnflag = 'N' AND l_orderkey % 1000 = 1
+       |         THEN qty + 1 ELSE qty END AS qty
+       |  FROM a
+       |  WHERE NOT (l_returnflag = 'A'
+       |             AND l_orderkey % 1000 = 2 AND l_linenumber = 1)),
+       |da AS (SELECT l_returnflag, count(*) AS n_a,
+       |         bit_xor(${rowHash("qty")}) AS h_a
+       |       FROM a GROUP BY 1),
+       |db AS (SELECT l_returnflag, count(*) AS n_b,
+       |         bit_xor(${rowHash("qty")}) AS h_b
+       |       FROM b GROUP BY 1)
+       |SELECT coalesce(da.l_returnflag, db.l_returnflag) AS l_returnflag,
+       |  n_a, n_b,
+       |  CASE WHEN n_a IS NULL THEN 'missing_a'
+       |       WHEN n_b IS NULL THEN 'missing_b'
+       |       WHEN n_a <> n_b THEN 'count_mismatch'
+       |       WHEN h_a <> h_b THEN 'content_mismatch'
+       |       ELSE 'match' END AS status
+       |FROM da FULL OUTER JOIN db ON da.l_returnflag = db.l_returnflag
+       |ORDER BY 1""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_time_to_minutes" -> timeToMinutesQ,
     "q31_lenient_casts" -> lenientCasts,
@@ -975,7 +1036,8 @@ object Reference {
     "q92_jsonl_quarantine" -> jsonlQuarantine,
     "q94_compact" -> compactQ,
     "q101_run_audit" -> runAuditQ,
-    "q105_merge_upsert" -> mergeUpsertQ
+    "q105_merge_upsert" -> mergeUpsertQ,
+    "q109_reconcile" -> reconcileQ
   )
 
   val oracle: Map[String, String] = Map(
@@ -1000,6 +1062,7 @@ object Reference {
     "q92_jsonl_quarantine" -> jsonlQuarantineSql,
     "q94_compact" -> compactSql,
     "q101_run_audit" -> runAuditSql,
-    "q105_merge_upsert" -> mergeUpsertSql
+    "q105_merge_upsert" -> mergeUpsertSql,
+    "q109_reconcile" -> reconcileSql
   )
 }
