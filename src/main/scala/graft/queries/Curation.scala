@@ -472,12 +472,92 @@ object Curation {
        |  CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
        |FROM r WHERE rn <= $GroupSampleK GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q110 sequence packing (concat-and-chunk, distributed prefix sum)
+  // ---------------------------------------------------------------
+
+  /** Training context window (tokens) and prefix-sum bucket width
+    * (documents per bucket). */
+  private val PackWindow = 512
+  private val PackBucket = 1024L
+
+  /** q110: sequence packing — the step that turns a curated corpus
+    * into fixed-length training sequences: documents are concatenated
+    * in deterministic (doc_id) order and chunked into
+    * [[PackWindow]]-token windows (GPT-style concat-and-chunk). The
+    * digest reports, per language, how many documents straddle a
+    * window boundary (the cross-document-attention share packing
+    * analyses care about), plus the corpus-wide sequence count.
+    *
+    * Scale shape: every document needs its global token OFFSET — a
+    * corpus-wide prefix sum, which a naive
+    * `Window.orderBy(doc_id)` computes by funneling ALL rows through
+    * ONE sorted partition. This is the textbook TWO-LEVEL prefix sum
+    * instead: (1) documents bucket by doc_id range ([[PackBucket]]
+    * per bucket), in-bucket cumulative sums run as a window
+    * PARTITIONED by bucket (parallel across buckets); (2) per-bucket
+    * totals form a buckets-count-sized table whose own prefix sum is
+    * trivially cheap, broadcast back as each bucket's base offset.
+    * No corpus-wide sort, no single-partition stage; the oracle's
+    * plain windowed cumsum produces identical offsets. */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    prep(spark)
+    val t = documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).as("n"))
+      .withColumn("bucket", (col("doc_id") / PackBucket).cast("long"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = t.withColumn("cum", sum(col("n")).over(wIn))
+    // bucket-offset table: one row per PackBucket documents — tiny
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = t.groupBy(col("bucket")).agg(sum(col("n")).as("bt"))
+      .withColumn("off", sum(col("bt")).over(wB) - col("bt"))
+      .select(col("bucket"), col("off"))
+    val total = t.agg(sum(col("n")).as("total"))
+      .select(ceil(col("total") / lit(PackWindow.toDouble)).cast("long")
+        .as("n_sequences"))
+    inBucket.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("start", col("off") + col("cum") - col("n"))
+      .withColumn("straddles",
+        (floor(col("start") / PackWindow) =!=
+          floor((col("start") + col("n") - 1) / PackWindow)).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        sum(col("straddles")).as("n_straddling"))
+      .crossJoin(broadcast(total))
+      .orderBy("lang")
+  }
+
+  val sequencePackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n,
+       |    sum(n) OVER (ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n AS start
+       |  FROM t),
+       |tot AS (SELECT CAST(ceil(sum(n) / ${PackWindow.toDouble})
+       |                    AS BIGINT) AS n_sequences FROM t)
+       |SELECT lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN start // $PackWindow
+       |                     <> (start + n - 1) // $PackWindow
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+       |  n_sequences
+       |FROM c, tot GROUP BY lang, n_sequences ORDER BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_dedup_clusters" -> dedupClusters,
     "q89_decontaminate" -> decontaminate,
     "q90_source_sample" -> sourceSample,
     "q98_span_dedup" -> spanDedup,
-    "q106_group_sample" -> groupSample
+    "q106_group_sample" -> groupSample,
+    "q110_sequence_pack" -> sequencePack
   )
 
   val oracle: Map[String, String] = Map(
@@ -485,6 +565,7 @@ object Curation {
     "q89_decontaminate" -> decontaminateSql,
     "q90_source_sample" -> sourceSampleSql,
     "q98_span_dedup" -> spanDedupSql,
-    "q106_group_sample" -> groupSampleSql
+    "q106_group_sample" -> groupSampleSql,
+    "q110_sequence_pack" -> sequencePackSql
   )
 }

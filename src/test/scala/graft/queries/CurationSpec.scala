@@ -169,6 +169,41 @@ class CurationSpec extends SparkSpec {
       s"expected the two-phase top-k aggregate:\n$plan")
   }
 
+  test("sequence packing: hand-computed boundary count and sequence total") {
+    // 60 docs x 10 tokens = 600 tokens; window 512 -> 2 sequences and
+    // exactly ONE straddling doc: the one starting at offset 510
+    // (spans 510..519 across the 512 boundary).
+    val rows = (0L until 60L).map(i =>
+      (i, (1 to 10).map(t => s"w$t").mkString(" "), "en", "s"))
+    val dir = corpus(rows)
+    val out = Curation.sequencePack(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 60L)  // n_docs
+    assert(r.getLong(2) === 600L) // n_tokens
+    assert(r.getLong(3) === 1L)   // n_straddling
+    assert(r.getLong(4) === 2L)   // n_sequences
+  }
+
+  test("sequence packing plan: the corpus-row window is bucket-partitioned, " +
+      "never a global single-partition sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val dir = corpus((0L until 10L).map(i => (i, "a b c", "en", "s")))
+    val df = Curation.sequencePack(spark, dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = df.queryExecution.executedPlan
+      // every window over more than the tiny bucket-offset table must
+      // carry a non-empty partition spec
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"no window found:\n$plan")
+      val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+      // exactly the buckets-count-sized offset window may be global
+      assert(unpartitioned.size <= 1,
+        s"corpus-row window lost its bucket partitioning:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("sampling filter involves no join or extra exchange before the rollup") {
     val dir = corpus(Seq((0L, "t", "en", "src0")))
     val plan = Curation.sourceSample(spark, dir)
