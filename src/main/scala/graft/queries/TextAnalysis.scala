@@ -618,16 +618,18 @@ object TextAnalysis {
       .select(col("freq"), col("p.ca").as("a"), col("p.cb").as("b"))
       .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
 
-  /** Corpus word-frequency table — the ONE corpus-scale scan the
-    * trainer makes; memoized+persisted so q99 train and q100 apply
-    * share it within a session. */
-  private def bpeWords(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "bpe_words") {
-      documents(spark, dir)
+  /** Word-frequency table over a document slice — the ONE
+    * corpus-scale scan the trainer makes; memoized+persisted per
+    * (slice key) so train and apply share it within a session. */
+  private def bpeWordsFor(spark: SparkSession, dir: String, key: String,
+      docPred: Column): DataFrame =
+    memo(spark, dir, key) {
+      documents(spark, dir).filter(docPred)
         .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
         .filter(col("w") =!= "")
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     }
+
 
   /** Train [[BpeMerges]] merges: each round aggregates adjacent-pair
     * frequencies over the VOCAB-sized iterate (the corpus weight rides
@@ -650,8 +652,13 @@ object TextAnalysis {
     * collect it back to literals. */
   private[queries] def trainedMerges(
       spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
-    memo(spark, dir, "bpe_merges") {
-      var st = bpeWords(spark, dir).withColumn("enc", encInit("w"))
+    trainedMergesFor(spark, dir, "bpe_merges", lit(true))
+
+  private def trainedMergesFor(spark: SparkSession, dir: String,
+      key: String, docPred: Column): Seq[(Int, String, String, Long)] =
+    memo(spark, dir, key) {
+      var st = bpeWordsFor(spark, dir, s"${key}_words", docPred)
+        .withColumn("enc", encInit("w"))
       val out = Seq.newBuilder[(Int, String, String, Long)]
       var t = 1
       var exhausted = false
@@ -742,16 +749,17 @@ object TextAnalysis {
   }
 
   /** The training CTE chain (words → s0 → (pc_t, m_t, s_t)*) shared by
-    * the q99 and q100 oracles: m_t is round t's chosen merge, s_t the
-    * vocab encoding after applying it. */
-  private val bpeTrainCtes: Seq[String] = {
+    * the q99/q100/q111 oracles: m_t is round t's chosen merge, s_t the
+    * vocab encoding after applying it; `docPred` restricts the
+    * training document slice. */
+  private def bpeTrainCtes(docPred: String): Seq[String] = {
     val sep = "chr(2)||chr(1)"
     Seq(
-      """words AS (
+      s"""words AS (
         |  SELECT tok AS w, count(*) AS freq
-        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
         |          AS tok
-        |        FROM documents)
+        |        FROM documents WHERE $docPred)
         |  WHERE tok <> '' GROUP BY 1)""".stripMargin,
       s"""s0 AS (SELECT w, freq,
          |  chr(1) || array_to_string(string_split(w, ''), $sep) || chr(2)
@@ -781,7 +789,8 @@ object TextAnalysis {
     val union = (1 to BpeMerges)
       .map(t => s"SELECT $t AS rnk, a AS left_sym, b AS right_sym, cnt FROM m$t")
       .mkString("\nUNION ALL ")
-    s"WITH ${bpeTrainCtes.mkString(",\n")}\nSELECT * FROM (\n$union) ORDER BY rnk"
+    s"WITH ${bpeTrainCtes("TRUE").mkString(",\n")}\n" +
+      s"SELECT * FROM (\n$union) ORDER BY rnk"
   }
 
   /** q100 oracle: re-derive the merges with the training CTEs, then
@@ -808,13 +817,81 @@ object TextAnalysis {
            |           chr(1)||m.a||m.b||chr(2)), enc) AS enc
            |  FROM a${t - 1} LEFT JOIN m$t m ON TRUE)""".stripMargin
       }
-    s"""WITH ${(bpeTrainCtes ++ applyCtes).mkString(",\n")}
+    s"""WITH ${(bpeTrainCtes("TRUE") ++ applyCtes).mkString(",\n")}
        |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_words,
        |  CAST(sum(length(enc) - length(replace(enc, chr(1), ''))) AS BIGINT)
        |    AS n_tokens,
        |  round(CAST(sum(length(enc) - length(replace(enc, chr(1), '')))
        |          AS DOUBLE) / count(*), 4) AS toks_per_word
        |FROM a$BpeMerges GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Held-out slice predicates — the q89 decontamination convention:
+    * doc_id % 97 == 0 is the eval slice. */
+  private val TrainPredSql = "doc_id % 97 <> 0"
+  private val EvalPredSql = "doc_id % 97 = 0"
+
+  /** q111: tokenizer EVALUATION — merges are trained on the TRAIN
+    * slice only and applied to the HELD-OUT slice (q89's doc_id % 97
+    * convention), digesting per-language token counts and
+    * chars-per-token compression. This is the measurement a tokenizer
+    * build actually ships on: how well do merges learned on training
+    * data generalize to unseen text (compression below 1 char/token
+    * never happens; higher is better; eval compression lagging train
+    * compression is the overfit signal). Same scan-stage apply shape
+    * as q100 — the merge table is literals, zero joins. */
+  def bpeEval(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val merges = byRank(trainedMergesFor(spark, dir, "bpe_merges_train",
+      col("doc_id") % 97 =!= 0))
+    val enc = merges.foldLeft(encInit("w")) {
+      case (e, (_, a, b, _)) => applyMerge(e, a, b)
+    }
+    documents(spark, dir).filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("n_tok",
+        length(enc) - length(replace(enc, lit(SymL), lit(""))))
+      .withColumn("wlen", length(col("w")))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("wlen")).as("n_chars"),
+        round(sum(col("wlen")).cast("double") / sum(col("n_tok")), 4)
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  val bpeEvalSql: String = {
+    val sep = "chr(2)||chr(1)"
+    val applyCtes = Seq(
+      s"""dw AS (
+         |  SELECT doc_id, lang, tok AS w
+         |  FROM (SELECT doc_id, lang,
+         |          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |        FROM documents WHERE $EvalPredSql)
+         |  WHERE tok <> '')""".stripMargin,
+      s"""a0 AS (SELECT doc_id, lang, length(w) AS wlen,
+         |  chr(1) || array_to_string(string_split(w, ''), $sep) || chr(2)
+         |    AS enc
+         |  FROM dw)""".stripMargin) ++
+      (1 to BpeMerges).map { t =>
+        s"""a$t AS (SELECT doc_id, lang, wlen,
+           |  coalesce(replace(enc, chr(1)||m.a||chr(2)||chr(1)||m.b||chr(2),
+           |           chr(1)||m.a||m.b||chr(2)), enc) AS enc
+           |  FROM a${t - 1} LEFT JOIN m$t m ON TRUE)""".stripMargin
+      }
+    s"""WITH ${(bpeTrainCtes(TrainPredSql) ++ applyCtes).mkString(",\n")},
+       |f AS (SELECT doc_id, lang, wlen,
+       |        length(enc) - length(replace(enc, chr(1), '')) AS n_tok
+       |      FROM a$BpeMerges)
+       |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_words,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(wlen) AS BIGINT) AS n_chars,
+       |  round(CAST(sum(wlen) AS DOUBLE) / sum(n_tok), 4) AS chars_per_token
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -831,7 +908,8 @@ object TextAnalysis {
     "q87_unigram_lm" -> unigramLm,
     "q99_bpe_train" -> bpeTrain,
     "q100_bpe_apply" -> bpeApply,
-    "q107_quality_gate" -> qualityGate
+    "q107_quality_gate" -> qualityGate,
+    "q111_bpe_eval" -> bpeEval
   )
 
   val oracle: Map[String, String] = Map(
@@ -848,6 +926,7 @@ object TextAnalysis {
     "q87_unigram_lm" -> unigramLmSql,
     "q99_bpe_train" -> bpeTrainSql,
     "q100_bpe_apply" -> bpeApplySql,
-    "q107_quality_gate" -> qualityGateSql
+    "q107_quality_gate" -> qualityGateSql,
+    "q111_bpe_eval" -> bpeEvalSql
   )
 }
