@@ -88,4 +88,61 @@ object TopK {
     val fn = udaf(new TopKAgg(k), Encoders.product[TopKEntry])
     (cos: Column, id: Column) => fn(cos, id)
   }
+
+  /** `top_terms(k)(score, term)` -> `array<struct<score, term>>` of
+    * the k best rows per group, best first (score DESC, term ASC). */
+  def topTerms(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopTermsAgg(k), Encoders.product[TermEntry])
+    (score: Column, term: Column) => fn(score, term)
+  }
+}
+
+/** One scored term inside a per-group top-k: ordering is
+  * (score DESC, term ASC) — the string-keyed sibling of
+  * [[TopKEntry]], for rankings whose identity is a token rather
+  * than a numeric id (TF-IDF top terms, label leaders). */
+case class TermEntry(score: Double, term: String)
+
+/** Bounded-heap top-k over (score, term) — identical two-phase
+  * geometry and NaN/duplicate discipline as [[TopKAgg]] (map-side
+  * partial aggregation keeps <= 2k entries per buffer; nothing ever
+  * sorts a full group), with the tiebreak on the term STRING so the
+  * oracle's `ORDER BY score DESC, term ASC` window reproduces the
+  * exact rows. */
+class TopTermsAgg(k: Int)
+    extends Aggregator[TermEntry, Seq[TermEntry], Seq[TermEntry]] {
+
+  private def cmpScore(x: Double, y: Double): Int =
+    if (x.isNaN && y.isNaN) 0
+    else if (x.isNaN) 1
+    else if (y.isNaN) -1
+    else if (x > y) 1
+    else if (x < y) -1
+    else 0
+
+  private def better(a: TermEntry, b: TermEntry): Boolean = {
+    val c = cmpScore(a.score, b.score)
+    c > 0 || (c == 0 && a.term < b.term)
+  }
+
+  private def trim(s: Seq[TermEntry]): Seq[TermEntry] =
+    s.distinctBy(e => (e.term, java.lang.Double.doubleToLongBits(e.score)))
+      .sortWith(better).take(k)
+
+  override def zero: Seq[TermEntry] = Vector.empty
+
+  override def reduce(b: Seq[TermEntry], a: TermEntry): Seq[TermEntry] = {
+    val nb = b :+ a
+    if (nb.size >= 2 * k) trim(nb) else nb
+  }
+
+  override def merge(x: Seq[TermEntry], y: Seq[TermEntry]): Seq[TermEntry] =
+    trim(x ++ y)
+
+  override def finish(r: Seq[TermEntry]): Seq[TermEntry] = trim(r)
+
+  override def bufferEncoder: Encoder[Seq[TermEntry]] =
+    ExpressionEncoder[Seq[TermEntry]]()
+  override def outputEncoder: Encoder[Seq[TermEntry]] =
+    ExpressionEncoder[Seq[TermEntry]]()
 }

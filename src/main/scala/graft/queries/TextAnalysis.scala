@@ -894,6 +894,77 @@ object TextAnalysis {
        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q112 TF-IDF top terms per language
+  // ---------------------------------------------------------------
+
+  private val TfidfK = 3
+
+  /** q112: TF-IDF keyword extraction — the classic relevance weighting
+    * every corpus-exploration / topic-labeling pass runs: per-document
+    * term frequency × smoothed inverse document frequency, then the
+    * [[TfidfK]] highest-scoring terms per language.
+    *
+    * Scale shape: tf is one (doc, word)-keyed aggregate; the document
+    * frequency table derives from tf by a second aggregate on the SAME
+    * key prefix and joins back as an equi-join on `w` — both sides
+    * are shuffled on the word key, and NEITHER is broadcast, because
+    * at 100 TB the vocabulary's long tail is itself billions of rows
+    * (a broadcast-df design dies exactly when the corpus gets
+    * interesting). The final per-language ranking is the bounded-heap
+    * [[graft.functions.TopTermsAgg]] — map-side partial aggregation,
+    * no per-group window sort (the q106 discipline). Scores are
+    * rounded to 4dp per (doc, word) BEFORE summing (the q87
+    * convention) so cross-engine ln/sum drift cannot move a rank. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val docs = documents(spark, dir)
+    val words = docs.select(col("doc_id"), col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = words.groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_total"))
+    tf.join(dfTab, "w")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") *
+        log((lit(1.0) + col("n_total")) / (lit(1.0) + col("df"))), 4))
+      .groupBy(col("lang"), col("w"))
+      .agg(round(sum(col("score")), 4).as("score_sum"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopK.topTerms(TfidfK)(
+        col("score_sum"), col("w")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.term").as("term"), col("col.score").as("score"))
+      .orderBy("lang", "rnk")
+  }
+
+  val tfidfSql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, lang, tok AS w
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |        FROM documents)
+       |  WHERE tok <> ''),
+       |tf AS (SELECT doc_id, lang, w, count(*) AS tf
+       |       FROM words GROUP BY 1, 2, 3),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_total FROM documents),
+       |scored AS (
+       |  SELECT lang, tf.w,
+       |    round(tf * ln((1.0 + n_total) / (1.0 + df)), 4) AS score
+       |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n),
+       |agg AS (SELECT lang, w, round(sum(score), 4) AS score_sum
+       |        FROM scored GROUP BY 1, 2),
+       |r AS (SELECT lang, w, score_sum,
+       |        row_number() OVER (PARTITION BY lang
+       |          ORDER BY score_sum DESC, w ASC) AS rnk
+       |      FROM agg)
+       |SELECT lang, rnk, w AS term, score_sum AS score
+       |FROM r WHERE rnk <= $TfidfK ORDER BY lang, rnk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_token_stats" -> tokenStats,
     "q51_quality_score" -> qualityScore,
@@ -909,7 +980,8 @@ object TextAnalysis {
     "q99_bpe_train" -> bpeTrain,
     "q100_bpe_apply" -> bpeApply,
     "q107_quality_gate" -> qualityGate,
-    "q111_bpe_eval" -> bpeEval
+    "q111_bpe_eval" -> bpeEval,
+    "q112_tfidf" -> tfidf
   )
 
   val oracle: Map[String, String] = Map(
@@ -927,6 +999,7 @@ object TextAnalysis {
     "q99_bpe_train" -> bpeTrainSql,
     "q100_bpe_apply" -> bpeApplySql,
     "q107_quality_gate" -> qualityGateSql,
-    "q111_bpe_eval" -> bpeEvalSql
+    "q111_bpe_eval" -> bpeEvalSql,
+    "q112_tfidf" -> tfidfSql
   )
 }
