@@ -551,13 +551,86 @@ object Curation {
        |  n_sequences
        |FROM c, tot GROUP BY lang, n_sequences ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q113 overlapping chunking (RAG / embedding window prep)
+  // ---------------------------------------------------------------
+
+  /** Chunk geometry: [[ChunkTokens]]-token windows advancing by
+    * [[ChunkStride]] tokens (16-token overlap) — the
+    * retrieval-embedding prep shape. */
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
+  /** q113: overlapping text chunking — the step that turns documents
+    * into retrieval/embedding units: fixed-size token windows with
+    * overlap, each chunk re-joined to text (what an embedding model
+    * would consume). Digest per language: chunk count, full-window
+    * share, token sum, and an order-insensitive xor digest of the
+    * chunk texts (pins the actual chunk CONTENT cross-engine, not
+    * just the counts).
+    *
+    * Scale shape: `sequence()` + `explode` fans each document into
+    * its ~n/stride window starts INSIDE the scan-project stage —
+    * embarrassingly parallel, no shuffle until the tiny per-language
+    * rollup, and the fan-out factor is bounded by the document's own
+    * token count (no corpus-wide state). This is the generator-
+    * expression form of a chunker: at 100 TB the chunk stream never
+    * materializes anywhere except as the map-side input to the
+    * digest aggregate (or, in the real pipeline, the embedding
+    * model's input iterator). */
+  def chunk(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    documents(spark, dir)
+      .select(col("lang"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("lang"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(ChunkStride)))
+          .as("start"))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(ChunkTokens))))
+      .withColumn("clen", least(lit(ChunkTokens), col("n") - col("start")))
+      .withColumn("h", expr(Exprs.hash60("chunk_text")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("clen") === ChunkTokens, 1L).otherwise(0L))
+          .as("n_full"),
+        sum(col("clen")).as("sum_tokens"),
+        expr("bit_xor(h)").as("content_digest"))
+      .orderBy("lang")
+  }
+
+  val chunkSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT lang, toks, len(toks) AS n,
+       |    unnest(generate_series(0, len(toks) - 1, $ChunkStride)) AS start
+       |  FROM t),
+       |c AS (
+       |  SELECT lang,
+       |    array_to_string(
+       |      list_slice(toks, start + 1, least(start + $ChunkTokens, n)), ' ')
+       |      AS chunk_text,
+       |    least($ChunkTokens, n - start) AS clen
+       |  FROM s)
+       |SELECT lang, count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN clen = $ChunkTokens THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_full,
+       |  CAST(sum(clen) AS BIGINT) AS sum_tokens,
+       |  bit_xor(('0x' || substr(md5(chunk_text), 1, 15))::BIGINT)
+       |    AS content_digest
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_dedup_clusters" -> dedupClusters,
     "q89_decontaminate" -> decontaminate,
     "q90_source_sample" -> sourceSample,
     "q98_span_dedup" -> spanDedup,
     "q106_group_sample" -> groupSample,
-    "q110_sequence_pack" -> sequencePack
+    "q110_sequence_pack" -> sequencePack,
+    "q113_chunk" -> chunk
   )
 
   val oracle: Map[String, String] = Map(
@@ -566,6 +639,7 @@ object Curation {
     "q90_source_sample" -> sourceSampleSql,
     "q98_span_dedup" -> spanDedupSql,
     "q106_group_sample" -> groupSampleSql,
-    "q110_sequence_pack" -> sequencePackSql
+    "q110_sequence_pack" -> sequencePackSql,
+    "q113_chunk" -> chunkSql
   )
 }

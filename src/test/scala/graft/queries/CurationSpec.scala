@@ -204,6 +204,23 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("chunking geometry: window starts, overlap, and tail truncation") {
+    // 100 tokens -> starts 0/48/96, lengths 64/52/4; 64 tokens -> a
+    // second, fully-overlapped 16-token tail window (stride < n);
+    // 5 tokens -> one short chunk.
+    def doc(n: Int) = (0 until n).map(i => s"t$i").mkString(" ")
+    val dir = corpus(Seq(
+      (1L, doc(100), "en", "src0"),
+      (2L, doc(64), "de", "src0"),
+      (3L, doc(5), "fr", "src0")))
+    val rows = Curation.chunk(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows("en") === ((3L, 1L, 120L))) // 64 + 52 + 4
+    assert(rows("de") === ((2L, 1L, 80L)))  // 64 + 16
+    assert(rows("fr") === ((1L, 0L, 5L)))
+  }
+
   test("sampling filter involves no join or extra exchange before the rollup") {
     val dir = corpus(Seq((0L, "t", "en", "src0")))
     val plan = Curation.sourceSample(spark, dir)
