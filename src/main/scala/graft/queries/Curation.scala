@@ -623,6 +623,77 @@ object Curation {
        |    AS content_digest
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q114 deterministic corpus shuffle + shard assignment
+  // ---------------------------------------------------------------
+
+  /** Shard fan-out and the seed baked into the permutation hash —
+    * changing the seed string is a new epoch's shuffle. */
+  private val ShuffleShards = 8L
+  private val ShuffleSeed = "epoch0"
+
+  /** q114: deterministic corpus shuffle — the training-order
+    * randomization step: every document gets a GLOBAL position in a
+    * seeded pseudo-random permutation (order of the seeded 60-bit
+    * hash), then round-robins into [[ShuffleShards]] shards — the
+    * interleave a data loader reads. Reproducible: position depends
+    * only on (seed, doc_id), so re-runs, retries, and repartitionings
+    * produce byte-identical shards, and a new seed is a new epoch.
+    *
+    * Scale shape: the naive form is `row_number() OVER (ORDER BY
+    * hash)` — a corpus-wide single-partition sort. This is the q110
+    * two-level decomposition instead, with the bucket as the TOP 10
+    * BITS of the hash (a RANGE prefix of the sort key, so bucket
+    * order IS hash order): in-bucket ranks run as a window
+    * partitioned by bucket (parallel across 1024 buckets, uniform by
+    * hash construction), bucket totals prefix-sum into base offsets
+    * on a 1024-row table, and the digest pins the exact
+    * position->document assignment cross-engine via an
+    * order-insensitive xor of (pos, doc_id) hashes. */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    prep(spark)
+    val t = documents(spark, dir).select(col("doc_id"))
+      .withColumn("hk", expr(Exprs.hash60(
+        s"concat('$ShuffleSeed:', cast(doc_id as string))")))
+      .withColumn("bucket", shiftright(col("hk"), 50))
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("hk"), col("doc_id"))
+    val inB = t.withColumn("rn", row_number().over(wIn))
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = t.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      .withColumn("off", sum(col("bn")).over(wB) - col("bn"))
+      .select(col("bucket"), col("off"))
+    inB.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("pos", col("off") + col("rn") - 1)
+      .withColumn("shard", col("pos") % ShuffleShards)
+      .withColumn("ph", expr(Exprs.hash60(
+        "concat(cast(pos as string), ':', cast(doc_id as string))")))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pos")).as("sum_pos"),
+        expr("bit_xor(ph)").as("perm_digest"))
+      .orderBy("shard")
+  }
+
+  val corpusShuffleSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)),
+       |     1, 15))::BIGINT AS hk
+       |  FROM documents),
+       |p AS (SELECT doc_id,
+       |        row_number() OVER (ORDER BY hk, doc_id) - 1 AS pos
+       |      FROM h),
+       |d AS (SELECT pos % $ShuffleShards AS shard, pos, doc_id,
+       |        ('0x' || substr(md5(CAST(pos AS VARCHAR) || ':' ||
+       |         CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ph
+       |      FROM p)
+       |SELECT shard, count(*) AS n_docs, CAST(sum(pos) AS BIGINT) AS sum_pos,
+       |  bit_xor(ph) AS perm_digest
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_dedup_clusters" -> dedupClusters,
     "q89_decontaminate" -> decontaminate,
@@ -630,7 +701,8 @@ object Curation {
     "q98_span_dedup" -> spanDedup,
     "q106_group_sample" -> groupSample,
     "q110_sequence_pack" -> sequencePack,
-    "q113_chunk" -> chunk
+    "q113_chunk" -> chunk,
+    "q114_corpus_shuffle" -> corpusShuffle
   )
 
   val oracle: Map[String, String] = Map(
@@ -640,6 +712,7 @@ object Curation {
     "q98_span_dedup" -> spanDedupSql,
     "q106_group_sample" -> groupSampleSql,
     "q110_sequence_pack" -> sequencePackSql,
-    "q113_chunk" -> chunkSql
+    "q113_chunk" -> chunkSql,
+    "q114_corpus_shuffle" -> corpusShuffleSql
   )
 }

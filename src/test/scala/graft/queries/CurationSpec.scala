@@ -204,6 +204,39 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("corpus shuffle: positions form an exact permutation, " +
+      "round-robin shards balance, and the result is partitioning-invariant") {
+    // 29 docs (not a multiple of the shard count) -> shard sizes 4/4/4/4/4/3/3/3
+    val dir = corpus((0L until 29L).map(i => (i * 7, "x", "en", "s")))
+    val rows = Curation.corpusShuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (0L until 8L))
+    assert(rows.map(_._2).sum === 29L)
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1) // round-robin
+    assert(rows.map(_._3).sum === 29L * 28L / 2)         // sum 0..28
+    // digest is a pure function of (seed, doc_id set): a re-read with
+    // a different partitioning reproduces it exactly
+    val again = Curation.corpusShuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(rows.map(r => (r._1, r._4)).toMap === again)
+  }
+
+  test("corpus shuffle plan: the rank window is bucket-partitioned, " +
+      "never a global single-partition sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val dir = corpus((0L until 10L).map(i => (i, "x", "en", "s")))
+    val df = Curation.corpusShuffle(spark, dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = df.queryExecution.executedPlan
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"no window found:\n$plan")
+      // exactly the buckets-count-sized offset window may be global
+      assert(windows.count(_.partitionSpec.isEmpty) <= 1,
+        s"corpus-row rank window lost its bucket partitioning:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("chunking geometry: window starts, overlap, and tail truncation") {
     // 100 tokens -> starts 0/48/96, lengths 64/52/4; 64 tokens -> a
     // second, fully-overlapped 16-token tail window (stride < n);
