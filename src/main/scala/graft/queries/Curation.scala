@@ -694,6 +694,96 @@ object Curation {
        |  bit_xor(ph) AS perm_digest
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q115 data-mixture token-budget allocation
+  // ---------------------------------------------------------------
+
+  /** q115: mixture allocation — the step that decides HOW MUCH of
+    * each source a training run samples: sources carry class weights
+    * (web-like 4 : books-like 3 : code-like 2 : wiki-like 1, classed
+    * by source index % 4, split evenly inside a class), the run has a
+    * token budget (half the corpus), and each source's allocation is
+    * capped water-filling: round 1 gives every source
+    * `budget * weight`, capped at what it actually has; round 2
+    * redistributes the leftover to the uncapped sources
+    * proportionally to weight, capped again. The digest is the
+    * per-source allocation and sampling rate — what a mixture config
+    * feeds back into [[sourceSample]]-style rate filters.
+    *
+    * Exactness: every allocation step is INTEGER arithmetic —
+    * `(budget * class_weight) div (10 * class_size)` — so there is no
+    * cross-engine float-sum drift anywhere a floor could flip; the
+    * only double is the final reported rate, one division rounded to
+    * 6dp. Scale shape: one corpus scan reduces to a sources-sized
+    * table; everything after (class sizes, budget, leftover,
+    * uncapped-weight total) is broadcast scalars over that tiny
+    * table. */
+  def mixtureAlloc(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val avail = documents(spark, dir)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("available"))
+      .withColumn("cls", expr("cast(substr(source, 4) as int) % 4"))
+      .withColumn("cw",
+        when(col("cls") === 0, 4L).when(col("cls") === 1, 3L)
+          .when(col("cls") === 2, 2L).otherwise(1L))
+    val clsSize = avail.groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_cls"))
+    val budget = avail.agg(expr("sum(available) div 2").as("budget"))
+    val r1 = avail.join(broadcast(clsSize), Seq("cls"))
+      .crossJoin(broadcast(budget))
+      .withColumn("want",
+        expr("(budget * cw) div (10 * n_cls)"))
+      .withColumn("alloc1", least(col("available"), col("want")))
+      .withColumn("uncapped", col("alloc1") < col("available"))
+    val tot = r1.agg(sum(col("alloc1")).as("sum1"),
+      sum(when(col("uncapped"), col("cw")).otherwise(0L)).as("w_unc"))
+    r1.crossJoin(broadcast(tot))
+      .withColumn("extra",
+        when(col("uncapped") && col("w_unc") > 0,
+          expr("((budget - sum1) * cw) div w_unc")).otherwise(0L))
+      .withColumn("alloc",
+        least(col("available"), col("alloc1") + col("extra")))
+      .withColumn("rate",
+        round(col("alloc").cast("double") / col("available"), 6))
+      .select(col("source"), col("cls").cast("long").as("cls"),
+        col("available"), col("alloc"), col("rate"))
+      .orderBy("source")
+  }
+
+  val mixtureAllocSql: String =
+    """WITH avail AS (
+      |  SELECT source,
+      |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |      AS available,
+      |    CAST(substr(source, 4) AS INT) % 4 AS cls
+      |  FROM documents GROUP BY source),
+      |aw AS (SELECT *, CASE cls WHEN 0 THEN 4 WHEN 1 THEN 3
+      |                          WHEN 2 THEN 2 ELSE 1 END AS cw
+      |       FROM avail),
+      |cs AS (SELECT cls, count(*) AS n_cls FROM aw GROUP BY 1),
+      |b AS (SELECT CAST(sum(available) // 2 AS BIGINT) AS budget FROM aw),
+      |r1 AS (
+      |  SELECT aw.*, cs.n_cls, b.budget,
+      |    least(available, (budget * cw) // (10 * n_cls)) AS alloc1,
+      |    least(available, (budget * cw) // (10 * n_cls)) < available
+      |      AS uncapped
+      |  FROM aw JOIN cs USING (cls) CROSS JOIN b),
+      |t AS (SELECT sum(alloc1) AS sum1,
+      |        sum(CASE WHEN uncapped THEN cw ELSE 0 END) AS w_unc
+      |      FROM r1)
+      |SELECT source, CAST(cls AS BIGINT) AS cls, available,
+      |  CAST(least(available, alloc1 + CASE
+      |    WHEN uncapped AND w_unc > 0
+      |    THEN ((budget - sum1) * cw) // w_unc ELSE 0 END) AS BIGINT)
+      |    AS alloc,
+      |  round(CAST(least(available, alloc1 + CASE
+      |    WHEN uncapped AND w_unc > 0
+      |    THEN ((budget - sum1) * cw) // w_unc ELSE 0 END) AS DOUBLE)
+      |    / available, 6) AS rate
+      |FROM r1 CROSS JOIN t ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_dedup_clusters" -> dedupClusters,
     "q89_decontaminate" -> decontaminate,
@@ -702,7 +792,8 @@ object Curation {
     "q106_group_sample" -> groupSample,
     "q110_sequence_pack" -> sequencePack,
     "q113_chunk" -> chunk,
-    "q114_corpus_shuffle" -> corpusShuffle
+    "q114_corpus_shuffle" -> corpusShuffle,
+    "q115_mixture_alloc" -> mixtureAlloc
   )
 
   val oracle: Map[String, String] = Map(
@@ -713,6 +804,7 @@ object Curation {
     "q106_group_sample" -> groupSampleSql,
     "q110_sequence_pack" -> sequencePackSql,
     "q113_chunk" -> chunkSql,
-    "q114_corpus_shuffle" -> corpusShuffleSql
+    "q114_corpus_shuffle" -> corpusShuffleSql,
+    "q115_mixture_alloc" -> mixtureAllocSql
   )
 }

@@ -237,6 +237,24 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("mixture allocation: scarce source caps, leftover redistributes by weight") {
+    // src0 (weight 4) has only 10 tokens; src1-3 have 1000 each.
+    // budget = 3010 div 2 = 1505. Round 1: src0 wants 602, caps at 10;
+    // src1/2/3 get 451/301/150. Leftover 593 redistributes over
+    // weights 3/2/1 -> +296/+197/+98.
+    def docs(src: String, base: Long, k: Int) = (0 until k).map(i =>
+      (base + i, (1 to 10).map(t => s"w$t").mkString(" "), "en", src))
+    val dir = corpus(docs("src0", 0, 1) ++ docs("src1", 100, 100) ++
+      docs("src2", 1000, 100) ++ docs("src3", 2000, 100))
+    val rows = Curation.mixtureAlloc(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows("src0") === ((0L, 10L, 10L, 1.0)))
+    assert(rows("src1") === ((1L, 1000L, 747L, 0.747)))
+    assert(rows("src2") === ((2L, 1000L, 498L, 0.498)))
+    assert(rows("src3") === ((3L, 1000L, 248L, 0.248)))
+  }
+
   test("chunking geometry: window starts, overlap, and tail truncation") {
     // 100 tokens -> starts 0/48/96, lengths 64/52/4; 64 tokens -> a
     // second, fully-overlapped 16-token tail window (stride < n);
