@@ -432,17 +432,69 @@ object Dedup {
        |FROM p WHERE inter / (na + nb - inter) >= 0.5
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q116 cross-source duplicate overlap matrix
+  // ---------------------------------------------------------------
+
+  /** q116: the source-overlap matrix — which SOURCES copy from each
+    * other: per (source_a < source_b) pair, how many exact-dup
+    * fingerprints both contain. This is the provenance view of q55
+    * (mirror-site detection, licensing-risk triage, crawl-overlap
+    * budgeting before a dedup decides who keeps the doc).
+    *
+    * Scale shape: the corpus reduces to the DISTINCT (fp, source)
+    * set in one aggregate — at 100 TB this table is duplicate-
+    * cluster-sized, orders smaller than the corpus — and the matrix
+    * is an equi-self-join on the high-cardinality fp key (never
+    * all-pairs: the join key is the fingerprint, and per-fp fan-out
+    * is the dup group's source count, bounded by the 20-source
+    * universe). The digest xors fp hashes per cell so the WHICH of
+    * the overlap is pinned, not just the count. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val fpSrc = documents(spark, dir)
+      .select(col("source"),
+        md5(expr(
+          "array_join(array_sort(array_distinct(split(lower(trim(text)), '\\\\s+'))), ' ')"))
+          .as("fp"))
+      .distinct()
+    fpSrc.as("a").join(fpSrc.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        expr(s"${Exprs.hash60("a.fp")}").as("h"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        expr("bit_xor(h)").as("fp_digest"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapSql: String =
+    """WITH f AS (
+      |  SELECT DISTINCT source,
+      |    md5(array_to_string(list_sort(list_distinct(
+      |      string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    ('0x' || substr(md5(a.fp), 1, 15))::BIGINT AS h
+      |  FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source)
+      |SELECT source_a, source_b, count(*) AS n_shared,
+      |  bit_xor(h) AS fp_digest
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_exact_dedup" -> exactDedup,
     "q56_minhash_lsh" -> minhashLsh,
     "q57_simhash" -> simhash,
-    "q58_ngram_jaccard" -> ngramJaccard
+    "q58_ngram_jaccard" -> ngramJaccard,
+    "q116_source_overlap" -> sourceOverlap
   )
 
   val oracle: Map[String, String] = Map(
     "q55_exact_dedup" -> exactDedupSql,
     "q56_minhash_lsh" -> minhashLshSql,
     "q57_simhash" -> simhashSql,
-    "q58_ngram_jaccard" -> ngramJaccardSql
+    "q58_ngram_jaccard" -> ngramJaccardSql,
+    "q116_source_overlap" -> sourceOverlapSql
   )
 }

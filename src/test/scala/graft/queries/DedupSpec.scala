@@ -74,4 +74,25 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getString(0) === "en")
     assert(out.head.getLong(1) >= 1) // at least the identical pair
   }
+
+  test("source overlap counts shared fingerprints per ordered source pair") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dedup_spec").toString
+    // "dup one" lives in src0/src1/src2; "dup two" in src0/src1 (twice
+    // in src1 — distinct must collapse it); unique text in src3.
+    Seq(
+      (0L, "dup one", "src0"), (1L, "dup one", "src1"),
+      (2L, "dup one", "src2"), (3L, "dup two", "src0"),
+      (4L, "dup two", "src1"), (5L, "dup two", "src1"),
+      (6L, "unique text", "src3"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.sourceOverlap(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out === Map(
+      ("src0", "src1") -> 2L, ("src0", "src2") -> 1L,
+      ("src1", "src2") -> 1L))
+  }
 }
