@@ -895,6 +895,118 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------
+  // q117 bigram LM bits-per-token (stupid backoff)
+  // ---------------------------------------------------------------
+
+  /** q117: bigram language-model scoring — the next step up the CCNet
+    * quality ladder from q87's unigram: per-document cross-entropy
+    * under a corpus-trained bigram model with stupid backoff (Brants
+    * et al. 2007 — unnormalized `0.4 * unigram` when the bigram is
+    * unseen), digested per language. Perplexity under an n-gram LM is
+    * the classic pretraining-corpus quality filter; the bigram takes
+    * it from word frequency to local coherence (word-salad docs score
+    * high even when every word is common).
+    *
+    * Scale shape: identical to q87 — the model (top-[[LmVocabSize]]
+    * bigram map + unigram map + token total, ONE row) is trained with
+    * corpus-wide aggregates, memoized per (session, dir), and
+    * broadcast; scoring is a scan-stage `zip_with` fold over each
+    * document's own adjacent-token pairs, zero shuffles before the
+    * per-language rollup. Bits round to 4dp per document (the q87
+    * convention) so cross-engine log/sum drift stays inside the
+    * rounding. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val docs = documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+    val lm = memo(spark, dir, "lm_bigram") {
+      val uni = docs.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val vm = uni.orderBy(col("cnt").desc, col("tok").asc)
+        .limit(LmVocabSize)
+        .agg(map_from_entries(
+          collect_list(struct(col("tok"), col("cnt")))).as("vm"))
+      val bm = docs.select(explode(expr(
+          "zip_with(slice(toks, 1, size(toks) - 1)," +
+            " slice(toks, 2, size(toks) - 1)," +
+            " (p, c) -> concat(p, ' ', c))")).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bg").asc).limit(LmVocabSize)
+        .agg(map_from_entries(
+          collect_list(struct(col("bg"), col("cnt")))).as("bm"))
+      vm.crossJoin(bm)
+        .crossJoin(docs.select(sum(size(col("toks"))).as("n_total")))
+    }
+    docs.crossJoin(broadcast(lm))
+      .withColumn("n_bg", greatest(size(col("toks")) - 1, lit(0)))
+      .withColumn("bits", round(expr(
+        "aggregate(zip_with(slice(toks, 1, size(toks) - 1)," +
+          " slice(toks, 2, size(toks) - 1), (p, c) ->" +
+          " CASE WHEN element_at(bm, concat(p, ' ', c)) IS NOT NULL" +
+          "       AND element_at(vm, p) IS NOT NULL" +
+          "  THEN -log2(cast(element_at(bm, concat(p, ' ', c)) as double)" +
+          "             / element_at(vm, p))" +
+          "  ELSE -log2(0.4D * coalesce(cast(element_at(vm, c) as double)," +
+          "             0.5D) / n_total) END)," +
+          " 0D, (a, x) -> a + x)"), 4))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bg")).as("n_bigrams"),
+        round(sum(col("bits")), 4).as("sum_bits"),
+        round(sum(col("bits")) / sum(col("n_bg")), 4)
+          .as("avg_bits_per_bigram"))
+      .orderBy("lang")
+  }
+
+  val bigramLmSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |u AS (SELECT unnest(toks) AS tok FROM t),
+       |uc AS (SELECT tok, count(*) AS cnt FROM u GROUP BY 1),
+       |vm AS (SELECT map(list(tok ORDER BY tok), list(cnt ORDER BY tok))
+       |         AS vm
+       |       FROM (SELECT tok, cnt FROM uc
+       |             ORDER BY cnt DESC, tok ASC LIMIT $LmVocabSize)),
+       |bgx AS (
+       |  SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS bg
+       |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+       |bc AS (SELECT bg, count(*) AS cnt FROM bgx GROUP BY 1),
+       |bm AS (SELECT map(list(bg ORDER BY bg), list(cnt ORDER BY bg))
+       |         AS bm
+       |       FROM (SELECT bg, cnt FROM bc
+       |             ORDER BY cnt DESC, bg ASC LIMIT $LmVocabSize)),
+       |n AS (SELECT count(*) AS n_total FROM u),
+       |db AS (
+       |  SELECT doc_id, lang, toks[g.i] AS p, toks[g.i + 1] AS c
+       |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+       |sb AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN list_extract(map_extract(bm, p || ' ' || c), 1)
+       |              IS NOT NULL
+       |          AND list_extract(map_extract(vm, p), 1) IS NOT NULL
+       |      THEN -log2(CAST(list_extract(map_extract(bm, p || ' ' || c), 1)
+       |                      AS DOUBLE)
+       |                 / list_extract(map_extract(vm, p), 1))
+       |      ELSE -log2(0.4 * coalesce(
+       |             CAST(list_extract(map_extract(vm, c), 1) AS DOUBLE), 0.5)
+       |             / n_total) END AS bits
+       |  FROM db, vm, bm, n),
+       |d AS (
+       |  SELECT t.doc_id, t.lang, greatest(len(toks) - 1, 0) AS n_bg,
+       |    coalesce(s.bits, 0) AS bits
+       |  FROM t LEFT JOIN
+       |    (SELECT doc_id, round(sum(bits), 4) AS bits
+       |     FROM sb GROUP BY 1) s
+       |    ON t.doc_id = s.doc_id)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_bg) AS BIGINT) AS n_bigrams,
+       |  round(sum(bits), 4) AS sum_bits,
+       |  round(sum(bits) / sum(n_bg), 4) AS avg_bits_per_bigram
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // q112 TF-IDF top terms per language
   // ---------------------------------------------------------------
 
@@ -981,7 +1093,8 @@ object TextAnalysis {
     "q100_bpe_apply" -> bpeApply,
     "q107_quality_gate" -> qualityGate,
     "q111_bpe_eval" -> bpeEval,
-    "q112_tfidf" -> tfidf
+    "q112_tfidf" -> tfidf,
+    "q117_bigram_lm" -> bigramLm
   )
 
   val oracle: Map[String, String] = Map(
@@ -1000,6 +1113,7 @@ object TextAnalysis {
     "q100_bpe_apply" -> bpeApplySql,
     "q107_quality_gate" -> qualityGateSql,
     "q111_bpe_eval" -> bpeEvalSql,
-    "q112_tfidf" -> tfidfSql
+    "q112_tfidf" -> tfidfSql,
+    "q117_bigram_lm" -> bigramLmSql
   )
 }

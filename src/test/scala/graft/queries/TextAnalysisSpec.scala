@@ -191,6 +191,26 @@ class TextAnalysisSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("bigram lm: coherent word order scores fewer bits than scrambled") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("text_spec").toString
+    // identical unigram profile (10 a's, 10 b's each), opposite local
+    // coherence: the alternating doc's bigrams dominate the model, so
+    // the run-length doc must pay more bits per bigram — the signal a
+    // unigram LM (q87) cannot see.
+    val coherent = (1 to 10).map(_ => "a b").mkString(" ")
+    val scrambled = "a a a a a b b b b b a a a a a b b b b b"
+    Seq((0L, "co", coherent), (1L, "sc", scrambled))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.bigramLm(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(out("co") < out("sc"),
+      s"coherent doc must score fewer bits/bigram: $out")
+  }
+
   test("pii redact: the clean text carries typed placeholder tokens") {
     import spark.implicits._
     val dir = corpus(Seq("sample text"))
