@@ -784,6 +784,75 @@ object Curation {
       |    / available, 6) AS rate
       |FROM r1 CROSS JOIN t ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q118 training-example assembly from event logs
+  // ---------------------------------------------------------------
+
+  /** Per-example event cap — the context-window truncation. */
+  private val AssembleMaxEvents = 32
+
+  /** q118: example assembly — the SFT/agent-trace data-build step
+    * that turns a keyed event log into one training example per key:
+    * each user's events sort by (ts, event_id), truncate to the first
+    * [[AssembleMaxEvents]], render to a compact `type@value` line, and
+    * join into the example string a tokenizer would consume. The
+    * digest groups by assembled length and xors example-text hashes,
+    * so ORDER, TRUNCATION, and RENDERING are all pinned cross-engine
+    * (any swap of two events flips the digest).
+    *
+    * Scale shape: one shuffle of (user, event-struct) into a
+    * grouped aggregate; `sort_array` + `slice` sort each group's OWN
+    * events (bounded by the per-user history, not the corpus — the
+    * inherent cost of materializing an example) and rendering is
+    * scan-stage. Values render as integer cents, never raw doubles —
+    * engines do not agree on float-to-string formatting. */
+  /** The assembled (user_id, n_events, example) table — the actual
+    * examples, before the digest rollup (spec surface). */
+  private[queries] def assembled(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          concat(col("event_type"), lit("@"),
+            round(col("value") * 100).cast("long").cast("string"))
+            .as("s")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(slice(sort_array(collect_list(col("e"))), 1, AssembleMaxEvents)
+        .as("es"))
+      .withColumn("example",
+        concat_ws(" | ", expr("transform(es, x -> x.s)")))
+      .withColumn("n_events", size(col("es")).cast("long"))
+      .select(col("user_id"), col("n_events"), col("example"))
+
+  def assembleExamples(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    assembled(spark, dir)
+      .withColumn("bucket", col("user_id") % 4)
+      .withColumn("h", expr(Exprs.hash60("example")))
+      .groupBy(col("bucket"), col("n_events"))
+      .agg(count(lit(1)).as("n_examples"),
+        sum(length(col("example"))).as("sum_chars"),
+        expr("bit_xor(h)").as("content_digest"))
+      .orderBy("bucket", "n_events")
+  }
+
+  val assembleExamplesSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, ts, event_id,
+       |    event_type || '@' ||
+       |      CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS s,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |a AS (
+       |  SELECT user_id, user_id % 4 AS bucket, count(*) AS n_events,
+       |    string_agg(s, ' | ' ORDER BY ts, event_id) AS example
+       |  FROM e WHERE rn <= $AssembleMaxEvents GROUP BY user_id)
+       |SELECT bucket, n_events, count(*) AS n_examples,
+       |  CAST(sum(length(example)) AS BIGINT) AS sum_chars,
+       |  bit_xor(('0x' || substr(md5(example), 1, 15))::BIGINT)
+       |    AS content_digest
+       |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_dedup_clusters" -> dedupClusters,
     "q89_decontaminate" -> decontaminate,
@@ -793,7 +862,8 @@ object Curation {
     "q110_sequence_pack" -> sequencePack,
     "q113_chunk" -> chunk,
     "q114_corpus_shuffle" -> corpusShuffle,
-    "q115_mixture_alloc" -> mixtureAlloc
+    "q115_mixture_alloc" -> mixtureAlloc,
+    "q118_assemble_examples" -> assembleExamples
   )
 
   val oracle: Map[String, String] = Map(
@@ -805,6 +875,7 @@ object Curation {
     "q110_sequence_pack" -> sequencePackSql,
     "q113_chunk" -> chunkSql,
     "q114_corpus_shuffle" -> corpusShuffleSql,
-    "q115_mixture_alloc" -> mixtureAllocSql
+    "q115_mixture_alloc" -> mixtureAllocSql,
+    "q118_assemble_examples" -> assembleExamplesSql
   )
 }

@@ -255,6 +255,28 @@ class CurationSpec extends SparkSpec {
     assert(rows("src3") === ((3L, 1000L, 248L, 0.248)))
   }
 
+  test("example assembly: ts order, event_id tiebreak, cent rendering, truncation") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("curation_spec").toString
+    // user 1: arrival order scrambled; two events share a timestamp
+    // (tie broken by event_id); user 2: 40 events -> truncates to 32.
+    val u1 = Seq(
+      (2L, 3_000L * 1000, 1L, "b", 1.0),
+      (0L, 1_000L * 1000, 1L, "a", 2.5),
+      (1L, 1_000L * 1000, 1L, "c", 0.42))
+    val u2 = (0 until 40).map(i =>
+      (100L + i, (10_000L + i * 1000) * 1000, 2L, "e", 1.0))
+    (u1 ++ u2).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Curation.assembled(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) === ((3L, "a@250 | c@42 | b@100")))
+    assert(out(2L)._1 === 32L) // truncated
+    assert(out(2L)._2 === (1 to 32).map(_ => "e@100").mkString(" | "))
+  }
+
   test("chunking geometry: window starts, overlap, and tail truncation") {
     // 100 tokens -> starts 0/48/96, lengths 64/52/4; 64 tokens -> a
     // second, fully-overlapped 16-token tail window (stride < n);
