@@ -1018,6 +1018,74 @@ object Similarity {
        |  round(CAST(n_hits AS DOUBLE) / (5 * n_queries), 4) AS recall_at_5
        |FROM h, nq ORDER BY method""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q119 embedding centroid drift between corpus halves
+  // ---------------------------------------------------------------
+
+  /** q119: embedding drift — the model/corpus health check a
+    * production embedding pipeline runs on every re-embed or new data
+    * load: per label, the centroid of one half of the corpus
+    * (even vec_ids — "yesterday's load") against the other half
+    * (odd — "today's"), reported as the cosine between the two
+    * centroids plus both support counts. A drift_cos well below 1
+    * on a label flags a distribution shift (embedding model changed,
+    * upstream content drifted, a bad batch landed) BEFORE it poisons
+    * ANN recall.
+    *
+    * Scale shape: two chained aggregates (per-dim means keyed by
+    * (label, half, dim), then per-(label, half) re-assembly) — the
+    * q62 centroid geometry with one extra key column; the final
+    * half-vs-half comparison is a labels-sized self-join. Nothing
+    * touches raw vectors after the first aggregate. */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val e = vecs(spark, dir).withColumn("half", col("vec_id") % 2)
+    val cent = e
+      .select(col("label"), col("half"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("half"), col("i"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"), col("half"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)")
+        .as("cv"))
+    val cnt = e.groupBy(col("label"), col("half"))
+      .agg(count(lit(1)).as("n"))
+    val side = cent.join(cnt, Seq("label", "half"))
+    side.filter(col("half") === 0)
+      .select(col("label"), col("cv").as("cv0"), col("n").as("n_even"))
+      .join(side.filter(col("half") === 1)
+        .select(col("label"), col("cv").as("cv1"), col("n").as("n_odd")),
+        Seq("label"))
+      .withColumn("drift_cos", round(
+        expr("array_dot(cv0, cv1)") /
+          (sqrt(expr("array_dot(cv0, cv0)")) *
+            sqrt(expr("array_dot(cv1, cv1)"))), 4))
+      .select(col("label").cast("long").as("label"),
+        col("n_even"), col("n_odd"), col("drift_cos"))
+      .orderBy("label")
+  }
+
+  val centroidDriftSql: String =
+    s"""WITH n AS ($duckVecs),
+       |h AS (SELECT *, vec_id % 2 AS half FROM n),
+       |flat AS (SELECT label, half, i, v[i] AS x
+       |         FROM h, range(1, ${Dim + 1}) t(i)),
+       |cm AS (SELECT label, half, i, avg(x) AS cx
+       |       FROM flat GROUP BY 1, 2, 3),
+       |cent AS (SELECT label, half, list(cx ORDER BY i) AS cv
+       |         FROM cm GROUP BY 1, 2),
+       |cnt AS (SELECT label, half, count(*) AS cn FROM h GROUP BY 1, 2),
+       |side AS (SELECT cent.label, cent.half, cv, cn
+       |         FROM cent JOIN cnt ON cent.label = cnt.label
+       |                           AND cent.half = cnt.half)
+       |SELECT CAST(a.label AS BIGINT) AS label,
+       |  a.cn AS n_even, b.cn AS n_odd,
+       |  round(list_dot_product(a.cv, b.cv) /
+       |        (sqrt(list_dot_product(a.cv, a.cv)) *
+       |         sqrt(list_dot_product(b.cv, b.cv))), 4) AS drift_cos
+       |FROM side a JOIN side b ON a.label = b.label
+       |  AND a.half = 0 AND b.half = 1
+       |ORDER BY label""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_cosine_topk" -> cosineTopK,
     "q61_ann_lsh" -> annLsh,
@@ -1028,7 +1096,8 @@ object Similarity {
     "q74_int8_quant" -> int8Quant,
     "q97_pq_ann" -> pqAnn,
     "q102_ann_recall" -> annRecall,
-    "q104_ann_lsh_multiprobe" -> annLshMultiprobe
+    "q104_ann_lsh_multiprobe" -> annLshMultiprobe,
+    "q119_centroid_drift" -> centroidDrift
   )
 
   val oracle: Map[String, String] = Map(
@@ -1041,6 +1110,7 @@ object Similarity {
     "q74_int8_quant" -> int8QuantSql,
     "q97_pq_ann" -> pqAnnSql,
     "q102_ann_recall" -> annRecallSql,
-    "q104_ann_lsh_multiprobe" -> annLshMultiprobeSql
+    "q104_ann_lsh_multiprobe" -> annLshMultiprobeSql,
+    "q119_centroid_drift" -> centroidDriftSql
   )
 }

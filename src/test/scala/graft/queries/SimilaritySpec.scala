@@ -137,6 +137,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroid drift: identical halves cos 1, orthogonal halves cos 0") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sim_spec").toString
+    def unit(axis: Int): Seq[Float] = {
+      val v = Array.fill(64)(0.0f); v(axis) = 1.0f; v.toSeq
+    }
+    // label 0: both halves sit on axis 0 -> drift_cos 1.0.
+    // label 1: even half on axis 1, odd half on axis 2 -> drift_cos 0.0.
+    val rows = Seq(
+      (0L, unit(0), 0), (1L, unit(0), 0), (2L, unit(0), 0), (3L, unit(0), 0),
+      (10L, unit(1), 1), (12L, unit(1), 1), (11L, unit(2), 1), (13L, unit(2), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.centroidDrift(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(0L) === ((2L, 2L, 1.0)))
+    assert(out(1L) === ((2L, 2L, 0.0)))
+  }
+
   test("label centroids: 3 nearest members per label, cos in [-1, 1]") {
     val dir = corpus(120)
     val out = Similarity.labelCentroids(spark, dir).collect()
