@@ -258,7 +258,7 @@ object Dedup {
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |  WHERE $duckSigBandMatch),
        |pairs AS (
-       |  SELECT ia, ib FROM (
+       |  SELECT ia, ib, inter / (sa + sb - inter) AS jraw FROM (
        |    SELECT ia, ib, len(list_intersect(sha, shb)) * 1.0 AS inter,
        |           len(sha) AS sa, len(shb) AS sb
        |    FROM cand)

@@ -1086,6 +1086,63 @@ object Similarity {
        |  AND a.half = 0 AND b.half = 1
        |ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q120 hybrid dedup confirmation (text pairs x embedding cosine)
+  // ---------------------------------------------------------------
+
+  /** q120: hybrid near-dup confirmation — the cross-modal check a
+    * mature dedup pipeline runs before deleting anything: the
+    * text-mined verified pair stream ([[Dedup.minhashPairs]], q56's
+    * banded-MinHash + exact-Jaccard pairs) joins each side to its
+    * embedding, and per Jaccard decile the digest reports how many
+    * pairs the embedding space AGREES are near (cosine >= 0.5), plus
+    * the cosine mean/min. Divergence between the columns is the
+    * signal: high-Jaccard/low-cosine pairs are template boilerplate
+    * (same words, different meaning), low-decile/high-cosine pairs
+    * are paraphrases the shingle space missed.
+    *
+    * Scale shape: the pair stream is duplicate-cluster-sized, and
+    * each side joins to the embeddings table by id — two shuffle
+    * equi-joins of the SMALL side against the id-keyed vectors,
+    * never a vector-vector pair mine; the per-pair cosine is the
+    * codegen'd `array_dot` kernel. The memoized pair table is shared
+    * with q56/q88, so in a session that already deduped, this is two
+    * joins over tiny inputs. */
+  def hybridDedup(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val e = vecs(spark, dir)
+    Dedup.minhashPairs(spark, dir)
+      .join(e.select(col("vec_id").as("ia"), col("v").as("va"),
+        col("nrm").as("na")), "ia")
+      .join(e.select(col("vec_id").as("ib"), col("v").as("vb"),
+        col("nrm").as("nb")), "ib")
+      .withColumn("cos",
+        expr("array_dot(va, vb)") / (col("na") * col("nb")))
+      .withColumn("jd", floor(round(col("jraw"), 4) * 10).cast("long"))
+      .groupBy(col("jd"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cos") >= 0.5, 1L).otherwise(0L)).as("n_emb_close"),
+        round(avg(col("cos")), 4).as("avg_cos"),
+        round(min(col("cos")), 4).as("min_cos"))
+      .orderBy("jd")
+  }
+
+  val hybridDedupSql: String =
+    s"""WITH ${graft.queries.Dedup.duckVerifiedPairCtes},
+       |v AS ($duckVecs),
+       |p AS (
+       |  SELECT pairs.jraw,
+       |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+       |  FROM pairs JOIN v a ON pairs.ia = a.vec_id
+       |             JOIN v b ON pairs.ib = b.vec_id)
+       |SELECT CAST(floor(round(jraw, 4) * 10) AS BIGINT) AS jd,
+       |  count(*) AS n_pairs,
+       |  CAST(sum(CASE WHEN cos >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_emb_close,
+       |  round(avg(cos), 4) AS avg_cos,
+       |  round(min(cos), 4) AS min_cos
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_cosine_topk" -> cosineTopK,
     "q61_ann_lsh" -> annLsh,
@@ -1097,7 +1154,8 @@ object Similarity {
     "q97_pq_ann" -> pqAnn,
     "q102_ann_recall" -> annRecall,
     "q104_ann_lsh_multiprobe" -> annLshMultiprobe,
-    "q119_centroid_drift" -> centroidDrift
+    "q119_centroid_drift" -> centroidDrift,
+    "q120_hybrid_dedup" -> hybridDedup
   )
 
   val oracle: Map[String, String] = Map(
@@ -1111,6 +1169,7 @@ object Similarity {
     "q97_pq_ann" -> pqAnnSql,
     "q102_ann_recall" -> annRecallSql,
     "q104_ann_lsh_multiprobe" -> annLshMultiprobeSql,
-    "q119_centroid_drift" -> centroidDriftSql
+    "q119_centroid_drift" -> centroidDriftSql,
+    "q120_hybrid_dedup" -> hybridDedupSql
   )
 }

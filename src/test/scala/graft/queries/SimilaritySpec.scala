@@ -157,6 +157,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) === ((2L, 2L, 0.0)))
   }
 
+  test("hybrid dedup: embedding space confirms one text pair, refutes the other") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sim_spec").toString
+    // two exact-dup text pairs (jaccard 1 -> decile 10): pair (0,1)
+    // has identical embeddings (cos 1, confirmed), pair (2,3) has
+    // orthogonal embeddings (cos 0, boilerplate signal).
+    Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def unit(axis: Int): Seq[Float] = {
+      val v = Array.fill(64)(0.0f); v(axis) = 1.0f; v.toSeq
+    }
+    Seq((0L, unit(0), 0), (1L, unit(0), 0), (2L, unit(1), 0), (3L, unit(2), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.hybridDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.toSeq === Seq((10L, 2L, 1L, 0.5, 0.0)))
+  }
+
   test("label centroids: 3 nearest members per label, cos in [-1, 1]") {
     val dir = corpus(120)
     val out = Similarity.labelCentroids(spark, dir).collect()
