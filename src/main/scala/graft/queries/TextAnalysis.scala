@@ -1018,12 +1018,17 @@ object TextAnalysis {
     * [[TfidfK]] highest-scoring terms per language.
     *
     * Scale shape: tf is one (doc, word)-keyed aggregate; the document
-    * frequency table derives from tf by a second aggregate on the SAME
-    * key prefix and joins back as an equi-join on `w` — both sides
-    * are shuffled on the word key, and NEITHER is broadcast, because
-    * at 100 TB the vocabulary's long tail is itself billions of rows
-    * (a broadcast-df design dies exactly when the corpus gets
-    * interesting). The final per-language ranking is the bounded-heap
+    * frequency table derives from tf by a second aggregate and joins
+    * back as an UNHINTED equi-join on `w` — at 100 TB the vocabulary's
+    * long tail is billions of rows, so hard-pinning a broadcast here
+    * would die exactly when the corpus gets interesting; left to
+    * Catalyst, it broadcasts only while stats say the vocab fits
+    * (true at test SF) and degrades to a shuffle join at scale. The
+    * plan scans documents twice (tf branch, df branch — column
+    * pruning gives the branches different aggregates, so no exchange
+    * reuse): two narrow columnar passes are the deliberate trade
+    * against persisting a corpus-sized tf table between them. The
+    * final per-language ranking is the bounded-heap
     * [[graft.functions.TopTermsAgg]] — map-side partial aggregation,
     * no per-group window sort (the q106 discipline). Scores are
     * rounded to 4dp per (doc, word) BEFORE summing (the q87
