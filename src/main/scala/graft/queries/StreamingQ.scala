@@ -295,8 +295,60 @@ object StreamingQ {
       .orderBy("cell")
   }
 
+  /** q121: streaming mixture monitor — the drift alarm a daily corpus
+    * build runs while data lands: the documents ARRIVAL stream
+    * aggregates per-source token counts (streaming Complete-mode
+    * agg), and the tiny streamed result is compared against the q115
+    * class-weight targets to flag which sources are running over
+    * their share. The comparison is the exact integer cross-multiply
+    * `streamed * 10 * class_size >= total * weight` — no float share
+    * arithmetic — and everything after the stream is batch work on a
+    * sources-sized table. Stream == batch: the oracle computes the
+    * identical flags straight off the documents table. */
+  def streamMixtureMonitor(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val agg = Streams.documentsStream(spark, dir)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+    val out = Streams.runToMemory(
+      agg, sink(spark, "s_mix"), OutputMode.Complete())
+      .withColumn("cls", expr("cast(substr(source, 4) as int) % 4"))
+      .withColumn("cw",
+        when(col("cls") === 0, 4L).when(col("cls") === 1, 3L)
+          .when(col("cls") === 2, 2L).otherwise(1L))
+    val clsSize = out.groupBy(col("cls")).agg(count(lit(1)).as("n_cls"))
+    val tot = out.agg(sum(col("sum_tokens")).as("total"))
+    out.join(broadcast(clsSize), Seq("cls"))
+      .crossJoin(broadcast(tot))
+      .withColumn("over_target",
+        col("sum_tokens") * 10 * col("n_cls") >= col("total") * col("cw"))
+      .select(col("source"), col("n_docs"), col("sum_tokens"),
+        col("cls").cast("long").as("cls"), col("over_target"))
+      .orderBy("source")
+  }
+
+  val streamMixtureMonitorSql: String =
+    """WITH s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |      AS sum_tokens,
+      |    CAST(substr(source, 4) AS INT) % 4 AS cls
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT *, CASE cls WHEN 0 THEN 4 WHEN 1 THEN 3
+      |                         WHEN 2 THEN 2 ELSE 1 END AS cw
+      |      FROM s),
+      |cs AS (SELECT cls, count(*) AS n_cls FROM w GROUP BY 1),
+      |t AS (SELECT sum(sum_tokens) AS total FROM w)
+      |SELECT source, n_docs, sum_tokens, CAST(w.cls AS BIGINT) AS cls,
+      |  sum_tokens * 10 * n_cls >= total * cw AS over_target
+      |FROM w JOIN cs ON w.cls = cs.cls CROSS JOIN t
+      |ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_stream_tumbling" -> streamTumbling,
+    "q121_stream_mixture_monitor" -> streamMixtureMonitor,
     "q40_stream_dedup" -> streamDedup,
     "q41_stream_sessions" -> streamSessions,
     "q71_stream_sliding" -> streamSliding,
@@ -308,6 +360,7 @@ object StreamingQ {
   )
 
   val oracle: Map[String, String] = Map(
+    "q121_stream_mixture_monitor" -> streamMixtureMonitorSql,
     "q39_stream_tumbling" -> streamTumblingSql,
     "q40_stream_dedup" -> streamDedupSql,
     "q41_stream_sessions" -> streamSessionsSql,
