@@ -170,6 +170,80 @@ object Curation {
        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // q122 quality-aware dedup keeper selection
+  // ---------------------------------------------------------------
+
+  /** q122: quality-aware keeper selection — the policy refinement on
+    * top of q88's clusters that real pipelines run: instead of
+    * keeping each near-dup cluster's minimum doc_id, keep its
+    * HIGHEST-QUALITY member (q51's composite score, doc_id as the
+    * deterministic tiebreak). The digest reports, per cluster size,
+    * the kept ids and quality, plus the quality GAIN over the naive
+    * min-id policy — the number that justifies the fancier keeper.
+    *
+    * Scale shape: cluster labels come from the shared
+    * [[connectedComponents]] fixpoint (pair-set-sized), quality is
+    * the scan-stage q51 projection, and the keeper argmax is a pure
+    * AGGREGATE — `max(struct(quality, -doc_id))` — so map-side
+    * partial aggregation reduces every cluster before the shuffle;
+    * no per-cluster window sort. Quality is rounded 4dp per doc
+    * (the q51 contract), so the argmax and its tiebreak are
+    * cross-engine exact. */
+  def qualityKeeper(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val labels = connectedComponents(
+      Dedup.minhashPairs(spark, dir).select(col("ia"), col("ib")))
+    TextAnalysis.scoredDocs(spark, dir)
+      .select(col("doc_id"), col("quality"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("root", coalesce(col("label"), col("doc_id")))
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("csize"),
+        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("k"),
+        min(struct(col("doc_id"), col("quality"))).as("m"))
+      .select(col("csize"),
+        (-col("k.nid")).as("keeper"),
+        col("k.quality").as("kq"),
+        col("m.quality").as("mq"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("keeper")).as("sum_keepers"),
+        round(sum(col("kq")), 4).as("sum_keeper_q"),
+        round(sum(col("kq") - col("mq")), 4).as("sum_gain_q"))
+      .orderBy("csize")
+  }
+
+  val qualityKeeperSql: String =
+    s"""WITH RECURSIVE ${Dedup.duckVerifiedPairCtes},
+       |${TextAnalysis.scoredDocsSqlCtes},
+       |e AS (SELECT ia AS u, ib AS v FROM pairs
+       |      UNION SELECT ib, ia FROM pairs),
+       |reach(n, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.n),
+       |lab AS (SELECT n AS node, min(r) AS root FROM reach GROUP BY 1),
+       |r AS (SELECT q.doc_id, q.quality,
+       |        coalesce(lab.root, q.doc_id) AS root
+       |      FROM q LEFT JOIN lab ON q.doc_id = lab.node),
+       |rk AS (SELECT root, doc_id, quality,
+       |        row_number() OVER (PARTITION BY root
+       |          ORDER BY quality DESC, doc_id ASC) AS rq,
+       |        row_number() OVER (PARTITION BY root
+       |          ORDER BY doc_id ASC) AS ri
+       |       FROM r),
+       |cl AS (SELECT root, count(*) AS csize,
+       |         sum(CASE WHEN rq = 1 THEN doc_id END) AS keeper,
+       |         sum(CASE WHEN rq = 1 THEN quality END) AS kq,
+       |         sum(CASE WHEN ri = 1 THEN quality END) AS mq
+       |       FROM rk GROUP BY 1)
+       |SELECT csize, count(*) AS n_clusters,
+       |  CAST(sum(keeper) AS BIGINT) AS sum_keepers,
+       |  round(sum(kq), 4) AS sum_keeper_q,
+       |  round(sum(kq - mq), 4) AS sum_gain_q
+       |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // q89 benchmark decontamination (n-gram overlap vs eval set)
   // ---------------------------------------------------------------
 
@@ -863,7 +937,8 @@ object Curation {
     "q113_chunk" -> chunk,
     "q114_corpus_shuffle" -> corpusShuffle,
     "q115_mixture_alloc" -> mixtureAlloc,
-    "q118_assemble_examples" -> assembleExamples
+    "q118_assemble_examples" -> assembleExamples,
+    "q122_quality_keeper" -> qualityKeeper
   )
 
   val oracle: Map[String, String] = Map(
@@ -876,6 +951,7 @@ object Curation {
     "q113_chunk" -> chunkSql,
     "q114_corpus_shuffle" -> corpusShuffleSql,
     "q115_mixture_alloc" -> mixtureAllocSql,
-    "q118_assemble_examples" -> assembleExamplesSql
+    "q118_assemble_examples" -> assembleExamplesSql,
+    "q122_quality_keeper" -> qualityKeeperSql
   )
 }

@@ -70,7 +70,7 @@ object TextAnalysis {
     * document through a global sort. */
   /** Per-document composite quality score (the q51 scoring pass,
     * shared with the q107 median gate): a pure narrow projection. */
-  private def scoredDocs(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def scoredDocs(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .withColumn("n_tokens", size(col("toks")))
@@ -99,7 +99,7 @@ object TextAnalysis {
     * q(doc_id, lang, n_tokens, n_stop, chars_nows, quality)) — one
     * definition for the q51 digest and the q107 gate, so the two
     * oracles cannot drift apart. */
-  private val scoredDocsSqlCtes: String =
+  private[queries] val scoredDocsSqlCtes: String =
     s"""t AS (
        |  SELECT doc_id, lang,
        |    string_split_regex(trim(text), '\\s+') AS toks,

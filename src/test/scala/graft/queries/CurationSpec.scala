@@ -277,6 +277,21 @@ class CurationSpec extends SparkSpec {
     assert(out(2L)._2 === (1 to 32).map(_ => "e@100").mkString(" | "))
   }
 
+  test("quality keeper: the higher-quality dup wins over the min-id policy") {
+    // doc 1: 10 content tokens, zero stopwords -> quality 0.05;
+    // doc 2: same tokens + 5 stopwords -> near-dup (J = 8/13) with
+    // quality 0.2417. Min-id policy keeps doc 1; the quality keeper
+    // must keep doc 2 and report the 0.1917 gain.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = corpus(Seq(
+      (1L, base, "en", "s"),
+      (2L, base + " the of and is in", "en", "s")))
+    val out = Curation.qualityKeeper(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.toSeq === Seq((2L, 1L, 2L, 0.2417, 0.1917)))
+  }
+
   test("chunking geometry: window starts, overlap, and tail truncation") {
     // 100 tokens -> starts 0/48/96, lengths 64/52/4; 64 tokens -> a
     // second, fully-overlapped 16-token tail window (stride < n);
