@@ -265,21 +265,29 @@ object Curation {
     * as xxhash64 (native 64-bit, no hex round-trip); the oracle
     * compares plain gram strings — same verdicts unless a 64-bit
     * collision occurs. */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    prep(spark)
+  /** The TRAIN-slice documents sharing any gram with the eval slice —
+    * q89's flag set, shared with the q123 corpus build. */
+  private[queries] def contaminatedDocs(
+      spark: SparkSession, dir: String): DataFrame = {
     val grams = documents(spark, dir)
       .withColumn("t", split(lower(trim(col("text"))), "\\s+"))
       .withColumn("grams", gramCol)
-      .select(col("doc_id"), col("lang"), col("grams"))
+      .select(col("doc_id"), col("grams"))
     val benchGrams = grams.filter(col("doc_id") % 97 === 0)
       .select(explode(col("grams")).as("g"))
       .select(xxhash64(col("g")).as("gh")).distinct()
-    val train = grams.filter(col("doc_id") % 97 =!= 0)
-    val contaminated = train
+    grams.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), explode(col("grams")).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
       .join(broadcast(benchGrams), Seq("gh"), "left_semi")
       .select(col("doc_id")).distinct()
+  }
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val train = documents(spark, dir)
+      .filter(col("doc_id") % 97 =!= 0)
+    val contaminated = contaminatedDocs(spark, dir)
     train.select(col("doc_id"), col("lang"))
       .join(contaminated.withColumn("c", lit(1L)), Seq("doc_id"), "left")
       .groupBy(col("lang"))
@@ -290,8 +298,10 @@ object Curation {
       .orderBy("lang")
   }
 
-  val decontaminateSql: String =
-    s"""WITH g AS (
+  /** Shared DuckDB CTE chain ending in `contaminated(doc_id)` — one
+    * definition for the q89 digest and the q123 build filter. */
+  private val duckContaminatedCtes: String =
+    s"""g AS (
        |  SELECT doc_id, lang,
        |    list_distinct(list_transform(
        |      range(1, greatest(len(t) - ${GramN - 2}, 1)),
@@ -305,12 +315,94 @@ object Curation {
        |contaminated AS (
        |  SELECT DISTINCT doc_id
        |  FROM (SELECT doc_id, unnest(grams) AS gr FROM train) t
-       |  JOIN bset USING (gr))
+       |  JOIN bset USING (gr))""".stripMargin
+
+  val decontaminateSql: String =
+    s"""WITH $duckContaminatedCtes
        |SELECT lang, count(*) AS n_train,
        |  CAST(count(c.doc_id) AS BIGINT) AS n_contaminated,
        |  CAST(coalesce(sum(c.doc_id), 0) AS BIGINT)
        |    AS sum_contaminated_ids
        |FROM train LEFT JOIN contaminated c USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q123 end-to-end corpus build (dedup -> decontaminate -> gate)
+  // ---------------------------------------------------------------
+
+  /** q123: the corpus BUILD — the capstone composition a training-data
+    * pipeline actually ships: start from the train slice (the q89
+    * eval holdout excluded), keep only each near-dup cluster's
+    * quality keeper (q122 policy), drop benchmark-contaminated
+    * documents (q89 flag set), then gate at the per-language train
+    * median quality (q107 policy) — and digest the surviving
+    * manifest per language (docs, ids, tokens, quality mass). Every
+    * stage reuses the SHARED definition its standalone query uses,
+    * on both engines, so this also pins that the pieces compose.
+    *
+    * Scale shape: the composition inherits each stage's shape —
+    * pair-set CC + aggregate argmax (q122), broadcast eval-gram
+    * semi-join (q89), broadcast median gate (q107) — stitched with
+    * two id-keyed semi/anti joins against the corpus scan; no new
+    * corpus-sized shuffle is introduced by composing. */
+  def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val labels = connectedComponents(
+      Dedup.minhashPairs(spark, dir).select(col("ia"), col("ib")))
+    val scored = TextAnalysis.scoredDocs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+    val keepers = scored.select(col("doc_id"), col("quality"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("root", coalesce(col("label"), col("doc_id")))
+      .groupBy(col("root"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("k"))
+      .select((-col("k.nid")).as("doc_id"))
+    val med = scored.filter(col("doc_id") % 97 =!= 0)
+      .groupBy(col("lang"))
+      .agg(expr("percentile(quality, 0.5D)").as("med"))
+    scored.filter(col("doc_id") % 97 =!= 0)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(contaminatedDocs(spark, dir), Seq("doc_id"), "left_anti")
+      .join(broadcast(med), Seq("lang"))
+      .filter(col("quality") >= col("med"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        round(sum(col("quality")), 4).as("sum_quality"))
+      .orderBy("lang")
+  }
+
+  val corpusBuildSql: String =
+    s"""WITH RECURSIVE ${Dedup.duckVerifiedPairCtes},
+       |${TextAnalysis.scoredDocsSqlCtes},
+       |$duckContaminatedCtes,
+       |e AS (SELECT ia AS u, ib AS v FROM pairs
+       |      UNION SELECT ib, ia FROM pairs),
+       |reach(n, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.n),
+       |lab AS (SELECT n AS node, min(r) AS root FROM reach GROUP BY 1),
+       |rr AS (SELECT q.doc_id, q.quality,
+       |         coalesce(lab.root, q.doc_id) AS root
+       |       FROM q LEFT JOIN lab ON q.doc_id = lab.node),
+       |keep AS (SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY root
+       |      ORDER BY quality DESC, doc_id ASC) AS rn
+       |    FROM rr) WHERE rn = 1),
+       |med AS (SELECT lang, median(quality) AS med FROM q
+       |        WHERE doc_id % 97 <> 0 GROUP BY 1)
+       |SELECT q.lang, count(*) AS n_docs,
+       |  CAST(sum(q.doc_id) AS BIGINT) AS sum_ids,
+       |  CAST(sum(q.n_tokens) AS BIGINT) AS sum_tokens,
+       |  round(sum(q.quality), 4) AS sum_quality
+       |FROM q
+       |JOIN keep ON q.doc_id = keep.doc_id
+       |LEFT JOIN contaminated c ON q.doc_id = c.doc_id
+       |JOIN med ON q.lang = med.lang
+       |WHERE q.doc_id % 97 <> 0 AND c.doc_id IS NULL
+       |  AND q.quality >= med.med
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
@@ -938,7 +1030,8 @@ object Curation {
     "q114_corpus_shuffle" -> corpusShuffle,
     "q115_mixture_alloc" -> mixtureAlloc,
     "q118_assemble_examples" -> assembleExamples,
-    "q122_quality_keeper" -> qualityKeeper
+    "q122_quality_keeper" -> qualityKeeper,
+    "q123_corpus_build" -> corpusBuild
   )
 
   val oracle: Map[String, String] = Map(
@@ -952,6 +1045,7 @@ object Curation {
     "q114_corpus_shuffle" -> corpusShuffleSql,
     "q115_mixture_alloc" -> mixtureAllocSql,
     "q118_assemble_examples" -> assembleExamplesSql,
-    "q122_quality_keeper" -> qualityKeeperSql
+    "q122_quality_keeper" -> qualityKeeperSql,
+    "q123_corpus_build" -> corpusBuildSql
   )
 }
