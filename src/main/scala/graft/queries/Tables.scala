@@ -60,6 +60,19 @@ object Tables {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // InferFiltersFromGenerate turns every `explode(arr)` into an
+    // inferred `size(arr) > 0` predicate that PushDownPredicates then
+    // collapses through the projection into the SCAN FILTER — so the
+    // array-building expression runs once in the filter and again in
+    // the projection. For this engine's generator inputs, which are
+    // often expensive interpreted higher-order constructions (n-gram
+    // builders, shingle sets), that duplication dominates the whole
+    // query: q89's gram explode measured 12.7 s -> 0.4 s at sf0.1
+    // when the rule is excluded (the q98 projection-collapse lesson,
+    // surfacing through a different optimizer path). The filter buys
+    // nothing here — inner explode already drops empty arrays.
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     graft.functions.GraftFunctions.register(spark)
   }
 
