@@ -117,5 +117,7 @@ object GraftFunctions {
     ensure("sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)))
     ensure("bit_majority", exprs => BitMajority(exprs.head))
+    ensure("rolling_min_hash", exprs => RollingMinHash(exprs(0),
+      exprs(1).eval(null).asInstanceOf[Int]))
   }
 }

@@ -278,11 +278,12 @@ object TextAnalysis {
     documents(spark, dir)
       .withColumn("s", lower(trim(col("text"))))
       .filter(length(col("s")) >= W)
-      .withColumn("fp", expr(
-        s"""array_min(transform(sequence(1, length(s) - ${W - 1}),
-           |  i -> aggregate(sequence(0, ${W - 1}), 0L,
-           |         (acc, j) -> (acc * 131 + ascii(substr(s, i + j, 1)))
-           |                     % 1000000007L)))""".stripMargin))
+      // native codegen'd kernel — the nested higher-order-lambda form
+      // (array_min(transform(..., i -> aggregate(...)))) evaluates
+      // interpreted at ~O(n*W) boxed steps per doc (11.5 s at sf0.1);
+      // the fused loop is value-identical (RollingMinHashSpec) and
+      // the DuckDB oracle still spells out the lambda arithmetic.
+      .withColumn("fp", expr(s"rolling_min_hash(s, $W)"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("fp")).as("n_distinct"),
@@ -907,48 +908,72 @@ object TextAnalysis {
     * it from word frequency to local coherence (word-salad docs score
     * high even when every word is common).
     *
-    * Scale shape: identical to q87 — the model (top-[[LmVocabSize]]
-    * bigram map + unigram map + token total, ONE row) is trained with
-    * corpus-wide aggregates, memoized per (session, dir), and
-    * broadcast; scoring is a scan-stage `zip_with` fold over each
-    * document's own adjacent-token pairs, zero shuffles before the
-    * per-language rollup. Bits round to 4dp per document (the q87
-    * convention) so cross-engine log/sum drift stays inside the
-    * rounding. */
+    * Scale shape: the model (top-[[LmVocabSize]] bigram-bits and
+    * backoff-bits tables + the default, all tiny) is trained with
+    * corpus-wide aggregates and memoized per (session, dir); scoring
+    * explodes each document's adjacent pairs in the scan stage and
+    * resolves bits through two BROADCAST hash joins — O(1) codegen'd
+    * lookups — then two-phase aggregates per doc and per language.
+    * Bits round to 4dp per document (the q87 convention) so
+    * cross-engine log/sum drift stays inside the rounding. */
   def bigramLm(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val docs = documents(spark, dir)
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
-    val lm = memo(spark, dir, "lm_bigram") {
-      val uni = docs.select(explode(col("toks")).as("tok"))
+    // The model is three memoized BITS tables, not count maps:
+    // -log2 is computed once per model ENTRY at training time
+    // (identical double arithmetic to computing it per pair, so the
+    // oracle — which spells out the per-pair logs — is unchanged),
+    // and scoring is exploded pairs through two BROADCAST HASH JOINS.
+    // Two earlier forms were measured and rejected under the honest
+    // noop-write bench: count maps scored per pair with log2 in an
+    // interpreted fold (8.1 s at sf0.1), and prebaked-bits maps still
+    // paid Spark's element_at-on-MapData LINEAR key scan per lookup
+    // (5.6 s). Hash-join lookups are O(1) and codegen'd: 0.4 s.
+    val bgOf = "zip_with(slice(toks, 1, size(toks) - 1)," +
+      " slice(toks, 2, size(toks) - 1), (p, c) -> concat(p, ' ', c))"
+    val uniT = memo(spark, dir, "lm_bigram_uni") {
+      docs.select(explode(col("toks")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val vm = uni.orderBy(col("cnt").desc, col("tok").asc)
-        .limit(LmVocabSize)
-        .agg(map_from_entries(
-          collect_list(struct(col("tok"), col("cnt")))).as("vm"))
-      val bm = docs.select(explode(expr(
-          "zip_with(slice(toks, 1, size(toks) - 1)," +
-            " slice(toks, 2, size(toks) - 1)," +
-            " (p, c) -> concat(p, ' ', c))")).as("bg"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(LmVocabSize)
+    }
+    val nTot = memo(spark, dir, "lm_bigram_n") {
+      docs.select(sum(size(col("toks"))).as("n_total"))
+    }
+    // bigram bits exist only when the prev token is in the unigram
+    // vocab (the backoff CASE's AND); p = first token of the key
+    val bmT = memo(spark, dir, "lm_bigram_bm") {
+      docs.select(explode(expr(bgOf)).as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bg").asc).limit(LmVocabSize)
-        .agg(map_from_entries(
-          collect_list(struct(col("bg"), col("cnt")))).as("bm"))
-      vm.crossJoin(bm)
-        .crossJoin(docs.select(sum(size(col("toks"))).as("n_total")))
+        .withColumn("p", expr("split(bg, ' ')[0]"))
+        .join(uniT.select(col("tok").as("p"), col("cnt").as("pcnt")),
+          Seq("p"))
+        .select(col("bg"),
+          (-log2(col("cnt").cast("double") / col("pcnt"))).as("bg_bits"))
     }
-    docs.crossJoin(broadcast(lm))
-      .withColumn("n_bg", greatest(size(col("toks")) - 1, lit(0)))
-      .withColumn("bits", round(expr(
-        "aggregate(zip_with(slice(toks, 1, size(toks) - 1)," +
-          " slice(toks, 2, size(toks) - 1), (p, c) ->" +
-          " CASE WHEN element_at(bm, concat(p, ' ', c)) IS NOT NULL" +
-          "       AND element_at(vm, p) IS NOT NULL" +
-          "  THEN -log2(cast(element_at(bm, concat(p, ' ', c)) as double)" +
-          "             / element_at(vm, p))" +
-          "  ELSE -log2(0.4D * coalesce(cast(element_at(vm, c) as double)," +
-          "             0.5D) / n_total) END)," +
-          " 0D, (a, x) -> a + x)"), 4))
+    val wmT = memo(spark, dir, "lm_bigram_wm") {
+      uniT.crossJoin(nTot)
+        .select(col("tok").as("c"),
+          (-log2(lit(0.4) * col("cnt").cast("double") / col("n_total")))
+            .as("w_bits"))
+    }
+    val defB = nTot.select(
+      (-log2(lit(0.4) * 0.5 / col("n_total"))).as("defbits"))
+    val perDoc = docs
+      .select(col("doc_id"), explode(expr(bgOf)).as("bg"))
+      .withColumn("c", expr("split(bg, ' ')[1]"))
+      .join(broadcast(bmT), Seq("bg"), "left")
+      .join(broadcast(wmT), Seq("c"), "left")
+      .crossJoin(broadcast(defB))
+      .select(col("doc_id"),
+        coalesce(col("bg_bits"), col("w_bits"), col("defbits")).as("b"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("b")), 4).as("bits"))
+    docs.select(col("doc_id"), col("lang"),
+        greatest(size(col("toks")) - 1, lit(0)).as("n_bg"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("bits", coalesce(col("bits"), lit(0.0)))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bg")).as("n_bigrams"),
