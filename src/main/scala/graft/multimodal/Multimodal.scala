@@ -110,6 +110,26 @@ object Multimodal {
     }
   }
 
+  /** Pixel-content fingerprint of a binary PPM: a base-131 mod-1e9+7
+    * polynomial over (width, height, pixel bytes) — an identity that
+    * depends only on the decoded raster, so byte-identical content
+    * hashes equal regardless of how the file arrived (the
+    * metadata-independent key an image-dedup pass groups on). None
+    * for anything that is not well-formed 8-bit P6. */
+  def ppmContentHash(payload: Array[Byte]): Option[Long] =
+    parsePpmHeader(payload).map { case (w, h, off) =>
+      var acc = 0L
+      acc = (acc * 131 + w) % 1000000007L
+      acc = (acc * 131 + h) % 1000000007L
+      var i = off
+      val end = off + w * h * 3
+      while (i < end) {
+        acc = (acc * 131 + (payload(i) & 0xff)) % 1000000007L
+        i += 1
+      }
+      acc
+    }
+
   /** REAL image resize: nearest-neighbor downsample of a binary PPM
     * by integer `factor` — output pixel (ox, oy) = source pixel
     * (ox*factor, oy*factor), output dims = ceil(dim/factor). Indexes

@@ -219,12 +219,75 @@ object MultimodalQ {
       |  CAST(list_max(wins) AS BIGINT) AS max_window_abs
       |FROM e ORDER BY media_id""".stripMargin
 
+  /** q124: image CONTENT dedup — the multimodal sibling of q55:
+    * rasters are fingerprinted on their DECODED pixel content
+    * ([[Multimodal.ppmContentHash]]: poly hash over (w, h, pixel
+    * bytes)), so duplicates group regardless of how the file arrived,
+    * then the q55 keeper digest runs on the hash groups. The blob
+    * builder seeds content by `media_id % 7`, so the 25 media ids
+    * collapse to 7 distinct rasters (groups of 3 and 4) and every
+    * digest arm is exercised.
+    *
+    * Scale shape: decode+hash runs in the mapPartitions batch stage
+    * (per-blob byte loop — the codec shape); what crosses the shuffle
+    * is (content_hash, media_id) pairs only, never raster bytes —
+    * exactly q55's one-shuffle dedup geometry. The oracle regenerates
+    * the rasters arithmetically and folds the identical polynomial in
+    * SQL, so a decoder defect breaks the hash. */
+  def imageDedup(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    import spark.implicits._
+    nation(spark, dir)
+      .select(col("n_nationkey").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val ch = Multimodal.ppmContentHash(
+          Multimodal.syntheticPpm(id % 7)).getOrElse(-1L)
+        (id, ch)
+      })
+      .toDF("media_id", "content_hash")
+      .groupBy(col("content_hash"))
+      .agg(min(col("media_id")).as("keeper"),
+        count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("keeper")).as("sum_keepers"),
+        expr("bit_xor(content_hash)").as("hash_digest"))
+      .orderBy("group_size")
+  }
+
+  val imageDedupSql: String =
+    """WITH ids AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+      |    n_nationkey % 7 AS s
+      |  FROM nation),
+      |px AS (
+      |  SELECT media_id, 4 + s % 8 AS w, 3 + s % 5 AS h,
+      |    list_transform(range(0, (4 + s % 8) * (3 + s % 5) * 3),
+      |      k -> (s * 7 + k * 13) % 256) AS pix
+      |  FROM ids),
+      |ch AS (
+      |  SELECT media_id,
+      |    list_reduce(
+      |      list_prepend(0::BIGINT,
+      |        list_concat([w::BIGINT, h::BIGINT],
+      |          list_transform(pix, x -> x::BIGINT))),
+      |      (acc, v) -> (acc * 131 + v) % 1000000007) AS content_hash
+      |  FROM px),
+      |g AS (SELECT content_hash, min(media_id) AS keeper,
+      |        count(*) AS group_size
+      |      FROM ch GROUP BY 1)
+      |SELECT group_size, count(*) AS n_groups,
+      |  CAST(sum(keeper) AS BIGINT) AS sum_keepers,
+      |  bit_xor(content_hash) AS hash_digest
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_media_features" -> mediaFeatures,
     "q81_image_decode" -> imageDecode,
     "q82_image_resize" -> imageResize,
     "q83_frame_sample" -> frameSample,
-    "q84_audio_energy" -> audioEnergy
+    "q84_audio_energy" -> audioEnergy,
+    "q124_image_dedup" -> imageDedup
   )
 
   val oracle: Map[String, String] = Map(
@@ -232,6 +295,7 @@ object MultimodalQ {
     "q81_image_decode" -> imageDecodeSql,
     "q82_image_resize" -> imageResizeSql,
     "q83_frame_sample" -> frameSampleSql,
-    "q84_audio_energy" -> audioEnergySql
+    "q84_audio_energy" -> audioEnergySql,
+    "q124_image_dedup" -> imageDedupSql
   )
 }

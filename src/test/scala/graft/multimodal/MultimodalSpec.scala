@@ -127,4 +127,18 @@ class MultimodalSpec extends SparkSpec {
     // follows the session's shuffle parallelism, not a fixed literal
     assert(parts === spark.sessionState.conf.numShufflePartitions)
   }
+
+  test("ppmContentHash: content identity, pixel sensitivity, non-P6 -> None") {
+    val a = syntheticPpm(3)
+    val b = syntheticPpm(3)
+    assert(ppmContentHash(a) === ppmContentHash(b)) // same content, same hash
+    assert(ppmContentHash(a).isDefined)
+    // flipping one pixel byte must change the fingerprint
+    val c = a.clone()
+    c(c.length - 1) = ((c(c.length - 1) + 1) & 0xff).toByte
+    assert(ppmContentHash(c) !== ppmContentHash(a))
+    // different generator seed -> different raster -> different hash
+    assert(ppmContentHash(syntheticPpm(4)) !== ppmContentHash(a))
+    assert(ppmContentHash("not a ppm".getBytes("US-ASCII")).isEmpty)
+  }
 }
