@@ -951,6 +951,81 @@ object Curation {
       |FROM r1 CROSS JOIN t ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
+  // q125 shuffled sequence packing (q114's order into q110's windows)
+  // ---------------------------------------------------------------
+
+  /** q125: shuffled packing — the composition a training-data layout
+    * job actually ships: documents take their GLOBAL position in the
+    * q114 seeded permutation (training-order randomization), then
+    * concat-and-chunk into q110's fixed context windows IN THAT
+    * ORDER. Per language the digest counts window-straddling
+    * documents — under a shuffle the straddle pattern is a property
+    * of the permutation, so the digest pins that both machines walk
+    * the SAME order — plus the corpus sequence count.
+    *
+    * Scale shape: one two-level prefix sum does both jobs at once —
+    * the bucket is the TOP 10 BITS of the seeded hash (range prefix
+    * of the permutation order, the q114 trick), in-bucket cumulative
+    * TOKEN sums run partitioned by bucket (the q110 trick), and the
+    * buckets-sized offset table broadcasts back. No corpus-wide
+    * sort, no single-partition window, and composing the two
+    * operators costs no extra shuffle over q110 alone. */
+  def shuffledPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    prep(spark)
+    val t = documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).as("n"))
+      .withColumn("hk", expr(Exprs.hash60(
+        s"concat('$ShuffleSeed:', cast(doc_id as string))")))
+      .withColumn("bucket", shiftright(col("hk"), 50))
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = t.withColumn("cum", sum(col("n")).over(wIn))
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = t.groupBy(col("bucket")).agg(sum(col("n")).as("bt"))
+      .withColumn("off", sum(col("bt")).over(wB) - col("bt"))
+      .select(col("bucket"), col("off"))
+    val total = t.agg(sum(col("n")).as("total"))
+      .select(ceil(col("total") / lit(PackWindow.toDouble)).cast("long")
+        .as("n_sequences"))
+    inBucket.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("start", col("off") + col("cum") - col("n"))
+      .withColumn("straddles",
+        (floor(col("start") / PackWindow) =!=
+          floor((col("start") + col("n") - 1) / PackWindow)).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        sum(col("straddles")).as("n_straddling"))
+      .crossJoin(broadcast(total))
+      .orderBy("lang")
+  }
+
+  val shuffledPackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n,
+       |    ('0x' || substr(md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)),
+       |     1, 15))::BIGINT AS hk
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n,
+       |    sum(n) OVER (ORDER BY hk, doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n AS start
+       |  FROM t),
+       |tot AS (SELECT CAST(ceil(sum(n) / ${PackWindow.toDouble})
+       |                    AS BIGINT) AS n_sequences FROM t)
+       |SELECT lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN start // $PackWindow
+       |                     <> (start + n - 1) // $PackWindow
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+       |  n_sequences
+       |FROM c, tot GROUP BY lang, n_sequences ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
   // q118 training-example assembly from event logs
   // ---------------------------------------------------------------
 
@@ -1031,7 +1106,8 @@ object Curation {
     "q115_mixture_alloc" -> mixtureAlloc,
     "q118_assemble_examples" -> assembleExamples,
     "q122_quality_keeper" -> qualityKeeper,
-    "q123_corpus_build" -> corpusBuild
+    "q123_corpus_build" -> corpusBuild,
+    "q125_shuffled_pack" -> shuffledPack
   )
 
   val oracle: Map[String, String] = Map(
@@ -1046,6 +1122,7 @@ object Curation {
     "q115_mixture_alloc" -> mixtureAllocSql,
     "q118_assemble_examples" -> assembleExamplesSql,
     "q122_quality_keeper" -> qualityKeeperSql,
-    "q123_corpus_build" -> corpusBuildSql
+    "q123_corpus_build" -> corpusBuildSql,
+    "q125_shuffled_pack" -> shuffledPackSql
   )
 }

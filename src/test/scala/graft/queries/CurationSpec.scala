@@ -292,6 +292,35 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, 1L, 2L, 0.2417, 0.1917)))
   }
 
+  test("shuffled packing plan: the token-cumsum window stays bucket-partitioned " +
+      "under the permutation order") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val dir = corpus((0L until 10L).map(i => (i, "a b c", "en", "s")))
+    val df = Curation.shuffledPack(spark, dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = df.queryExecution.executedPlan
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"no window found:\n$plan")
+      assert(windows.count(_.partitionSpec.isEmpty) <= 1,
+        s"corpus-row cumsum window lost its bucket partitioning:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("shuffled packing differs from doc_id-order packing in straddle pattern") {
+    // 60 x 10-token docs: totals/sequence counts match q110 exactly,
+    // but WHICH doc straddles the 512 boundary depends on the order —
+    // the digest must reflect the permutation, not doc_id order.
+    val rows = (0L until 60L).map(i =>
+      (i, (1 to 10).map(t => s"w$t").mkString(" "), "en", "s"))
+    val dir = corpus(rows)
+    val a = Curation.sequencePack(spark, dir).collect().head
+    val b = Curation.shuffledPack(spark, dir).collect().head
+    assert(a.getLong(2) === b.getLong(2))   // same n_tokens
+    assert(a.getLong(4) === b.getLong(4))   // same n_sequences
+    assert(b.getLong(3) === 1L)             // exactly one straddler here too
+  }
+
   test("chunking geometry: window starts, overlap, and tail truncation") {
     // 100 tokens -> starts 0/48/96, lengths 64/52/4; 64 tokens -> a
     // second, fully-overlapped 16-token tail window (stride < n);
