@@ -346,9 +346,51 @@ object StreamingQ {
       |FROM w JOIN cs ON w.cls = cs.cls CROSS JOIN t
       |ORDER BY source""".stripMargin
 
+  /** q126: streaming trending terms — the live "what is the crawl
+    * bringing in" monitor: per-(lang, word) counts aggregate over the
+    * documents ARRIVAL stream (Complete mode; state is vocab-sized,
+    * the streaming-safe cardinality), then the tiny streamed count
+    * table ranks per language through the bounded-heap
+    * [[graft.functions.TopTermsAgg]] — no window sort, the q112
+    * discipline. Stream == batch: the oracle computes the identical
+    * top-5 straight off the documents table. */
+  def streamTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val agg = Streams.documentsStream(spark, dir)
+      .select(col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    Streams.runToMemory(agg, sink(spark, "s_topterms"), OutputMode.Complete())
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopK.topTerms(5)(
+        col("cnt").cast("double"), col("w")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.term").as("term"), col("col.score").cast("long").as("cnt"))
+      .orderBy("lang", "rnk")
+  }
+
+  val streamTopTermsSql: String =
+    """WITH w AS (
+      |  SELECT lang, tok AS w
+      |  FROM (SELECT lang,
+      |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |        FROM documents)
+      |  WHERE tok <> ''),
+      |c AS (SELECT lang, w, count(*) AS cnt FROM w GROUP BY 1, 2),
+      |r AS (SELECT lang, w, cnt,
+      |        row_number() OVER (PARTITION BY lang
+      |          ORDER BY cnt DESC, w ASC) AS rnk
+      |      FROM c)
+      |SELECT lang, rnk, w AS term, CAST(cnt AS BIGINT) AS cnt
+      |FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_stream_tumbling" -> streamTumbling,
     "q121_stream_mixture_monitor" -> streamMixtureMonitor,
+    "q126_stream_top_terms" -> streamTopTerms,
     "q40_stream_dedup" -> streamDedup,
     "q41_stream_sessions" -> streamSessions,
     "q71_stream_sliding" -> streamSliding,
@@ -361,6 +403,7 @@ object StreamingQ {
 
   val oracle: Map[String, String] = Map(
     "q121_stream_mixture_monitor" -> streamMixtureMonitorSql,
+    "q126_stream_top_terms" -> streamTopTermsSql,
     "q39_stream_tumbling" -> streamTumblingSql,
     "q40_stream_dedup" -> streamDedupSql,
     "q41_stream_sessions" -> streamSessionsSql,
