@@ -896,6 +896,129 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------
+  // q127 inverted-index build / q128 conjunctive postings search
+  // ---------------------------------------------------------------
+
+  /** The postings table: term -> sorted distinct doc_id list — ONE
+    * definition shared by the q127 build digest and the q128 search
+    * (and memoized: an index is built once and queried many times).
+    * One explode + one groupBy; the sort is per-posting-list, inside
+    * the aggregate's own group. */
+  private def postings(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "postings") {
+      documents(spark, dir)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .distinct()
+        .groupBy(col("w"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+    }
+
+  /** Shared DuckDB CTE ending in `post(w, docs)` = [[postings]]. */
+  private val postingsSqlCte: String =
+    """post AS (
+      |  SELECT w, list_sort(list(DISTINCT doc_id)) AS docs
+      |  FROM (SELECT doc_id, tok AS w
+      |        FROM (SELECT doc_id,
+      |                unnest(string_split_regex(lower(trim(text)), '\s+'))
+      |                  AS tok
+      |              FROM documents)
+      |        WHERE tok <> '')
+      |  GROUP BY w)""".stripMargin
+
+  /** q127: inverted-index BUILD — the retrieval-side artifact an
+    * embedding/RAG corpus ships next to its vectors: per term, the
+    * sorted distinct posting list of documents containing it. The
+    * digest buckets terms by log2(document frequency) and xors
+    * posting-list content hashes, so list MEMBERSHIP and ORDER are
+    * pinned cross-engine, not just sizes.
+    *
+    * Scale shape: one explode + distinct + one groupBy on the term
+    * key — the exact geometry of a MapReduce index build; posting
+    * lists sort inside their own group (bounded by document
+    * frequency, never a corpus-wide sort). At 100 TB the long-tail
+    * skew lives in the few head terms — which is why the digest
+    * buckets by df: the head bucket's cost is visible, not averaged
+    * away. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    postings(spark, dir)
+      .withColumn("df", size(col("docs")))
+      .withColumn("bucket", floor(log2(col("df"))).cast("long"))
+      .withColumn("h", expr(Exprs.hash60(
+        "concat(w, ':', array_join(transform(docs, d -> cast(d as string)), ','))")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("df")).cast("long").as("sum_postings"),
+        expr("bit_xor(h)").as("content_digest"))
+      .orderBy("bucket")
+  }
+
+  val invertedIndexSql: String =
+    s"""WITH $postingsSqlCte,
+       |b AS (
+       |  SELECT w, docs, len(docs) AS df,
+       |    CAST(floor(log2(len(docs))) AS BIGINT) AS bucket,
+       |    ('0x' || substr(md5(w || ':' || array_to_string(docs, ',')),
+       |     1, 15))::BIGINT AS h
+       |  FROM post)
+       |SELECT bucket, count(*) AS n_terms,
+       |  CAST(sum(df) AS BIGINT) AS sum_postings,
+       |  bit_xor(h) AS content_digest
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Fixed conjunctive queries for q128 — head terms of the harness
+    * corpus vocabulary, so every query has deep posting lists (and
+    * deep intersections) at every SF. */
+  private val SearchQueries: Seq[(String, String, String)] = Seq(
+    ("q1", "join", "hash"), ("q2", "row", "batch"),
+    ("q3", "scan", "filter"), ("q4", "column", "merge"),
+    ("q5", "small", "order"))
+
+  /** q128: conjunctive search OVER the q127 index — AND-of-terms
+    * retrieval as posting-list intersection, the operation the index
+    * exists for. Each query joins its two terms' posting lists and
+    * intersects them with the native merge-walk kernel
+    * (`sorted_intersect_count` — the lists are sorted-distinct by
+    * construction, the kernel's documented precondition); the digest
+    * is the hit count plus the smallest hit id (cardinality + a
+    * pinned member).
+    *
+    * Scale shape: the query list is a literal broadcast; each lookup
+    * is an equi-join on the term key against the memoized postings
+    * table — index-sized, not corpus-sized — and the per-pair
+    * intersection is the allocation-free codegen'd kernel. */
+  def postingsSearch(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    import spark.implicits._
+    val p = postings(spark, dir)
+    val qs = SearchQueries.toDF("qid", "ta", "tb")
+    qs.join(p.select(col("w").as("ta"), col("docs").as("da")), Seq("ta"))
+      .join(p.select(col("w").as("tb"), col("docs").as("db")), Seq("tb"))
+      .withColumn("n_hits", expr("sorted_intersect_count(da, db)"))
+      .withColumn("min_hit", expr(
+        "array_min(filter(da, d -> array_contains(db, d)))"))
+      .select(col("qid"), col("ta"), col("tb"),
+        col("n_hits").cast("long").as("n_hits"), col("min_hit"))
+      .orderBy("qid")
+  }
+
+  val postingsSearchSql: String = {
+    val qrows = SearchQueries.map { case (q, a, b) =>
+      s"('$q', '$a', '$b')"
+    }.mkString(", ")
+    s"""WITH $postingsSqlCte,
+       |qs(qid, ta, tb) AS (VALUES $qrows)
+       |SELECT qid, ta, tb,
+       |  CAST(len(list_intersect(pa.docs, pb.docs)) AS BIGINT) AS n_hits,
+       |  list_min(list_intersect(pa.docs, pb.docs)) AS min_hit
+       |FROM qs JOIN post pa ON qs.ta = pa.w
+       |        JOIN post pb ON qs.tb = pb.w
+       |ORDER BY qid""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q117 bigram LM bits-per-token (stupid backoff)
   // ---------------------------------------------------------------
 
@@ -1124,7 +1247,9 @@ object TextAnalysis {
     "q107_quality_gate" -> qualityGate,
     "q111_bpe_eval" -> bpeEval,
     "q112_tfidf" -> tfidf,
-    "q117_bigram_lm" -> bigramLm
+    "q117_bigram_lm" -> bigramLm,
+    "q127_inverted_index" -> invertedIndex,
+    "q128_postings_search" -> postingsSearch
   )
 
   val oracle: Map[String, String] = Map(
@@ -1144,6 +1269,8 @@ object TextAnalysis {
     "q107_quality_gate" -> qualityGateSql,
     "q111_bpe_eval" -> bpeEvalSql,
     "q112_tfidf" -> tfidfSql,
-    "q117_bigram_lm" -> bigramLmSql
+    "q117_bigram_lm" -> bigramLmSql,
+    "q127_inverted_index" -> invertedIndexSql,
+    "q128_postings_search" -> postingsSearchSql
   )
 }
