@@ -1019,6 +1019,112 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------
+  // q129 BM25 ranked retrieval
+  // ---------------------------------------------------------------
+
+  private val Bm25TopK = 5
+
+  /** q129: BM25 ranked retrieval — the scoring half of the retrieval
+    * story whose index half is q127/q128: Okapi BM25 (k1=1.2, b=0.75,
+    * Lucene's non-negative idf `ln(1 + (N - df + 0.5)/(df + 0.5))`)
+    * over the [[SearchQueries]] term pairs, top-[[Bm25TopK]] documents
+    * per query. Boolean intersection (q128) answers "which docs";
+    * BM25 answers "in what order" — the half a RAG pipeline actually
+    * serves.
+    *
+    * Scale shape: document length rides the scan-stage explode as a
+    * carried column, so tf(doc, term, dl) is ONE corpus aggregate
+    * with no dl join-back; the 10-row query-term list broadcasts into
+    * the tf stream (the corpus side never shuffles for it) and only
+    * matching rows — bounded by the query terms' document frequency —
+    * reach the per-(query, doc) aggregate; df for exactly the query
+    * terms is a second tiny aggregate off the matched rows. Corpus
+    * scalars (N, avgdl) are a 1-row broadcast. Ranking is the
+    * bounded-heap [[graft.functions.TopKAgg]] — map-side partial
+    * aggregation, never a window sort. Per-term scores round to 4dp
+    * before summing and the sum re-rounds (the q87/q112 convention)
+    * so cross-engine ln/division drift cannot move a rank; rounded
+    * ties break on doc_id ASC identically in the aggregate and the
+    * oracle's window. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    import spark.implicits._
+    val docs = documents(spark, dir)
+      .withColumn("toks",
+        filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= ""))
+    val stats = docs.agg(
+      count(lit(1)).as("n_total"),
+      (sum(size(col("toks"))).cast("double") /
+        sum(when(size(col("toks")) > 0, 1L).otherwise(0L))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val qs = SearchQueries.flatMap { case (q, a, b) => Seq((q, a), (q, b)) }
+      .toDF("qid", "w")
+    val hits = tf.join(broadcast(qs), "w")
+    val dfTab = hits.select(col("w"), col("doc_id")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    hits.join(broadcast(dfTab), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", round(
+        log(lit(1.0) + (col("n_total") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+        (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 4))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("s")), 4).as("score"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.topK(Bm25TopK)(
+        col("score"), col("doc_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.vec_id").as("doc_id"), col("col.cos").as("score"))
+      .orderBy("qid", "rnk")
+  }
+
+  val bm25Sql: String = {
+    val qrows = SearchQueries.flatMap { case (q, a, b) =>
+      Seq(s"('$q', '$a')", s"('$q', '$b')")
+    }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                t -> t <> '') AS toks
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_total,
+       |    CAST(sum(len(toks)) AS DOUBLE) /
+       |      sum(CASE WHEN len(toks) > 0 THEN 1 ELSE 0 END) AS avgdl
+       |  FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, w, count(*) AS tf
+       |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS w FROM d)
+       |  GROUP BY 1, 2, 3),
+       |qs(qid, w) AS (VALUES $qrows),
+       |hits AS (SELECT qid, tf.w, doc_id, dl, tf
+       |         FROM tf JOIN qs ON tf.w = qs.w),
+       |dfv AS (SELECT w, count(DISTINCT doc_id) AS df
+       |        FROM hits GROUP BY 1),
+       |scored AS (
+       |  SELECT qid, doc_id,
+       |    round(ln(1.0 + (n_total - df + 0.5) / (df + 0.5)) *
+       |      (tf * 2.2) /
+       |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS s
+       |  FROM hits JOIN dfv ON hits.w = dfv.w CROSS JOIN stats),
+       |tot AS (SELECT qid, doc_id, round(sum(s), 4) AS score
+       |        FROM scored GROUP BY 1, 2),
+       |r AS (SELECT qid, doc_id, score,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY score DESC, doc_id ASC) AS rnk
+       |      FROM tot)
+       |SELECT qid, rnk, doc_id, score
+       |FROM r WHERE rnk <= $Bm25TopK ORDER BY qid, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q117 bigram LM bits-per-token (stupid backoff)
   // ---------------------------------------------------------------
 
@@ -1249,7 +1355,8 @@ object TextAnalysis {
     "q112_tfidf" -> tfidf,
     "q117_bigram_lm" -> bigramLm,
     "q127_inverted_index" -> invertedIndex,
-    "q128_postings_search" -> postingsSearch
+    "q128_postings_search" -> postingsSearch,
+    "q129_bm25" -> bm25
   )
 
   val oracle: Map[String, String] = Map(
@@ -1271,6 +1378,7 @@ object TextAnalysis {
     "q112_tfidf" -> tfidfSql,
     "q117_bigram_lm" -> bigramLmSql,
     "q127_inverted_index" -> invertedIndexSql,
-    "q128_postings_search" -> postingsSearchSql
+    "q128_postings_search" -> postingsSearchSql,
+    "q129_bm25" -> bm25Sql
   )
 }

@@ -211,6 +211,48 @@ class TextAnalysisSpec extends SparkSpec {
       s"coherent doc must score fewer bits/bigram: $out")
   }
 
+  test("bm25: hand-computed scores rank a known corpus; absent terms " +
+      "produce no rows") {
+    // Only query q1 = (join, hash) matches this corpus. N=4, avgdl=3.
+    // df(join)=2, df(hash)=2 -> idf = ln(1 + 2.5/2.5) = ln 2 for both.
+    val dir = corpus(Seq(
+      "join hash join",       // doc0: tf(join)=2, tf(hash)=1, dl=3
+      "join xyz abc",         // doc1: tf(join)=1, dl=3
+      "hash hash hash hash",  // doc2: tf(hash)=4, dl=4
+      "zzz yyy"))             // doc3: no query terms
+    val out = TextAnalysis.bm25(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.forall(_._1 == "q1"), s"only q1 matches: ${out.toSeq}")
+    assert(out.map(_._3).toSeq === Seq(0L, 2L, 1L),
+      s"rank order: ${out.toSeq}")
+    // Replicate the engine's arithmetic (round per term, sum, re-round).
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idf = math.log(2.0)
+    def part(tf: Double, dl: Double) =
+      r4(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0)))
+    val expected = Seq(
+      r4(part(2, 3) + part(1, 3)), // doc0: join + hash
+      r4(part(4, 4)),              // doc2: hash only
+      r4(part(1, 3)))              // doc1: join only
+    assert(out.map(_._4).toSeq === expected, s"scores: ${out.toSeq}")
+  }
+
+  test("bm25: ranking is a bounded-heap aggregate, not a window sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val dir = corpus(Seq("join hash", "join batch row", "scan filter"))
+    val df = TextAnalysis.bm25(spark, dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        s"bm25 must not window-sort per query:\n$plan")
+      assert(plan.collect { case o: ObjectHashAggregateExec => o }.nonEmpty,
+        s"bm25 bounded-heap top-k aggregate missing:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("pii redact: the clean text carries typed placeholder tokens") {
     import spark.implicits._
     val dir = corpus(Seq("sample text"))
