@@ -1094,6 +1094,64 @@ object Curation {
        |    AS content_digest
        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q130 single-pass column profiling (corpus health)
+  // ---------------------------------------------------------------
+
+  private val ProfileCols = Seq("doc_id", "lang", "source", "text", "n_chars")
+
+  /** q130: data profiling — per-column completeness (non-null
+    * fraction) and distinctness (distinct/total) over the documents
+    * table, the deequ-style health check a pipeline runs on every
+    * incoming drop before anything downstream trusts it.
+    *
+    * Scale shape: ALL per-column metrics compute in ONE corpus scan —
+    * a single aggregate carrying null-counts and distinct-counts for
+    * every profiled column, then a 1-row `stack` unpivot into the
+    * per-column report. Multiple exact `count(distinct)` in one
+    * aggregate plan through Catalyst's Expand (scan cost ×
+    * #profiled-columns before the partial aggregate); at 100 TB the
+    * dial is `approx_count_distinct` per column, which drops the
+    * Expand entirely (the q22/q107 exact-vs-approx convention —
+    * exact here so the oracle can mirror it). */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val docs = documents(spark, dir)
+    val aggs = count(lit(1)).as("n_rows") +:
+      ProfileCols.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct")) }
+    val stackArgs = ProfileCols
+      .map(c => s"'$c', ${c}__nulls, ${c}__distinct").mkString(", ")
+    docs.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"),
+        expr(s"stack(${ProfileCols.size}, $stackArgs)")
+          .as(Seq("col_name", "n_nulls", "n_distinct")))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"),
+        round(lit(1.0) -
+          col("n_nulls").cast("double") / col("n_rows"), 4)
+          .as("completeness"),
+        round(col("n_distinct").cast("double") / col("n_rows"), 4)
+          .as("distinctness"))
+      .orderBy("col_name")
+  }
+
+  val profileSql: String = {
+    val perCol = ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  round(1.0 - CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 4) AS completeness,
+         |  round(CAST(count(DISTINCT $c) AS DOUBLE) / count(*), 4)
+         |    AS distinctness
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$perCol\nORDER BY col_name"
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_dedup_clusters" -> dedupClusters,
     "q89_decontaminate" -> decontaminate,
@@ -1107,7 +1165,8 @@ object Curation {
     "q118_assemble_examples" -> assembleExamples,
     "q122_quality_keeper" -> qualityKeeper,
     "q123_corpus_build" -> corpusBuild,
-    "q125_shuffled_pack" -> shuffledPack
+    "q125_shuffled_pack" -> shuffledPack,
+    "q130_profile" -> profile
   )
 
   val oracle: Map[String, String] = Map(
@@ -1123,6 +1182,7 @@ object Curation {
     "q118_assemble_examples" -> assembleExamplesSql,
     "q122_quality_keeper" -> qualityKeeperSql,
     "q123_corpus_build" -> corpusBuildSql,
-    "q125_shuffled_pack" -> shuffledPackSql
+    "q125_shuffled_pack" -> shuffledPackSql,
+    "q130_profile" -> profileSql
   )
 }

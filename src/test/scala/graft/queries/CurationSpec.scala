@@ -338,6 +338,37 @@ class CurationSpec extends SparkSpec {
     assert(rows("fr") === ((1L, 0L, 5L)))
   }
 
+  test("profile: completeness and distinctness on a null-bearing fixture") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("profile_spec").toString
+    Seq(
+      (Some(1L), Some("en"), Some("s0"), Some("a b"), Some(3)),
+      (Some(2L), None,       Some("s0"), Some("a b"), Some(3)),
+      (Some(3L), Some("de"), None,       None,        Some(7)),
+      (Some(4L), Some("de"), Some("s1"), Some("x"),   None))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.profile(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out("doc_id") === ((4L, 0L, 4L, 1.0, 1.0)))
+    assert(out("lang") === ((4L, 1L, 2L, 0.75, 0.5)))
+    assert(out("source") === ((4L, 1L, 2L, 0.75, 0.5)))
+    assert(out("text") === ((4L, 1L, 2L, 0.75, 0.5)))
+    assert(out("n_chars") === ((4L, 1L, 2L, 0.75, 0.5)))
+  }
+
+  test("profile: all metrics come from ONE corpus scan (Expand, no join)") {
+    val dir = corpus(Seq((0L, "t", "en", "src0")))
+    val plan = Curation.profile(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"profile must not join:\n$plan")
+    assert(plan.contains("Expand"),
+      s"multi-distinct single-pass shape (Expand) missing:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"expected exactly 1 scan, got $scans:\n$plan")
+  }
+
   test("sampling filter involves no join or extra exchange before the rollup") {
     val dir = corpus(Seq((0L, "t", "en", "src0")))
     val plan = Curation.sourceSample(spark, dir)
