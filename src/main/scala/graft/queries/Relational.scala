@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -820,6 +820,116 @@ object Relational {
       |FROM w JOIN c ON w.user_id = c.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q131 SCD2 dimension load
+  // ---------------------------------------------------------------
+
+  /** q131: type-2 slowly-changing-dimension load — the warehouse
+    * dimension-history pattern one step past q105's keyed MERGE:
+    * an incoming batch against the current snapshot closes changed
+    * rows (valid_to set, no longer current), opens their new
+    * versions, inserts unseen keys, and carries unchanged/no-op rows
+    * untouched. The incoming batch derives deterministically from
+    * the snapshot itself (%7 keys change balance, %11 non-%7 keys
+    * arrive as no-op copies that must NOT version, %13 keys also
+    * arrive as brand-new members under a shifted key), so both
+    * engines build the identical load.
+    *
+    * Scale shape: ONE full-outer equi-join on the dimension key —
+    * the merge geometry Spark shuffles on the key (or co-locates
+    * under bucketing, q23) — then row emission is a scan-stage
+    * conditional array + explode (1–2 output rows per matched key,
+    * never a second pass or per-state re-join over the joined set).
+    * The digest keeps balances in exact integer cents, so no
+    * cross-engine float summation is in play. */
+  def scd2Load(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val base = customer(spark, dir)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("seg"))
+    val changed = base.filter(col("k") % 7 === 0)
+      .withColumn("bal", round(col("bal") + lit(100.0), 2))
+    val noop = base.filter(col("k") % 11 === 0 && col("k") % 7 =!= 0)
+    val fresh = base.filter(col("k") % 13 === 0)
+      .select((col("k") + lit(10000000L)).as("k"),
+        lit(0.0).as("bal"), lit("NEW").as("seg"))
+    val incoming = changed.unionByName(noop).unionByName(fresh)
+    val j = base
+      .select(col("k"), col("bal").as("b_bal"), col("seg").as("b_seg"),
+        lit(1).as("in_base"))
+      .join(incoming.select(col("k"), col("bal").as("i_bal"),
+          col("seg").as("i_seg"), lit(1).as("in_inc")),
+        Seq("k"), "full_outer")
+    val matchedSame = col("in_base").isNotNull && col("in_inc").isNotNull &&
+      col("b_bal") === col("i_bal") && col("b_seg") === col("i_seg")
+    val matchedDiff = col("in_base").isNotNull && col("in_inc").isNotNull
+    def ver(state: String, bal: Column, cur: Boolean) =
+      struct(lit(state).as("state"), bal.as("bal"), lit(cur).as("cur"))
+    j.withColumn("vers",
+        when(matchedSame, array(ver("carried", col("b_bal"), cur = true)))
+          .when(matchedDiff, array(
+            ver("closed", col("b_bal"), cur = false),
+            ver("changed_new", col("i_bal"), cur = true)))
+          .when(col("in_inc").isNull,
+            array(ver("carried", col("b_bal"), cur = true)))
+          .otherwise(array(ver("inserted", col("i_bal"), cur = true))))
+      .select(col("k"), explode(col("vers")).as("r"))
+      .select(col("k"), col("r.state").as("state"),
+        expr("cast(round(r.bal * 100) as bigint)").as("cents"),
+        col("r.cur").as("cur"))
+      .withColumn("h", expr(Exprs.hash60(
+        "concat(cast(k as string), ':', cast(cents as string), ':', state)")))
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("cur"), 1L).otherwise(0L)).as("n_current"),
+        sum(col("cents")).as("sum_cents"),
+        expr("bit_xor(h)").as("member_digest"))
+      .orderBy("state")
+  }
+
+  val scd2LoadSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg
+      |  FROM customer),
+      |changed AS (SELECT k, round(bal + 100.0, 2) AS bal, seg
+      |            FROM base WHERE k % 7 = 0),
+      |noop AS (SELECT k, bal, seg FROM base
+      |         WHERE k % 11 = 0 AND k % 7 <> 0),
+      |fresh AS (SELECT k + 10000000 AS k, 0.0 AS bal, 'NEW' AS seg
+      |          FROM base WHERE k % 13 = 0),
+      |inc AS (SELECT * FROM changed UNION ALL SELECT * FROM noop
+      |        UNION ALL SELECT * FROM fresh),
+      |j AS (SELECT coalesce(b.k, i.k) AS k, b.bal AS b_bal,
+      |        b.seg AS b_seg, i.bal AS i_bal, i.seg AS i_seg,
+      |        b.k IS NOT NULL AS in_base, i.k IS NOT NULL AS in_inc
+      |      FROM base b FULL OUTER JOIN inc i ON b.k = i.k),
+      |vers AS (
+      |  SELECT k, 'carried' AS state, b_bal AS bal, TRUE AS cur FROM j
+      |    WHERE in_base AND in_inc AND b_bal = i_bal AND b_seg = i_seg
+      |  UNION ALL
+      |  SELECT k, 'closed', b_bal, FALSE FROM j
+      |    WHERE in_base AND in_inc
+      |      AND NOT (b_bal = i_bal AND b_seg = i_seg)
+      |  UNION ALL
+      |  SELECT k, 'changed_new', i_bal, TRUE FROM j
+      |    WHERE in_base AND in_inc
+      |      AND NOT (b_bal = i_bal AND b_seg = i_seg)
+      |  UNION ALL
+      |  SELECT k, 'carried', b_bal, TRUE FROM j
+      |    WHERE in_base AND NOT in_inc
+      |  UNION ALL
+      |  SELECT k, 'inserted', i_bal, TRUE FROM j WHERE NOT in_base),
+      |c AS (SELECT state, k, CAST(round(bal * 100) AS BIGINT) AS cents,
+      |        cur FROM vers)
+      |SELECT state, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_current,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  bit_xor(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' ||
+      |    CAST(cents AS VARCHAR) || ':' || state), 1, 15))::BIGINT)
+      |    AS member_digest
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_events_daily" -> eventsDaily,
@@ -852,7 +962,8 @@ object Relational {
     "q68_grouping_sets" -> groupingSets,
     "q69_approx_percentile" -> approxPercentile,
     "q93_bloom_prune_join" -> bloomPruneJoin,
-    "q95_cohort_retention" -> cohortRetention
+    "q95_cohort_retention" -> cohortRetention,
+    "q131_scd2_load" -> scd2Load
   )
 
   val oracle: Map[String, String] = Map(
@@ -887,6 +998,7 @@ object Relational {
     "q68_grouping_sets" -> groupingSetsSql,
     "q69_approx_percentile" -> approxPercentileSql,
     "q93_bloom_prune_join" -> bloomPruneJoinSql,
-    "q95_cohort_retention" -> cohortRetentionSql
+    "q95_cohort_retention" -> cohortRetentionSql,
+    "q131_scd2_load" -> scd2LoadSql
   )
 }

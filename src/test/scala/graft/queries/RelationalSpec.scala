@@ -132,4 +132,29 @@ class RelationalSpec extends SparkSpec {
     val nEvents = Tables.events(spark, dir).count()
     assert(digest.map(_.getLong(2)).sum === 2 * nEvents)
   }
+
+  test("scd2: changed keys version, no-ops carry, new keys insert — " +
+      "hand-computed state table") {
+    import spark.implicits._
+    Tables.prep(spark)
+    val fdir = java.nio.file.Files.createTempDirectory("scd2_spec").toString
+    // k=7,77,91 change (%7); k=11 arrives as a no-op copy; k=13 stays
+    // AND re-arrives as the shifted fresh key; k=3 untouched; k=91 is
+    // both changed (%7) and the source of a fresh insert (%13).
+    Seq(
+      (3L, "c3", 1, 10.00, "SEG"), (7L, "c7", 1, 20.00, "SEG"),
+      (11L, "c11", 1, 30.00, "SEG"), (13L, "c13", 1, 40.00, "SEG"),
+      (77L, "c77", 1, 50.00, "SEG"), (91L, "c91", 1, 60.00, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$fdir/customer.parquet")
+    val out = Relational.scd2Load(spark, fdir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // (n_rows, n_current, sum_cents)
+    assert(out("carried") === ((3L, 3L, 8000L)))      // k=3,11,13
+    assert(out("closed") === ((3L, 0L, 13000L)))      // k=7,77,91 old
+    assert(out("changed_new") === ((3L, 3L, 43000L))) // +100.00 each
+    assert(out("inserted") === ((2L, 2L, 0L)))        // 10000013/10000091
+  }
 }
