@@ -1143,6 +1143,115 @@ object Similarity {
        |  round(min(cos), 4) AS min_cos
        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q132 semantic dedup (SemDeDup: cluster-then-prune)
+  // ---------------------------------------------------------------
+
+  /** q132: SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540) — the embedding-space dedup pass modern LLM
+    * corpora run AFTER lexical dedup: cluster the embedding space with
+    * the trained k-means codebook, then prune near-identical pairs
+    * WITHIN each cluster only. Within a cell, every member pair with
+    * rounded cosine >= [[SemDedupTau]] marks one member for removal —
+    * the member CLOSER to its centroid (tie: larger vec_id), the
+    * paper's diversity-preserving choice (keep the outlier, drop the
+    * prototype). Digest: per cell, member count, dup-pair count,
+    * removed count, and an xor fingerprint of the removed-id set.
+    *
+    * Scale shape: the clustering makes the quadratic step LOCAL —
+    * pair mining is an equality self-join on the cell key
+    * (shuffle_hash-pinned, never broadcast-funneled), so the volume is
+    * sum(c_i^2) over cell sizes rather than N^2; at 100 TB the
+    * codebook size K scales with the corpus to bound cells (the
+    * published SemDeDup deployment uses K ~ sqrt(N)), and the
+    * codebook itself is the memoized+persisted [[kmeansCodebook]]
+    * shared with q64/q70/q102/q108 — trained once per corpus, a
+    * broadcast-sized constant. Everything after the cell join is one
+    * cell-keyed aggregation; removal is emitted as a digest, with the
+    * keep set derivable as an anti-join at write time. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val cent = kmeansCodebook(spark, dir)
+      .select(col("cell"), col("cv"),
+        expr("sqrt(array_dot(cv, cv))").as("cn"))
+    // Assign every vector to its nearest cell (broadcast codebook,
+    // rounded cosine, map-side max_by argmax — one row per vector),
+    // carrying the centroid cosine for the keep/remove policy.
+    val assigned = vecs(spark, dir)
+      .join(broadcast(cent), expr("true"))
+      .withColumn("ccos", round(
+        expr("array_dot(cv, v)") / (col("cn") * col("nrm")), 4))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("nrm"), col("cell"), col("ccos")),
+        struct(col("ccos"), -col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
+        col("m.cell").as("cell"), col("m.ccos").as("ccos"))
+    // Cells are disjoint, so the single-key self-join emits each
+    // within-cell pair exactly once — no distinct() shuffle needed.
+    val pairs = assigned.as("x").hint("shuffle_hash")
+      .join(assigned.as("y").hint("shuffle_hash"),
+        col("x.cell") === col("y.cell") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos", round(
+        expr("array_dot(x.v, y.v)") / (col("x.nrm") * col("y.nrm")), 4))
+      .filter(col("cos") >= SemDedupTau)
+      // remove the member nearer its centroid; tie -> larger vec_id
+      .select(col("x.cell").as("cell"),
+        when(col("x.ccos") > col("y.ccos"), col("x.vec_id"))
+          .when(col("y.ccos") > col("x.ccos"), col("y.vec_id"))
+          .otherwise(greatest(col("x.vec_id"), col("y.vec_id"))).as("rid"))
+    val pairStats = pairs.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val removed = pairs.select(col("cell"), col("rid")).distinct()
+      .withColumn("h", expr(Exprs.hash60("cast(rid as string)")))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_removed"),
+        expr("bit_xor(h)").as("removed_digest"))
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .join(pairStats, Seq("cell"), "left")
+      .join(removed, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("removed_digest"), lit(0L)).as("removed_digest"))
+      .orderBy("cell")
+  }
+
+  private val SemDedupTau = 0.45
+
+  val semanticDedupSql: String =
+    s"""WITH n AS ($duckVecs),
+       |$duckKmeansCtes,
+       |cb AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn
+       |       FROM c$IvfIters),
+       |sc AS (SELECT vec_id, v, nrm, cell,
+       |         round(list_dot_product(cv, v) / (cn * nrm), 4) AS ccos
+       |       FROM n, cb),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |         ORDER BY ccos DESC, cell ASC) AS rc FROM sc),
+       |asg AS (SELECT vec_id, v, nrm, cell, ccos FROM rk WHERE rc = 1),
+       |p AS (SELECT x.cell,
+       |        CASE WHEN x.ccos > y.ccos THEN x.vec_id
+       |             WHEN y.ccos > x.ccos THEN y.vec_id
+       |             ELSE greatest(x.vec_id, y.vec_id) END AS rid
+       |      FROM asg x JOIN asg y
+       |        ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |      WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4)
+       |        >= $SemDedupTau),
+       |ps AS (SELECT cell, count(*) AS n_pairs FROM p GROUP BY 1),
+       |rm AS (SELECT cell, count(*) AS n_removed,
+       |         bit_xor(('0x' || substr(md5(CAST(rid AS VARCHAR)), 1, 15))
+       |           ::BIGINT) AS removed_digest
+       |       FROM (SELECT DISTINCT cell, rid FROM p) GROUP BY 1),
+       |mb AS (SELECT cell, count(*) AS n_members FROM asg GROUP BY 1)
+       |SELECT mb.cell, mb.n_members,
+       |  coalesce(ps.n_pairs, 0) AS n_pairs,
+       |  coalesce(rm.n_removed, 0) AS n_removed,
+       |  coalesce(rm.removed_digest, 0) AS removed_digest
+       |FROM mb LEFT JOIN ps ON mb.cell = ps.cell
+       |        LEFT JOIN rm ON mb.cell = rm.cell
+       |ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_cosine_topk" -> cosineTopK,
     "q61_ann_lsh" -> annLsh,
@@ -1155,7 +1264,8 @@ object Similarity {
     "q102_ann_recall" -> annRecall,
     "q104_ann_lsh_multiprobe" -> annLshMultiprobe,
     "q119_centroid_drift" -> centroidDrift,
-    "q120_hybrid_dedup" -> hybridDedup
+    "q120_hybrid_dedup" -> hybridDedup,
+    "q132_semantic_dedup" -> semanticDedup
   )
 
   val oracle: Map[String, String] = Map(
@@ -1170,6 +1280,7 @@ object Similarity {
     "q102_ann_recall" -> annRecallSql,
     "q104_ann_lsh_multiprobe" -> annLshMultiprobeSql,
     "q119_centroid_drift" -> centroidDriftSql,
-    "q120_hybrid_dedup" -> hybridDedupSql
+    "q120_hybrid_dedup" -> hybridDedupSql,
+    "q132_semantic_dedup" -> semanticDedupSql
   )
 }

@@ -184,6 +184,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq === Seq((10L, 2L, 1L, 0.5, 0.0)))
   }
 
+  test("semantic dedup: one member of each identical pair removed, " +
+      "orthogonal singletons untouched") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sim_spec").toString
+    def unit(axis: Int): Seq[Float] = {
+      val v = Array.fill(64)(0.0f); v(axis) = 1.0f; v.toSeq
+    }
+    // vec i and vec i+20 are identical one-hots on axis i (20 dup
+    // pairs); distinct axes are orthogonal (cos 0 < tau), so the only
+    // >= tau pairs are the planted duplicates. Identical members tie
+    // on centroid cosine -> the LARGER id of each pair is removed.
+    val rows = (0 until 20).flatMap { i =>
+      Seq((i.toLong, unit(i), i % 3), (i.toLong + 20, unit(i), i % 3))
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.semanticDedup(spark, dir).collect()
+    assert(out.map(_.getLong(1)).sum === 40L)          // members partition
+    assert(out.map(_.getLong(2)).sum === 20L)          // one pair per dup
+    assert(out.map(_.getLong(3)).sum === 20L)          // one removal per pair
+    // keep set survives: removals never exceed half the members anywhere
+    for (r <- out) assert(r.getLong(3) * 2 <= r.getLong(1))
+  }
+
   test("label centroids: 3 nearest members per label, cos in [-1, 1]") {
     val dir = corpus(120)
     val out = Similarity.labelCentroids(spark, dir).collect()
