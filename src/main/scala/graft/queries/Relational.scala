@@ -930,6 +930,85 @@ object Relational {
       |    AS member_digest
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q133 ordered conversion funnel
+  // ---------------------------------------------------------------
+
+  /** q133: ordered conversion funnel over the event stream — the
+    * product-analytics staple: per user, the first 'view', the first
+    * 'click' strictly AFTER that view, and the first 'purchase'
+    * strictly after that click; a later stage never matches before an
+    * earlier one (the ordering constraint that separates a funnel
+    * from three independent filters). Emits one row per stage with
+    * reached-user count, total view-to-stage latency (exact epoch
+    * microseconds — no float time arithmetic), and an xor fingerprint
+    * of the reached-user set.
+    *
+    * Scale shape: ONE user-keyed exchange; the three stage times are
+    * conditional-min window aggregates over the same partitioning
+    * (Catalyst plans them as chained Window ops behind a single
+    * Exchange — no per-stage join back to the event stream, which
+    * would re-shuffle the full log once per funnel step), then a
+    * per-user reduction and a 3-row stage rollup over the users-sized
+    * table. Funnel depth extends by adding window columns, not
+    * passes. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val w = Window.partitionBy("user_id")
+    val u = events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t2", min(when(
+        col("event_type") === "click" && col("us") > col("t1"),
+        col("us"))).over(w))
+      .withColumn("t3", min(when(
+        col("event_type") === "purchase" && col("us") > col("t2"),
+        col("us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+    u.select(col("user_id"), col("t1"), explode(array(
+        struct(lit("1_view").as("stage"), col("t1").as("t")),
+        struct(lit("2_click").as("stage"), col("t2").as("t")),
+        struct(lit("3_purchase").as("stage"), col("t3").as("t")))).as("s"))
+      .filter(col("s.t").isNotNull)
+      .select(col("s.stage").as("stage"),
+        (col("s.t") - col("t1")).as("delay_us"),
+        expr(Exprs.hash60("cast(user_id as string)")).as("h"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("delay_us")).as("sum_delay_us"),
+        expr("bit_xor(h)").as("user_digest"))
+      .orderBy("stage")
+  }
+
+  val funnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |u1 AS (
+      |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END) AS t1
+      |  FROM e GROUP BY 1),
+      |u2 AS (
+      |  SELECT e.user_id, min(u1.t1) AS t1, min(us) AS t2
+      |  FROM e JOIN u1 ON e.user_id = u1.user_id
+      |  WHERE event_type = 'click' AND us > u1.t1 GROUP BY 1),
+      |u3 AS (
+      |  SELECT e.user_id, min(u2.t1) AS t1, min(us) AS t3
+      |  FROM e JOIN u2 ON e.user_id = u2.user_id
+      |  WHERE event_type = 'purchase' AND us > u2.t2 GROUP BY 1),
+      |s AS (
+      |  SELECT user_id, '1_view' AS stage, CAST(0 AS BIGINT) AS delay_us
+      |  FROM u1 WHERE t1 IS NOT NULL
+      |  UNION ALL SELECT user_id, '2_click', t2 - t1 FROM u2
+      |  UNION ALL SELECT user_id, '3_purchase', t3 - t1 FROM u3)
+      |SELECT stage, count(*) AS n_users,
+      |  CAST(sum(delay_us) AS BIGINT) AS sum_delay_us,
+      |  bit_xor(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)
+      |    AS user_digest
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_events_daily" -> eventsDaily,
@@ -963,7 +1042,8 @@ object Relational {
     "q69_approx_percentile" -> approxPercentile,
     "q93_bloom_prune_join" -> bloomPruneJoin,
     "q95_cohort_retention" -> cohortRetention,
-    "q131_scd2_load" -> scd2Load
+    "q131_scd2_load" -> scd2Load,
+    "q133_funnel" -> funnel
   )
 
   val oracle: Map[String, String] = Map(
@@ -999,6 +1079,7 @@ object Relational {
     "q69_approx_percentile" -> approxPercentileSql,
     "q93_bloom_prune_join" -> bloomPruneJoinSql,
     "q95_cohort_retention" -> cohortRetentionSql,
-    "q131_scd2_load" -> scd2LoadSql
+    "q131_scd2_load" -> scd2LoadSql,
+    "q133_funnel" -> funnelSql
   )
 }

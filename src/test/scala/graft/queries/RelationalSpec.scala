@@ -133,6 +133,36 @@ class RelationalSpec extends SparkSpec {
     assert(digest.map(_.getLong(2)).sum === 2 * nEvents)
   }
 
+  test("funnel: stages match in ts order only, later stages need all " +
+      "earlier ones — hand-computed") {
+    import spark.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("funnel_spec").toString
+    def ns(s: Double): Long = (s * 1e9).toLong
+    // u1: clean view@1 click@2 purchase@3 (full funnel, delays 1s/2s)
+    // u2: click@1 BEFORE its first view@2 -> view only
+    // u3: view@1 purchase@2 but no click -> purchase must NOT count
+    // u4: click@4 precedes view@5; click@6 counts; purchase@5.5
+    //     precedes that click; purchase@7 counts (delays 1s/2s)
+    // u5: purchase only, no view -> no stage at all
+    Seq(
+      (0L, ns(1.0), 1L, "view", 1.0), (1L, ns(2.0), 1L, "click", 1.0),
+      (2L, ns(3.0), 1L, "purchase", 1.0),
+      (3L, ns(1.0), 2L, "click", 1.0), (4L, ns(2.0), 2L, "view", 1.0),
+      (5L, ns(1.0), 3L, "view", 1.0), (6L, ns(2.0), 3L, "purchase", 1.0),
+      (7L, ns(4.0), 4L, "click", 1.0), (8L, ns(5.0), 4L, "view", 1.0),
+      (9L, ns(5.5), 4L, "purchase", 1.0), (10L, ns(6.0), 4L, "click", 1.0),
+      (11L, ns(7.0), 4L, "purchase", 1.0),
+      (12L, ns(1.0), 5L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$fdir/events.parquet")
+    val out = Relational.funnel(spark, fdir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("1_view") === ((4L, 0L)))
+    assert(out("2_click") === ((2L, 2_000_000L)))
+    assert(out("3_purchase") === ((2L, 4_000_000L)))
+  }
+
   test("scd2: changed keys version, no-ops carry, new keys insert — " +
       "hand-computed state table") {
     import spark.implicits._
