@@ -1152,6 +1152,82 @@ object Curation {
     s"$perCol\nORDER BY col_name"
   }
 
+  // ---------------------------------------------------------------
+  // q134 robust outlier detection (median / MAD)
+  // ---------------------------------------------------------------
+
+  /** q134: robust per-group outlier detection over the event stream —
+    * the data-quality gate that survives the outliers it hunts:
+    * median and MAD (median absolute deviation) instead of mean/std,
+    * because one corrupt 1e12 value drags a mean-based z-score's own
+    * baseline but leaves the median untouched. A value is flagged
+    * when |x - median| > 3 * 1.4826 * MAD (the Gaussian-consistent
+    * robust z-score; 1.4826 makes MAD estimate sigma under
+    * normality). Per event type: count, outlier count, the two
+    * statistics, and an xor fingerprint of the flagged event ids.
+    *
+    * Both medians are ROUNDED to 6 decimals before any downstream
+    * arithmetic so the flag threshold is bit-identical cross-engine.
+    *
+    * Scale shape: two grouped exact-percentile passes (median, then
+    * MAD over deviations) with the tiny per-type statistic table
+    * broadcast back between them, then the flagging is a scan-stage
+    * predicate — the q107 convention: exact percentile so the oracle
+    * mirrors every value; `approx_percentile` is the one-line 100 TB
+    * dial that collapses each pass to map-side sketches. */
+  def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val e = events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("dev", round(abs(col("value") - col("med")), 6))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(dev, 0.5)"), 6).as("mad"),
+        min(col("med")).as("med"))
+    dev.drop("med").join(broadcast(mad), "event_type")
+      .withColumn("is_out",
+        (col("dev") > lit(3 * 1.4826) * col("mad")).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("is_out")).as("n_outliers"),
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        coalesce(expr("bit_xor(CASE WHEN is_out = 1 THEN " +
+          Exprs.hash60("cast(event_id as string)") + " END)"), lit(0L))
+          .as("outlier_digest"))
+      .orderBy("event_type")
+  }
+
+  val robustOutliersSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type, value FROM events
+      |  WHERE value IS NOT NULL),
+      |m AS (
+      |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      |  FROM e GROUP BY 1),
+      |d AS (
+      |  SELECT e.event_id, e.event_type,
+      |    round(abs(e.value - m.med), 6) AS dev, m.med
+      |  FROM e JOIN m USING (event_type)),
+      |s AS (
+      |  SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad,
+      |    min(med) AS med
+      |  FROM d GROUP BY 1),
+      |o AS (
+      |  SELECT d.event_type, d.event_id, s.med, s.mad,
+      |    CASE WHEN d.dev > 3 * 1.4826 * s.mad THEN 1 ELSE 0 END AS is_out
+      |  FROM d JOIN s USING (event_type))
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(is_out) AS BIGINT) AS n_outliers,
+      |  min(med) AS med, min(mad) AS mad,
+      |  coalesce(bit_xor(CASE WHEN is_out = 1 THEN
+      |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+      |    END), 0) AS outlier_digest
+      |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_dedup_clusters" -> dedupClusters,
     "q89_decontaminate" -> decontaminate,
@@ -1166,7 +1242,8 @@ object Curation {
     "q122_quality_keeper" -> qualityKeeper,
     "q123_corpus_build" -> corpusBuild,
     "q125_shuffled_pack" -> shuffledPack,
-    "q130_profile" -> profile
+    "q130_profile" -> profile,
+    "q134_robust_outliers" -> robustOutliers
   )
 
   val oracle: Map[String, String] = Map(
@@ -1183,6 +1260,7 @@ object Curation {
     "q122_quality_keeper" -> qualityKeeperSql,
     "q123_corpus_build" -> corpusBuildSql,
     "q125_shuffled_pack" -> shuffledPackSql,
-    "q130_profile" -> profileSql
+    "q130_profile" -> profileSql,
+    "q134_robust_outliers" -> robustOutliersSql
   )
 }

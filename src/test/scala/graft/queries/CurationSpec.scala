@@ -369,6 +369,29 @@ class CurationSpec extends SparkSpec {
     assert(scans === 1, s"expected exactly 1 scan, got $scans:\n$plan")
   }
 
+  test("robust outliers: median/MAD ignore the spike that defines the " +
+      "outlier — hand-computed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("curation_spec").toString
+    // type 'a': 1..9 plus a 1000.0 spike. median = 5.5, deviations
+    // sorted = {0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5} -> MAD =
+    // 2.5, threshold = 3 * 1.4826 * 2.5 = 11.1195 -> ONLY the spike
+    // flags. A mean/std z-score would have sigma ~313 and flag
+    // nothing — the point of the robust statistic.
+    val rows = (1 to 9).map(i => (i.toLong, i.toLong * 1000000000L, 1L,
+      "a", i.toDouble)) :+ ((10L, 10000000000L, 1L, "a", 1000.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Curation.robustOutliers(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getString(0) === "a")
+    assert(r(0).getLong(1) === 10L)
+    assert(r(0).getLong(2) === 1L)           // exactly the spike
+    assert(r(0).getDouble(3) === 5.5)        // med
+    assert(r(0).getDouble(4) === 2.5)        // mad
+  }
+
   test("sampling filter involves no join or extra exchange before the rollup") {
     val dir = corpus(Seq((0L, "t", "en", "src0")))
     val plan = Curation.sourceSample(spark, dir)
