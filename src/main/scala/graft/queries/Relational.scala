@@ -1009,6 +1009,81 @@ object Relational {
       |    AS user_digest
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q135 rolling time-series anomaly detection
+  // ---------------------------------------------------------------
+
+  /** q135: rolling anomaly detection over the per-(type, day) event
+    * counts — the volume-monitoring alarm every ingestion pipeline
+    * runs: each day's count is z-scored against the mean/stddev of
+    * the PRECEDING 7 days only (a trailing frame — the current day
+    * must not launder its own spike into the baseline), and days with
+    * |z| > 2.5 flag. Warm-up days (fewer than 3 prior days) and
+    * zero-variance baselines don't flag.
+    *
+    * Mean and stddev are ROUNDED to 6 decimals and z to 4 before the
+    * threshold compare, so the flag set is bit-identical
+    * cross-engine.
+    *
+    * Scale shape: the corpus-sized work is the ONE (type, day)
+    * groupBy; everything after runs on the days-per-type table
+    * (~365 rows/type/year — tiny forever), so the per-type ordered
+    * window costs nothing at any corpus scale. The daily-grain
+    * reduction IS the design: never window the raw event stream. */
+  def rollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("mu", round(avg(col("cnt")).over(w), 6))
+      .withColumn("sg", round(stddev_pop(col("cnt")).over(w), 6))
+      .withColumn("nprev", count(col("cnt")).over(w))
+      .withColumn("z", when(col("nprev") >= 3 && col("sg") > 0,
+        round((col("cnt") - col("mu")) / col("sg"), 4)))
+      .withColumn("is_anom",
+        (abs(coalesce(col("z"), lit(0.0))) > 2.5).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("cnt")).as("n_events"),
+        sum(col("is_anom")).as("n_anomalies"),
+        coalesce(expr("bit_xor(CASE WHEN is_anom = 1 THEN " +
+          Exprs.hash60("cast(d as string)") + " END)"), lit(0L))
+          .as("anomaly_digest"))
+      .orderBy("event_type")
+  }
+
+  val rollingAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, d, cnt,
+      |    round(avg(cnt) OVER w, 6) AS mu,
+      |    round(stddev_pop(cnt) OVER w, 6) AS sg,
+      |    count(cnt) OVER w AS nprev
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT event_type, d, cnt,
+      |    CASE WHEN nprev >= 3 AND sg > 0
+      |      THEN round((cnt - mu) / sg, 4) END AS z
+      |  FROM r),
+      |f AS (
+      |  SELECT event_type, d, cnt,
+      |    CASE WHEN abs(coalesce(z, 0)) > 2.5 THEN 1 ELSE 0 END AS is_anom
+      |  FROM z)
+      |SELECT event_type, count(*) AS n_days,
+      |  CAST(sum(cnt) AS BIGINT) AS n_events,
+      |  CAST(sum(is_anom) AS BIGINT) AS n_anomalies,
+      |  coalesce(bit_xor(CASE WHEN is_anom = 1 THEN
+      |    ('0x' || substr(md5(CAST(d AS VARCHAR)), 1, 15))::BIGINT END), 0)
+      |    AS anomaly_digest
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_events_daily" -> eventsDaily,
@@ -1043,7 +1118,8 @@ object Relational {
     "q93_bloom_prune_join" -> bloomPruneJoin,
     "q95_cohort_retention" -> cohortRetention,
     "q131_scd2_load" -> scd2Load,
-    "q133_funnel" -> funnel
+    "q133_funnel" -> funnel,
+    "q135_rolling_anomaly" -> rollingAnomaly
   )
 
   val oracle: Map[String, String] = Map(
@@ -1080,6 +1156,7 @@ object Relational {
     "q93_bloom_prune_join" -> bloomPruneJoinSql,
     "q95_cohort_retention" -> cohortRetentionSql,
     "q131_scd2_load" -> scd2LoadSql,
-    "q133_funnel" -> funnelSql
+    "q133_funnel" -> funnelSql,
+    "q135_rolling_anomaly" -> rollingAnomalySql
   )
 }

@@ -163,6 +163,29 @@ class RelationalSpec extends SparkSpec {
     assert(out("3_purchase") === ((2L, 4_000_000L)))
   }
 
+  test("rolling anomaly: only the spike day flags; warm-up days never do") {
+    import spark.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("anom_spec").toString
+    // 9 days of alternating 9/11 events, then a 30-event day 9.
+    // Trailing-7 baseline for day 9: mu = 71/7, sigma ~ 0.9897 ->
+    // z ~ 20, flags. Every alternating day stays within |z| < 1.6,
+    // and days 1-3 are warm-up (< 3 prior days) regardless.
+    val day0 = 1704067200L // 2024-01-01 UTC
+    val counts = Seq(9, 11, 9, 11, 9, 11, 9, 11, 30)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      (0 until c).map(j => (i * 1000L + j,
+        (day0 + i * 86400L + j) * 1000000000L, 1L, "a", 1.0))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$fdir/events.parquet")
+    val r = Relational.rollingAnomaly(spark, fdir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 9L)    // n_days
+    assert(r(0).getLong(2) === 110L)  // n_events
+    assert(r(0).getLong(3) === 1L)    // only the spike day
+  }
+
   test("scd2: changed keys version, no-ops carry, new keys insert — " +
       "hand-computed state table") {
     import spark.implicits._
