@@ -1084,6 +1084,144 @@ object Relational {
       |    AS anomaly_digest
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q136 fuzzy record linkage (df-ranked blocking + edit distance)
+  // ---------------------------------------------------------------
+
+  /** q136: fuzzy record linkage — match dirty strings back to a clean
+    * entity catalog without an equality key, the classic MDM /
+    * dedupe-across-systems operator. Entities are the distinct
+    * composed part identities (`p_name p_brand p_type`, canonical id
+    * = min partkey); the dirty side is derived deterministically from
+    * the catalog itself (each name loses the character at
+    * hash(name) % length), so both engines build the identical
+    * workload AND every dirty record carries its ground-truth entity
+    * for precision measurement.
+    *
+    * Linkage runs in the published blocking+scoring shape:
+    *   1. BLOCK: each side keys on its 2 RAREST tokens (document
+    *      frequency from the entity catalog; unknown/corrupted tokens
+    *      can't block). Rare-token blocking is the prefix-filtering
+    *      family (PPJoin): candidate volume scales with sum(df_rare^2),
+    *      not catalog^2 — common tokens ('small', 'ECONOMY') never
+    *      become join keys.
+    *   2. SCORE: levenshtein over candidates only; best match = min
+    *      (distance, entity id).
+    * Digest: per edit-distance bucket (-1 = unlinked), record count,
+    * how many linked to their TRUE entity, and an xor fingerprint of
+    * the dirty ids.
+    *
+    * Scale shape: the token-df dictionary and per-record key
+    * selection are vocabulary-bounded (broadcast); the candidate join
+    * is an equality join on the rare-token key; scoring is per-pair
+    * scan work; best-match is a map-side-combining min_by — no
+    * window, no all-pairs. */
+  def recordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val ents = part(spark, dir)
+      .select(concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"))
+        .as("ename"), col("p_partkey"))
+      .groupBy(col("ename")).agg(min(col("p_partkey")).as("eid"))
+    val dirty = ents.select(col("eid").as("truth"), col("ename"))
+      .withColumn("pos",
+        (expr(Exprs.hash60("ename")) % length(col("ename"))).cast("int"))
+      .select(col("truth"),
+        concat(expr("substring(ename, 1, pos)"),
+          expr("substring(ename, pos + 2)")).as("dname"))
+    // token document frequency over the CATALOG (vocabulary-sized)
+    val df = ents.select(explode(split(col("ename"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
+    // 2 rarest tokens per side; dirty tokens must exist in the
+    // catalog dictionary (a corrupted token has nothing to block on)
+    def rarest2(rows: DataFrame, idCol: String, nameCol: String) =
+      rows.select(col(idCol), col(nameCol),
+          explode(array_distinct(split(col(nameCol), " "))).as("tok"))
+        .join(broadcast(df), "tok")
+        .groupBy(col(idCol), col(nameCol))
+        .agg(expr("slice(array_sort(collect_list(struct(tdf, tok))), 1, 2)")
+          .as("ks"))
+        .select(col(idCol), col(nameCol),
+          explode(expr("transform(ks, k -> k.tok)")).as("bk"))
+    val cands = rarest2(
+        dirty.select(col("truth").as("did"), col("dname")), "did", "dname")
+      .join(rarest2(ents, "eid", "ename"), "bk")
+      .select(col("did"), col("dname"), col("eid"), col("ename")).distinct()
+    val best = cands
+      .withColumn("dist", levenshtein(col("dname"), col("ename")))
+      .groupBy(col("did"))
+      .agg(min_by(struct(col("eid"), col("dist")),
+        struct(col("dist"), col("eid"))).as("m"))
+      .select(col("did"), col("m.eid").as("eid"), col("m.dist").as("dist"))
+    dirty.select(col("truth").as("did")).distinct()
+      .join(best, Seq("did"), "left")
+      .select(col("did"),
+        coalesce(col("dist"), lit(-1)).as("dist"),
+        (col("eid") === col("did")).cast("long").as("ok"))
+      .withColumn("h", expr(Exprs.hash60("cast(did as string)")))
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_records"),
+        coalesce(sum(col("ok")), lit(0L)).as("n_correct"),
+        expr("bit_xor(h)").as("record_digest"))
+      .orderBy("dist")
+  }
+
+  val recordLinkageSql: String =
+    """WITH ents AS (
+      |  SELECT p_name || ' ' || p_brand || ' ' || p_type AS ename,
+      |         min(p_partkey) AS eid
+      |  FROM part GROUP BY 1),
+      |dirty AS (
+      |  SELECT eid AS truth,
+      |    substring(ename, 1, pos) || substring(ename, pos + 2) AS dname
+      |  FROM (SELECT eid, ename,
+      |          CAST(('0x' || substr(md5(ename), 1, 15))::BIGINT
+      |            % length(ename) AS INTEGER) AS pos
+      |        FROM ents)),
+      |tdf AS (
+      |  SELECT tok, count(*) AS tdf
+      |  FROM (SELECT unnest(string_split(ename, ' ')) AS tok FROM ents)
+      |  GROUP BY 1),
+      |ek AS (
+      |  SELECT eid, ename, tok AS bk FROM (
+      |    SELECT eid, ename, tok,
+      |      row_number() OVER (PARTITION BY eid, ename
+      |        ORDER BY tdf, tok) AS rn
+      |    FROM (SELECT eid, ename,
+      |            unnest(list_distinct(string_split(ename, ' '))) AS tok
+      |          FROM ents)
+      |    JOIN tdf USING (tok))
+      |  WHERE rn <= 2),
+      |dk AS (
+      |  SELECT did, dname, tok AS bk FROM (
+      |    SELECT did, dname, tok,
+      |      row_number() OVER (PARTITION BY did, dname
+      |        ORDER BY tdf, tok) AS rn
+      |    FROM (SELECT truth AS did, dname,
+      |            unnest(list_distinct(string_split(dname, ' '))) AS tok
+      |          FROM dirty)
+      |    JOIN tdf USING (tok))
+      |  WHERE rn <= 2),
+      |cands AS (
+      |  SELECT DISTINCT dk.did, dk.dname, ek.eid, ek.ename
+      |  FROM dk JOIN ek ON dk.bk = ek.bk),
+      |best AS (
+      |  SELECT did, eid, dist FROM (
+      |    SELECT did, eid, levenshtein(dname, ename) AS dist,
+      |      row_number() OVER (PARTITION BY did
+      |        ORDER BY levenshtein(dname, ename), eid) AS rn
+      |    FROM cands)
+      |  WHERE rn = 1),
+      |r AS (
+      |  SELECT d.did, coalesce(b.dist, -1) AS dist,
+      |    CASE WHEN b.eid = d.did THEN 1 ELSE 0 END AS ok
+      |  FROM (SELECT DISTINCT truth AS did FROM dirty) d
+      |  LEFT JOIN best b ON d.did = b.did)
+      |SELECT dist, count(*) AS n_records,
+      |  CAST(coalesce(sum(ok), 0) AS BIGINT) AS n_correct,
+      |  bit_xor(('0x' || substr(md5(CAST(did AS VARCHAR)), 1, 15))::BIGINT)
+      |    AS record_digest
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_events_daily" -> eventsDaily,
@@ -1119,7 +1257,8 @@ object Relational {
     "q95_cohort_retention" -> cohortRetention,
     "q131_scd2_load" -> scd2Load,
     "q133_funnel" -> funnel,
-    "q135_rolling_anomaly" -> rollingAnomaly
+    "q135_rolling_anomaly" -> rollingAnomaly,
+    "q136_record_linkage" -> recordLinkage
   )
 
   val oracle: Map[String, String] = Map(
@@ -1157,6 +1296,7 @@ object Relational {
     "q95_cohort_retention" -> cohortRetentionSql,
     "q131_scd2_load" -> scd2LoadSql,
     "q133_funnel" -> funnelSql,
-    "q135_rolling_anomaly" -> rollingAnomalySql
+    "q135_rolling_anomaly" -> rollingAnomalySql,
+    "q136_record_linkage" -> recordLinkageSql
   )
 }

@@ -186,6 +186,32 @@ class RelationalSpec extends SparkSpec {
     assert(r(0).getLong(3) === 1L)    // only the spike day
   }
 
+  test("record linkage: disjoint-token catalog links every dirty record " +
+      "to its true entity at distance 1") {
+    import spark.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("link_spec").toString
+    // Token-disjoint names whose 2 rarest (= lexicographically
+    // smallest, all df=1) tokens are NON-ADJACENT in the string, so
+    // no single deletion — not even of the space between two tokens —
+    // can corrupt both blocking keys: at least one intact key always
+    // reaches the true entity, and levenshtein scores the 1-char
+    // deletion as distance 1. (Adjacent rare tokens CAN both die to
+    // one space deletion; that honest blocking miss is the -1 bucket
+    // this fixture deliberately avoids.)
+    Seq(
+      (1L, "alpha zulu", "bravo", "zz1", 1, 1.0),
+      (2L, "charlie zippo", "delta", "zz2", 1, 1.0),
+      (3L, "echo zorro", "foxtrot", "zz3", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.mode("overwrite").parquet(s"$fdir/part.parquet")
+    val out = Relational.recordLinkage(spark, fdir).collect()
+    assert(out.length === 1)
+    assert(out(0).getInt(0) === 1)      // every link at edit distance 1
+    assert(out(0).getLong(1) === 3L)    // all records linked
+    assert(out(0).getLong(2) === 3L)    // all to their true entity
+  }
+
   test("scd2: changed keys version, no-ops carry, new keys insert — " +
       "hand-computed state table") {
     import spark.implicits._
