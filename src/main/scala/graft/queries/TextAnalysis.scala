@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines over the
@@ -1336,6 +1337,91 @@ object TextAnalysis {
        |SELECT lang, rnk, w AS term, score_sum AS score
        |FROM r WHERE rnk <= $TfidfK ORDER BY lang, rnk""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q137 vocabulary growth (Heaps' law) + incremental OOV
+  // ---------------------------------------------------------------
+
+  /** q137: vocabulary-growth curve and incremental OOV rate — the
+    * measurement behind every tokenizer-sizing decision: as the
+    * corpus grows, how fast does the type vocabulary grow (Heaps'
+    * law V ~ k·N^beta), and what fraction of each new slice's TOKEN
+    * instances are types never seen before? The corpus is split into
+    * 10 deterministic hash-epochs of doc_ids (a reproducible random
+    * arrival order — the same trick as the q73 split); epoch b's
+    * "seen" set is epochs 0..b-1. A type's first epoch is just
+    * min(epoch) over its occurrences, so the whole curve needs NO
+    * iterative pass: one (token, epoch) count, one min per type, a
+    * 10-row prefix sum.
+    *
+    * Scale shape: the corpus-sized work is the single explode +
+    * (token, epoch) groupBy; the type table is vocabulary-sized; the
+    * growth curve itself is 10 rows. The running-total window runs on
+    * those 10 rows, never on data. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val docs = documents(spark, dir)
+      .withColumn("epoch",
+        (expr(Exprs.hash60("cast(doc_id as string)")) % 10).cast("int"))
+    val nd = docs.groupBy(col("epoch")).agg(count(lit(1)).as("n_docs"))
+    val tb = docs
+      .select(col("epoch"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .groupBy(col("tok"), col("epoch"))
+      .agg(count(lit(1)).as("c"))
+    val fb = tb.groupBy(col("tok")).agg(min(col("epoch")).as("fe"))
+    val per = tb.join(fb, "tok")
+      .groupBy(col("epoch"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("fe") === col("epoch"), col("c")).otherwise(0L))
+          .as("oov_tokens"),
+        sum(when(col("fe") === col("epoch"), 1L).otherwise(0L))
+          .as("new_types"))
+    val w = Window.orderBy("epoch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nd.join(per, "epoch")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .withColumn("oov_rate", round(
+        col("oov_tokens").cast("double") / col("n_tokens"), 6))
+      .select(col("epoch"), col("n_docs"), col("n_tokens"),
+        col("cum_tokens"), col("new_types"), col("cum_types"),
+        col("oov_tokens"), col("oov_rate"))
+      .orderBy("epoch")
+  }
+
+  val vocabGrowthSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 10 AS INTEGER) AS epoch
+      |  FROM documents),
+      |nd AS (SELECT epoch, count(*) AS n_docs FROM d GROUP BY 1),
+      |tb AS (
+      |  SELECT tok, epoch, count(*) AS c
+      |  FROM (SELECT epoch,
+      |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |        FROM d)
+      |  GROUP BY 1, 2),
+      |fb AS (SELECT tok, min(epoch) AS fe FROM tb GROUP BY 1),
+      |per AS (
+      |  SELECT epoch,
+      |    CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN fe = epoch THEN c ELSE 0 END) AS BIGINT)
+      |      AS oov_tokens,
+      |    CAST(sum(CASE WHEN fe = epoch THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS new_types
+      |  FROM tb JOIN fb USING (tok) GROUP BY 1)
+      |SELECT nd.epoch, nd.n_docs, per.n_tokens,
+      |  CAST(sum(per.n_tokens) OVER (ORDER BY nd.epoch
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+      |  per.new_types,
+      |  CAST(sum(per.new_types) OVER (ORDER BY nd.epoch
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types,
+      |  per.oov_tokens,
+      |  round(CAST(per.oov_tokens AS DOUBLE) / per.n_tokens, 6) AS oov_rate
+      |FROM nd JOIN per USING (epoch)
+      |ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_token_stats" -> tokenStats,
     "q51_quality_score" -> qualityScore,
@@ -1356,7 +1442,8 @@ object TextAnalysis {
     "q117_bigram_lm" -> bigramLm,
     "q127_inverted_index" -> invertedIndex,
     "q128_postings_search" -> postingsSearch,
-    "q129_bm25" -> bm25
+    "q129_bm25" -> bm25,
+    "q137_vocab_growth" -> vocabGrowth
   )
 
   val oracle: Map[String, String] = Map(
@@ -1379,6 +1466,7 @@ object TextAnalysis {
     "q117_bigram_lm" -> bigramLmSql,
     "q127_inverted_index" -> invertedIndexSql,
     "q128_postings_search" -> postingsSearchSql,
-    "q129_bm25" -> bm25Sql
+    "q129_bm25" -> bm25Sql,
+    "q137_vocab_growth" -> vocabGrowthSql
   )
 }

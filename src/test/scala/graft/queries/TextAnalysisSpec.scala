@@ -253,6 +253,30 @@ class TextAnalysisSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("vocab growth: unique-per-doc types keep the curve growing; " +
+      "shared type is OOV only once") {
+    // Each doc is "common uniq<i>" (2 tokens). Whatever hash-epoch a
+    // doc lands in: every doc contributes exactly ONE new type (its
+    // unique token), 'common' is new only in the earliest non-empty
+    // epoch, and each epoch's oov tokens are its docs' unique tokens
+    // plus (first epoch only) its 'common' instances. So the first
+    // epoch's oov_rate is exactly 1.0 and every later epoch's is 0.5
+    // — without the test needing to know the hash assignment.
+    val dir = corpus((0 until 30).map(i => s"common uniq$i"))
+    val rows = TextAnalysis.vocabGrowth(spark, dir).collect()
+    val first = rows.head
+    assert(rows.map(_.getLong(1)).sum === 30L)               // docs partition
+    assert(rows.last.getLong(5) === 31L)                     // final cum_types
+    assert(first.getDouble(7) === 1.0)
+    for (r <- rows.tail) {
+      assert(r.getDouble(7) === 0.5)
+      assert(r.getLong(4) === r.getLong(1))                  // new = n_docs
+    }
+    assert(first.getLong(4) === first.getLong(1) + 1)        // + 'common'
+    // cumulative columns are running sums of the per-epoch columns
+    assert(rows.map(_.getLong(2)).sum === rows.last.getLong(3))
+  }
+
   test("pii redact: the clean text carries typed placeholder tokens") {
     import spark.implicits._
     val dir = corpus(Seq("sample text"))
