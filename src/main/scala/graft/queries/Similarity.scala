@@ -1252,6 +1252,115 @@ object Similarity {
        |        LEFT JOIN rm ON mb.cell = rm.cell
        |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q138 kNN graph construction (band candidates -> bounded top-k)
+  // ---------------------------------------------------------------
+
+  /** q138: approximate kNN-graph build — every vector's top-3
+    * cosine neighbors among its LSH band candidates, plus the graph
+    * health digest (out/in degree histograms and the mutual-edge
+    * count) that diversity sampling, graph-based dedup, and
+    * NN-Descent-style refinement all consume. An ANN *query* (q61)
+    * answers one probe; the *graph* materializes every vector's
+    * neighborhood at once — the all-nodes artifact.
+    *
+    * Scale shape: candidates come from the equality self-join on the
+    * exploded (band, value) key over the shared memoized signature
+    * table (never all-pairs; shuffle_hash-pinned); per-node top-3 is
+    * the bounded-heap TopKAgg (band-duplicate entries collapse
+    * in-buffer, map-side partial agg — no distinct pass, no window
+    * sort). The degree rollups and the mutuality self-join run on the
+    * EDGE set (<= 3N rows), not the corpus. In-degree is capped into
+    * an 8+ bucket so hub skew stays a bounded histogram. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val e = sigTable(spark, dir)
+    val eb = e.select(col("vec_id"), col("v"), col("nrm"),
+        explode(bandCol("sig")).as("b"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("b.bk").as("bk"), col("b.bv").as("bv"))
+    val cands = eb.as("a").hint("shuffle_hash")
+      .join(eb.as("b").hint("shuffle_hash"),
+        col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos", round(
+        expr("array_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")), 4))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        col("cos"))
+    val edges = cands.groupBy(col("src"))
+      .agg(graft.functions.TopK.topK(3)(col("cos"), col("dst")).as("tk"))
+      .select(col("src"), posexplode(col("tk")).as(Seq("i", "s")))
+      .select(col("src"), col("s.vec_id").as("dst"))
+    val nodes = e.select(col("vec_id"))
+    def hist(deg: DataFrame, kind: String) = nodes
+      .join(deg, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("d"), lit(0L)).as("deg"))
+      .withColumn("h", expr(Exprs.hash60("cast(vec_id as string)")))
+      .groupBy(col("deg"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("digest"))
+      .select(lit(kind).as("kind"), col("deg"), col("n"), col("digest"))
+    val outH = hist(
+      edges.groupBy(col("src").as("vec_id")).agg(count(lit(1)).as("d")),
+      "out")
+    val inH = hist(
+      edges.groupBy(col("dst").as("vec_id"))
+        .agg(least(count(lit(1)), lit(8L)).as("d")),
+      "in")
+    val mutual = edges.as("e1")
+      .join(edges.as("e2"),
+        col("e1.src") === col("e2.dst") && col("e1.dst") === col("e2.src") &&
+          col("e1.src") < col("e1.dst"))
+      .select(col("e1.src").as("src"), col("e1.dst").as("dst"))
+      .withColumn("h", expr(Exprs.hash60(
+        "concat(cast(src as string), ':', cast(dst as string))")))
+      .agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("digest"))
+      .select(lit("mutual").as("kind"), lit(0L).as("deg"), col("n"),
+        col("digest"))
+    outH.unionByName(inH).unionByName(mutual)
+      .orderBy("kind", "deg")
+  }
+
+  val knnGraphSql: String =
+    s"""WITH n AS ($duckVecs),
+       |b AS (SELECT vec_id, v, nrm, ($duckSig) AS sig FROM n),
+       |cand AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+       |  FROM b a JOIN b b ON ${duckBandMatch("a.sig", "b.sig")}
+       |    AND a.vec_id != b.vec_id),
+       |ed AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst ASC) AS rn
+       |    FROM cand)
+       |  WHERE rn <= 3),
+       |odeg AS (SELECT src AS vec_id, count(*) AS d FROM ed GROUP BY 1),
+       |ideg AS (SELECT dst AS vec_id, least(count(*), 8) AS d
+       |         FROM ed GROUP BY 1),
+       |oh AS (
+       |  SELECT 'out' AS kind, coalesce(d, 0) AS deg, count(*) AS n,
+       |    bit_xor(('0x' || substr(md5(CAST(n.vec_id AS VARCHAR)), 1, 15))
+       |      ::BIGINT) AS digest
+       |  FROM n LEFT JOIN odeg USING (vec_id) GROUP BY 2),
+       |ih AS (
+       |  SELECT 'in' AS kind, coalesce(d, 0) AS deg, count(*) AS n,
+       |    bit_xor(('0x' || substr(md5(CAST(n.vec_id AS VARCHAR)), 1, 15))
+       |      ::BIGINT) AS digest
+       |  FROM n LEFT JOIN ideg USING (vec_id) GROUP BY 2),
+       |mu AS (
+       |  SELECT 'mutual' AS kind, CAST(0 AS BIGINT) AS deg,
+       |    count(*) AS n,
+       |    coalesce(bit_xor(('0x' || substr(md5(
+       |      CAST(e1.src AS VARCHAR) || ':' || CAST(e1.dst AS VARCHAR)),
+       |      1, 15))::BIGINT), 0) AS digest
+       |  FROM ed e1 JOIN ed e2
+       |    ON e1.src = e2.dst AND e1.dst = e2.src AND e1.src < e1.dst)
+       |SELECT kind, CAST(deg AS BIGINT) AS deg, n, digest FROM (
+       |  SELECT * FROM oh UNION ALL SELECT * FROM ih
+       |  UNION ALL SELECT * FROM mu)
+       |ORDER BY kind, deg""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_cosine_topk" -> cosineTopK,
     "q61_ann_lsh" -> annLsh,
@@ -1265,7 +1374,8 @@ object Similarity {
     "q104_ann_lsh_multiprobe" -> annLshMultiprobe,
     "q119_centroid_drift" -> centroidDrift,
     "q120_hybrid_dedup" -> hybridDedup,
-    "q132_semantic_dedup" -> semanticDedup
+    "q132_semantic_dedup" -> semanticDedup,
+    "q138_knn_graph" -> knnGraph
   )
 
   val oracle: Map[String, String] = Map(
@@ -1281,6 +1391,7 @@ object Similarity {
     "q104_ann_lsh_multiprobe" -> annLshMultiprobeSql,
     "q119_centroid_drift" -> centroidDriftSql,
     "q120_hybrid_dedup" -> hybridDedupSql,
-    "q132_semantic_dedup" -> semanticDedupSql
+    "q132_semantic_dedup" -> semanticDedupSql,
+    "q138_knn_graph" -> knnGraphSql
   )
 }

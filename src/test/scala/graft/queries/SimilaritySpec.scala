@@ -208,6 +208,31 @@ class SimilaritySpec extends SparkSpec {
     for (r <- out) assert(r.getLong(3) * 2 <= r.getLong(1))
   }
 
+  test("knn graph: twins are always linked both ways; histograms " +
+      "partition the node set") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sim_spec").toString
+    def unit(axis: Int): Seq[Float] = {
+      val v = Array.fill(64)(0.0f); v(axis) = 1.0f; v.toSeq
+    }
+    // identical twins share ALL bands -> guaranteed candidate at
+    // cos 1.0 in both directions -> a mutual edge per pair. Random
+    // band collisions between orthogonal one-hots can only ADD edges.
+    val rows = (0 until 20).flatMap { i =>
+      Seq((i.toLong, unit(i), 0), (i.toLong + 20, unit(i), 0))
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.knnGraph(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def total(kind: String) =
+      out.filter(_._1 == kind).map(_._3).sum
+    assert(total("out") === 40L)                      // nodes partition
+    assert(total("in") === 40L)
+    assert(!out.exists(r => r._1 == "out" && r._2 == 0L)) // twin edge
+    assert(out.collect { case ("mutual", _, n) => n }.head >= 20L)
+  }
+
   test("label centroids: 3 nearest members per label, cos in [-1, 1]") {
     val dir = corpus(120)
     val out = Similarity.labelCentroids(spark, dir).collect()
