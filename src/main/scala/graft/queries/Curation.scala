@@ -1228,6 +1228,90 @@ object Curation {
       |    END), 0) AS outlier_digest
       |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q139 length-bucketed batch assembly (padding-waste minimization)
+  // ---------------------------------------------------------------
+
+  /** q139: length-bucketed batch assembly — the inference/training
+    * serving layout that minimizes padding: sequences are grouped
+    * into power-of-two length buckets, ordered by (length, doc_id)
+    * within each bucket, and cut into fixed 32-sequence batches; each
+    * batch pads every member to its own max length, so the digest's
+    * padding-waste and fill-rate quantify exactly what naive
+    * arrival-order batching would burn. The bucket index uses the
+    * BINARY LENGTH of the token count (= floor(log2)+1), never float
+    * log2 — engines disagree on log(x)/log(2) ULPs at power-of-two
+    * boundaries, and a one-ULP flip moves a sequence across buckets.
+    *
+    * Scale shape: the q110/q114 two-level rank — row_number
+    * partitioned by (bucket, length) (parallel, each partition is one
+    * length class) plus a broadcast (bucket, length)-level offset
+    * table (bounded by the number of DISTINCT lengths, not the
+    * corpus) — no per-bucket global sort, no single-partition window.
+    * Batch stats then reduce per (bucket, batch) and the report is
+    * buckets-sized. */
+  def lengthBatches(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    prep(spark)
+    val t = documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n"))
+      .withColumn("lb", (length(bin(col("n"))) - 1).cast("long"))
+    val wIn = Window.partitionBy(col("lb"), col("n")).orderBy(col("doc_id"))
+    val wOff = Window.partitionBy(col("lb")).orderBy(col("n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = t.groupBy(col("lb"), col("n"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", sum(col("c")).over(wOff) - col("c"))
+      .select(col("lb"), col("n"), col("off"))
+    val batches = t
+      .withColumn("rin", row_number().over(wIn))
+      .join(broadcast(offs), Seq("lb", "n"))
+      .withColumn("batch", floor((col("off") + col("rin") - 1) / 32))
+      .groupBy(col("lb"), col("batch"))
+      .agg(count(lit(1)).as("n_seqs"), max(col("n")).as("max_len"),
+        sum(col("n")).as("sum_len"))
+    batches
+      .withColumn("h", expr(Exprs.hash60(
+        "concat(cast(lb as string), ':', cast(batch as string), ':', " +
+          "cast(max_len as string), ':', cast(n_seqs as string))")))
+      .groupBy(col("lb"))
+      .agg(count(lit(1)).as("n_batches"),
+        sum(col("n_seqs")).as("n_seqs"),
+        sum(col("sum_len")).as("sum_tokens"),
+        sum(col("max_len") * col("n_seqs") - col("sum_len"))
+          .as("sum_padding"),
+        round(sum(col("sum_len")).cast("double") /
+          sum(col("max_len") * col("n_seqs")), 6).as("fill_rate"),
+        expr("bit_xor(h)").as("batch_digest"))
+      .orderBy("lb")
+  }
+
+  val lengthBatchesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
+      |  FROM documents),
+      |l AS (SELECT doc_id, n, length(bin(n)) - 1 AS lb FROM t),
+      |r AS (
+      |  SELECT lb, n,
+      |    row_number() OVER (PARTITION BY lb ORDER BY n, doc_id) AS rnk
+      |  FROM l),
+      |b AS (
+      |  SELECT lb, (rnk - 1) // 32 AS batch, count(*) AS n_seqs,
+      |    max(n) AS max_len, sum(n) AS sum_len
+      |  FROM r GROUP BY 1, 2)
+      |SELECT lb, count(*) AS n_batches,
+      |  CAST(sum(n_seqs) AS BIGINT) AS n_seqs,
+      |  CAST(sum(sum_len) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(max_len * n_seqs - sum_len) AS BIGINT) AS sum_padding,
+      |  round(CAST(sum(sum_len) AS DOUBLE) / sum(max_len * n_seqs), 6)
+      |    AS fill_rate,
+      |  bit_xor(('0x' || substr(md5(
+      |    CAST(lb AS VARCHAR) || ':' || CAST(batch AS VARCHAR) || ':' ||
+      |    CAST(max_len AS VARCHAR) || ':' || CAST(n_seqs AS VARCHAR)),
+      |    1, 15))::BIGINT) AS batch_digest
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_dedup_clusters" -> dedupClusters,
     "q89_decontaminate" -> decontaminate,
@@ -1243,7 +1327,8 @@ object Curation {
     "q123_corpus_build" -> corpusBuild,
     "q125_shuffled_pack" -> shuffledPack,
     "q130_profile" -> profile,
-    "q134_robust_outliers" -> robustOutliers
+    "q134_robust_outliers" -> robustOutliers,
+    "q139_length_batches" -> lengthBatches
   )
 
   val oracle: Map[String, String] = Map(
@@ -1261,6 +1346,7 @@ object Curation {
     "q123_corpus_build" -> corpusBuildSql,
     "q125_shuffled_pack" -> shuffledPackSql,
     "q130_profile" -> profileSql,
-    "q134_robust_outliers" -> robustOutliersSql
+    "q134_robust_outliers" -> robustOutliersSql,
+    "q139_length_batches" -> lengthBatchesSql
   )
 }

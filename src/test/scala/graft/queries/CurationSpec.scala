@@ -392,6 +392,25 @@ class CurationSpec extends SparkSpec {
     assert(r(0).getDouble(4) === 2.5)        // mad
   }
 
+  test("length batches: bucket boundaries, 32-seq cuts, and padding " +
+      "arithmetic — hand-computed") {
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    // lengths: one 1-token doc (lb 0); 2,2,3 tokens (lb 1, one batch:
+    // max 3, sum 7, padding 2); 33 docs of 8 tokens (lb 3, TWO
+    // batches: 32 + 1, zero padding since all lengths equal).
+    val dir = corpus(
+      (Seq(1, 2, 2, 3) ++ Seq.fill(33)(8)).zipWithIndex.map { case (n, i) =>
+        (i.toLong, words(n), "en", "s")
+      })
+    val out = Curation.lengthBatches(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(0L) === ((1L, 1L, 1L, 0L, 1.0)))
+    assert(out(1L) === ((1L, 3L, 7L, 2L, 0.777778)))
+    assert(out(3L) === ((2L, 33L, 264L, 0L, 1.0)))
+    assert(out.size === 3)
+  }
+
   test("sampling filter involves no join or extra exchange before the rollup") {
     val dir = corpus(Seq((0L, "t", "en", "src0")))
     val plan = Curation.sourceSample(spark, dir)
