@@ -1222,6 +1222,187 @@ object Relational {
       |    AS record_digest
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q140 last-touch attribution
+  // ---------------------------------------------------------------
+
+  /** q140: last-touch marketing attribution — every purchase is
+    * credited to the user's most recent view/click within a 7-day
+    * lookback, or to 'none' if no touch qualifies. The classic
+    * carry-forward shape: the running "latest touch" is a MAX window
+    * aggregate over an integer encoding (touch epoch-µs * 4 + channel
+    * code), so ONE monotone value carries both the timestamp and the
+    * channel — no struct-max portability trap, no self-join of
+    * purchases back to the touch log (which would re-shuffle the full
+    * stream once per conversion definition).
+    *
+    * Scale shape: one user-keyed exchange; the carry-forward is a
+    * cumulative window over each user's own events; the rollup is
+    * channels-sized. Exact integer time arithmetic throughout. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val enc = when(col("event_type") === "view",
+        unix_micros(col("ts")) * 4 + 1)
+      .when(col("event_type") === "click",
+        unix_micros(col("ts")) * 4 + 2)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("last_touch", max(enc).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("touch_us", expr("last_touch div 4"))
+      .withColumn("channel",
+        when(col("last_touch").isNull, "none")
+          .when(unix_micros(col("ts")) - col("touch_us") >
+            lit(7L * 86400L * 1000000L), "none")
+          .when(col("last_touch") % 4 === 1, "view")
+          .otherwise("click"))
+      .withColumn("lat",
+        when(col("channel") =!= "none",
+          unix_micros(col("ts")) - col("touch_us")).otherwise(0L))
+      .withColumn("h", expr(Exprs.hash60("cast(event_id as string)")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("value")), 4).as("sum_value"),
+        sum(col("lat")).as("sum_latency_us"),
+        expr("bit_xor(h)").as("purchase_digest"))
+      .orderBy("channel")
+  }
+
+  val attributionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, event_id, event_type, value, us,
+      |    max(CASE WHEN event_type = 'view' THEN us * 4 + 1
+      |             WHEN event_type = 'click' THEN us * 4 + 2 END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS last_touch
+      |  FROM e),
+      |p AS (
+      |  SELECT event_id, value,
+      |    CASE WHEN last_touch IS NULL THEN 'none'
+      |         WHEN us - last_touch // 4 > 604800000000
+      |           THEN 'none'
+      |         WHEN last_touch % 4 = 1 THEN 'view'
+      |         ELSE 'click' END AS channel,
+      |    CASE WHEN last_touch IS NOT NULL
+      |           AND us - last_touch // 4 <= 604800000000
+      |         THEN us - last_touch // 4 ELSE 0 END AS lat
+      |  FROM c WHERE event_type = 'purchase')
+      |SELECT channel, count(*) AS n_conversions,
+      |  round(sum(value), 4) AS sum_value,
+      |  CAST(sum(lat) AS BIGINT) AS sum_latency_us,
+      |  bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+      |    ::BIGINT) AS purchase_digest
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q141 activity streaks (gaps and islands)
+  // ---------------------------------------------------------------
+
+  /** q141: longest consecutive-day activity streak per user — the
+    * gaps-and-islands idiom: reduce to the distinct (user, day)
+    * grain, then `day_number - row_number` is constant exactly within
+    * a run of consecutive days, so one window + one groupBy finds
+    * every island without any self-join or recursion. Reported as a
+    * histogram of per-user longest streaks with an xor fingerprint of
+    * the users at each streak length.
+    *
+    * Scale shape: the corpus-sized step is the (user, day) distinct
+    * reduction; the island window runs per user over that tiny
+    * activity-days table (≤365 rows/user/year). Integer day
+    * arithmetic (days since epoch) — no date-string tricks. */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val days = events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("dn"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("dn")
+    days
+      .withColumn("grp", col("dn") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("best"))
+      .withColumn("h", expr(Exprs.hash60("cast(user_id as string)")))
+      .groupBy(col("best"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("bit_xor(h)").as("user_digest"))
+      .orderBy("best")
+  }
+
+  val activityStreaksSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(ts AS DATE) - DATE '1970-01-01' AS dn
+      |  FROM events),
+      |i AS (
+      |  SELECT user_id,
+      |    dn - row_number() OVER (PARTITION BY user_id ORDER BY dn) AS grp
+      |  FROM d),
+      |s AS (
+      |  SELECT user_id, grp, count(*) AS len FROM i GROUP BY 1, 2),
+      |b AS (
+      |  SELECT user_id, max(len) AS best FROM s GROUP BY 1)
+      |SELECT best, count(*) AS n_users,
+      |  bit_xor(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |    ::BIGINT) AS user_digest
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q142 event-type transition matrix
+  // ---------------------------------------------------------------
+
+  /** q142: first-order behavioral transition matrix — per user, each
+    * event's type conditioned on the previous one (lag over the
+    * user's own timeline, '^' for session start), counted and
+    * normalized into transition probabilities. The Markov-chain
+    * summary behind next-action prediction and bot detection (a
+    * scraper's click->click self-loop probability is nothing like a
+    * human's).
+    *
+    * Scale shape: one user-keyed exchange for the lag window; the
+    * transition table is |types|² + |types| rows, so the probability
+    * normalization join is over a constant-sized table. */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("nxt"))
+      .withColumn("prv", coalesce(lag(col("nxt"), 1).over(w), lit("^")))
+      .groupBy(col("prv"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("prv")).agg(sum(col("n")).as("tot"))
+    trans.join(broadcast(totals), "prv")
+      .select(col("prv"), col("nxt"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("p"))
+      .orderBy("prv", "nxt")
+  }
+
+  val transitionMatrixSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type AS nxt,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |t AS (
+      |  SELECT coalesce(lag(nxt) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id), '^') AS prv, nxt
+      |  FROM e),
+      |c AS (SELECT prv, nxt, count(*) AS n FROM t GROUP BY 1, 2),
+      |tot AS (SELECT prv, sum(n) AS tot FROM c GROUP BY 1)
+      |SELECT c.prv, c.nxt, c.n,
+      |  round(CAST(c.n AS DOUBLE) / tot.tot, 6) AS p
+      |FROM c JOIN tot USING (prv)
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_events_daily" -> eventsDaily,
@@ -1258,7 +1439,10 @@ object Relational {
     "q131_scd2_load" -> scd2Load,
     "q133_funnel" -> funnel,
     "q135_rolling_anomaly" -> rollingAnomaly,
-    "q136_record_linkage" -> recordLinkage
+    "q136_record_linkage" -> recordLinkage,
+    "q140_attribution" -> attribution,
+    "q141_activity_streaks" -> activityStreaks,
+    "q142_transition_matrix" -> transitionMatrix
   )
 
   val oracle: Map[String, String] = Map(
@@ -1297,6 +1481,9 @@ object Relational {
     "q131_scd2_load" -> scd2LoadSql,
     "q133_funnel" -> funnelSql,
     "q135_rolling_anomaly" -> rollingAnomalySql,
-    "q136_record_linkage" -> recordLinkageSql
+    "q136_record_linkage" -> recordLinkageSql,
+    "q140_attribution" -> attributionSql,
+    "q141_activity_streaks" -> activityStreaksSql,
+    "q142_transition_matrix" -> transitionMatrixSql
   )
 }

@@ -212,6 +212,84 @@ class RelationalSpec extends SparkSpec {
     assert(out(0).getLong(2) === 3L)    // all to their true entity
   }
 
+  test("attribution: latest qualifying touch wins; stale and missing " +
+      "touches fall to none — hand-computed") {
+    import spark.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("attr_spec").toString
+    def ns(s: Long): Long = s * 1000000000L
+    val day = 86400L
+    Seq(
+      // u1: view@1 click@2 purchase@3 -> click, 1s latency
+      (0L, ns(1), 1L, "view", 1.0), (1L, ns(2), 1L, "click", 1.0),
+      (2L, ns(3), 1L, "purchase", 2.0),
+      // u2: view@1 purchase@2 -> view
+      (3L, ns(1), 2L, "view", 1.0), (4L, ns(2), 2L, "purchase", 2.0),
+      // u3: purchase with no touch at all -> none
+      (5L, ns(1), 3L, "purchase", 2.0),
+      // u4: view 8 days before the purchase -> outside lookback, none
+      (6L, ns(1), 4L, "view", 1.0),
+      (7L, ns(1 + 8 * day), 4L, "purchase", 2.0),
+      // u5: click then view -> the LATER view wins
+      (8L, ns(1), 5L, "click", 1.0), (9L, ns(2), 5L, "view", 1.0),
+      (10L, ns(3), 5L, "purchase", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$fdir/events.parquet")
+    val out = Relational.attribution(spark, fdir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out("click") === ((1L, 2.0, 1000000L)))
+    assert(out("view") === ((2L, 4.0, 2000000L)))
+    assert(out("none") === ((2L, 4.0, 0L)))
+  }
+
+  test("activity streaks: islands split on gaps; per-user best streak " +
+      "histogram — hand-computed") {
+    import spark.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("streak_spec").toString
+    val day0 = 1704067200L // 2024-01-01 UTC
+    def dayTs(d: Int): Long = (day0 + d * 86400L + 3600L) * 1000000000L
+    // u1: days 1,2,3 then 5,6 -> best 3; u2: one day -> 1;
+    // u3: 1,2 then 4,5,6,7 -> best 4. Two events on one day must not
+    // double-count (u2 gets a duplicate-day event).
+    val rows =
+      Seq(1, 2, 3, 5, 6).map(d => (1L, dayTs(d))) ++
+      Seq((2L, dayTs(10)), (2L, dayTs(10) + 1000000000L)) ++
+      Seq(1, 2, 4, 5, 6, 7).map(d => (3L, dayTs(d)))
+    rows.zipWithIndex
+      .map { case ((u, t), i) => (i.toLong, t, u, "view", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$fdir/events.parquet")
+    val out = Relational.activityStreaks(spark, fdir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("transition matrix: lag pairs with start state, probabilities " +
+      "normalize per source — hand-computed") {
+    import spark.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("trans_spec").toString
+    def ns(s: Long): Long = s * 1000000000L
+    // u1: a b a ; u2: a a  ->  (^,a):2 p 1.0 ; (a,a):1 and (a,b):1
+    // p 0.5 each ; (b,a):1 p 1.0
+    Seq(
+      (0L, ns(1), 1L, "a", 1.0), (1L, ns(2), 1L, "b", 1.0),
+      (2L, ns(3), 1L, "a", 1.0),
+      (3L, ns(1), 2L, "a", 1.0), (4L, ns(2), 2L, "a", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$fdir/events.parquet")
+    val out = Relational.transitionMatrix(spark, fdir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("^", "a")) === ((2L, 1.0)))
+    assert(out(("a", "a")) === ((1L, 0.5)))
+    assert(out(("a", "b")) === ((1L, 0.5)))
+    assert(out(("b", "a")) === ((1L, 1.0)))
+    assert(out.size === 4)
+  }
+
   test("scd2: changed keys version, no-ops carry, new keys insert — " +
       "hand-computed state table") {
     import spark.implicits._
