@@ -1312,6 +1312,91 @@ object Curation {
       |    1, 15))::BIGINT) AS batch_digest
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q143 temperature-scaled source sampling (alpha = 0.5)
+  // ---------------------------------------------------------------
+
+  /** q143: temperature-scaled multinomial source sampling — the
+    * multilingual-training rebalancing rule (mBERT/XLM-R exponential
+    * smoothing): sample sources proportionally to w^alpha instead of
+    * w, so head sources shrink and tail sources grow. alpha = 0.5 via
+    * INTEGER sqrt (floor(sqrt(tokens)) — sqrt of an integer is
+    * correctly-rounded IEEE, so its floor is deterministic), then the
+    * whole chain — budget (half the corpus), per-source target
+    * tokens, per-million keep rate — is integer arithmetic: no float
+    * pow/sum whose accumulation order could flip a rate's last ULP
+    * between engines. (At 100 TB the rate products approach int64;
+    * the dial is 128-bit/decimal intermediates — the shape stays.)
+    *
+    * Scale shape: one corpus scan for per-source token totals
+    * (sources-sized table), rates derived on that tiny table; the
+    * keep decision is a deterministic per-row hash filter in the scan
+    * stage, exactly like q90 — reproducible, re-runs and backfills
+    * keep the same rows. */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val t = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+    val perSrc = t.groupBy(col("source"))
+      .agg(sum(col("n")).as("tok"), count(lit(1)).as("n_docs"))
+      .withColumn("isq", expr("cast(floor(sqrt(tok)) as bigint)"))
+    val scal = perSrc.agg(sum(col("isq")).as("w_sum"),
+      sum(col("tok")).as("all_toks"))
+    val rates = perSrc.crossJoin(broadcast(scal))
+      .withColumn("target",
+        expr("((all_toks div 2) * isq) div w_sum"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("(target * 1000000) div tok")))
+      .select(col("source"), col("n_docs"), col("tok"), col("rate_ppm"))
+    t.join(broadcast(rates), "source")
+      .withColumn("u", expr(
+        s"${Exprs.hash60("concat('t:', cast(doc_id as string))")} % 1000000"))
+      .withColumn("keep", (col("u") < col("rate_ppm")).cast("long"))
+      .groupBy(col("source"))
+      .agg(min(col("n_docs")).as("n_docs"),
+        min(col("tok")).as("tok_total"),
+        min(col("rate_ppm")).as("rate_ppm"),
+        sum(col("keep")).as("n_kept"),
+        sum(col("keep") * col("n")).as("kept_toks"),
+        coalesce(expr("bit_xor(CASE WHEN keep = 1 THEN " +
+          Exprs.hash60("cast(doc_id as string)") + " END)"), lit(0L))
+          .as("kept_digest"))
+      .orderBy("source")
+  }
+
+  val temperatureSampleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+      |  FROM documents),
+      |ps AS (
+      |  SELECT source, CAST(sum(n) AS BIGINT) AS tok, count(*) AS n_docs,
+      |    CAST(floor(sqrt(CAST(sum(n) AS BIGINT))) AS BIGINT) AS isq
+      |  FROM t GROUP BY 1),
+      |sc AS (SELECT CAST(sum(isq) AS BIGINT) AS w_sum,
+      |              CAST(sum(tok) AS BIGINT) AS all_toks FROM ps),
+      |r AS (
+      |  SELECT source, n_docs, tok,
+      |    least(1000000,
+      |      (((all_toks // 2) * isq) // w_sum) * 1000000 // tok)
+      |      AS rate_ppm
+      |  FROM ps, sc),
+      |k AS (
+      |  SELECT t.source, t.doc_id, t.n, r.n_docs, r.tok, r.rate_ppm,
+      |    CASE WHEN ('0x' || substr(md5('t:' || CAST(t.doc_id AS VARCHAR)),
+      |      1, 15))::BIGINT % 1000000 < r.rate_ppm THEN 1 ELSE 0 END AS keep
+      |  FROM t JOIN r USING (source))
+      |SELECT source, min(n_docs) AS n_docs,
+      |  CAST(min(tok) AS BIGINT) AS tok_total,
+      |  CAST(min(rate_ppm) AS BIGINT) AS rate_ppm,
+      |  CAST(sum(keep) AS BIGINT) AS n_kept,
+      |  CAST(sum(keep * n) AS BIGINT) AS kept_toks,
+      |  coalesce(bit_xor(CASE WHEN keep = 1 THEN
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |    END), 0) AS kept_digest
+      |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_dedup_clusters" -> dedupClusters,
     "q89_decontaminate" -> decontaminate,
@@ -1328,7 +1413,8 @@ object Curation {
     "q125_shuffled_pack" -> shuffledPack,
     "q130_profile" -> profile,
     "q134_robust_outliers" -> robustOutliers,
-    "q139_length_batches" -> lengthBatches
+    "q139_length_batches" -> lengthBatches,
+    "q143_temperature_sample" -> temperatureSample
   )
 
   val oracle: Map[String, String] = Map(
@@ -1347,6 +1433,7 @@ object Curation {
     "q125_shuffled_pack" -> shuffledPackSql,
     "q130_profile" -> profileSql,
     "q134_robust_outliers" -> robustOutliersSql,
-    "q139_length_batches" -> lengthBatchesSql
+    "q139_length_batches" -> lengthBatchesSql,
+    "q143_temperature_sample" -> temperatureSampleSql
   )
 }

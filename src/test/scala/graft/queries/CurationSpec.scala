@@ -411,6 +411,29 @@ class CurationSpec extends SparkSpec {
     assert(out.size === 3)
   }
 
+  test("temperature sampling: sqrt weighting boosts the tail source's " +
+      "rate over proportional — hand-computed rates") {
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    // source A: 100 tokens, source B: 400. isqrt weights 10 vs 20,
+    // budget = 250 tokens. Targets: A 250*10/30 = 83, B 166. Rates:
+    // A 830000 ppm, B 415000 ppm — proportional sampling would give
+    // both 500000. The tail source's rate DOUBLES the head's.
+    val dir = corpus(
+      (0 until 10).map(i => (i.toLong, words(10), "en", "A")) ++
+      (10 until 50).map(i => (i.toLong, words(10), "en", "B")))
+    val out = Curation.temperatureSample(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out("A")._1 === 10L)
+    assert(out("A")._2 === 100L)
+    assert(out("A")._3 === 830000L)
+    assert(out("B")._1 === 40L)
+    assert(out("B")._2 === 400L)
+    assert(out("B")._3 === 415000L)
+    // kept counts are hash-selected subsets, never more than the pool
+    assert(out("A")._4 <= 10L && out("B")._4 <= 40L)
+  }
+
   test("sampling filter involves no join or extra exchange before the rollup") {
     val dir = corpus(Seq((0L, "t", "en", "src0")))
     val plan = Curation.sourceSample(spark, dir)

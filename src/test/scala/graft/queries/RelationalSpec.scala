@@ -190,14 +190,11 @@ class RelationalSpec extends SparkSpec {
       "to its true entity at distance 1") {
     import spark.implicits._
     val fdir = java.nio.file.Files.createTempDirectory("link_spec").toString
-    // Token-disjoint names whose 2 rarest (= lexicographically
-    // smallest, all df=1) tokens are NON-ADJACENT in the string, so
-    // no single deletion — not even of the space between two tokens —
-    // can corrupt both blocking keys: at least one intact key always
-    // reaches the true entity, and levenshtein scores the 1-char
-    // deletion as distance 1. (Adjacent rare tokens CAN both die to
-    // one space deletion; that honest blocking miss is the -1 bucket
-    // this fixture deliberately avoids.)
+    // Token-disjoint 4-token names: one deletion corrupts at most 2
+    // ADJACENT tokens, so at least one intact token PAIR survives on
+    // the dirty side and matches the entity's pair keys — blocking
+    // reaches the true entity by construction, and levenshtein scores
+    // the 1-char deletion as distance 1.
     Seq(
       (1L, "alpha zulu", "bravo", "zz1", 1, 1.0),
       (2L, "charlie zippo", "delta", "zz2", 1, 1.0),
@@ -288,6 +285,33 @@ class RelationalSpec extends SparkSpec {
     assert(out(("a", "b")) === ((1L, 0.5)))
     assert(out(("b", "a")) === ((1L, 1.0)))
     assert(out.size === 4)
+  }
+
+  test("volume trend: perfect ramp gives slope 2 r2 1; flat series " +
+      "gives slope 0 with null r2") {
+    import spark.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("trend_spec").toString
+    val day0 = 1704067200L
+    def dayTs(d: Int, j: Int): Long = (day0 + d * 86400L + j) * 1000000000L
+    // type a: 10,12,14,16,18 events on days 0..4 (exact line, slope 2)
+    // type b: 5,5,5 on days 0..2 (zero variance in y -> r2 undefined)
+    val rows =
+      (0 until 5).flatMap(d => (0 until 10 + 2 * d).map(j =>
+        ("a", dayTs(d, j)))) ++
+      (0 until 3).flatMap(d => (0 until 5).map(j => ("b", dayTs(d, j))))
+    rows.zipWithIndex
+      .map { case ((ty, t), i) => (i.toLong, t, 1L, ty, 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$fdir/events.parquet")
+    val out = Relational.volumeTrend(spark, fdir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) === 5L)
+    assert(out("a").getLong(2) === 70L)
+    assert(out("a").getDouble(3) === 2.0)
+    assert(out("a").getDouble(4) === 1.0)
+    assert(out("b").getDouble(3) === 0.0)
+    assert(out("b").isNullAt(4))
   }
 
   test("scd2: changed keys version, no-ops carry, new keys insert — " +
