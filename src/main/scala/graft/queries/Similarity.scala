@@ -1272,26 +1272,36 @@ object Similarity {
     * sort). The degree rollups and the mutuality self-join run on the
     * EDGE set (<= 3N rows), not the corpus. In-degree is capped into
     * an 8+ bucket so hub skew stays a bounded histogram. */
+  /** The kNN edge set (src -> dst, each node's top-3 band-candidate
+    * neighbors) — memoized + persisted per (session, dir) and shared
+    * by q138 (graph digest) and q145 (PageRank): the edge list IS the
+    * materialized graph artifact a production pipeline writes once
+    * and consumes many times. */
+  private[queries] def knnEdges(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "knn_edges") {
+      val e = sigTable(spark, dir)
+      val eb = e.select(col("vec_id"), col("v"), col("nrm"),
+          explode(bandCol("sig")).as("b"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("b.bk").as("bk"), col("b.bv").as("bv"))
+      val cands = eb.as("a").hint("shuffle_hash")
+        .join(eb.as("b").hint("shuffle_hash"),
+          col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .withColumn("cos", round(
+          expr("array_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")), 4))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          col("cos"))
+      cands.groupBy(col("src"))
+        .agg(graft.functions.TopK.topK(3)(col("cos"), col("dst")).as("tk"))
+        .select(col("src"), posexplode(col("tk")).as(Seq("i", "s")))
+        .select(col("src"), col("s.vec_id").as("dst"))
+    }
+
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val e = sigTable(spark, dir)
-    val eb = e.select(col("vec_id"), col("v"), col("nrm"),
-        explode(bandCol("sig")).as("b"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("b.bk").as("bk"), col("b.bv").as("bv"))
-    val cands = eb.as("a").hint("shuffle_hash")
-      .join(eb.as("b").hint("shuffle_hash"),
-        col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .withColumn("cos", round(
-        expr("array_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")), 4))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        col("cos"))
-    val edges = cands.groupBy(col("src"))
-      .agg(graft.functions.TopK.topK(3)(col("cos"), col("dst")).as("tk"))
-      .select(col("src"), posexplode(col("tk")).as(Seq("i", "s")))
-      .select(col("src"), col("s.vec_id").as("dst"))
-    val nodes = e.select(col("vec_id"))
+    val edges = knnEdges(spark, dir)
+    val nodes = vecs(spark, dir).select(col("vec_id"))
     def hist(deg: DataFrame, kind: String) = nodes
       .join(deg, Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("d"), lit(0L)).as("deg"))
@@ -1321,8 +1331,10 @@ object Similarity {
       .orderBy("kind", "deg")
   }
 
-  val knnGraphSql: String =
-    s"""WITH n AS ($duckVecs),
+  /** DuckDB mirror of [[knnEdges]] (CTEs `n`, `b`, `cand`, `ed`) —
+    * ONE definition shared by the q138 and q145 oracles. */
+  private def duckKnnEdgeCtes: String =
+    s"""n AS ($duckVecs),
        |b AS (SELECT vec_id, v, nrm, ($duckSig) AS sig FROM n),
        |cand AS (
        |  SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -1334,7 +1346,10 @@ object Similarity {
        |    SELECT src, dst, row_number() OVER (PARTITION BY src
        |      ORDER BY cos DESC, dst ASC) AS rn
        |    FROM cand)
-       |  WHERE rn <= 3),
+       |  WHERE rn <= 3)""".stripMargin
+
+  val knnGraphSql: String =
+    s"""WITH $duckKnnEdgeCtes,
        |odeg AS (SELECT src AS vec_id, count(*) AS d FROM ed GROUP BY 1),
        |ideg AS (SELECT dst AS vec_id, least(count(*), 8) AS d
        |         FROM ed GROUP BY 1),
@@ -1361,6 +1376,75 @@ object Similarity {
        |  UNION ALL SELECT * FROM mu)
        |ORDER BY kind, deg""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q145 PageRank over the kNN graph (integer power iteration)
+  // ---------------------------------------------------------------
+
+  /** q145: 3-round PageRank power iteration over the shared q138 kNN
+    * edge set — the graph-centrality pass that ranks "hub" documents
+    * (a near-dup cluster's most-linked member, a corpus's most
+    * prototypical examples) once a neighbor graph exists. All
+    * arithmetic is INTEGER micro-rank units (R0 = 1,000,000; R' =
+    * 150,000 + 850,000·Σ(R(u) div d(u)) div 1,000,000): float
+    * damping would make each round's Σ depend on cross-engine
+    * accumulation order, integer division makes every iterate
+    * bit-exact. Dangling nodes keep their base rank (rank leak — the
+    * standard simplification; redistribution is one more
+    * aggregate-and-broadcast if wanted).
+    *
+    * Scale shape: each round is one edge-set join on src (edges are
+    * ≤ 3N and MEMOIZED — the graph builds once, shared with q138),
+    * one groupBy dst, one node-keyed left join. Rounds are O(1)
+    * driver-side (3 fixed iterations), so the lineage stays shallow —
+    * no checkpoint needed, unlike q88's data-dependent fixpoint. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val edges = knnEdges(spark, dir)
+    val nodes = vecs(spark, dir).select(col("vec_id"))
+    val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    var r = nodes.select(col("vec_id"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges.join(outd, "src")
+        .join(r.withColumnRenamed("vec_id", "src"), "src")
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = nodes
+        .join(contrib.withColumnRenamed("dst", "vec_id"),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(150000L) +
+            expr("(850000 * coalesce(s, 0L)) div 1000000")).as("r"))
+    }
+    r.withColumn("bucket", expr("r div 100000"))
+      .withColumn("h", expr(Exprs.hash60("cast(vec_id as string)")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("r")).as("sum_rank"),
+        expr("bit_xor(h)").as("node_digest"))
+      .orderBy("bucket")
+  }
+
+  val pagerankSql: String = {
+    def round(t: Int): String =
+      s"""c$t AS (
+         |  SELECT ed.dst, CAST(sum(r${t - 1}.r // od.d) AS BIGINT) AS s
+         |  FROM ed JOIN od USING (src)
+         |  JOIN r${t - 1} ON r${t - 1}.vec_id = ed.src
+         |  GROUP BY 1),
+         |r$t AS (
+         |  SELECT n.vec_id,
+         |    150000 + (850000 * coalesce(c$t.s, 0)) // 1000000 AS r
+         |  FROM n LEFT JOIN c$t ON n.vec_id = c$t.dst)""".stripMargin
+    s"""WITH $duckKnnEdgeCtes,
+       |od AS (SELECT src, count(*) AS d FROM ed GROUP BY 1),
+       |r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS r FROM n),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT r // 100000 AS bucket, count(*) AS n_nodes,
+       |  CAST(sum(r) AS BIGINT) AS sum_rank,
+       |  bit_xor(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+       |    ::BIGINT) AS node_digest
+       |FROM r3 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_cosine_topk" -> cosineTopK,
     "q61_ann_lsh" -> annLsh,
@@ -1375,7 +1459,8 @@ object Similarity {
     "q119_centroid_drift" -> centroidDrift,
     "q120_hybrid_dedup" -> hybridDedup,
     "q132_semantic_dedup" -> semanticDedup,
-    "q138_knn_graph" -> knnGraph
+    "q138_knn_graph" -> knnGraph,
+    "q145_pagerank" -> pagerank
   )
 
   val oracle: Map[String, String] = Map(
@@ -1392,6 +1477,7 @@ object Similarity {
     "q119_centroid_drift" -> centroidDriftSql,
     "q120_hybrid_dedup" -> hybridDedupSql,
     "q132_semantic_dedup" -> semanticDedupSql,
-    "q138_knn_graph" -> knnGraphSql
+    "q138_knn_graph" -> knnGraphSql,
+    "q145_pagerank" -> pagerankSql
   )
 }

@@ -233,6 +233,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.collect { case ("mutual", _, n) => n }.head >= 20L)
   }
 
+  test("pagerank: mass stays within damping bounds and nodes partition " +
+      "into buckets") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sim_spec").toString
+    def unit(axis: Int): Seq[Float] = {
+      val v = Array.fill(64)(0.0f); v(axis) = 1.0f; v.toSeq
+    }
+    val rows = (0 until 20).flatMap { i =>
+      Seq((i.toLong, unit(i), 0), (i.toLong + 20, unit(i), 0))
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.pagerank(spark, dir).collect()
+    assert(out.map(_.getLong(1)).sum === 40L)          // nodes partition
+    val mass = out.map(_.getLong(2)).sum
+    // every node holds at least the damping base (150k) and total
+    // mass never exceeds the initial 40M (rank only leaks, via
+    // dangling nodes and integer floor division)
+    assert(mass >= 40L * 150000L && mass <= 40L * 1000000L)
+    assert(out.forall(r => r.getLong(0) >= 1L))
+  }
+
   test("label centroids: 3 nearest members per label, cos in [-1, 1]") {
     val dir = corpus(120)
     val out = Similarity.labelCentroids(spark, dir).collect()
