@@ -314,6 +314,40 @@ class RelationalSpec extends SparkSpec {
     assert(out("b").isNullAt(4))
   }
 
+  test("funnel plan: the three stage windows share ONE user-keyed " +
+      "exchange over the event scan") {
+    Tables.prep(spark)
+    val plan = Relational.funnel(spark, dir)
+      .queryExecution.executedPlan.toString
+    // exchanges: one hashpartitioning(user_id) for the windows + the
+    // final single-partition sort of the 3-row stage rollup; the
+    // chained stage mins must NOT re-shuffle the log per stage
+    val hashEx = "hashpartitioning\\(user_id".r
+      .findAllIn(plan).length
+    assert(hashEx >= 1, plan)
+    val winEx = "Exchange hashpartitioning\\(user_id[^)]*\\)"
+      .r.findAllIn(plan).toSeq
+    assert(winEx.distinct.length <= 1,
+      s"stage windows must reuse one user exchange:\n$plan")
+  }
+
+  test("length-batches plan: every window is partitioned — no " +
+      "single-partition corpus sort") {
+    Tables.prep(spark)
+    val plan = Curation.lengthBatches(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the per-(bucket, length) rank and the bucket-level offset
+    // window both carry a partition spec; an empty partitionBy on
+    // corpus-sized input would appear as SinglePartition before a
+    // Window over the full data
+    val rowNumWindows = plan.linesIterator
+      .filter(l => l.contains("row_number()") && l.contains("Window"))
+      .toSeq
+    assert(rowNumWindows.nonEmpty, plan)
+    assert(rowNumWindows.forall(_.contains("windowspecdefinition(lb")),
+      s"rank window must be (lb, n)-partitioned:\n$plan")
+  }
+
   test("scd2: changed keys version, no-ops carry, new keys insert — " +
       "hand-computed state table") {
     import spark.implicits._
