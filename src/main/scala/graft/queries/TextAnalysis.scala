@@ -1422,6 +1422,77 @@ object TextAnalysis {
       |FROM nd JOIN per USING (epoch)
       |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q146 Zipf frequency spectrum + octave-slope fit
+  // ---------------------------------------------------------------
+
+  /** q146: token frequency spectrum with a Zipf-exponent estimate —
+    * how many types occur ~2^b times, and how fast that count decays
+    * per frequency doubling. The spectrum is THE corpus statistic
+    * behind vocabulary sizing and min-frequency cutoffs (how many
+    * types does `min_count = 4` drop? read bucket 1–2). The decay
+    * slope is fit with the q144 integer least-squares over octave
+    * coordinates (x = bit-length of frequency, y = bit-length of the
+    * type count) — integer bit lengths, never float log2, so both
+    * engines fit the identical points; a true Zipf corpus gives a
+    * slope near -1 (octave binning is coarse by design and documented
+    * as such).
+    *
+    * Scale shape: one explode + (token) groupBy for the frequency
+    * table (vocabulary-sized), one groupBy over THAT for the
+    * spectrum (≤ 64 rows), and the fit is a 1-row aggregate of the
+    * spectrum cross-joined back. The corpus is touched once; no
+    * rank window over the vocabulary at all. */
+  def zipfSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val freqs = documents(spark, dir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val spec = freqs
+      .groupBy(length(bin(col("f"))).cast("long").as("fb"))
+      .agg(count(lit(1)).as("n_types"), sum(col("f")).as("sum_tokens"))
+    val fit = spec
+      .select(col("fb").as("x"),
+        length(bin(col("n_types"))).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6))
+          .as("octave_slope"))
+    spec.crossJoin(broadcast(fit)).orderBy("fb")
+  }
+
+  val zipfSpectrumSql: String =
+    """WITH f AS (
+      |  SELECT tok, count(*) AS f
+      |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+      |          AS tok
+      |        FROM documents)
+      |  GROUP BY 1),
+      |spec AS (
+      |  SELECT CAST(length(bin(f)) AS BIGINT) AS fb,
+      |    count(*) AS n_types, CAST(sum(f) AS BIGINT) AS sum_tokens
+      |  FROM f GROUP BY 1),
+      |pts AS (
+      |  SELECT fb AS x, CAST(length(bin(n_types)) AS BIGINT) AS y
+      |  FROM spec),
+      |fit AS (
+      |  SELECT CASE WHEN count(*) * sum(x * x) - sum(x) * sum(x) = 0
+      |    THEN NULL
+      |    ELSE round(
+      |      CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE) /
+      |        (count(*) * sum(x * x) - sum(x) * sum(x)), 6)
+      |    END AS octave_slope
+      |  FROM pts)
+      |SELECT spec.fb, spec.n_types, spec.sum_tokens, fit.octave_slope
+      |FROM spec, fit ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_token_stats" -> tokenStats,
     "q51_quality_score" -> qualityScore,
@@ -1443,7 +1514,8 @@ object TextAnalysis {
     "q127_inverted_index" -> invertedIndex,
     "q128_postings_search" -> postingsSearch,
     "q129_bm25" -> bm25,
-    "q137_vocab_growth" -> vocabGrowth
+    "q137_vocab_growth" -> vocabGrowth,
+    "q146_zipf_spectrum" -> zipfSpectrum
   )
 
   val oracle: Map[String, String] = Map(
@@ -1467,6 +1539,7 @@ object TextAnalysis {
     "q127_inverted_index" -> invertedIndexSql,
     "q128_postings_search" -> postingsSearchSql,
     "q129_bm25" -> bm25Sql,
-    "q137_vocab_growth" -> vocabGrowthSql
+    "q137_vocab_growth" -> vocabGrowthSql,
+    "q146_zipf_spectrum" -> zipfSpectrumSql
   )
 }

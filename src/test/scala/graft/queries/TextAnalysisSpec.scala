@@ -277,6 +277,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum === rows.last.getLong(3))
   }
 
+  test("zipf spectrum: octave buckets and integer-regression slope — " +
+      "hand-computed") {
+    // frequencies: a=8, b=4, c=d=2, e..h=1 -> spectrum (fb, n_types):
+    // (1,4) (2,2) (3,1) (4,1); octave points (x, bitlen(n_types)):
+    // (1,3) (2,2) (3,1) (4,1) -> slope (4*14-10*7)/(4*30-100) = -0.7
+    val dir = corpus(Seq(
+      ("a " * 8 + "b " * 4 + "c c d d e f g h").trim))
+    val out = TextAnalysis.zipfSpectrum(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(1L) === ((4L, 4L, -0.7)))
+    assert(out(2L) === ((2L, 4L, -0.7)))
+    assert(out(3L) === ((1L, 4L, -0.7)))
+    assert(out(4L) === ((1L, 8L, -0.7)))
+    assert(out.size === 4)
+  }
+
   test("pii redact: the clean text carries typed placeholder tokens") {
     import spark.implicits._
     val dir = corpus(Seq("sample text"))
