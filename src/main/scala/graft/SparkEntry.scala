@@ -39,6 +39,7 @@ object SparkEntry {
       "q101_run_audit",        // driver-local fixture + audited write per call
       "q103_stream_dedup_corpus", // writes scratch corpus output per call
       "q105_merge_upsert",     // writes + merges a scratch table per call
-      "q108_stream_ivf_index"  // writes a scratch index per call
+      "q108_stream_ivf_index", // writes a scratch index per call
+      "q147_stream_scd2"       // seeds + twice-merges a scratch dim per call
     )).sorted
 }

@@ -387,6 +387,89 @@ object StreamingQ {
       |SELECT lang, rnk, w AS term, CAST(cnt AS BIGINT) AS cnt
       |FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q147 streaming SCD2 dimension maintenance
+  // ---------------------------------------------------------------
+
+  /** q147: the SCD2 dimension load as a STREAMING pipeline — q131's
+    * merge geometry applied per micro-batch by
+    * [[Streams.scd2Load]]: the dimension is seeded with the customer
+    * snapshot, the arrival stream delivers the same deterministic
+    * change-set q131 derives (%7 balance changes, %11 no-op copies,
+    * %13 fresh members), and each batch full-outer-merges against the
+    * CURRENT slice with rename-aside swaps. The stream runs TWICE
+    * (second run = fresh checkpoint, full replay), so the digest also
+    * proves the replay is a VALUE no-op — re-merging an already-
+    * applied change-set closes nothing and versions nothing twice,
+    * the streaming analogue of q96's idempotent re-run.
+    *
+    * The oracle derives the expected final dimension state (closed
+    * %7 originals + their new versions + carried rest + inserted
+    * fresh keys) straight from the customer table. */
+  def streamScd2(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_stream_scd2")
+    val dim = scratch.resolve("dim").toString
+    // seed: the current snapshot, every member one open version
+    Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("cents"),
+        lit(true).as("cur"))
+      .write.parquet(dim)
+    // the arrival stream carries the q131 change-set
+    val schema = spark.read
+      .parquet(s"$dir/customer.parquet").schema
+    def incoming = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "customer.parquet").parquet(dir)
+      .select(col("c_custkey").as("k"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("c0"))
+      .select(explode(expr(
+        """filter(array(
+          |  CASE WHEN k % 7 = 0
+          |    THEN named_struct('k', k, 'cents', c0 + 10000) END,
+          |  CASE WHEN k % 11 = 0 AND k % 7 != 0
+          |    THEN named_struct('k', k, 'cents', c0) END,
+          |  CASE WHEN k % 13 = 0
+          |    THEN named_struct('k', k + 10000000, 'cents', 0L) END),
+          |x -> x IS NOT NULL)""".stripMargin)).as("r"))
+      .select(col("r.k").as("k"), col("r.cents").as("cents"))
+    Streams.scd2Load(incoming, dim,
+      scratch.resolve("ckpt_a").toString)
+    Streams.scd2Load(incoming, dim, // fresh ckpt: replay must no-op
+      scratch.resolve("ckpt_b").toString)
+    spark.read.parquet(dim)
+      .withColumn("h", expr(Exprs.hash60(
+        "concat(cast(k as string), ':', cast(cents as string), ':', " +
+          "cast(cur as string))")))
+      .groupBy(col("cur"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("sum_cents"),
+        expr("bit_xor(h)").as("member_digest"))
+      .orderBy("cur")
+  }
+
+  val streamScd2Sql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS k,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer),
+      |rows AS (
+      |  SELECT k, cents, FALSE AS cur FROM base WHERE k % 7 = 0
+      |  UNION ALL
+      |  SELECT k, cents + 10000, TRUE FROM base WHERE k % 7 = 0
+      |  UNION ALL
+      |  SELECT k, cents, TRUE FROM base WHERE k % 7 <> 0
+      |  UNION ALL
+      |  SELECT k + 10000000, 0, TRUE FROM base WHERE k % 13 = 0)
+      |SELECT cur, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  bit_xor(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' ||
+      |    CAST(cents AS VARCHAR) || ':' ||
+      |    CASE WHEN cur THEN 'true' ELSE 'false' END), 1, 15))::BIGINT)
+      |    AS member_digest
+      |FROM rows GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_stream_tumbling" -> streamTumbling,
     "q121_stream_mixture_monitor" -> streamMixtureMonitor,
@@ -398,7 +481,8 @@ object StreamingQ {
     "q91_stream_enrich" -> streamEnrich,
     "q96_stream_load" -> streamLoad,
     "q103_stream_dedup_corpus" -> streamDedupCorpus,
-    "q108_stream_ivf_index" -> streamIvfIndex
+    "q108_stream_ivf_index" -> streamIvfIndex,
+    "q147_stream_scd2" -> streamScd2
   )
 
   val oracle: Map[String, String] = Map(
@@ -412,6 +496,7 @@ object StreamingQ {
     "q91_stream_enrich" -> streamEnrichSql,
     "q96_stream_load" -> streamLoadSql,
     "q103_stream_dedup_corpus" -> streamDedupCorpusSql,
-    "q108_stream_ivf_index" -> Similarity.ivfAssignDigestSql
+    "q108_stream_ivf_index" -> Similarity.ivfAssignDigestSql,
+    "q147_stream_scd2" -> streamScd2Sql
   )
 }

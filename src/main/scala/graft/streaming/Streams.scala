@@ -225,6 +225,105 @@ object Streams {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Streaming SCD2 dimension maintenance: each arriving batch of
+    * (k, cents) member versions merges into the dimension at
+    * `dimPath` with type-2 history semantics —
+    *
+    *   - matched, same cents:   current row carried untouched
+    *   - matched, new cents:    current row CLOSED (cur=false), new
+    *                            version opened (cur=true)
+    *   - unmatched batch key:   inserted as a new current member
+    *   - untouched dim keys and all closed history: carried verbatim
+    *
+    * The merge is ONE full-outer join of the batch against the
+    * CURRENT slice only (history never joins — it appends through),
+    * the q131 geometry per micro-batch. The rewritten dimension is
+    * staged to a sibling directory and swapped in with the
+    * rename-aside discipline ([[graft.io.Compact]]): a crash at any
+    * point leaves a complete dimension on disk. Within a batch,
+    * duplicate keys collapse to min cents (deterministic; feed
+    * per-key-deduped batches if order matters). Idempotence contract:
+    * resuming from the SAME checkpoint is exactly-once (processed
+    * files are skipped); a FRESH-checkpoint replay is additionally a
+    * VALUE no-op whenever each key's versions fit one batch (q147's
+    * shape — every replayed version then matches its current row, so
+    * nothing closes or versions twice). A MULTI-batch version history
+    * relies on the checkpoint for ordering — a fresh replay collapses
+    * the history into one batch and would re-version; that boundary
+    * is pinned in StreamsSpec. At 100 TB the
+    * dimension is partitioned and the join prunes to touched
+    * partitions (the q105 scope discipline); dimensions are dwarfed
+    * by facts, so the full-outer stays cheap. */
+  def scd2Load(incoming: DataFrame, dimPath: String,
+      checkpoint: String): Unit = {
+    val spark = incoming.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = incoming.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          scd2Merge(batch, dimPath)
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def scd2Merge(batchRaw: DataFrame, dimPath: String): Unit = {
+    if (batchRaw.isEmpty) return
+    val spark = batchRaw.sparkSession
+    val batch = batchRaw.groupBy(col("k"))
+      .agg(min(col("cents")).as("cents"))
+    val merged: DataFrame =
+      if (!new java.io.File(dimPath).exists()) {
+        batch.select(col("k"), col("cents"), lit(true).as("cur"))
+      } else {
+        val dim = spark.read.parquet(dimPath)
+        val history = dim.filter(!col("cur"))
+        val current = dim.filter(col("cur"))
+          .select(col("k"), col("cents").as("d_cents"))
+        val j = current.withColumn("in_dim", lit(1))
+          .join(batch.withColumn("in_b", lit(1)), Seq("k"), "full_outer")
+        val rows = j.select(col("k"), explode(expr(
+          """filter(array(
+            |  CASE WHEN in_dim IS NOT NULL AND in_b IS NOT NULL
+            |         AND d_cents = cents
+            |       THEN named_struct('cents', d_cents, 'cur', true) END,
+            |  CASE WHEN in_dim IS NOT NULL AND in_b IS NOT NULL
+            |         AND d_cents != cents
+            |       THEN named_struct('cents', d_cents, 'cur', false) END,
+            |  CASE WHEN in_dim IS NOT NULL AND in_b IS NOT NULL
+            |         AND d_cents != cents
+            |       THEN named_struct('cents', cents, 'cur', true) END,
+            |  CASE WHEN in_b IS NULL
+            |       THEN named_struct('cents', d_cents, 'cur', true) END,
+            |  CASE WHEN in_dim IS NULL
+            |       THEN named_struct('cents', cents, 'cur', true) END),
+            |x -> x IS NOT NULL)""".stripMargin)).as("r"))
+          .select(col("k"), col("r.cents").as("cents"), col("r.cur").as("cur"))
+        history.select(col("k"), col("cents"), col("cur"))
+          .unionByName(rows)
+      }
+    // rename-aside swap (Compact discipline): stage, retire, move in
+    val staging = dimPath + ".scd2_stg"
+    val retired = dimPath + ".scd2_old"
+    val fs = new org.apache.hadoop.fs.Path(dimPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    fs.delete(new org.apache.hadoop.fs.Path(retired), true)
+    merged.write.mode("overwrite").parquet(staging)
+    if (fs.exists(new org.apache.hadoop.fs.Path(dimPath)))
+      require(fs.rename(new org.apache.hadoop.fs.Path(dimPath),
+        new org.apache.hadoop.fs.Path(retired)),
+        s"scd2 swap failed: could not retire $dimPath")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(dimPath)),
+      s"scd2 swap failed: could not move $staging into place")
+    fs.delete(new org.apache.hadoop.fs.Path(retired), true)
+  }
+
   private val DocsSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),

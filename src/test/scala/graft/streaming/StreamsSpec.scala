@@ -118,4 +118,48 @@ class StreamsSpec extends SparkSpec {
       spark.catalog.dropTempView("sess_spec")
     }
   }
+
+  test("scd2 load: versions accrue across arrivals; same-checkpoint " +
+      "resume is exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("cents", LongType)))
+    val arrivals = java.nio.file.Files.createTempDirectory("scd2_arrivals")
+    val scratch = java.nio.file.Files.createTempDirectory("scd2_scratch")
+    def writeArrival(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val staging = scratch.resolve(s"staging_$name")
+      rows.toDF("k", "cents")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging).iterator()
+      val it = scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
+      val src = it.find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(src, arrivals.resolve(s"$name.parquet"))
+    }
+    val dim = scratch.resolve("dim").toString
+    val ckpt = scratch.resolve("ckpt").toString
+    def run(): Unit = Streams.scd2Load(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(arrivals.toString),
+      dim, ckpt)
+    def state(): Set[(Long, Long, Boolean)] =
+      spark.read.parquet(dim).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // arrival 1: k1@100, k2@200 -> both inserted current
+    writeArrival("a1", Seq((1L, 100L), (2L, 200L)))
+    run()
+    assert(state() === Set((1L, 100L, true), (2L, 200L, true)))
+    // arrival 2: k1 changes to 150 (old version must CLOSE), k2
+    // re-arrives unchanged (must NOT version), k3 inserts
+    writeArrival("a2", Seq((1L, 150L), (2L, 200L), (3L, 300L)))
+    run()
+    val expected = Set(
+      (1L, 100L, false), (1L, 150L, true),
+      (2L, 200L, true), (3L, 300L, true))
+    assert(state() === expected)
+    // same-checkpoint resume with no new arrivals: exactly-once, so
+    // the dimension is untouched (no batch even fires)
+    run()
+    assert(state() === expected)
+  }
 }
