@@ -1482,6 +1482,101 @@ object Relational {
       |  END AS r2
       |FROM m ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q148 RFM segmentation
+  // ---------------------------------------------------------------
+
+  /** q148: RFM (recency / frequency / monetary) customer
+    * segmentation — the classic lifecycle-marketing partition: per
+    * purchasing user, days since last purchase, purchase count, and
+    * total spend in integer cents; each metric scored 1–5 against its
+    * own exact quintile boundaries (5 = most recent / most frequent /
+    * highest spend), then users roll up into (r, f, m) segments.
+    *
+    * Boundary discipline: quintiles are computed ONCE over the
+    * per-user table, ROUNDED to 6 decimals, and broadcast back; a
+    * user's score is 1 + (strict comparisons against the four
+    * boundaries) — never an `ntile` window, whose empty partitionBy
+    * would funnel every user through one partition AND whose
+    * equal-count tie-splitting is nondeterministic across engines for
+    * tied metric values.
+    *
+    * Scale shape: one purchase-grain scan → user-grain aggregate; a
+    * 1-row boundary aggregate broadcast back (q107's
+    * statistic-conditioned-gate shape); scoring is scan-stage; the
+    * rollup is ≤ 125 segments. `approx_percentile` is the 100 TB
+    * dial for the boundary pass. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val p = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val maxd = p.agg(max(col("d")).as("maxd"))
+    val users = p.crossJoin(broadcast(maxd))
+      .groupBy(col("user_id"))
+      .agg(min(datediff(col("maxd"), col("d"))).as("r"),
+        count(lit(1)).as("f"), sum(col("cents")).as("m"))
+    def qs(c: String) = (1 to 4).map(i =>
+      round(expr(s"percentile($c, ${i * 0.2})"), 6).as(s"${c}q$i"))
+    val bounds = users.agg(qs("r").head,
+      (qs("r").tail ++ qs("f") ++ qs("m")): _*)
+    def score(c: String, lowIsGood: Boolean) = (1 to 4)
+      .map(i => if (lowIsGood) (col(c) < col(s"${c}q$i")).cast("int")
+                else (col(c) > col(s"${c}q$i")).cast("int"))
+      .reduce(_ + _) + 1
+    users.crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("m"),
+        score("r", lowIsGood = true).as("rs"),
+        score("f", lowIsGood = false).as("fs"),
+        score("m", lowIsGood = false).as("ms"))
+      .withColumn("h", expr(Exprs.hash60("cast(user_id as string)")))
+      .groupBy(col("rs"), col("fs"), col("ms"))
+      .agg(count(lit(1)).as("n_users"), sum(col("m")).as("sum_cents"),
+        expr("bit_xor(h)").as("user_digest"))
+      .orderBy("rs", "fs", "ms")
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |mx AS (SELECT max(d) AS maxd FROM p),
+      |u AS (
+      |  SELECT user_id, min(maxd - d) AS r, count(*) AS f,
+      |    CAST(sum(cents) AS BIGINT) AS m
+      |  FROM p, mx GROUP BY 1),
+      |b AS (
+      |  SELECT
+      |    round(quantile_cont(r, 0.2), 6) AS rq1,
+      |    round(quantile_cont(r, 0.4), 6) AS rq2,
+      |    round(quantile_cont(r, 0.6), 6) AS rq3,
+      |    round(quantile_cont(r, 0.8), 6) AS rq4,
+      |    round(quantile_cont(f, 0.2), 6) AS fq1,
+      |    round(quantile_cont(f, 0.4), 6) AS fq2,
+      |    round(quantile_cont(f, 0.6), 6) AS fq3,
+      |    round(quantile_cont(f, 0.8), 6) AS fq4,
+      |    round(quantile_cont(m, 0.2), 6) AS mq1,
+      |    round(quantile_cont(m, 0.4), 6) AS mq2,
+      |    round(quantile_cont(m, 0.6), 6) AS mq3,
+      |    round(quantile_cont(m, 0.8), 6) AS mq4
+      |  FROM u),
+      |s AS (
+      |  SELECT user_id, m,
+      |    1 + CAST(r < rq1 AS INTEGER) + CAST(r < rq2 AS INTEGER)
+      |      + CAST(r < rq3 AS INTEGER) + CAST(r < rq4 AS INTEGER) AS rs,
+      |    1 + CAST(f > fq1 AS INTEGER) + CAST(f > fq2 AS INTEGER)
+      |      + CAST(f > fq3 AS INTEGER) + CAST(f > fq4 AS INTEGER) AS fs,
+      |    1 + CAST(m > mq1 AS INTEGER) + CAST(m > mq2 AS INTEGER)
+      |      + CAST(m > mq3 AS INTEGER) + CAST(m > mq4 AS INTEGER) AS ms
+      |  FROM u, b)
+      |SELECT rs, fs, ms, count(*) AS n_users,
+      |  CAST(sum(m) AS BIGINT) AS sum_cents,
+      |  bit_xor(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |    ::BIGINT) AS user_digest
+      |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_events_daily" -> eventsDaily,
@@ -1522,7 +1617,8 @@ object Relational {
     "q140_attribution" -> attribution,
     "q141_activity_streaks" -> activityStreaks,
     "q142_transition_matrix" -> transitionMatrix,
-    "q144_volume_trend" -> volumeTrend
+    "q144_volume_trend" -> volumeTrend,
+    "q148_rfm_segments" -> rfmSegments
   )
 
   val oracle: Map[String, String] = Map(
@@ -1565,6 +1661,7 @@ object Relational {
     "q140_attribution" -> attributionSql,
     "q141_activity_streaks" -> activityStreaksSql,
     "q142_transition_matrix" -> transitionMatrixSql,
-    "q144_volume_trend" -> volumeTrendSql
+    "q144_volume_trend" -> volumeTrendSql,
+    "q148_rfm_segments" -> rfmSegmentsSql
   )
 }

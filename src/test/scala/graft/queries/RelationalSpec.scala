@@ -348,6 +348,28 @@ class RelationalSpec extends SparkSpec {
       s"rank window must be (lb, n)-partitioned:\n$plan")
   }
 
+  test("rfm: five users spanning the metric range land on the quintile " +
+      "diagonal — hand-computed") {
+    import spark.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("rfm_spec").toString
+    val day0 = 1704067200L
+    // user i buys on days 1..i at i dollars each: r = 5-i, f = i,
+    // m = 100*i*i cents. Against the 5-user quintile boundaries each
+    // user scores (i, i, i) on all three axes.
+    val rows = for { i <- 1 to 5; j <- 1 to i } yield
+      (i.toLong * 100 + j, (day0 + j * 86400L) * 1000000000L,
+        i.toLong, "purchase", i.toDouble)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$fdir/events.parquet")
+    val out = Relational.rfmSegments(spark, fdir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size === 5)
+    for (i <- 1 to 5)
+      assert(out((i, i, i)) === ((1L, 100L * i * i)))
+  }
+
   test("scd2: changed keys version, no-ops carry, new keys insert — " +
       "hand-computed state table") {
     import spark.implicits._
