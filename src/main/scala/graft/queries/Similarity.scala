@@ -1445,6 +1445,113 @@ object Similarity {
        |FROM r3 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q149 contrastive pair mining
+  // ---------------------------------------------------------------
+
+  /** q149: contrastive training-pair mining — the dataset an
+    * embedding model trains on: POSITIVE pairs are the lexically
+    * verified near-dups (q56's shared memoized pair table — mined
+    * once, consumed here a third time), NEGATIVE pairs take each
+    * positive's anchor against a deterministic pseudo-random corpus
+    * vector (hash of the pair identity modulo corpus size, nudged off
+    * the pair's own ids), so every run and both engines draw the SAME
+    * negatives — reproducible contrastive sets, like the q73/q90/q114
+    * determinism discipline. The digest reports each class's count
+    * and cosine statistics; the pos-vs-neg cosine gap IS the margin
+    * the InfoNCE loss will see (if it is ~0, the near-dup signal is
+    * too weak to train on).
+    *
+    * Scale shape: the pair table is duplicate-cluster-sized; each
+    * side resolves its vector by an id-keyed equi-join against the
+    * embeddings table; negatives add one more id-keyed join. The
+    * corpus count is a 1-row broadcast. Nothing all-pairs, nothing
+    * windowed. */
+  def contrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val e = vecs(spark, dir)
+    val n1 = e.agg(count(lit(1)).as("n_vecs"))
+    val pos = Dedup.minhashPairs(spark, dir)
+      .join(e.select(col("vec_id").as("ia"), col("v").as("va"),
+        col("nrm").as("na")), "ia")
+      .join(e.select(col("vec_id").as("ib"), col("v").as("vb"),
+        col("nrm").as("nb")), "ib")
+    val posScored = pos
+      .select(col("ia"), col("ib"), lit("pos").as("kind"),
+        round(expr("array_dot(va, vb)") / (col("na") * col("nb")), 4)
+          .as("cos"))
+    // negative anchor partner: hash of the pair identity mod corpus
+    // size; nudge forward past the pair's own ids (collisions with a
+    // DIFFERENT true near-dup are possible and harmless — they only
+    // soften the measured margin, identically on both engines)
+    val negIds = pos.select(col("ia"), col("ib"))
+      .crossJoin(broadcast(n1))
+      .withColumn("nid0", expr(Exprs.hash60(
+        "concat('neg:', cast(ia as string), ':', cast(ib as string))")
+        + " % n_vecs"))
+      .withColumn("nid", expr(
+        """CASE WHEN nid0 = ia OR nid0 = ib
+          |  THEN (nid0 + 1) % n_vecs ELSE nid0 END""".stripMargin))
+      .withColumn("nid", expr(
+        """CASE WHEN nid = ia OR nid = ib
+          |  THEN (nid + 1) % n_vecs ELSE nid END""".stripMargin))
+    val negScored = negIds
+      .join(e.select(col("vec_id").as("ia"), col("v").as("va"),
+        col("nrm").as("na")), "ia")
+      .join(e.select(col("vec_id").as("nid"), col("v").as("vn"),
+        col("nrm").as("nn")), "nid")
+      .select(col("ia"), col("nid").as("ib"), lit("neg").as("kind"),
+        round(expr("array_dot(va, vn)") / (col("na") * col("nn")), 4)
+          .as("cos"))
+    posScored.unionByName(negScored)
+      .withColumn("h", expr(Exprs.hash60(
+        "concat(kind, ':', cast(ia as string), ':', cast(ib as string))")))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("cos")), 4).as("avg_cos"),
+        round(min(col("cos")), 4).as("min_cos"),
+        round(max(col("cos")), 4).as("max_cos"),
+        expr("bit_xor(h)").as("pair_digest"))
+      .orderBy("kind")
+  }
+
+  val contrastivePairsSql: String =
+    s"""WITH ${graft.queries.Dedup.duckVerifiedPairCtes},
+       |v AS ($duckVecs),
+       |nv AS (SELECT count(*) AS n_vecs FROM v),
+       |pos AS (
+       |  SELECT pairs.ia, pairs.ib, 'pos' AS kind,
+       |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+       |  FROM pairs JOIN v a ON pairs.ia = a.vec_id
+       |             JOIN v b ON pairs.ib = b.vec_id),
+       |ni AS (
+       |  SELECT ia, ib,
+       |    CASE WHEN n1 = ia OR n1 = ib THEN (n1 + 1) % n_vecs
+       |         ELSE n1 END AS nid
+       |  FROM (
+       |    SELECT p.ia, p.ib, nv.n_vecs,
+       |      CASE WHEN nid0 = p.ia OR nid0 = p.ib
+       |           THEN (nid0 + 1) % nv.n_vecs ELSE nid0 END AS n1
+       |    FROM (
+       |      SELECT ia, ib,
+       |        ('0x' || substr(md5('neg:' || CAST(ia AS VARCHAR) || ':' ||
+       |          CAST(ib AS VARCHAR)), 1, 15))::BIGINT
+       |          % (SELECT n_vecs FROM nv) AS nid0
+       |      FROM pairs) p, nv) t),
+       |neg AS (
+       |  SELECT ni.ia, ni.nid AS ib, 'neg' AS kind,
+       |    round(list_dot_product(a.v, n.v) / (a.nrm * n.nrm), 4) AS cos
+       |  FROM ni JOIN v a ON ni.ia = a.vec_id
+       |          JOIN v n ON ni.nid = n.vec_id),
+       |u AS (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+       |SELECT kind, count(*) AS n_pairs,
+       |  round(avg(cos), 4) AS avg_cos,
+       |  round(min(cos), 4) AS min_cos,
+       |  round(max(cos), 4) AS max_cos,
+       |  bit_xor(('0x' || substr(md5(kind || ':' || CAST(ia AS VARCHAR)
+       |    || ':' || CAST(ib AS VARCHAR)), 1, 15))::BIGINT) AS pair_digest
+       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_cosine_topk" -> cosineTopK,
     "q61_ann_lsh" -> annLsh,
@@ -1460,7 +1567,8 @@ object Similarity {
     "q120_hybrid_dedup" -> hybridDedup,
     "q132_semantic_dedup" -> semanticDedup,
     "q138_knn_graph" -> knnGraph,
-    "q145_pagerank" -> pagerank
+    "q145_pagerank" -> pagerank,
+    "q149_contrastive_pairs" -> contrastivePairs
   )
 
   val oracle: Map[String, String] = Map(
@@ -1478,6 +1586,7 @@ object Similarity {
     "q120_hybrid_dedup" -> hybridDedupSql,
     "q132_semantic_dedup" -> semanticDedupSql,
     "q138_knn_graph" -> knnGraphSql,
-    "q145_pagerank" -> pagerankSql
+    "q145_pagerank" -> pagerankSql,
+    "q149_contrastive_pairs" -> contrastivePairsSql
   )
 }

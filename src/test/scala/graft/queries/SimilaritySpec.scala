@@ -255,6 +255,36 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(r => r.getLong(0) >= 1L))
   }
 
+  test("contrastive pairs: positive twins at cos 1, deterministic " +
+      "negative lands orthogonal") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sim_spec").toString
+    // docs 0/1: near-dup texts (the one positive pair); docs 2/3
+    // distinct. Embeddings: 0,1 on axis 0 (cos 1); 2,3 on axes 1,2 —
+    // whichever the hash picks as the negative partner, it is
+    // orthogonal to the anchor, so the negative cosine is exactly 0.
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "acht neun zehn elf zwoelf dreizehn"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def unit(axis: Int): Seq[Float] = {
+      val v = Array.fill(64)(0.0f); v(axis) = 1.0f; v.toSeq
+    }
+    Seq((0L, unit(0), 0), (1L, unit(0), 0), (2L, unit(1), 0),
+      (3L, unit(2), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.contrastivePairs(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("pos") === ((1L, 1.0)))
+    assert(out("neg") === ((1L, 0.0)))
+  }
+
   test("label centroids: 3 nearest members per label, cos in [-1, 1]") {
     val dir = corpus(120)
     val out = Similarity.labelCentroids(spark, dir).collect()
