@@ -1035,8 +1035,13 @@ object Relational {
     val daily = events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("event_type").orderBy("d")
-      .rowsBetween(-7, -1)
+      .withColumn("dn", datediff(col("d"), lit("1970-01-01")))
+    // RANGE over the integer day index, not ROWS over observed days:
+    // a quiet gap must age the baseline out of the window, not
+    // stretch it across the gap (a resume-after-a-month day would
+    // otherwise be z-scored against month-old history)
+    val w = Window.partitionBy("event_type").orderBy("dn")
+      .rangeBetween(-7, -1)
     daily
       .withColumn("mu", round(avg(col("cnt")).over(w), 6))
       .withColumn("sg", round(stddev_pop(col("cnt")).over(w), 6))
@@ -1057,16 +1062,17 @@ object Relational {
 
   val rollingAnomalySql: String =
     """WITH daily AS (
-      |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
-      |  FROM events GROUP BY 1, 2),
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(ts AS DATE) - DATE '1970-01-01' AS dn, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2, 3),
       |r AS (
       |  SELECT event_type, d, cnt,
       |    round(avg(cnt) OVER w, 6) AS mu,
       |    round(stddev_pop(cnt) OVER w, 6) AS sg,
       |    count(cnt) OVER w AS nprev
       |  FROM daily
-      |  WINDOW w AS (PARTITION BY event_type ORDER BY d
-      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY dn
+      |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
       |z AS (
       |  SELECT event_type, d, cnt,
       |    CASE WHEN nprev >= 3 AND sg > 0
@@ -1448,8 +1454,10 @@ object Relational {
       .withColumn("deny",
         col("n_days") * col("syy") - col("sy") * col("sy"))
       .select(col("event_type"), col("n_days"), col("sy").as("n_events"),
-        round(col("num").cast("double") / col("denx"), 6).as("slope"),
-        when(col("deny") === 0, lit(null).cast("double"))
+        when(col("denx") === 0, lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double") / col("denx"), 6))
+          .as("slope"),
+        when(col("denx") * col("deny") === 0, lit(null).cast("double"))
           .otherwise(round(
             (col("num") * col("num")).cast("double") /
               (col("denx") * col("deny")), 6)).as("r2"))
@@ -1476,8 +1484,9 @@ object Relational {
       |    n_days * syy - sy * sy AS deny
       |  FROM s)
       |SELECT event_type, n_days, sy AS n_events,
-      |  round(CAST(num AS DOUBLE) / denx, 6) AS slope,
-      |  CASE WHEN deny = 0 THEN NULL
+      |  CASE WHEN denx = 0 THEN NULL
+      |       ELSE round(CAST(num AS DOUBLE) / denx, 6) END AS slope,
+      |  CASE WHEN denx * deny = 0 THEN NULL
       |       ELSE round(CAST(num * num AS DOUBLE) / (denx * deny), 6)
       |  END AS r2
       |FROM m ORDER BY 1""".stripMargin
@@ -1517,8 +1526,12 @@ object Relational {
       .groupBy(col("user_id"))
       .agg(min(datediff(col("maxd"), col("d"))).as("r"),
         count(lit(1)).as("f"), sum(col("cents")).as("m"))
-    def qs(c: String) = (1 to 4).map(i =>
-      round(expr(s"percentile($c, ${i * 0.2})"), 6).as(s"${c}q$i"))
+    // literal fraction strings: Scala's `i * 0.2` renders 3 * 0.2 as
+    // 0.6000000000000001, a ULP-divergent quantile fraction vs the
+    // oracle's exact 0.6 literal
+    val fracs = Seq("0.2", "0.4", "0.6", "0.8")
+    def qs(c: String) = fracs.zipWithIndex.map { case (f, i) =>
+      round(expr(s"percentile($c, $f)"), 6).as(s"${c}q${i + 1}") }
     val bounds = users.agg(qs("r").head,
       (qs("r").tail ++ qs("f") ++ qs("m")): _*)
     def score(c: String, lowIsGood: Boolean) = (1 to 4)

@@ -1483,8 +1483,12 @@ object Similarity {
     // negative anchor partner: hash of the pair identity mod corpus
     // size; nudge forward past the pair's own ids (collisions with a
     // DIFFERENT true near-dup are possible and harmless — they only
-    // soften the measured margin, identically on both engines)
-    val negIds = pos.select(col("ia"), col("ib"))
+    // soften the measured margin, identically on both engines).
+    // Derived from the RAW pair table, not from `pos`: the oracle's
+    // negative set never requires ib's embedding, so neither may the
+    // engine's (a pair whose ib lacks an embedding still contributes
+    // its anchor's negative).
+    val negIds = Dedup.minhashPairs(spark, dir).select(col("ia"), col("ib"))
       .crossJoin(broadcast(n1))
       .withColumn("nid0", expr(Exprs.hash60(
         "concat('neg:', cast(ia as string), ':', cast(ib as string))")

@@ -276,8 +276,25 @@ object Streams {
     val spark = batchRaw.sparkSession
     val batch = batchRaw.groupBy(col("k"))
       .agg(min(col("cents")).as("cents"))
+    val staging = dimPath + ".scd2_stg"
+    val retired = dimPath + ".scd2_old"
+    val dimP = new org.apache.hadoop.fs.Path(dimPath)
+    val stgP = new org.apache.hadoop.fs.Path(staging)
+    val retP = new org.apache.hadoop.fs.Path(retired)
+    val fs = dimP.getFileSystem(spark.sessionState.newHadoopConf())
+    // Crash recovery FIRST: a retired copy with no live dimension
+    // means a previous run died between the two swap renames — the
+    // retired copy is the only complete dimension; restore it before
+    // reading or deleting anything. (Existence probes go through the
+    // Hadoop FileSystem, never java.io.File: the dimension lives on
+    // whatever scheme the path names, and a local-File probe on
+    // hdfs:// or s3a:// is always false — which would silently
+    // replace the whole dimension with the current batch.)
+    if (!fs.exists(dimP) && fs.exists(retP))
+      require(fs.rename(retP, dimP),
+        s"scd2 recovery failed: could not restore $retired to $dimPath")
     val merged: DataFrame =
-      if (!new java.io.File(dimPath).exists()) {
+      if (!fs.exists(dimP)) {
         batch.select(col("k"), col("cents"), lit(true).as("cur"))
       } else {
         val dim = spark.read.parquet(dimPath)
@@ -306,22 +323,19 @@ object Streams {
         history.select(col("k"), col("cents"), col("cur"))
           .unionByName(rows)
       }
-    // rename-aside swap (Compact discipline): stage, retire, move in
-    val staging = dimPath + ".scd2_stg"
-    val retired = dimPath + ".scd2_old"
-    val fs = new org.apache.hadoop.fs.Path(dimPath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    fs.delete(new org.apache.hadoop.fs.Path(retired), true)
+    // rename-aside swap (Compact discipline): stage, retire, move
+    // in, and only then drop the retired copy — combined with the
+    // entry recovery above, a crash at ANY point leaves a complete
+    // dimension reachable (at dimPath or at .scd2_old).
+    fs.delete(stgP, true)
     merged.write.mode("overwrite").parquet(staging)
-    if (fs.exists(new org.apache.hadoop.fs.Path(dimPath)))
-      require(fs.rename(new org.apache.hadoop.fs.Path(dimPath),
-        new org.apache.hadoop.fs.Path(retired)),
+    fs.delete(retP, true)
+    if (fs.exists(dimP))
+      require(fs.rename(dimP, retP),
         s"scd2 swap failed: could not retire $dimPath")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging),
-      new org.apache.hadoop.fs.Path(dimPath)),
+    require(fs.rename(stgP, dimP),
       s"scd2 swap failed: could not move $staging into place")
-    fs.delete(new org.apache.hadoop.fs.Path(retired), true)
+    fs.delete(retP, true)
   }
 
   private val DocsSchema = StructType(Seq(
