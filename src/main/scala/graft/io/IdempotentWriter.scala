@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object IdempotentWriter {
 
+  /** Existence probe through the Hadoop FileSystem of the path's own
+    * scheme — NEVER `java.io.File`, whose probe is always false for
+    * hdfs:// / s3a:// paths and silently flips "merge with existing"
+    * logic into "treat as fresh" on exactly the filesystems a cluster
+    * deployment uses. */
+  private[graft] def pathExists(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** Table-name whitelist guard (S8, reference main.py:1481-1497). */
   def requireAllowed(table: String, allowed: Set[String]): Unit =
     require(allowed.contains(table), s"table '$table' not in whitelist $allowed")
@@ -69,7 +80,7 @@ object IdempotentWriter {
       partitionCol: String = "fecha"): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    if (!new java.io.File(path).exists()) {
+    if (!pathExists(spark, path)) {
       overwritePartitions(batch, path, partitionCol, addLoadDate = false)
       return
     }

@@ -418,7 +418,8 @@ object Streams {
             .agg(min_by(struct(cols: _*), col("doc_id")).as("d"))
             .select(col("fp") +: cols.map(c => col(s"d.$c")): _*)
           val fresh =
-            if (new java.io.File(path).exists())
+            if (graft.io.IdempotentWriter.pathExists(
+                batch.sparkSession, path))
               keepers.join(
                 batch.sparkSession.read.parquet(path).select("fp"),
                 Seq("fp"), "left_anti")
