@@ -1397,6 +1397,79 @@ object Curation {
       |    END), 0) AS kept_digest
       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q150 quality-vs-duplication lift
+  // ---------------------------------------------------------------
+
+  /** q150: quality-signal validation against duplication — per
+    * quality bucket, how much likelier is a document to be a verified
+    * near-dup member than the corpus average? The calibration check a
+    * pipeline runs before TRUSTING a heuristic score: if boilerplate
+    * (which near-dup mining catches lexically) does not concentrate
+    * in the buckets the quality score already punishes, the two
+    * signals are measuring different things and the gate thresholds
+    * need re-examining. Lift = bucket dup-rate / overall dup-rate.
+    *
+    * Scale shape: quality is the shared q51 scan-stage projection;
+    * dup membership is a semi-join flag against the id set of the
+    * MEMOIZED verified pair table (duplicate-cluster-sized — mined
+    * once, consumed here a fourth time); the lift table is 10 rows
+    * with a 1-row overall aggregate broadcast back. Buckets are
+    * fixed-width on the rounded score (floor(q*10)) — identical IEEE
+    * arithmetic on identical rounded inputs, no percentile pass
+    * needed. */
+  def qualityDupLift(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val dups = Dedup.minhashPairs(spark, dir)
+      .select(explode(array(col("ia"), col("ib"))).as("doc_id"))
+      .distinct()
+      .withColumn("is_dup", lit(1L))
+    val flagged = TextAnalysis.scoredDocs(spark, dir)
+      .select(col("doc_id"), col("quality"))
+      .join(dups, Seq("doc_id"), "left")
+      .withColumn("qb", least(floor(col("quality") * 10), lit(9L))
+        .cast("long"))
+      .withColumn("dup", coalesce(col("is_dup"), lit(0L)))
+    val overall = flagged.agg(
+      (sum(col("dup")).cast("double") / count(lit(1))).as("base_rate"))
+    flagged.groupBy(col("qb"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dup")).as("n_dup"),
+        round(avg(col("quality")), 4).as("avg_quality"))
+      .crossJoin(broadcast(overall))
+      .select(col("qb"), col("n_docs"), col("n_dup"), col("avg_quality"),
+        round(col("n_dup").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"),
+        when(col("base_rate") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_dup").cast("double") / col("n_docs")) /
+              col("base_rate"), 4)).as("lift"))
+      .orderBy("qb")
+  }
+
+  val qualityDupLiftSql: String =
+    s"""WITH ${TextAnalysis.scoredDocsSqlCtes},
+       |${graft.queries.Dedup.duckVerifiedPairCtes},
+       |dup AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT ia AS doc_id FROM pairs
+       |    UNION ALL SELECT ib FROM pairs)),
+       |fl AS (
+       |  SELECT q.doc_id,
+       |    least(CAST(floor(q.quality * 10) AS BIGINT), 9) AS qb,
+       |    q.quality,
+       |    CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS dup
+       |  FROM q LEFT JOIN dup ON q.doc_id = dup.doc_id),
+       |ov AS (
+       |  SELECT CAST(sum(dup) AS DOUBLE) / count(*) AS base_rate FROM fl)
+       |SELECT qb, count(*) AS n_docs,
+       |  CAST(sum(dup) AS BIGINT) AS n_dup,
+       |  round(avg(quality), 4) AS avg_quality,
+       |  round(CAST(sum(dup) AS DOUBLE) / count(*), 6) AS dup_rate,
+       |  CASE WHEN ov.base_rate = 0 THEN NULL
+       |       ELSE round((CAST(sum(dup) AS DOUBLE) / count(*))
+       |         / ov.base_rate, 4) END AS lift
+       |FROM fl, ov GROUP BY qb, ov.base_rate ORDER BY qb""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_dedup_clusters" -> dedupClusters,
     "q89_decontaminate" -> decontaminate,
@@ -1414,7 +1487,8 @@ object Curation {
     "q130_profile" -> profile,
     "q134_robust_outliers" -> robustOutliers,
     "q139_length_batches" -> lengthBatches,
-    "q143_temperature_sample" -> temperatureSample
+    "q143_temperature_sample" -> temperatureSample,
+    "q150_quality_dup_lift" -> qualityDupLift
   )
 
   val oracle: Map[String, String] = Map(
@@ -1434,6 +1508,7 @@ object Curation {
     "q130_profile" -> profileSql,
     "q134_robust_outliers" -> robustOutliersSql,
     "q139_length_batches" -> lengthBatchesSql,
-    "q143_temperature_sample" -> temperatureSampleSql
+    "q143_temperature_sample" -> temperatureSampleSql,
+    "q150_quality_dup_lift" -> qualityDupLiftSql
   )
 }

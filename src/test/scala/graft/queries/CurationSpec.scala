@@ -434,6 +434,26 @@ class CurationSpec extends SparkSpec {
     assert(out("A")._4 <= 10L && out("B")._4 <= 40L)
   }
 
+  test("quality-dup lift: dups concentrated in the low bucket double " +
+      "its lift — hand-computed") {
+    // docs 0/1: identical 10-token no-stopword texts -> quality 0.05
+    // (bucket 0) AND the only near-dup pair. docs 2/3: 120 repeated
+    // stopwords each ('the' vs 'of' -> disjoint shingles, no pair),
+    // quality 1.0 (bucket 9). base dup rate = 0.5, so bucket 0 lifts
+    // to 2.0 and bucket 9 to 0.
+    val uniq = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = corpus(Seq(
+      (0L, uniq, "en", "s"), (1L, uniq, "en", "s"),
+      (2L, ("the " * 120).trim, "en", "s"),
+      (3L, ("of " * 120).trim, "en", "s")))
+    val out = Curation.qualityDupLift(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(0L) === ((2L, 2L, 1.0, 2.0)))
+    assert(out(9L) === ((2L, 0L, 0.0, 0.0)))
+    assert(out.size === 2)
+  }
+
   test("sampling filter involves no join or extra exchange before the rollup") {
     val dir = corpus(Seq((0L, "t", "en", "src0")))
     val plan = Curation.sourceSample(spark, dir)
