@@ -1590,6 +1590,94 @@ object Relational {
       |    ::BIGINT) AS user_digest
       |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q151 join-key skew profiler
+  // ---------------------------------------------------------------
+
+  /** q151: join-key skew profiling — the measurement that DECIDES the
+    * q24 salting and AQE-skew-join dials instead of guessing: for
+    * each profiled (table, key) pair, row and key cardinalities, the
+    * heaviest key's share, the p99 per-key count, and the count and
+    * xor fingerprint of the SALT CANDIDATES (keys holding more than
+    * 2x the mean load — the set a salted join would split). The
+    * heavy-key predicate is the exact integer cross-multiply
+    * `cnt * n_keys > 2 * n_rows` — no float mean to disagree on.
+    *
+    * Scale shape: one (key) groupBy per profiled table — the same
+    * shuffle the join being protected would do — then every metric
+    * reduces the keys-sized count table (skew stats, exact p99,
+    * heavy-key digest). Nothing returns per-key rows except the
+    * digest. */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    def profile(tag: String, rows: DataFrame) = {
+      val counts = rows.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      counts
+        .agg(sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("max_cnt"),
+          round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt"))
+        .select(lit(tag).as("keyspace"), col("n_rows"), col("n_keys"),
+          col("max_cnt"), col("p99_cnt"),
+          round(col("max_cnt") * col("n_keys") /
+            col("n_rows").cast("double"), 4).as("skew"))
+    }
+    def heavies(rows: DataFrame, keyHash: String) = {
+      val counts = rows.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"))
+      counts.crossJoin(broadcast(tot))
+        .filter(col("cnt") * col("n_keys") > lit(2) * col("n_rows"))
+        .withColumn("h", expr(keyHash))
+        .agg(count(lit(1)).as("n_heavy"),
+          coalesce(expr("bit_xor(h)"), lit(0L)).as("heavy_digest"))
+    }
+    val targets = Seq(
+      ("lineitem.l_orderkey",
+        lineitem(spark, dir).select(col("l_orderkey").as("k")),
+        Exprs.hash60("cast(k as string)")),
+      ("events.user_id",
+        events(spark, dir).select(col("user_id").as("k")),
+        Exprs.hash60("cast(k as string)")),
+      ("documents.source",
+        documents(spark, dir).select(col("source").as("k")),
+        Exprs.hash60("k")))
+    targets.map { case (tag, rows, kh) =>
+      profile(tag, rows).crossJoin(heavies(rows, kh))
+    }.reduce(_.unionByName(_)).orderBy("keyspace")
+  }
+
+  val skewProfileSql: String = {
+    val mk = Seq(
+      ("li", "lineitem", "l_orderkey",
+        "('0x' || substr(md5(CAST(x.k AS VARCHAR)), 1, 15))::BIGINT"),
+      ("ev", "events", "user_id",
+        "('0x' || substr(md5(CAST(x.k AS VARCHAR)), 1, 15))::BIGINT"),
+      ("doc", "documents", "source",
+        "('0x' || substr(md5(x.k), 1, 15))::BIGINT"))
+    val ctes = mk.map { case (tag, table, key, _) =>
+      s"""c$tag AS (SELECT $key AS k, count(*) AS cnt
+         |  FROM $table GROUP BY 1),
+         |t$tag AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  count(*) AS n_keys FROM c$tag)""".stripMargin
+    }.mkString(",\n")
+    val body = mk.map { case (tag, table, key, kh) =>
+      val t = table + "." + key
+      s"""SELECT '$t' AS keyspace, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  count(*) AS n_keys, CAST(max(cnt) AS BIGINT) AS max_cnt,
+         |  round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+         |  round(max(cnt) * count(*) / CAST(sum(cnt) AS DOUBLE), 4)
+         |    AS skew,
+         |  (SELECT count(*) FROM c$tag x, t$tag
+         |   WHERE x.cnt * t$tag.n_keys > 2 * t$tag.n_rows) AS n_heavy,
+         |  coalesce((SELECT bit_xor($kh) FROM c$tag x, t$tag
+         |   WHERE x.cnt * t$tag.n_keys > 2 * t$tag.n_rows), 0)
+         |    AS heavy_digest
+         |FROM c$tag""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$body\nORDER BY keyspace"
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_events_daily" -> eventsDaily,
@@ -1631,7 +1719,8 @@ object Relational {
     "q141_activity_streaks" -> activityStreaks,
     "q142_transition_matrix" -> transitionMatrix,
     "q144_volume_trend" -> volumeTrend,
-    "q148_rfm_segments" -> rfmSegments
+    "q148_rfm_segments" -> rfmSegments,
+    "q151_skew_profile" -> skewProfile
   )
 
   val oracle: Map[String, String] = Map(
@@ -1675,6 +1764,7 @@ object Relational {
     "q141_activity_streaks" -> activityStreaksSql,
     "q142_transition_matrix" -> transitionMatrixSql,
     "q144_volume_trend" -> volumeTrendSql,
-    "q148_rfm_segments" -> rfmSegmentsSql
+    "q148_rfm_segments" -> rfmSegmentsSql,
+    "q151_skew_profile" -> skewProfileSql
   )
 }

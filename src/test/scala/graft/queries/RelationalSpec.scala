@@ -370,6 +370,39 @@ class RelationalSpec extends SparkSpec {
       assert(out((i, i, i)) === ((1L, 100L * i * i)))
   }
 
+  test("skew profile: one hot key among uniform keys is the only salt " +
+      "candidate — hand-computed") {
+    import spark.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("skew_spec").toString
+    // events: user 0 fires 80 events, users 1..20 fire 2 each ->
+    // 120 rows / 21 keys, mean 5.71; heavy iff cnt*21 > 240, so only
+    // the hot key qualifies; skew = 80*21/120 = 14.0
+    val ev = (0 until 80).map(i => (i.toLong, i * 1000000000L, 0L)) ++
+      (1 to 20).flatMap(u => Seq(
+        (1000L + u * 2, u * 1000000000L, u.toLong),
+        (1001L + u * 2, u * 1000000000L + 1, u.toLong)))
+    ev.map { case (e, t, u) => (e, t, u, "view", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$fdir/events.parquet")
+    Seq((1L, 1L, 1, 1.0, "d", "i", "s", "1995-01-01", "N", "O"))
+      .toDF("l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+        "c5", "c6", "c7", "c8", "c9", "c10")
+      .select(col("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$fdir/lineitem.parquet")
+    Seq((1L, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$fdir/documents.parquet")
+    val r = Relational.skewProfile(spark, fdir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val e = r("events.user_id")
+    assert(e.getLong(1) === 120L)
+    assert(e.getLong(2) === 21L)
+    assert(e.getLong(3) === 80L)
+    assert(e.getDouble(5) === 14.0)
+    assert(e.getLong(6) === 1L)
+  }
+
   test("scd2: changed keys version, no-ops carry, new keys insert — " +
       "hand-computed state table") {
     import spark.implicits._
