@@ -1556,6 +1556,109 @@ object Similarity {
        |    || ':' || CAST(ib AS VARCHAR)), 1, 15))::BIGINT) AS pair_digest
        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q152 NN-Descent refinement round
+  // ---------------------------------------------------------------
+
+  /** q152: one NN-Descent round (Dong et al., WWW'11) over the shared
+    * kNN graph — the published way to IMPROVE an LSH-built graph
+    * without touching all pairs: a node's neighbors' neighbors are
+    * better candidates than random buckets, so rescore the graph over
+    * {current edges} ∪ {2-hop pairs} and keep each node's new top-3.
+    * The digest measures what the round bought: per-node neighbor
+    * quality BEFORE vs AFTER as integer micro-cosine sums
+    * (round(cos·10⁴) — per-node sums of doubles would expose
+    * cross-engine addition order), plus the improved-node count and
+    * fingerprint.
+    *
+    * Scale shape: the 2-hop expansion is an equality self-join of the
+    * MEMOIZED ≤3N edge set on the shared vertex (≤9N candidate rows —
+    * never corpus²); scoring joins vectors by id; the keep step is
+    * the bounded-heap TopKAgg. This is exactly one NN-Descent
+    * iteration; production runs it to convergence with the same
+    * per-round cost envelope. */
+  def nnDescent(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val e = vecs(spark, dir)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val edges = knnEdges(spark, dir)
+    def scored(pairs: DataFrame) = pairs
+      .join(e.select(col("vec_id").as("src"), col("v").as("sv"),
+        col("nrm").as("sn")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("v").as("dv"),
+        col("nrm").as("dn")), "dst")
+      .withColumn("cos", round(
+        expr("array_dot(sv, dv)") / (col("sn") * col("dn")), 4))
+      .select(col("src"), col("dst"), col("cos"))
+    val before = scored(edges)
+      .withColumn("c4", expr("cast(round(cos * 10000) as bigint)"))
+      .groupBy(col("src"))
+      .agg(sum(col("c4")).as("before4"))
+    val twoHop = edges.as("e1")
+      .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val after = scored(twoHop.unionByName(edges).distinct())
+      .groupBy(col("src"))
+      .agg(graft.functions.TopK.topK(3)(col("cos"), col("dst")).as("tk"))
+      .select(col("src"), explode(expr(
+        "transform(tk, s -> cast(round(s.cos * 10000) as bigint))"))
+        .as("c4"))
+      .groupBy(col("src"))
+      .agg(sum(col("c4")).as("after4"))
+    before.join(after, "src")
+      .withColumn("improved", (col("after4") > col("before4")).cast("long"))
+      .withColumn("h", expr(Exprs.hash60("cast(src as string)")))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("improved")).as("n_improved"),
+        sum(col("before4")).as("sum_cos4_before"),
+        sum(col("after4")).as("sum_cos4_after"),
+        coalesce(expr(
+          "bit_xor(CASE WHEN improved = 1 THEN h END)"), lit(0L))
+          .as("improved_digest"))
+  }
+
+  val nnDescentSql: String =
+    s"""WITH $duckKnnEdgeCtes,
+       |sc AS (
+       |  SELECT ed.src, ed.dst,
+       |    CAST(round(round(list_dot_product(a.v, b.v)
+       |      / (a.nrm * b.nrm), 4) * 10000) AS BIGINT) AS c4
+       |  FROM ed JOIN n a ON ed.src = a.vec_id
+       |          JOIN n b ON ed.dst = b.vec_id),
+       |bf AS (SELECT src, CAST(sum(c4) AS BIGINT) AS before4
+       |       FROM sc GROUP BY 1),
+       |cu AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT e1.src, e2.dst FROM ed e1 JOIN ed e2
+       |      ON e1.dst = e2.src
+       |    WHERE e1.src != e2.dst
+       |    UNION ALL SELECT src, dst FROM ed)),
+       |rs AS (
+       |  SELECT cu.src, cu.dst,
+       |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+       |  FROM cu JOIN n a ON cu.src = a.vec_id
+       |          JOIN n b ON cu.dst = b.vec_id),
+       |af AS (
+       |  SELECT src, CAST(sum(CAST(round(cos * 10000) AS BIGINT))
+       |    AS BIGINT) AS after4
+       |  FROM (SELECT src, cos, row_number() OVER (PARTITION BY src
+       |          ORDER BY cos DESC, dst ASC) AS rn
+       |        FROM rs)
+       |  WHERE rn <= 3 GROUP BY 1),
+       |j AS (
+       |  SELECT bf.src, bf.before4, af.after4,
+       |    CASE WHEN af.after4 > bf.before4 THEN 1 ELSE 0 END AS improved
+       |  FROM bf JOIN af ON bf.src = af.src)
+       |SELECT count(*) AS n_nodes,
+       |  CAST(sum(improved) AS BIGINT) AS n_improved,
+       |  CAST(sum(before4) AS BIGINT) AS sum_cos4_before,
+       |  CAST(sum(after4) AS BIGINT) AS sum_cos4_after,
+       |  coalesce(bit_xor(CASE WHEN improved = 1 THEN
+       |    ('0x' || substr(md5(CAST(src AS VARCHAR)), 1, 15))::BIGINT END),
+       |    0) AS improved_digest
+       |FROM j""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_cosine_topk" -> cosineTopK,
     "q61_ann_lsh" -> annLsh,
@@ -1572,7 +1675,8 @@ object Similarity {
     "q132_semantic_dedup" -> semanticDedup,
     "q138_knn_graph" -> knnGraph,
     "q145_pagerank" -> pagerank,
-    "q149_contrastive_pairs" -> contrastivePairs
+    "q149_contrastive_pairs" -> contrastivePairs,
+    "q152_nn_descent" -> nnDescent
   )
 
   val oracle: Map[String, String] = Map(
@@ -1591,6 +1695,7 @@ object Similarity {
     "q132_semantic_dedup" -> semanticDedupSql,
     "q138_knn_graph" -> knnGraphSql,
     "q145_pagerank" -> pagerankSql,
-    "q149_contrastive_pairs" -> contrastivePairsSql
+    "q149_contrastive_pairs" -> contrastivePairsSql,
+    "q152_nn_descent" -> nnDescentSql
   )
 }

@@ -285,6 +285,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out("neg") === ((1L, 0.0)))
   }
 
+  test("nn-descent: rescoring over a candidate superset never degrades " +
+      "aggregate neighbor quality") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sim_spec").toString
+    def unit(axis: Int): Seq[Float] = {
+      val v = Array.fill(64)(0.0f); v(axis) = 1.0f; v.toSeq
+    }
+    val rows = (0 until 20).flatMap { i =>
+      Seq((i.toLong, unit(i), 0), (i.toLong + 20, unit(i), 0))
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Similarity.nnDescent(spark, dir).collect()(0)
+    val (n, imp, b4, a4) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n === 40L)
+    // {2-hop} ∪ {current} ⊇ {current}: the new top-3 can only match
+    // or beat the old one, per node and so in aggregate
+    assert(a4 >= b4)
+    assert(imp <= n)
+    assert((imp == 0L) === (a4 == b4))
+  }
+
   test("label centroids: 3 nearest members per label, cos in [-1, 1]") {
     val dir = corpus(120)
     val out = Similarity.labelCentroids(spark, dir).collect()
