@@ -470,6 +470,121 @@ object StreamingQ {
       |    AS member_digest
       |FROM rows GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q153 watermark late-data discipline
+  // ---------------------------------------------------------------
+
+  /** q153: late-data accounting under a watermark — the contract that
+    * makes streaming aggregates TRUSTABLE: rows that arrive after
+    * their window was finalized must be DROPPED, not double-counted.
+    * The event log lands in two sequential arrivals sharing one
+    * checkpoint: days 1–15, then days 16–30 PLUS verbatim straggler
+    * copies of day 3 (shifted event ids, ~13 days late). By arrival
+    * 2 the watermark sits near day 15, so every straggler's hour
+    * window is long finalized — the windowed parquet sink must equal
+    * the batch answer over the ORIGINAL events, which is exactly what
+    * the oracle computes (windows up to the final watermark;
+    * value sums in integer cents so no float accumulation order).
+    *
+    * A failure mode this pins: without the watermark the stragglers
+    * would re-open day-3 windows and double their counts — the digest
+    * diverges loudly.
+    *
+    * Scale shape: the state store holds only windows newer than the
+    * watermark (bounded by delay x window grain x types), the
+    * too-late filter runs in the scan stage, and each arrival is one
+    * incremental micro-batch — the q96 arrival discipline with
+    * event-time state instead of partition overwrite. */
+  def streamLateData(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    import org.apache.spark.sql.streaming.Trigger
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_stream_late")
+    val arrivals = java.nio.file.Files
+      .createDirectory(scratch.resolve("arrivals"))
+    val sinkDir = scratch.resolve("win").toString
+    val ckpt = scratch.resolve("ckpt").toString
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val cut = lit("2024-01-16").cast("timestamp")
+    def writeArrival(name: String, rows: DataFrame): Unit = {
+      val staging = scratch.resolve(s"staging_$name")
+      rows.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging).iterator()
+      val it = scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
+      val src = it.find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(src, arrivals.resolve(s"$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = spark.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("cents",
+              org.apache.spark.sql.types.LongType))))
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(arrivals.toString)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+          .select(col("window.start").as("w_start"), col("event_type"),
+            col("n"), col("sum_cents"))
+          .writeStream
+          .format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    writeArrival("a", ev.filter(col("ts") < cut))
+    runOnce()
+    writeArrival("b", ev.filter(col("ts") >= cut).unionByName(
+      ev.filter(to_date(col("ts")) === lit("2024-01-03"))
+        .withColumn("event_id", col("event_id") + 1000000000L)))
+    runOnce()
+    spark.read.parquet(sinkDir)
+      .withColumn("h", expr(Exprs.hash60(
+        "concat(cast(unix_micros(w_start) as string), ':', event_type, " +
+          "':', cast(n as string))")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("n")).as("n_events"),
+        sum(col("sum_cents")).as("sum_cents"),
+        expr("bit_xor(h)").as("window_digest"))
+      .orderBy("event_type")
+  }
+
+  val streamLateDataSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |wm AS (
+      |  SELECT (max(us) // 1000) * 1000 - 600000000 AS wm_us FROM e),
+      |w AS (
+      |  SELECT (us // 3600000000) * 3600000000 AS w_us, event_type,
+      |    count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |  FROM e GROUP BY 1, 2),
+      |f AS (
+      |  SELECT w.* FROM w, wm WHERE w.w_us + 3600000000 <= wm.wm_us)
+      |SELECT event_type, count(*) AS n_windows,
+      |  CAST(sum(n) AS BIGINT) AS n_events,
+      |  CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+      |  bit_xor(('0x' || substr(md5(CAST(w_us AS VARCHAR) || ':' ||
+      |    event_type || ':' || CAST(n AS VARCHAR)), 1, 15))::BIGINT)
+      |    AS window_digest
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_stream_tumbling" -> streamTumbling,
     "q121_stream_mixture_monitor" -> streamMixtureMonitor,
@@ -482,7 +597,8 @@ object StreamingQ {
     "q96_stream_load" -> streamLoad,
     "q103_stream_dedup_corpus" -> streamDedupCorpus,
     "q108_stream_ivf_index" -> streamIvfIndex,
-    "q147_stream_scd2" -> streamScd2
+    "q147_stream_scd2" -> streamScd2,
+    "q153_stream_late_data" -> streamLateData
   )
 
   val oracle: Map[String, String] = Map(
@@ -497,6 +613,7 @@ object StreamingQ {
     "q96_stream_load" -> streamLoadSql,
     "q103_stream_dedup_corpus" -> streamDedupCorpusSql,
     "q108_stream_ivf_index" -> Similarity.ivfAssignDigestSql,
-    "q147_stream_scd2" -> streamScd2Sql
+    "q147_stream_scd2" -> streamScd2Sql,
+    "q153_stream_late_data" -> streamLateDataSql
   )
 }

@@ -119,6 +119,61 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("watermark drops a straggler into a finalized window; trailing " +
+      "window stays unflushed") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType)))
+    val arrivals = java.nio.file.Files.createTempDirectory("late_arrivals")
+    val scratch = java.nio.file.Files.createTempDirectory("late_scratch")
+    def writeArrival(name: String, hours: Seq[Double]): Unit = {
+      val staging = scratch.resolve(s"staging_$name")
+      hours.zipWithIndex
+        .map { case (h, i) =>
+          (name.hashCode.toLong * 100 + i,
+            new java.sql.Timestamp(1704067200000L + (h * 3600000).toLong)) }
+        .toDF("event_id", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging).iterator()
+      val it = scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
+      val src = it.find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(src, arrivals.resolve(s"$name.parquet"))
+    }
+    val sinkDir = scratch.resolve("win").toString
+    val ckpt = scratch.resolve("ckpt").toString
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(arrivals.toString)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // arrival 1: events at 01:30 and 03:30 -> watermark 03:20, the
+    // [01:00, 02:00) window finalizes with n = 1
+    writeArrival("a1", Seq(1.5, 3.5))
+    run()
+    // arrival 2: 06:30 (advances watermark to 06:20) and a 01:45
+    // straggler whose window closed in run 1 -> MUST be dropped;
+    // [06:00, 07:00) stays open past the final watermark
+    writeArrival("a2", Seq(6.5, 1.75))
+    run()
+    val out = spark.read.parquet(sinkDir).collect()
+      .map(r => (r.getTimestamp(0).getTime - 1704067200000L) / 3600000 ->
+        r.getLong(1)).toMap
+    assert(out(1L) === 1L)      // straggler did NOT reopen/double it
+    assert(out(3L) === 1L)
+    assert(!out.contains(6L))   // trailing window unflushed
+    assert(out.size === 2)
+  }
+
   test("scd2 load: versions accrue across arrivals; same-checkpoint " +
       "resume is exactly-once") {
     import spark.implicits._
