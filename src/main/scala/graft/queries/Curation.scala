@@ -1470,6 +1470,83 @@ object Curation {
        |         / ov.base_rate, 4) END AS lift
        |FROM fl, ov GROUP BY qb, ov.base_rate ORDER BY qb""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q154 curriculum ordering layout
+  // ---------------------------------------------------------------
+
+  /** q154: curriculum training order — documents laid out
+    * easiest-first (descending quality bucket), RANDOMIZED within
+    * each difficulty band by the deterministic seeded hash (the q114
+    * epoch discipline: same seed, same order, across re-runs and
+    * partitionings). The global position of every document comes from
+    * a THREE-level prefix sum — (bucket, hash-range sub-bucket)
+    * windows + a sub-bucket offset table + a bucket offset table,
+    * both broadcast-sized — so NO corpus-wide sort and no
+    * single-partition window ever runs (a per-bucket window alone
+    * would still sort corpus/10 rows in one partition). Digest: per
+    * difficulty band, its size, its exact [min_pos, max_pos] range
+    * (proving bands are contiguous and ordered), and an xor over
+    * (doc, position) pairs pinning the entire permutation.
+    *
+    * Scale shape: one quality scan, one (qb, hb)-partitioned
+    * window over ~10x1024 independent partitions, two tiny offset
+    * tables broadcast back. The oracle's single global ORDER BY is
+    * the semantic mirror, not the plan. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    prep(spark)
+    val t = TextAnalysis.scoredDocs(spark, dir)
+      .select(col("doc_id"), col("quality"))
+      .withColumn("qb", least(floor(col("quality") * 10), lit(9L))
+        .cast("long"))
+      .withColumn("ok", expr(Exprs.hash60(
+        "concat('curr1:', cast(doc_id as string))")))
+      .withColumn("hb", expr("ok div 1125899906842624")) // 2^50 -> 1024
+    val wIn = Window.partitionBy(col("qb"), col("hb"))
+      .orderBy(col("ok"), col("doc_id"))
+    val wHb = Window.partitionBy(col("qb")).orderBy(col("hb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val subOff = t.groupBy(col("qb"), col("hb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("boff", sum(col("c")).over(wHb) - col("c"))
+      .select(col("qb"), col("hb"), col("boff"))
+    val wQb = Window.orderBy(col("qb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qbOff = t.groupBy(col("qb")).agg(count(lit(1)).as("qc"))
+      .withColumn("qoff", sum(col("qc")).over(wQb) - col("qc"))
+      .select(col("qb"), col("qoff"))
+    t.withColumn("rin", row_number().over(wIn))
+      .join(broadcast(subOff), Seq("qb", "hb"))
+      .join(broadcast(qbOff), Seq("qb"))
+      .withColumn("pos", col("qoff") + col("boff") + col("rin") - 1)
+      .withColumn("h", expr(Exprs.hash60(
+        "concat(cast(doc_id as string), '@', cast(pos as string))")))
+      .groupBy(col("qb"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"),
+        expr("bit_xor(h)").as("order_digest"))
+      .orderBy(col("qb").desc)
+  }
+
+  val curriculumOrderSql: String =
+    s"""WITH ${TextAnalysis.scoredDocsSqlCtes},
+       |o AS (
+       |  SELECT doc_id,
+       |    least(CAST(floor(quality * 10) AS BIGINT), 9) AS qb,
+       |    ('0x' || substr(md5('curr1:' || CAST(doc_id AS VARCHAR)),
+       |      1, 15))::BIGINT AS ok
+       |  FROM q),
+       |p AS (
+       |  SELECT doc_id, qb,
+       |    row_number() OVER (ORDER BY qb DESC, ok, doc_id) - 1 AS pos
+       |  FROM o)
+       |SELECT qb, count(*) AS n_docs,
+       |  CAST(min(pos) AS BIGINT) AS min_pos,
+       |  CAST(max(pos) AS BIGINT) AS max_pos,
+       |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '@' ||
+       |    CAST(pos AS VARCHAR)), 1, 15))::BIGINT) AS order_digest
+       |FROM p GROUP BY 1 ORDER BY 1 DESC""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_dedup_clusters" -> dedupClusters,
     "q89_decontaminate" -> decontaminate,
@@ -1488,7 +1565,8 @@ object Curation {
     "q134_robust_outliers" -> robustOutliers,
     "q139_length_batches" -> lengthBatches,
     "q143_temperature_sample" -> temperatureSample,
-    "q150_quality_dup_lift" -> qualityDupLift
+    "q150_quality_dup_lift" -> qualityDupLift,
+    "q154_curriculum_order" -> curriculumOrder
   )
 
   val oracle: Map[String, String] = Map(
@@ -1509,6 +1587,7 @@ object Curation {
     "q134_robust_outliers" -> robustOutliersSql,
     "q139_length_batches" -> lengthBatchesSql,
     "q143_temperature_sample" -> temperatureSampleSql,
-    "q150_quality_dup_lift" -> qualityDupLiftSql
+    "q150_quality_dup_lift" -> qualityDupLiftSql,
+    "q154_curriculum_order" -> curriculumOrderSql
   )
 }

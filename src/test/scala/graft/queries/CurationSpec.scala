@@ -454,6 +454,26 @@ class CurationSpec extends SparkSpec {
     assert(out.size === 2)
   }
 
+  test("curriculum order: easy band owns the leading positions, bands " +
+      "are contiguous — hand-computed") {
+    // 2 all-stopword docs (quality 1.0, band 9) must occupy positions
+    // {0, 1}; 3 no-stopword 10-token docs (quality 0.05, band 0) fill
+    // {2, 3, 4}.
+    val uniq = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = corpus(Seq(
+      (0L, ("the " * 120).trim, "en", "s"),
+      (1L, ("of " * 120).trim, "en", "s"),
+      (2L, uniq, "en", "s"),
+      (3L, uniq + " lambda", "en", "s"),
+      (4L, uniq + " mu nu", "en", "s")))
+    val out = Curation.curriculumOrder(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out(9L) === ((2L, 0L, 1L)))
+    assert(out(0L) === ((3L, 2L, 4L)))
+    assert(out.size === 2)
+  }
+
   test("sampling filter involves no join or extra exchange before the rollup") {
     val dir = corpus(Seq((0L, "t", "en", "src0")))
     val plan = Curation.sourceSample(spark, dir)
