@@ -1388,9 +1388,10 @@ object Similarity {
     * 150,000 + 850,000·Σ(R(u) div d(u)) div 1,000,000): float
     * damping would make each round's Σ depend on cross-engine
     * accumulation order, integer division makes every iterate
-    * bit-exact. Dangling nodes keep their base rank (rank leak — the
-    * standard simplification; redistribution is one more
-    * aggregate-and-broadcast if wanted).
+    * bit-exact. Dangling-node mass redistributes uniformly each round
+    * (the textbook-complete form): one 1-row aggregate over the
+    * dangling slice, broadcast back — total mass is conserved up to
+    * integer floors.
     *
     * Scale shape: each round is one edge-set join on src (edges are
     * ≤ 3N and MEMOIZED — the graph builds once, shared with q138),
@@ -1402,18 +1403,30 @@ object Similarity {
     val edges = knnEdges(spark, dir)
     val nodes = vecs(spark, dir).select(col("vec_id"))
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
     var r = nodes.select(col("vec_id"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
       val contrib = edges.join(outd, "src")
         .join(r.withColumnRenamed("vec_id", "src"), "src")
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      // dangling mass (nodes with no out-edges) redistributes
+      // uniformly — the textbook-complete form; a 1-row aggregate
+      // broadcast back, still all-integer
+      val share = r
+        .join(outd.withColumnRenamed("src", "vec_id"),
+          Seq("vec_id"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+        .crossJoin(broadcast(nn))
+        .select(expr("dm div n_nodes").as("share"))
       r = nodes
         .join(contrib.withColumnRenamed("dst", "vec_id"),
           Seq("vec_id"), "left")
+        .crossJoin(broadcast(share))
         .select(col("vec_id"),
           (lit(150000L) +
-            expr("(850000 * coalesce(s, 0L)) div 1000000")).as("r"))
+            expr("(850000 * (coalesce(s, 0L) + share)) div 1000000"))
+            .as("r"))
     }
     r.withColumn("bucket", expr("r div 100000"))
       .withColumn("h", expr(Exprs.hash60("cast(vec_id as string)")))
@@ -1430,10 +1443,16 @@ object Similarity {
          |  FROM ed JOIN od USING (src)
          |  JOIN r${t - 1} ON r${t - 1}.vec_id = ed.src
          |  GROUP BY 1),
+         |g$t AS (
+         |  SELECT CAST(coalesce(sum(r), 0) // (SELECT count(*) FROM n)
+         |    AS BIGINT) AS share
+         |  FROM r${t - 1}
+         |  WHERE vec_id NOT IN (SELECT src FROM od)),
          |r$t AS (
          |  SELECT n.vec_id,
-         |    150000 + (850000 * coalesce(c$t.s, 0)) // 1000000 AS r
-         |  FROM n LEFT JOIN c$t ON n.vec_id = c$t.dst)""".stripMargin
+         |    150000 + (850000 * (coalesce(c$t.s, 0) + g$t.share))
+         |      // 1000000 AS r
+         |  FROM n LEFT JOIN c$t ON n.vec_id = c$t.dst, g$t)""".stripMargin
     s"""WITH $duckKnnEdgeCtes,
        |od AS (SELECT src, count(*) AS d FROM ed GROUP BY 1),
        |r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS r FROM n),
