@@ -1547,6 +1547,94 @@ object Curation {
        |    CAST(pos AS VARCHAR)), 1, 15))::BIGINT) AS order_digest
        |FROM p GROUP BY 1 ORDER BY 1 DESC""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q155 functional-dependency discovery (g3 error)
+  // ---------------------------------------------------------------
+
+  /** q155: approximate functional-dependency profiling — for each
+    * candidate FD `LHS -> RHS`, does the data obey it, and if not,
+    * how far off is it? The error measure is the standard g3
+    * (Kivinen & Mannila): the minimum number of rows to DELETE for
+    * the FD to hold exactly = sum over LHS groups of
+    * (group size − its majority-RHS count). Key discoveries
+    * (`doc_id -> source`, `n_nationkey -> n_name`) must come out
+    * exact; behavioral candidates (`source -> lang`) come out
+    * approximate with a quantified repair cost — the
+    * schema-inference pass a pipeline runs before trusting a column
+    * as a join key or a partition label.
+    *
+    * Scale shape: each candidate is the canonical two-phase profile —
+    * one (lhs, rhs) groupBy, one lhs-level reduction, one 1-row
+    * rollup; candidates over the same table share the scan. Nothing
+    * is quadratic in columns because candidates are DECLARED, not
+    * enumerated (lattice search is a driver-side loop over this same
+    * kernel). */
+  def fdDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    def fd(name: String, rows: DataFrame): DataFrame = rows
+      .groupBy(col("lhs"), col("rhs")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lhs"))
+      .agg(sum(col("c")).as("g_rows"), count(lit(1)).as("n_rhs"),
+        max(col("c")).as("max_c"))
+      .agg(sum(col("g_rows")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n_rhs") > 1, 1L).otherwise(0L))
+          .as("n_violating"),
+        sum(col("g_rows") - col("max_c")).as("g3_rows"))
+      .select(lit(name).as("fd"), col("n_rows"), col("n_groups"),
+        col("n_violating"), col("g3_rows"),
+        (col("n_violating") === 0).as("holds"))
+    val cands = Seq(
+      fd("nation: n_nationkey -> n_name",
+        nation(spark, dir).select(
+          col("n_nationkey").cast("string").as("lhs"),
+          col("n_name").as("rhs"))),
+      fd("nation: n_regionkey -> n_name",
+        nation(spark, dir).select(
+          col("n_regionkey").cast("string").as("lhs"),
+          col("n_name").as("rhs"))),
+      fd("customer: c_nationkey -> c_mktsegment",
+        customer(spark, dir).select(
+          col("c_nationkey").cast("string").as("lhs"),
+          col("c_mktsegment").as("rhs"))),
+      fd("documents: doc_id -> source",
+        documents(spark, dir).select(
+          col("doc_id").cast("string").as("lhs"), col("source").as("rhs"))),
+      fd("documents: source -> lang",
+        documents(spark, dir).select(
+          col("source").as("lhs"), col("lang").as("rhs"))))
+    cands.reduce(_.unionByName(_)).orderBy("fd")
+  }
+
+  val fdDiscoverySql: String = {
+    def one(name: String, table: String, lhs: String,
+        rhs: String): String =
+      s"""SELECT '$name' AS fd,
+         |  CAST(sum(g_rows) AS BIGINT) AS n_rows,
+         |  count(*) AS n_groups,
+         |  CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating,
+         |  CAST(sum(g_rows - max_c) AS BIGINT) AS g3_rows,
+         |  sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         |FROM (
+         |  SELECT lhs, sum(c) AS g_rows, count(*) AS n_rhs,
+         |    max(c) AS max_c
+         |  FROM (SELECT CAST($lhs AS VARCHAR) AS lhs, $rhs AS rhs,
+         |          count(*) AS c
+         |        FROM $table GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    Seq(
+      one("nation: n_nationkey -> n_name", "nation", "n_nationkey",
+        "n_name"),
+      one("nation: n_regionkey -> n_name", "nation", "n_regionkey",
+        "n_name"),
+      one("customer: c_nationkey -> c_mktsegment", "customer",
+        "c_nationkey", "c_mktsegment"),
+      one("documents: doc_id -> source", "documents", "doc_id", "source"),
+      one("documents: source -> lang", "documents", "source", "lang"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_dedup_clusters" -> dedupClusters,
     "q89_decontaminate" -> decontaminate,
@@ -1566,7 +1654,8 @@ object Curation {
     "q139_length_batches" -> lengthBatches,
     "q143_temperature_sample" -> temperatureSample,
     "q150_quality_dup_lift" -> qualityDupLift,
-    "q154_curriculum_order" -> curriculumOrder
+    "q154_curriculum_order" -> curriculumOrder,
+    "q155_fd_discovery" -> fdDiscovery
   )
 
   val oracle: Map[String, String] = Map(
@@ -1588,6 +1677,7 @@ object Curation {
     "q139_length_batches" -> lengthBatchesSql,
     "q143_temperature_sample" -> temperatureSampleSql,
     "q150_quality_dup_lift" -> qualityDupLiftSql,
-    "q154_curriculum_order" -> curriculumOrderSql
+    "q154_curriculum_order" -> curriculumOrderSql,
+    "q155_fd_discovery" -> fdDiscoverySql
   )
 }

@@ -474,6 +474,32 @@ class CurationSpec extends SparkSpec {
     assert(out.size === 2)
   }
 
+  test("fd discovery: key FD exact, violated FD pays its g3 repair " +
+      "cost — hand-computed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("curation_spec").toString
+    // source A: {en, en} (holds); source B: {en, de} (one row to
+    // delete); doc_id -> source is a key FD (always holds)
+    Seq((0L, "t0", "en", "A"), (1L, "t1", "en", "A"),
+      (2L, "t2", "en", "B"), (3L, "t3", "de", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((0L, "ALG", 0L, "c"))
+      .toDF("n_nationkey", "n_name", "n_regionkey", "n_comment")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((0L, "c0", 0L, 1.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = Curation.fdDiscovery(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out("documents: doc_id -> source") === ((4L, 4L, 0L, 0L, true)))
+    assert(out("documents: source -> lang") === ((4L, 2L, 1L, 1L, false)))
+    assert(out("nation: n_nationkey -> n_name") === ((1L, 1L, 0L, 0L, true)))
+  }
+
   test("sampling filter involves no join or extra exchange before the rollup") {
     val dir = corpus(Seq((0L, "t", "en", "src0")))
     val plan = Curation.sourceSample(spark, dir)
