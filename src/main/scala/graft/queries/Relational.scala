@@ -1678,6 +1678,77 @@ object Relational {
     s"WITH $ctes\n$body\nORDER BY keyspace"
   }
 
+  // ---------------------------------------------------------------
+  // q156 session path mining
+  // ---------------------------------------------------------------
+
+  /** q156: clickstream path mining — the most common session-opening
+    * event sequences: sessions form on the q25 5-minute-gap rule
+    * (lag-and-cumsum per user), each session renders its first THREE
+    * event types as an "a->b->c" path (shorter sessions render what
+    * they have), and the top 15 paths rank by frequency with a full
+    * deterministic tiebreak. The what-do-users-actually-do summary
+    * behind funnel design (q133 checks a HYPOTHESIZED order; this
+    * DISCOVERS the orders worth hypothesizing).
+    *
+    * Scale shape: one user-keyed exchange for the session windows;
+    * per-session assembly sorts each session's OWN events (bounded by
+    * session length, the q118 contract); the path table is bounded by
+    * |types|³ and ranks via TakeOrderedAndProject. */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val w = Window.partitionBy("user_id").orderBy(col("tsus"), col("event_id"))
+    val wCum = Window.partitionBy("user_id")
+      .orderBy(col("tsus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsus"))
+      .withColumn("brk", when(
+        col("tsus") - lag(col("tsus"), 1).over(w) >= 300000000L, 1)
+        .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(wCum))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(expr(
+        """concat_ws('->', transform(
+          |  slice(array_sort(collect_list(
+          |    struct(tsus, event_id, event_type))), 1, 3),
+          |  s -> s.event_type))""".stripMargin).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(15)
+  }
+
+  val sessionPathsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsus
+      |  FROM events),
+      |o AS (
+      |  SELECT user_id, event_id, event_type, tsus,
+      |    CASE WHEN tsus - lag(tsus) OVER (PARTITION BY user_id
+      |           ORDER BY tsus, event_id) >= 300000000 THEN 1 ELSE 0 END
+      |      AS brk
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, event_id, event_type, tsus,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY tsus, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o),
+      |r AS (
+      |  SELECT user_id, sid, event_type, tsus, event_id,
+      |    row_number() OVER (PARTITION BY user_id, sid
+      |      ORDER BY tsus, event_id) AS rn
+      |  FROM s),
+      |p AS (
+      |  SELECT user_id, sid,
+      |    string_agg(event_type, '->' ORDER BY tsus, event_id) AS path
+      |  FROM r WHERE rn <= 3 GROUP BY 1, 2)
+      |SELECT path, count(*) AS n_sessions
+      |FROM p GROUP BY 1
+      |ORDER BY n_sessions DESC, path ASC LIMIT 15""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_events_daily" -> eventsDaily,
@@ -1720,7 +1791,8 @@ object Relational {
     "q142_transition_matrix" -> transitionMatrix,
     "q144_volume_trend" -> volumeTrend,
     "q148_rfm_segments" -> rfmSegments,
-    "q151_skew_profile" -> skewProfile
+    "q151_skew_profile" -> skewProfile,
+    "q156_session_paths" -> sessionPaths
   )
 
   val oracle: Map[String, String] = Map(
@@ -1765,6 +1837,7 @@ object Relational {
     "q142_transition_matrix" -> transitionMatrixSql,
     "q144_volume_trend" -> volumeTrendSql,
     "q148_rfm_segments" -> rfmSegmentsSql,
-    "q151_skew_profile" -> skewProfileSql
+    "q151_skew_profile" -> skewProfileSql,
+    "q156_session_paths" -> sessionPathsSql
   )
 }

@@ -403,6 +403,26 @@ class RelationalSpec extends SparkSpec {
     assert(e.getLong(6) === 1L)
   }
 
+  test("session paths: 3-prefix truncation, gap splits, short sessions " +
+      "render fully — hand-computed") {
+    import spark.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("path_spec").toString
+    def ns(s: Long): Long = s * 1000000000L
+    // u1: a,b,c,d within one session -> path 'a->b->c' (truncated);
+    // u2: 'x' alone, then a 400s gap, then 'y','z' -> paths 'x', 'y->z'
+    Seq(
+      (0L, ns(0), 1L, "a", 1.0), (1L, ns(10), 1L, "b", 1.0),
+      (2L, ns(20), 1L, "c", 1.0), (3L, ns(30), 1L, "d", 1.0),
+      (4L, ns(0), 2L, "x", 1.0),
+      (5L, ns(400), 2L, "y", 1.0), (6L, ns(410), 2L, "z", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$fdir/events.parquet")
+    val out = Relational.sessionPaths(spark, fdir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a->b->c" -> 1L, "x" -> 1L, "y->z" -> 1L))
+  }
+
   test("scd2: changed keys version, no-ops carry, new keys insert — " +
       "hand-computed state table") {
     import spark.implicits._
