@@ -1749,6 +1749,64 @@ object Relational {
       |FROM p GROUP BY 1
       |ORDER BY n_sessions DESC, path ASC LIMIT 15""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q157 DAU / WAU engagement
+  // ---------------------------------------------------------------
+
+  /** q157: daily and trailing-7-day active users with the stickiness
+    * ratio (DAU/WAU) — the engagement dashboard's backbone. Rolling
+    * DISTINCT counts don't decompose into window aggregates, so the
+    * scale-correct shape is: reduce to the distinct (user, day)
+    * grain ONCE (the corpus-sized step), then fan each activity day
+    * into the ≤7 trailing report days it supports (a bounded explode
+    * on the tiny grain) and count distinct users per report day.
+    * Report days are calendar days with any activity; stickiness is
+    * the one rounded division, computed from identical integers.
+    *
+    * Scale shape: one corpus scan → (user, day) distinct (one
+    * shuffle); the ×7 fan-out happens on the REDUCED grain; the
+    * per-day distinct is user-keyed and bounded by 7×users. No
+    * range-window distinct, no per-day self-join of the event log. */
+  def dauWau(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val ud = events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("dn"))
+      .distinct()
+    val dau = ud.groupBy(col("dn")).agg(countDistinct(col("user_id"))
+      .as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(expr(
+        "sequence(dn, dn + 6)")).as("rd"))
+      .join(dau.select(col("dn").as("rd")), "rd") // report days only
+      .groupBy(col("rd"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("dn") === col("rd"))
+      .select(col("dn"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6)
+          .as("stickiness"))
+      .orderBy("dn")
+  }
+
+  val dauWauSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn
+      |  FROM events),
+      |dau AS (SELECT dn, count(DISTINCT user_id) AS dau
+      |        FROM ud GROUP BY 1),
+      |f AS (
+      |  SELECT ud.user_id, ud.dn + i AS rd
+      |  FROM ud, range(0, 7) t(i)),
+      |wau AS (
+      |  SELECT f.rd, count(DISTINCT f.user_id) AS wau
+      |  FROM f JOIN dau ON f.rd = dau.dn
+      |  GROUP BY 1)
+      |SELECT dau.dn, dau.dau, wau.wau,
+      |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+      |FROM dau JOIN wau ON dau.dn = wau.rd
+      |ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_events_daily" -> eventsDaily,
@@ -1792,7 +1850,8 @@ object Relational {
     "q144_volume_trend" -> volumeTrend,
     "q148_rfm_segments" -> rfmSegments,
     "q151_skew_profile" -> skewProfile,
-    "q156_session_paths" -> sessionPaths
+    "q156_session_paths" -> sessionPaths,
+    "q157_dau_wau" -> dauWau
   )
 
   val oracle: Map[String, String] = Map(
@@ -1838,6 +1897,7 @@ object Relational {
     "q144_volume_trend" -> volumeTrendSql,
     "q148_rfm_segments" -> rfmSegmentsSql,
     "q151_skew_profile" -> skewProfileSql,
-    "q156_session_paths" -> sessionPathsSql
+    "q156_session_paths" -> sessionPathsSql,
+    "q157_dau_wau" -> dauWauSql
   )
 }

@@ -423,6 +423,32 @@ class RelationalSpec extends SparkSpec {
     assert(out === Map("a->b->c" -> 1L, "x" -> 1L, "y->z" -> 1L))
   }
 
+  test("dau/wau: trailing week counts distinct users across activity " +
+      "gaps — hand-computed") {
+    import spark.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("dau_spec").toString
+    val day0 = 1704067200L
+    def dayTs(d: Int, j: Int): Long = (day0 + d * 86400L + j) * 1000000000L
+    // u1 active days 0 and 3 (twice on day 0 — must not double-count),
+    // u2 day 0 only, u3 day 5. Report days {0,3,5}: DAU 2/1/1;
+    // WAU(0)={u1,u2}; WAU(3) spans [-3,3]={u1,u2}; WAU(5) spans
+    // [-1,5] which still REACHES day 0 -> {u1,u2,u3}=3.
+    Seq((0L, dayTs(0, 0), 1L), (1L, dayTs(0, 60), 1L),
+      (2L, dayTs(3, 0), 1L), (3L, dayTs(0, 0), 2L), (4L, dayTs(5, 0), 3L))
+      .map { case (e, t, u) => (e, t, u, "view", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$fdir/events.parquet")
+    val base = 19723L - 19723L + (day0 / 86400L)
+    val out = Relational.dauWau(spark, fdir).collect()
+      .map(r => (r.getInt(0).toLong - base) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(0L) === ((2L, 2L, 1.0)))
+    assert(out(3L) === ((1L, 2L, 0.5)))
+    assert(out(5L) === ((1L, 3L, 0.333333)))
+  }
+
   test("scd2: changed keys version, no-ops carry, new keys insert — " +
       "hand-computed state table") {
     import spark.implicits._
