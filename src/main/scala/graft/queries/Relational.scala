@@ -1807,6 +1807,57 @@ object Relational {
       |FROM dau JOIN wau ON dau.dn = wau.rd
       |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q158 inter-event gap spectrum
+  // ---------------------------------------------------------------
+
+  /** q158: per-user inter-event gap spectrum — the burstiness
+    * fingerprint: each consecutive-event gap (per user, exact epoch
+    * µs) lands in a power-of-two SECONDS bucket (integer bit length —
+    * the q139/q146 discipline, no float log), and the per-type
+    * histogram separates human rhythm (multi-modal: bursts + daily
+    * returns) from scripted traffic (a single tight mode). Feeds the
+    * q25/q41 session-gap threshold choice with evidence instead of a
+    * folklore 5-minute constant.
+    *
+    * Scale shape: one user-keyed exchange for the lag window; the
+    * spectrum is a (type, ≤40 buckets) table. Sub-second gaps land in
+    * bucket 0 via the greatest(…, 1) clamp. */
+  def gapSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_s",
+        expr("(us - lag(us, 1) over (partition by user_id " +
+          "order by us, event_id)) div 1000000"))
+      .filter(col("gap_s").isNotNull)
+      .withColumn("gb",
+        (length(bin(greatest(col("gap_s"), lit(1L)))) - 1).cast("long"))
+      .groupBy(col("event_type"), col("gb"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sum_gap_s"))
+      .orderBy("event_type", "gb")
+  }
+
+  val gapSpectrumSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    (us - lag(us) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id)) // 1000000 AS gap_s
+      |  FROM e),
+      |b AS (
+      |  SELECT event_type,
+      |    CAST(length(bin(greatest(gap_s, 1))) - 1 AS BIGINT) AS gb,
+      |    gap_s
+      |  FROM g WHERE gap_s IS NOT NULL)
+      |SELECT event_type, gb, count(*) AS n_gaps,
+      |  CAST(sum(gap_s) AS BIGINT) AS sum_gap_s
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_events_daily" -> eventsDaily,
@@ -1851,7 +1902,8 @@ object Relational {
     "q148_rfm_segments" -> rfmSegments,
     "q151_skew_profile" -> skewProfile,
     "q156_session_paths" -> sessionPaths,
-    "q157_dau_wau" -> dauWau
+    "q157_dau_wau" -> dauWau,
+    "q158_gap_spectrum" -> gapSpectrum
   )
 
   val oracle: Map[String, String] = Map(
@@ -1898,6 +1950,7 @@ object Relational {
     "q148_rfm_segments" -> rfmSegmentsSql,
     "q151_skew_profile" -> skewProfileSql,
     "q156_session_paths" -> sessionPathsSql,
-    "q157_dau_wau" -> dauWauSql
+    "q157_dau_wau" -> dauWauSql,
+    "q158_gap_spectrum" -> gapSpectrumSql
   )
 }

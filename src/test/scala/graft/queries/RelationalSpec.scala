@@ -449,6 +449,28 @@ class RelationalSpec extends SparkSpec {
     assert(out(5L) === ((1L, 3L, 0.333333)))
   }
 
+  test("gap spectrum: power-of-two second buckets, per-user lag, " +
+      "sub-second clamp — hand-computed") {
+    import spark.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("gap_spec").toString
+    def us(v: Long): Long = v * 1000L // microseconds -> ns column
+    // u1: gaps 0.5s (bucket 0 via clamp), 3s (bucket 1), 300s
+    // (bucket 8: 256..511); u2 single event -> no gap
+    Seq(
+      (0L, us(0), 1L, "a", 1.0),
+      (1L, us(500000), 1L, "a", 1.0),          // +0.5 s
+      (2L, us(3500000), 1L, "a", 1.0),         // +3 s
+      (3L, us(303500000), 1L, "a", 1.0),       // +300 s
+      (4L, us(0), 2L, "a", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$fdir/events.parquet")
+    val out = Relational.gapSpectrum(spark, fdir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(0L -> ((1L, 0L)), 1L -> ((1L, 3L)),
+      8L -> ((1L, 300L))))
+  }
+
   test("scd2: changed keys version, no-ops carry, new keys insert — " +
       "hand-computed state table") {
     import spark.implicits._
