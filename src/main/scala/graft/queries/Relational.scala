@@ -1858,6 +1858,77 @@ object Relational {
       |  CAST(sum(gap_s) AS BIGINT) AS sum_gap_s
       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q159 Pareto revenue concentration
+  // ---------------------------------------------------------------
+
+  /** q159: revenue-concentration (Pareto) profile — how few buyers
+    * produce how much of the spend. Per-user purchase cents roll into
+    * power-of-two spend buckets (integer bit length); buckets rank
+    * richest-first with running user and revenue totals and the
+    * cumulative revenue share, and the first bucket whose running
+    * share reaches 80% is flagged — the "whales down to THIS spend
+    * tier cover 80%" statement. Bucket resolution is the deliberate
+    * scale trade: the exact 80th-percentile user needs a global
+    * revenue sort; the ≤40-bucket profile needs only a user-grain
+    * reduction and answers the same operational question.
+    *
+    * Share arithmetic: cum_cents·10⁶ div total (integer) is compared
+    * to 800000 — no float division feeds the flag; the rounded share
+    * column is display-only. */
+  def paretoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val users = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .withColumn("vb",
+        (length(bin(greatest(col("cents"), lit(1L)))) - 1).cast("long"))
+    val buckets = users.groupBy(col("vb"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents"))
+    val tot = buckets.agg(sum(col("cents")).as("total"))
+    val w = Window.orderBy(col("vb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets.crossJoin(broadcast(tot))
+      .withColumn("cum_users", sum(col("n_users")).over(w))
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .withColumn("share_ppm",
+        expr("(cum_cents * 1000000) div total"))
+      .withColumn("prev_ppm",
+        expr("((cum_cents - cents) * 1000000) div total"))
+      .withColumn("crosses_80",
+        col("share_ppm") >= 800000 && col("prev_ppm") < 800000)
+      .select(col("vb"), col("n_users"), col("cents"),
+        col("cum_users"), col("cum_cents"),
+        round(col("share_ppm").cast("double") / 1000000, 6)
+          .as("cum_share"), col("crosses_80"))
+      .orderBy(col("vb").desc)
+  }
+
+  val paretoRevenueSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |b AS (
+      |  SELECT CAST(length(bin(greatest(cents, 1))) - 1 AS BIGINT) AS vb,
+      |    count(*) AS n_users, CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM u GROUP BY 1),
+      |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM b),
+      |c AS (
+      |  SELECT vb, n_users, cents,
+      |    CAST(sum(n_users) OVER w AS BIGINT) AS cum_users,
+      |    CAST(sum(cents) OVER w AS BIGINT) AS cum_cents,
+      |    t.total
+      |  FROM b, t
+      |  WINDOW w AS (ORDER BY vb DESC ROWS UNBOUNDED PRECEDING))
+      |SELECT vb, n_users, cents, cum_users, cum_cents,
+      |  round(CAST((cum_cents * 1000000) // total AS DOUBLE) / 1000000, 6)
+      |    AS cum_share,
+      |  (cum_cents * 1000000) // total >= 800000 AND
+      |    ((cum_cents - cents) * 1000000) // total < 800000 AS crosses_80
+      |FROM c ORDER BY vb DESC""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_events_daily" -> eventsDaily,
@@ -1903,7 +1974,8 @@ object Relational {
     "q151_skew_profile" -> skewProfile,
     "q156_session_paths" -> sessionPaths,
     "q157_dau_wau" -> dauWau,
-    "q158_gap_spectrum" -> gapSpectrum
+    "q158_gap_spectrum" -> gapSpectrum,
+    "q159_pareto_revenue" -> paretoRevenue
   )
 
   val oracle: Map[String, String] = Map(
@@ -1951,6 +2023,7 @@ object Relational {
     "q151_skew_profile" -> skewProfileSql,
     "q156_session_paths" -> sessionPathsSql,
     "q157_dau_wau" -> dauWauSql,
-    "q158_gap_spectrum" -> gapSpectrumSql
+    "q158_gap_spectrum" -> gapSpectrumSql,
+    "q159_pareto_revenue" -> paretoRevenueSql
   )
 }

@@ -471,6 +471,27 @@ class RelationalSpec extends SparkSpec {
       8L -> ((1L, 300L))))
   }
 
+  test("pareto: cumulative shares descend from the richest bucket and " +
+      "the 80% line flags once — hand-computed") {
+    import spark.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("pareto_spec").toString
+    def ns(s: Long): Long = s * 1000000000L
+    // user 1: 2x$4.00 = 800c (bucket 9), user 2: $1.50 = 150c
+    // (bucket 7), user 3: $0.50 = 50c (bucket 5); total 1000c.
+    // Richest-first shares: 0.8 (crosses exactly), 0.95, 1.0.
+    Seq((0L, ns(1), 1L, "purchase", 4.0), (1L, ns(2), 1L, "purchase", 4.0),
+      (2L, ns(1), 2L, "purchase", 1.5), (3L, ns(1), 3L, "purchase", 0.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$fdir/events.parquet")
+    val out = Relational.paretoRevenue(spark, fdir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(out(9L) === ((1L, 800L, 0.8, true)))
+    assert(out(7L) === ((2L, 950L, 0.95, false)))
+    assert(out(5L) === ((3L, 1000L, 1.0, false)))
+  }
+
   test("scd2: changed keys version, no-ops carry, new keys insert — " +
       "hand-computed state table") {
     import spark.implicits._
