@@ -1929,6 +1929,78 @@ object Relational {
       |    ((cum_cents - cents) * 1000000) // total < 800000 AS crosses_80
       |FROM c ORDER BY vb DESC""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q160 referential-integrity audit
+  // ---------------------------------------------------------------
+
+  /** q160: referential-integrity audit across the star schema — for
+    * each declared FK relationship, how many child rows point at a
+    * parent that does not exist (orphans), with an xor fingerprint of
+    * the orphaned keys. Parquet lakes have no enforced constraints,
+    * so RI is a MEASUREMENT here: the audit a pipeline runs after
+    * every load, next to q130's profile and q155's FD check (q155
+    * asks "is this column a key"; this asks "do these keys
+    * resolve").
+    *
+    * Scale shape: each relationship is one LEFT ANTI join on the key
+    * (child-side shuffle against the parent key set — for dimension
+    * parents a broadcast; Catalyst picks it) followed by a 1-row
+    * digest. No row-level output. */
+  def riAudit(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    def rel(name: String, child: DataFrame, parent: DataFrame)
+        : DataFrame = {
+      val total = child.agg(count(lit(1)).as("n_child_rows"))
+      child.join(parent, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"),
+          coalesce(expr("bit_xor(" +
+            Exprs.hash60("cast(k as string)") + ")"), lit(0L))
+            .as("orphan_digest"))
+        .crossJoin(broadcast(total))
+        .select(lit(name).as("relationship"), col("n_child_rows"),
+          col("n_orphans"), col("orphan_digest"))
+    }
+    Seq(
+      rel("lineitem.l_orderkey -> orders",
+        lineitem(spark, dir).select(col("l_orderkey").as("k")),
+        orders(spark, dir).select(col("o_orderkey").as("k")).distinct()),
+      rel("orders.o_custkey -> customer",
+        orders(spark, dir).select(col("o_custkey").as("k")),
+        customer(spark, dir).select(col("c_custkey").as("k")).distinct()),
+      rel("customer.c_nationkey -> nation",
+        customer(spark, dir)
+          .select(col("c_nationkey").cast("long").as("k")),
+        nation(spark, dir)
+          .select(col("n_nationkey").cast("long").as("k")).distinct()),
+      rel("events.user_id -> customer",
+        events(spark, dir).select(col("user_id").as("k")),
+        customer(spark, dir).select(col("c_custkey").as("k")).distinct()))
+      .reduce(_.unionByName(_)).orderBy("relationship")
+  }
+
+  val riAuditSql: String = {
+    def one(name: String, child: String, ck: String, parent: String,
+        pk: String): String =
+      s"""SELECT '$name' AS relationship,
+         |  (SELECT count(*) FROM $child) AS n_child_rows,
+         |  count(*) AS n_orphans,
+         |  coalesce(bit_xor(('0x' || substr(md5(CAST(k AS VARCHAR)),
+         |    1, 15))::BIGINT), 0) AS orphan_digest
+         |FROM (SELECT CAST($ck AS BIGINT) AS k FROM $child) c
+         |WHERE NOT EXISTS (SELECT 1 FROM $parent p
+         |                  WHERE CAST(p.$pk AS BIGINT) = c.k)""".stripMargin
+    Seq(
+      one("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      one("orders.o_custkey -> customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      one("customer.c_nationkey -> nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      one("events.user_id -> customer", "events", "user_id",
+        "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_events_daily" -> eventsDaily,
@@ -1975,7 +2047,8 @@ object Relational {
     "q156_session_paths" -> sessionPaths,
     "q157_dau_wau" -> dauWau,
     "q158_gap_spectrum" -> gapSpectrum,
-    "q159_pareto_revenue" -> paretoRevenue
+    "q159_pareto_revenue" -> paretoRevenue,
+    "q160_ri_audit" -> riAudit
   )
 
   val oracle: Map[String, String] = Map(
@@ -2024,6 +2097,7 @@ object Relational {
     "q156_session_paths" -> sessionPathsSql,
     "q157_dau_wau" -> dauWauSql,
     "q158_gap_spectrum" -> gapSpectrumSql,
-    "q159_pareto_revenue" -> paretoRevenueSql
+    "q159_pareto_revenue" -> paretoRevenueSql,
+    "q160_ri_audit" -> riAuditSql
   )
 }

@@ -492,6 +492,35 @@ class RelationalSpec extends SparkSpec {
     assert(out(5L) === ((3L, 1000L, 1.0, false)))
   }
 
+  test("ri audit: one planted orphan per relationship is found — " +
+      "hand-computed") {
+    import spark.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("ri_spec").toString
+    Seq((1L, "c1", 0L, 1.0, "S"), (2L, "c2", 5L, 1.0, "S"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$fdir/customer.parquet")
+    Seq((0L, "ALG", 0L)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$fdir/nation.parquet")
+    Seq((10L, 1L, "O", 1.0), (11L, 99L, "O", 1.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$fdir/orders.parquet")
+    Seq((10L, 1L, 1.0), (99L, 1L, 1.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$fdir/lineitem.parquet")
+    Seq((0L, 1000000000L, 1L, "view", 1.0), (1L, 2000000000L, 42L,
+      "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$fdir/events.parquet")
+    val out = Relational.riAudit(spark, fdir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("lineitem.l_orderkey -> orders") === ((2L, 1L)))
+    assert(out("orders.o_custkey -> customer") === ((2L, 1L)))
+    assert(out("customer.c_nationkey -> nation") === ((2L, 1L)))
+    assert(out("events.user_id -> customer") === ((2L, 1L)))
+  }
+
   test("scd2: changed keys version, no-ops carry, new keys insert — " +
       "hand-computed state table") {
     import spark.implicits._
