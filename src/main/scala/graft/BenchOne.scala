@@ -24,7 +24,9 @@ object BenchOne {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"TIMING $name $dt%.2f s (${df.count()} rows)")
+      // no row count: a second action would re-execute the whole query
+      // (and replay side effects for the benchExclusions shapes)
+      println(f"TIMING $name $dt%.2f s")
     }
     spark.stop()
   }

@@ -104,11 +104,14 @@ object TopK {
 case class TermEntry(score: Double, term: String)
 
 /** Bounded-heap top-k over (score, term) — identical two-phase
-  * geometry and NaN/duplicate discipline as [[TopKAgg]] (map-side
-  * partial aggregation keeps <= 2k entries per buffer; nothing ever
-  * sorts a full group), with the tiebreak on the term STRING so the
-  * oracle's `ORDER BY score DESC, term ASC` window reproduces the
-  * exact rows. */
+  * geometry and NaN discipline as [[TopKAgg]] (map-side partial
+  * aggregation keeps <= 2k entries per buffer; nothing ever sorts a
+  * full group), with the tiebreak on the term STRING so the oracle's
+  * `ORDER BY score DESC, term ASC` window reproduces the exact rows.
+  * Terms are UNIQUE in the result: a term fed with several scores
+  * keeps only its best (score DESC, then the entry ordering) — so a
+  * caller passing un-pre-aggregated (score, term) rows gets one slot
+  * per term, never the same term twice. */
 class TopTermsAgg(k: Int)
     extends Aggregator[TermEntry, Seq[TermEntry], Seq[TermEntry]] {
 
@@ -126,8 +129,11 @@ class TopTermsAgg(k: Int)
   }
 
   private def trim(s: Seq[TermEntry]): Seq[TermEntry] =
-    s.distinctBy(e => (e.term, java.lang.Double.doubleToLongBits(e.score)))
-      .sortWith(better).take(k)
+    // dedup by TERM keeping the best entry, so duplicate terms can
+    // never occupy two of the k slots (term-unique result contract)
+    s.groupBy(_.term).valuesIterator
+      .map(_.reduceLeft((a, b) => if (better(a, b)) a else b))
+      .toSeq.sortWith(better).take(k)
 
   override def zero: Seq[TermEntry] = Vector.empty
 

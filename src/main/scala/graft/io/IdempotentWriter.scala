@@ -80,6 +80,26 @@ object IdempotentWriter {
       partitionCol: String = "fecha"): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    val staging = path + "_merge_staging"
+    val stgP = new org.apache.hadoop.fs.Path(staging)
+    // Staging lives next to the target, so it shares the target's
+    // scheme — every staging touch goes through the Hadoop FileSystem
+    // (same rationale as pathExists: java.nio silently no-ops on
+    // hdfs:// / s3a://, leaking the staging copy forever).
+    val fs = stgP.getFileSystem(spark.sessionState.newHadoopConf())
+    // Entry recovery (the scd2Merge discipline): leftover staging
+    // means a previous run died after building the merged copy. A
+    // COMMITTED staging (_SUCCESS marker) may have been mid-overwrite
+    // into the target when it crashed — re-apply it before merging,
+    // or this run would read a half-overwritten target as "existing".
+    // An uncommitted staging died during its own write; the target
+    // was never touched, so it is just scratch to discard.
+    if (fs.exists(stgP)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
+        overwritePartitions(spark.read.parquet(staging), path,
+          partitionCol, addLoadDate = false)
+      fs.delete(stgP, true)
+    }
     if (!pathExists(spark, path)) {
       overwritePartitions(batch, path, partitionCol, addLoadDate = false)
       return
@@ -90,25 +110,14 @@ object IdempotentWriter {
       .filter(col(partitionCol).isin(touched.toIndexedSeq: _*))
     val survivors = scoped
       .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
-    val staging = path + "_merge_staging"
     survivors.unionByName(batch, allowMissingColumns = false)
       .write.mode("overwrite").partitionBy(partitionCol).parquet(staging)
     // staging is removed only on SUCCESS: after a failed or killed
-    // overwrite it is the recovery copy of the merged partitions
+    // overwrite it is the recovery copy of the merged partitions,
+    // and the entry recovery above replays it on the next call
     overwritePartitions(
       spark.read.parquet(staging), path, partitionCol, addLoadDate = false)
-    deleteRecursively(staging)
-  }
-
-  /** Remove a scratch directory tree if present (children first). */
-  private def deleteRecursively(path: String): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(p)) {
-      val stream = java.nio.file.Files.walk(p)
-      try stream.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally stream.close()
-    }
+    fs.delete(stgP, true)
   }
 
   /** Overwrite exactly the `partitionCol` partitions present in `df`,
