@@ -36,7 +36,7 @@ class ReconcileSpec extends SparkSpec {
     import spark.implicits._
     val rows = (1L to 100L).map(i => (i, i * 7L, s"p${i % 3}"))
     val a = rows.toDF("id", "v", "part").repartition(13)
-    val b = scala.util.Random.shuffle(rows).toDF("id", "v", "part")
+    val b = new scala.util.Random(20260813L).shuffle(rows).toDF("id", "v", "part")
       .repartition(3)
     val statuses = Reconcile.compare(a, b, "part", Seq("id", "v"))
       .select("status").collect().map(_.getString(0)).toSet
