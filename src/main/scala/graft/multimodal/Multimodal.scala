@@ -189,9 +189,76 @@ object Multimodal {
     FrameSample(nf, sampled, s)
   }
 
-  /** STUB decode — deterministic fake standing in for libjpeg/ffmpeg
-    * (not present in this environment). Derives metadata purely from
-    * payload bytes so tests and oracles are reproducible. */
+  /** REAL image decode for the formats the JDK ships codecs for —
+    * JPEG, PNG, GIF, BMP — via `javax.imageio.ImageIO` (zero external
+    * dependencies; `ImageIO.read` sniffs the container magic itself).
+    * Returns the same [[PpmImage]] digest shape as [[decodePpm]]:
+    * dimensions + per-channel sums over the sRGB raster. None when
+    * the payload is not a decodable image (ImageIO returns null on
+    * unrecognized magic; a truncated/corrupt container throws — both
+    * map to None so callers fall back like the PPM path). */
+  def decodeImageIO(payload: Array[Byte]): Option[PpmImage] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        PpmImage(w, h, sr, sg, sb)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Full image decode chain: the byte-exact PPM codec first (cheap
+    * magic check), then the JDK's JPEG/PNG/GIF/BMP codecs. */
+  def decodeImage(payload: Array[Byte]): Option[PpmImage] =
+    decodePpm(payload).orElse(decodeImageIO(payload))
+
+  /** Encode the synthetic raster `pixel(k) = (id*7 + k*13) % 256`
+    * (the [[syntheticPpm]] formula, shared so the SQL oracles restate
+    * ONE generation rule) as PNG or JPEG bytes via ImageIO. PNG is
+    * lossless, so a decode of the PNG bytes must reproduce the
+    * formula sums exactly; JPEG is lossy, so q161 checks dims exactly
+    * and pixel sums within a stated band. */
+  def encodeImage(id: Long, format: String): Array[Byte] = {
+    val w = 4 + (id % 8).toInt
+    val h = 3 + (id % 5).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var k = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 7 + k * 13) % 256).toInt
+        val g = ((id * 7 + (k + 1) * 13) % 256).toInt
+        val b = ((id * 7 + (k + 2) * 13) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        k += 3; x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  /** STUB decode — deterministic fake standing in for codecs the JDK
+    * does NOT ship (video containers, compressed audio). Image
+    * formats no longer route here: [[decodeImage]] handles PPM
+    * byte-exactly and JPEG/PNG/GIF/BMP via ImageIO. Derives metadata
+    * purely from payload bytes so tests and oracles are
+    * reproducible. */
   def decodeStub(kind: String, payload: Array[Byte]): MediaMeta = {
     val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
     kind match {
@@ -236,10 +303,11 @@ object Multimodal {
       .mapPartitions { it =>
         // decoder init would happen HERE, once per partition
         it.map { b =>
-          // Real codec first (PPM magic), stub for everything else —
+          // Real codecs first (byte-exact PPM, then the JDK's
+          // JPEG/PNG/GIF/BMP via ImageIO), stub for everything else —
           // PpmImage fields are -1 sentinels when the payload is not a
           // decodable raster, so downstream can filter on ppm_w >= 0.
-          val ppm = if (b.kind == "image") decodePpm(b.payload) else None
+          val ppm = if (b.kind == "image") decodeImage(b.payload) else None
           val meta = ppm match {
             case Some(img) => MediaMeta(img.width, img.height, 0, 0L)
             case None      => decodeStub(b.kind, b.payload)

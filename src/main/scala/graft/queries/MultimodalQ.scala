@@ -281,13 +281,61 @@ object MultimodalQ {
       |  bit_xor(content_hash) AS hash_digest
       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q161: REAL JPEG/PNG decode via the JDK's ImageIO codecs — the
+    * production-format closure of q81's PPM path. Per nation id, the
+    * shared synthetic raster formula is ENCODED to real PNG and JPEG
+    * containers ([[Multimodal.encodeImage]]) and decoded back through
+    * [[Multimodal.decodeImage]] inside the same mapPartitions batch
+    * shape. PNG is lossless, so its decoded dims + per-channel pixel
+    * sums must equal the formula EXACTLY (the oracle restates the
+    * generation rule in SQL — any defect in the encode→decode chain
+    * breaks the hash). JPEG is lossy: dims are exact; pixel sums are
+    * checked against the exact raster within a stated mean-deviation
+    * band and the BOOLEAN is what both engines state (the q22/q69
+    * sketch-band pattern), with the tightness spec'd numerically in
+    * MultimodalSpec. */
+  def imageioDecode(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    import spark.implicits._
+    mediaDigest(spark, dir,
+      Seq("png_w", "png_h", "png_sum_rgb", "jpeg_w", "jpeg_h",
+        "jpeg_within_band")) { id =>
+      val png = Multimodal.decodeImage(Multimodal.encodeImage(id, "png"))
+        .getOrElse(sys.error(s"PNG round-trip failed for id=$id"))
+      val jpg = Multimodal.decodeImage(Multimodal.encodeImage(id, "jpg"))
+        .getOrElse(sys.error(s"JPEG round-trip failed for id=$id"))
+      // mean abs per-channel-sum deviation per pixel-channel: JPEG at
+      // the JDK writer's default quality stays well inside this on
+      // every fixture (MultimodalSpec pins the measured max).
+      val dev = (math.abs(jpg.sumR - png.sumR) + math.abs(jpg.sumG - png.sumG)
+        + math.abs(jpg.sumB - png.sumB)).toDouble /
+        (png.width.toLong * png.height * 3)
+      (id, png.width, png.height, png.sumRgb, jpg.width, jpg.height,
+        dev <= 32.0)
+    }
+  }
+
+  val imageioDecodeSql: String =
+    """WITH ids AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+      |    4 + n_nationkey % 8 AS w, 3 + n_nationkey % 5 AS h
+      |  FROM nation)
+      |SELECT media_id,
+      |  CAST(w AS INTEGER) AS png_w, CAST(h AS INTEGER) AS png_h,
+      |  CAST(list_sum(list_transform(range(0, w * h * 3),
+      |    k -> (media_id * 7 + k * 13) % 256)) AS BIGINT) AS png_sum_rgb,
+      |  CAST(w AS INTEGER) AS jpeg_w, CAST(h AS INTEGER) AS jpeg_h,
+      |  TRUE AS jpeg_within_band
+      |FROM ids ORDER BY media_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_media_features" -> mediaFeatures,
     "q81_image_decode" -> imageDecode,
     "q82_image_resize" -> imageResize,
     "q83_frame_sample" -> frameSample,
     "q84_audio_energy" -> audioEnergy,
-    "q124_image_dedup" -> imageDedup
+    "q124_image_dedup" -> imageDedup,
+    "q161_imageio_decode" -> imageioDecode
   )
 
   val oracle: Map[String, String] = Map(
@@ -296,6 +344,7 @@ object MultimodalQ {
     "q82_image_resize" -> imageResizeSql,
     "q83_frame_sample" -> frameSampleSql,
     "q84_audio_energy" -> audioEnergySql,
-    "q124_image_dedup" -> imageDedupSql
+    "q124_image_dedup" -> imageDedupSql,
+    "q161_imageio_decode" -> imageioDecodeSql
   )
 }

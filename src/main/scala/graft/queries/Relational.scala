@@ -543,19 +543,54 @@ object Relational {
       |  count(*) AS n, TRUE AS approx_within_5pct
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Exact interpolated percentiles (median / p95) per group —
-    * Spark's `percentile` matches DuckDB's `quantile_cont` (both
-    * linear interpolation). Exact percentile sorts within groups;
-    * at extreme scale you'd switch to approx_percentile (t-digest)
-    * and lose oracle exactness — the shape is the same. */
+  /** Exact interpolated percentiles (median / p95) per group, in the
+    * DISTRIBUTED-exact shape: Spark's `percentile()` aggregate buffers
+    * every group value in executor memory (a 100×-scale OOM with few
+    * groups), so instead each measure is ranked by an in-group sort
+    * (`row_number` window — sort-based, spills to disk) with the group
+    * size from an unbounded count window on the SAME partitioning (no
+    * extra exchange), and the `quantile_cont` linear interpolation
+    * `h = (n-1)q + 1, v = v_⌊h⌋ + (h-⌊h⌋)(v_⌈h⌉ - v_⌊h⌋)` becomes a
+    * pre-filter to the ≤2 candidate ranks per quantile plus a
+    * constant-memory weighted SUM — no value-buffering aggregate
+    * anywhere in the plan (PercentileSpec asserts this). Two sort
+    * orders (price, quantity) → two ranked frames joined on the group
+    * key. Matches DuckDB `quantile_cont` exactly. */
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"))
+    val li = lineitem(spark, dir)
+
+    /** Exact interpolated quantiles of `measure` per l_returnflag:
+      * one sorted window pass, candidate-rank filter, weighted sum. */
+    def exactQuantiles(measure: String, qs: Seq[(Double, String)]): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val byGroup = Window.partitionBy("l_returnflag")
+      val ranked = li.select(col("l_returnflag"), col(measure).cast("double").as("v"))
+        .withColumn("rn", row_number().over(byGroup.orderBy(col("v"))))
+        .withColumn("n", count(lit(1)).over(byGroup))
+      def h(q: Double) = lit(q) * (col("n") - lit(1)) + lit(1)
+      val isCandidate = qs.map { case (q, _) =>
+        col("rn") === floor(h(q)) || col("rn") === ceil(h(q))
+      }.reduce(_ || _)
+      val aggs = qs.map { case (q, name) =>
+        val frac = h(q) - floor(h(q))
+        round(sum(
+          when(col("rn") === floor(h(q)) && col("rn") === ceil(h(q)), col("v"))
+            .when(col("rn") === floor(h(q)), (lit(1) - frac) * col("v"))
+            .when(col("rn") === ceil(h(q)), frac * col("v"))
+            .otherwise(lit(0.0))), 4).as(name)
+      }
+      ranked.filter(isCandidate)
+        .groupBy(col("l_returnflag"))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+
+    val price = exactQuantiles("l_extendedprice",
+      Seq(0.5 -> "median_price", 0.95 -> "p95_price"))
+    val qty = exactQuantiles("l_quantity", Seq(0.5 -> "median_qty"))
+    price.join(qty, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("median_price"), col("p95_price"),
+        col("median_qty"))
       .orderBy("l_returnflag")
   }
 

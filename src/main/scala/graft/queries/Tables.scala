@@ -87,19 +87,32 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
 
-  /** The harness writes `events.ts` as parquet INT64 TIMESTAMP(NANOS),
-    * which Spark 4 refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL).
-    * Read it as a raw nanosecond Long (legacy conf) and truncate ns→µs
-    * with INTEGRAL division (`div`, not `/` — the ns values exceed
-    * Double's 53-bit exact-integer range, so a fractional divide would
-    * corrupt low-order digits). µs truncation matches DuckDB, whose
-    * timestamps are µs-precision, so oracle parity holds. */
+  /** The harness has shipped `events.ts` in two encodings across data
+    * generations: parquet INT64 TIMESTAMP(NANOS) — which Spark 4
+    * refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL), so it
+    * surfaces as a raw nanosecond Long under the legacy conf — and a
+    * plain TIMESTAMP(MICROS) that reads natively. Branch on the
+    * surfaced type: a Long is nanos, truncated ns→µs with INTEGRAL
+    * division (`div`, not `/` — the ns values exceed Double's 53-bit
+    * exact-integer range, so a fractional divide would corrupt
+    * low-order digits); a native timestamp is already µs. µs matches
+    * DuckDB, whose `CAST(ts AS TIMESTAMP)` lands on µs for both
+    * encodings, so oracle parity holds either way. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000L")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000L")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Watermarks and time-window ops require TIMESTAMP (ltz); the
+        // session TZ is pinned UTC, so this cast preserves wall-clock.
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -23,29 +23,45 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events.parquet carries ts as INT64 TIMESTAMP(NANOS); a streaming
-    * read needs an explicit schema, so mirror [[graft.queries.Tables
-    * .events]]: read the raw nanos as Long, truncate to µs. */
-  private val RawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events.parquet has carried ts in two encodings across data
+    * generations (INT64 TIMESTAMP(NANOS) surfacing as a Long, and a
+    * native TIMESTAMP(MICROS)); a streaming read needs an explicit
+    * schema, so build it per the type the batch reader surfaces —
+    * declaring Long against a µs file silently yields garbage epochs,
+    * not an error. Mirrors [[graft.queries.Tables.events]]. */
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   /** Streaming source over the events parquet (file source — the
     * directory-listing replacement for the reference's polling). */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Probe the encoding with a footer-only batch read (no data scan),
+    // then declare the matching stream schema.
+    val tsType = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType
     // The file source wants a DIRECTORY to list (that's the whole
     // point — it replaces the reference's arrival polling); the
     // harness table is a single file, so list its parent filtered.
-    spark.readStream
-      .schema(RawSchema)
+    val src = spark.readStream
+      .schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+    tsType match {
+      case LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+      case TimestampNTZType =>
+        // Watermarks require TIMESTAMP (ltz); session TZ is pinned
+        // UTC, so the cast preserves wall-clock.
+        src.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => src
+    }
   }
 
   /** Tumbling event-time window aggregation — the STREAMING form of

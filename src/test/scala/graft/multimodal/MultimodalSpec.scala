@@ -17,6 +17,29 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeStub("video", payload).durationMs === 6L * 40)
   }
 
+  test("ImageIO decode: PNG round-trip is byte-exact vs the PPM formula, " +
+      "JPEG dims exact and sums in band, garbage -> None") {
+    (0L until 25L).foreach { id =>
+      // the PPM codec and the PNG encode→ImageIO decode chain must
+      // agree on the SAME raster — one generation rule, two codecs
+      val ppm = decodePpm(syntheticPpm(id)).get
+      val png = decodeImage(encodeImage(id, "png")).get
+      assert(png === ppm, s"PNG round-trip diverged for id=$id")
+      val jpg = decodeImage(encodeImage(id, "jpg")).get
+      assert(jpg.width === ppm.width && jpg.height === ppm.height)
+      val dev = (math.abs(jpg.sumR - ppm.sumR) + math.abs(jpg.sumG - ppm.sumG)
+        + math.abs(jpg.sumB - ppm.sumB)).toDouble /
+        (ppm.width.toLong * ppm.height * 3)
+      // q161's stated band is 32; pin the measured headroom at half
+      assert(dev <= 16.0, s"JPEG channel-sum deviation $dev for id=$id")
+    }
+    assert(decodeImageIO("not an image at all".getBytes("UTF-8")).isEmpty)
+    assert(decodeImageIO(Array.empty[Byte]).isEmpty)
+    // a truncated PNG container must map to None, not throw
+    val png = encodeImage(3L, "png")
+    assert(decodeImageIO(png.take(png.length / 2)).isEmpty)
+  }
+
   test("blob ops compute known values") {
     val bytes = Array.fill[Byte](32)(1)
     assert(blobOp("image", bytes) === 2L) // positions 0,16

@@ -117,6 +117,36 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q28 exact percentiles are distributed (no value-buffering aggregate) and match quantile_cont") {
+    Tables.prep(spark)
+    val df = Relational.percentiles(spark, dir)
+    // The scale guarantee: no Percentile aggregate (which buffers every
+    // group value in executor memory) anywhere in the plan — ranks come
+    // from a sort-based window, the aggregate is a constant-memory SUM.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"),
+      s"q28 must not use a value-buffering percentile aggregate:\n$plan")
+    // Value check against a driver-computed quantile_cont on sf0.001.
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double"),
+        col("l_quantity").cast("double"))
+      .collect().groupBy(_.getString(0))
+    def qcont(vs: Array[Double], q: Double): Double = {
+      val s = vs.sorted
+      val h = (s.length - 1) * q
+      val lo = math.floor(h).toInt; val hi = math.ceil(h).toInt
+      val v = s(lo) + (h - lo) * (s(hi) - s(lo))
+      math.rint(v * 10000) / 10000
+    }
+    df.collect().foreach { r =>
+      val g = li(r.getString(0))
+      val price = g.map(_.getDouble(1)); val qty = g.map(_.getDouble(2))
+      assert(math.abs(r.getDouble(1) - qcont(price, 0.5)) < 1e-9, r)
+      assert(math.abs(r.getDouble(2) - qcont(price, 0.95)) < 1e-9, r)
+      assert(math.abs(r.getDouble(3) - qcont(qty, 0.5)) < 1e-9, r)
+    }
+  }
+
   test("approx distinct (HLL) stays within 5% of the exact count") {
     Tables.prep(spark)
     val rows = Relational.approxDistinct(spark, dir).collect()
