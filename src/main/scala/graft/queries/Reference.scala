@@ -385,8 +385,10 @@ object Reference {
     * including `0:90`/`1:30:90` overflow pieces the reference's int()
     * arithmetic accepts verbatim. Transform-only (the write half is
     * q37's). */
-  def estadosPipeline(spark: SparkSession, dir: String): DataFrame = {
-    prep(spark)
+  /** The golden estados arrival fixture (shared by q38 and the q162
+    * composed daily run): 3 raw rows of which exactly 2 survive the
+    * transform (the Ghost row's 31/02 fecha rejects). */
+  private val estadosCsvFixture: String = {
     val header =
       "Fecha;Intervalo;ID;Agente;ID Campaña;Campaña;" +
         "T Login;T Login Neto;T Available;T Preview;T Dialing;T Ringing;T Talking;" +
@@ -394,7 +396,7 @@ object Reference {
         "T Diario Login;T Diario Login Neto;T Diario Available;T Diario Preview;" +
         "T Diario Dialing;T Diario Ringing;T Diario Talking;T Diario Talking In;" +
         "T Diario Talking Out;T Diario Hold;T Diario ACW;T Diario Other CRM"
-    val csv = header + "\n" +
+    header + "\n" +
       "15/01/2024;09:00 - 09:30;201;Ana López;11;Ventas;" +
       "08:00:00;07:45:00;3:30;0:15;0:10;0:05;02:20:30;1:10;01:10:30;0:08;0:30;0:12;0:45;" +
       "480;465;210;15;10;5;140.5;70;70.5;8;30;12\n" +
@@ -402,7 +404,11 @@ object Reference {
       "-;;garbage;1:xx;1:2:3:4;0:00;45.5; ;2:30;0;nan;None;0:30;" +
       "1:00;-;x;0:xx;60;;nan;None;2:00:00;7.5;0:90;1:30:90\n" +
       "31/02/2024;bad;203;Ghost;1;X;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0;0\n"
-    val path = writeFixture("graft_estados_full.csv", csv, "UTF-8")
+  }
+
+  def estadosPipeline(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val path = writeFixture("graft_estados_full.csv", estadosCsvFixture, "UTF-8")
     graft.conform.Pipeline.estados(CsvProbe.read(spark, path)).orderBy("id")
   }
 
@@ -905,6 +911,118 @@ object Reference {
       |  t(seq, dataset, phase, rows_in, rows_out, outcome)
       |ORDER BY seq""".stripMargin
 
+  /** q162: the COMPOSED daily run — reference main.py:1639-1708
+    * parity, every resilience operator exercised TOGETHER the way the
+    * reference's `main()` wires them instead of one-per-query:
+    *
+    *   [[graft.io.Config]] (typed env, validated up front) →
+    *   download-dir arrival scan → [[CsvProbe.routeByName]] (S4) →
+    *   [[graft.io.ArrivalRead]] (S1/S2 read fallback) →
+    *   [[graft.conform.Pipeline]] conducta/estados transforms →
+    *   [[IdempotentWriter.overwritePartitions]] (S7 idempotent load),
+    *   every phase audited by [[graft.io.RunAudit]] (R2) under
+    *   [[graft.io.Orchestrate.continueOnFailure]] (R3).
+    *
+    * The day's drop contains two good reports and one mangled
+    * download (binary garbage named like an operativo report — the
+    * failure injection): its extract phase records outcome='error'
+    * and the OTHER datasets still load (main.py:1154-1167 semantics).
+    * Output = the audit trail's deterministic columns plus a summary
+    * row digesting the continue-on-failure outcome vector (2 ok /
+    * 1 failed); the oracle pins every cell. */
+  def dailyRunQ(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val tmp = System.getProperty("java.io.tmpdir")
+    // R5: every location comes from typed config, validated up front
+    // (injected env — the spec for process-env backing is ConfigSpec)
+    val cfg = new graft.io.Config(Map(
+      "GRAFT_DOWNLOAD_DIR" -> java.nio.file.Paths.get(tmp, "graft_daily_drop").toString,
+      "GRAFT_TARGET_DIR" -> java.nio.file.Paths.get(tmp, "graft_daily_tbl").toString,
+      "GRAFT_AUDIT_DIR" -> java.nio.file.Paths.get(tmp, "graft_daily_audit").toString))
+    cfg.validateRequired("GRAFT_DOWNLOAD_DIR", "GRAFT_TARGET_DIR",
+      "GRAFT_AUDIT_DIR")
+    val drop = cfg.required("GRAFT_DOWNLOAD_DIR")
+    val tgt = cfg.required("GRAFT_TARGET_DIR")
+    val auditTbl = cfg.required("GRAFT_AUDIT_DIR")
+    Seq(drop, tgt, auditTbl).foreach(deleteRecursively)
+    Files.createDirectories(java.nio.file.Paths.get(drop))
+    // the day's arrivals: two good reports + one mangled download
+    // (NUL bytes, no zip/BIFF magic → ArrivalRead's actionable error)
+    Files.write(java.nio.file.Paths.get(drop, "tbl_conducta_diaria.csv"),
+      conductaCsvFixture.getBytes(Charset.forName("ISO-8859-1")))
+    Files.write(java.nio.file.Paths.get(drop, "tbl_estados_operativos.csv"),
+      estadosCsvFixture.getBytes(Charset.forName("UTF-8")))
+    Files.write(java.nio.file.Paths.get(drop, "zz_operativo_roto.csv"),
+      Array[Byte](0x00, 0x13, 0x37, 0x00, 0x7f))
+    val audit = new graft.io.RunAudit("q162")
+    val arrivals = {
+      val s = Files.list(java.nio.file.Paths.get(drop))
+      try {
+        val it = s.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) buf += it.next().toString
+        buf.toSeq.sorted
+      } finally s.close()
+    }
+    val datasets = arrivals.flatMap { p =>
+      val name = java.nio.file.Paths.get(p).getFileName.toString
+      CsvProbe.routeByName(name).map(route => name -> ((route, p)))
+    }
+    val outcomes = graft.io.Orchestrate.continueOnFailure(datasets) {
+      case (name, (route, path)) =>
+        val (raw, nRaw) = audit.phase[(DataFrame, Long)](name, "extract") {
+          val df = graft.io.ArrivalRead.read(spark, path)
+          val n = df.count()
+          ((df, n), n)
+        }
+        val (t, nT) =
+          audit.phase[(DataFrame, Long)](name, "transform", Some(nRaw)) {
+            val out = route match {
+              case "conducta" => graft.conform.Pipeline.conducta(raw)
+              case _          => graft.conform.Pipeline.estados(raw)
+            }
+            val n = out.count()
+            ((out, n), n)
+          }
+        val dest = s"$tgt/$route"
+        audit.phase[Unit](name, "load", Some(nT)) {
+          IdempotentWriter.overwritePartitions(t, dest)
+          ((), spark.read.parquet(dest).count())
+        }
+        audit.phase[Unit](name, "partitions") {
+          ((), spark.read.parquet(dest).select(col("fecha")).distinct().count())
+        }
+    }
+    audit.write(spark, auditTbl)
+    val trail = spark.read.parquet(auditTbl)
+      .select(col("seq"), col("dataset"), col("phase"), col("rows_in"),
+        col("rows_out"), col("outcome"))
+    // the run verdict: continue-on-failure's outcome vector as one row
+    val summary = spark.range(1).select(
+      lit(100).as("seq"), lit("__run__").as("dataset"),
+      lit("summary").as("phase"),
+      lit(outcomes.count(_.ok).toLong).as("rows_in"),
+      lit(outcomes.count(o => !o.ok).toLong).as("rows_out"),
+      lit("ok").as("outcome"))
+    trail.unionByName(summary).orderBy("seq")
+  }
+
+  val dailyRunSql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS INTEGER), 'tbl_conducta_diaria.csv', 'extract',
+      |   CAST(NULL AS BIGINT), CAST(5 AS BIGINT), 'ok'),
+      |  (2, 'tbl_conducta_diaria.csv', 'transform', 5, 3, 'ok'),
+      |  (3, 'tbl_conducta_diaria.csv', 'load', 3, 3, 'ok'),
+      |  (4, 'tbl_conducta_diaria.csv', 'partitions', NULL, 3, 'ok'),
+      |  (5, 'tbl_estados_operativos.csv', 'extract', NULL, 3, 'ok'),
+      |  (6, 'tbl_estados_operativos.csv', 'transform', 3, 2, 'ok'),
+      |  (7, 'tbl_estados_operativos.csv', 'load', 2, 2, 'ok'),
+      |  (8, 'tbl_estados_operativos.csv', 'partitions', NULL, 2, 'ok'),
+      |  (9, 'zz_operativo_roto.csv', 'extract', NULL, NULL, 'error'),
+      |  (100, '__run__', 'summary', 2, 1, 'ok'))
+      |  t(seq, dataset, phase, rows_in, rows_out, outcome)
+      |ORDER BY seq""".stripMargin
+
   /** Keyed MERGE-upsert, driver-checked end to end: a base fact table
     * (3 date partitions keyed by id) takes a batch that UPDATES an
     * overlapping key range (doubled amounts) and INSERTS a new one,
@@ -1037,7 +1155,8 @@ object Reference {
     "q94_compact" -> compactQ,
     "q101_run_audit" -> runAuditQ,
     "q105_merge_upsert" -> mergeUpsertQ,
-    "q109_reconcile" -> reconcileQ
+    "q109_reconcile" -> reconcileQ,
+    "q162_daily_run" -> dailyRunQ
   )
 
   val oracle: Map[String, String] = Map(
@@ -1063,6 +1182,7 @@ object Reference {
     "q94_compact" -> compactSql,
     "q101_run_audit" -> runAuditSql,
     "q105_merge_upsert" -> mergeUpsertSql,
-    "q109_reconcile" -> reconcileSql
+    "q109_reconcile" -> reconcileSql,
+    "q162_daily_run" -> dailyRunSql
   )
 }

@@ -753,6 +753,40 @@ object Relational {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q163: AUTO-skew-protected join — q24's salting driven by q151's
+    * skew measurement instead of a guess ([[graft.operators.SkewJoin
+    * .autoSalted]]): the operator profiles the big side's key, flags
+    * keys over 2× the mean per-key load, and salts ONLY those — the
+    * unflagged keys take the plain single-replica join path
+    * (SkewJoinSpec asserts both the replication arithmetic and that a
+    * uniform input plans with no Generate at all). Skew is injected
+    * deterministically (every third event remaps to one hot user, so
+    * that key holds ~⅓ of the big side and must flag); the oracle is
+    * the plain join over the same remap — salting must be
+    * result-invisible. */
+  def autoSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val e = events(spark, dir).select(
+      when(col("event_id") % 3 === 0, lit(7L))
+        .otherwise(col("user_id")).as("user_id"),
+      col("value"))
+    val c = customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.operators.SkewJoin.autoSalted(e, "user_id", c, "c_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  val autoSkewJoinSql: String =
+    """WITH e AS (
+      |  SELECT CASE WHEN event_id % 3 = 0 THEN 7 ELSE user_id END
+      |    AS user_id, value
+      |  FROM events)
+      |SELECT c_mktsegment, count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM e JOIN customer ON user_id = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The q93 join under scoped runtime-bloom-filter confs, pre-digest —
     * exposed so the plan spec can assert the `might_contain` injection
     * on the exact plan the query materializes. */
@@ -2061,6 +2095,7 @@ object Relational {
     "q22_approx_distinct" -> approxDistinct,
     "q23_bucketed_join" -> bucketedJoin,
     "q24_salted_join" -> saltedJoin,
+    "q163_auto_skew_join" -> autoSkewJoin,
     "q25_session_window" -> sessionWindow,
     "q28_percentiles" -> percentiles,
     "q29_pivot_status" -> pivotStatus,
@@ -2111,6 +2146,7 @@ object Relational {
     "q22_approx_distinct" -> approxDistinctSql,
     "q23_bucketed_join" -> joinFactsSql, // same answer via bucketed layout
     "q24_salted_join" -> saltedJoinSql,
+    "q163_auto_skew_join" -> autoSkewJoinSql,
     "q25_session_window" -> sessionWindowSql,
     "q28_percentiles" -> percentilesSql,
     "q29_pivot_status" -> pivotStatusSql,
