@@ -44,9 +44,12 @@ object ArrivalRead {
     * dispatches on the DETECTED container magic before the claimed
     * extension: a legacy BIFF workbook renamed `.xlsx` (a common
     * mislabeled export) gets the actionable re-export error, not a
-    * raw ZipException from the xlsx reader. Both read branches
-    * surface all-string columns, so the downstream conform/coerce
-    * pipeline is identical whichever reader fires. */
+    * raw ZipException from the xlsx reader. The CSV branch surfaces
+    * all-string columns; the xlsx branch goes through
+    * [[XlsxRead.readTyped]] (the `pd.read_excel` shape — numeric /
+    * date / boolean cells arrive TYPED). The downstream conform
+    * pipeline is identical either way: its casts are no-ops on
+    * already-typed columns and do the coercion work on strings. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val lower = path.toLowerCase
     val head = readHead(path)
@@ -60,7 +63,7 @@ object ArrivalRead {
           "(openpyxl, the reference's engine, has the same limit)")
     else if (head.startsWith(ZipMagic) &&
         (lower.endsWith(".xlsx") || lower.endsWith(".xls")))
-      XlsxRead.read(spark, path)
+      XlsxRead.readTyped(spark, path)
     else throw new IllegalArgumentException(
       s"could not read '$path': binary content and the extension is not " +
         ".xls/.xlsx (reference main.py:1347-1349, 'No se pudo leer')")

@@ -714,21 +714,40 @@ object Reference {
     val src = nation(spark, dir)
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       .orderBy("n_nationkey").collect()
-      .map(r => Seq(r.get(0).toString, r.get(1).toString, r.get(2).toString))
     val tmp = Files.createTempDirectory("graft_arrival")
     val xlsxPath = tmp.resolve("reporte_nation.xlsx").toString
+    // TYPED cells (numbers, a real date) — the xlsx arm must surface
+    // them typed pre-conform (ArrivalRead routes through readTyped)
     graft.io.XlsxRead.writeMinimal(xlsxPath,
-      Seq(Seq("ID", "Nombre País", "Región")) ++ src.map(_.toSeq))
+      Seq(Seq("ID", "Nombre País", "Región", "Alta")) ++ src.map { r =>
+        val id = r.getAs[Number](0).longValue()
+        Seq(id.toDouble, r.getString(1),
+          r.getAs[Number](2).doubleValue(),
+          java.time.LocalDate.of(2024, 1, 1).plusDays(id))
+      })
     val csvPath = tmp.resolve("nation_texto.xlsx")
     Files.writeString(csvPath,
-      (Seq("ID;Nombre País;Región") ++ src.map(_.mkString(";")))
-        .mkString("\n"))
+      (Seq("ID;Nombre País;Región;Alta") ++ src.map { r =>
+        val id = r.getAs[Number](0).longValue()
+        Seq(id.toString, r.getString(1),
+          r.getAs[Number](2).longValue().toString,
+          java.time.LocalDate.of(2024, 1, 1).plusDays(id).toString)
+          .mkString(";")
+      }).mkString("\n"))
     val target = StructType(Seq(
       StructField("id", IntegerType),
       StructField("nombre_pais", StringType),
-      StructField("region", IntegerType)))
-    val viaXlsx = Conform.conformTo(target)(
-      graft.io.ArrivalRead.read(spark, xlsxPath))
+      StructField("region", IntegerType),
+      StructField("alta", DateType)))
+    val rawXlsx = graft.io.ArrivalRead.read(spark, xlsxPath)
+    // S2's typed guarantee, checked BEFORE conform: numeric and date
+    // columns arrive typed from the spreadsheet (pd.read_excel parity)
+    // — conform's casts must be no-ops for them, not coercions.
+    require(rawXlsx.schema("ID").dataType == LongType,
+      s"xlsx numeric column must arrive typed, got ${rawXlsx.schema("ID")}")
+    require(rawXlsx.schema("Alta").dataType == TimestampType,
+      s"xlsx date column must arrive typed, got ${rawXlsx.schema("Alta")}")
+    val viaXlsx = Conform.conformTo(target)(rawXlsx)
       .withColumn("via", lit("xlsx"))
     val viaCsv = Conform.conformTo(target)(
       graft.io.ArrivalRead.read(spark, csvPath.toString))
@@ -738,7 +757,8 @@ object Reference {
 
   val readFallbackSql: String =
     """SELECT CAST(n_nationkey AS INTEGER) AS id, n_name AS nombre_pais,
-      |  CAST(n_regionkey AS INTEGER) AS region, v.via
+      |  CAST(n_regionkey AS INTEGER) AS region,
+      |  DATE '2024-01-01' + CAST(n_nationkey AS INTEGER) AS alta, v.via
       |FROM nation, (SELECT 'xlsx' AS via UNION ALL SELECT 'csv') v
       |ORDER BY via, id""".stripMargin
 

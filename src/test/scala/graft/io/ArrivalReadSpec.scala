@@ -25,6 +25,21 @@ class ArrivalReadSpec extends SparkSpec {
     assert(df.count() === 2)
   }
 
+  test("xlsx arrivals surface TYPED columns (readTyped is the default path)") {
+    val dir = Files.createTempDirectory("arrival_spec")
+    val p = dir.resolve("typed.xlsx").toString
+    XlsxRead.writeMinimal(p, Seq(
+      Seq("n", "d", "s", "cuando"),
+      Seq(1.0, 1.5, "x", java.time.LocalDate.of(2024, 3, 1)),
+      Seq(2.0, 2.5, "y", java.time.LocalDate.of(2024, 3, 2))))
+    val df = ArrivalRead.read(spark, p)
+    import org.apache.spark.sql.types._
+    assert(df.schema("n").dataType === LongType)
+    assert(df.schema("d").dataType === DoubleType)
+    assert(df.schema("s").dataType === StringType)
+    assert(df.schema("cuando").dataType === TimestampType)
+  }
+
   test("text mis-labeled .xlsx still parses as CSV (CSV is tried first)") {
     val p = tmp("export.xlsx", "a;b\n1;x\n2;y\n".getBytes("UTF-8"))
     val df = ArrivalRead.read(spark, p)
