@@ -522,13 +522,18 @@ object Relational {
     * RelationalSpec asserts the same band numerically. */
   def approxPercentile(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    lineitem(spark, dir)
+    val li = lineitem(spark, dir)
+    val sketch = li
       .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_extendedprice, 0.5, 10000)")
           .as("approx_median"),
-        expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
         count(lit(1)).as("n"))
+    // exact arm in the distributed shape (q28) — no value-buffering
+    // percentile() aggregate anywhere
+    val exact = exactQuantiles(li, "l_returnflag", "l_extendedprice",
+      Seq(0.5 -> "exact_median"))
+    sketch.join(exact, Seq("l_returnflag"))
       .select(col("l_returnflag"),
         round(col("exact_median"), 4).as("exact_median"),
         col("n"),
@@ -556,38 +561,44 @@ object Relational {
     * anywhere in the plan (PercentileSpec asserts this). Two sort
     * orders (price, quantity) → two ranked frames joined on the group
     * key. Matches DuckDB `quantile_cont` exactly. */
+  /** Exact interpolated (`quantile_cont`) quantiles of one measure per
+    * group, in the distributed shape (see [[percentiles]]): one sorted
+    * window pass, candidate-rank filter, constant-memory weighted sum.
+    * Shared by q28 and q69's exact arm. */
+  private def exactQuantiles(df: DataFrame, groupCol: String,
+      measure: String, qs: Seq[(Double, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(groupCol)
+    val ranked = df.select(col(groupCol), col(measure).cast("double").as("v"))
+      .withColumn("rn", row_number().over(byGroup.orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(byGroup))
+    def h(q: Double) = lit(q) * (col("n") - lit(1)) + lit(1)
+    val isCandidate = qs.map { case (q, _) =>
+      col("rn") === floor(h(q)) || col("rn") === ceil(h(q))
+    }.reduce(_ || _)
+    val aggs = qs.map { case (q, name) =>
+      val frac = h(q) - floor(h(q))
+      sum(
+        when(col("rn") === floor(h(q)) && col("rn") === ceil(h(q)), col("v"))
+          .when(col("rn") === floor(h(q)), (lit(1) - frac) * col("v"))
+          .when(col("rn") === ceil(h(q)), frac * col("v"))
+          .otherwise(lit(0.0))).as(name)
+    }
+    ranked.filter(isCandidate)
+      .groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val li = lineitem(spark, dir)
-
-    /** Exact interpolated quantiles of `measure` per l_returnflag:
-      * one sorted window pass, candidate-rank filter, weighted sum. */
-    def exactQuantiles(measure: String, qs: Seq[(Double, String)]): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      val byGroup = Window.partitionBy("l_returnflag")
-      val ranked = li.select(col("l_returnflag"), col(measure).cast("double").as("v"))
-        .withColumn("rn", row_number().over(byGroup.orderBy(col("v"))))
-        .withColumn("n", count(lit(1)).over(byGroup))
-      def h(q: Double) = lit(q) * (col("n") - lit(1)) + lit(1)
-      val isCandidate = qs.map { case (q, _) =>
-        col("rn") === floor(h(q)) || col("rn") === ceil(h(q))
-      }.reduce(_ || _)
-      val aggs = qs.map { case (q, name) =>
-        val frac = h(q) - floor(h(q))
-        round(sum(
-          when(col("rn") === floor(h(q)) && col("rn") === ceil(h(q)), col("v"))
-            .when(col("rn") === floor(h(q)), (lit(1) - frac) * col("v"))
-            .when(col("rn") === ceil(h(q)), frac * col("v"))
-            .otherwise(lit(0.0))), 4).as(name)
-      }
-      ranked.filter(isCandidate)
-        .groupBy(col("l_returnflag"))
-        .agg(aggs.head, aggs.tail: _*)
-    }
-
-    val price = exactQuantiles("l_extendedprice",
-      Seq(0.5 -> "median_price", 0.95 -> "p95_price"))
-    val qty = exactQuantiles("l_quantity", Seq(0.5 -> "median_qty"))
+    def q(d: DataFrame, names: Seq[String]) =
+      d.select(col("l_returnflag") +: names.map(n => round(col(n), 4).as(n)): _*)
+    val price = q(exactQuantiles(li, "l_returnflag", "l_extendedprice",
+      Seq(0.5 -> "median_price", 0.95 -> "p95_price")),
+      Seq("median_price", "p95_price"))
+    val qty = q(exactQuantiles(li, "l_returnflag", "l_quantity",
+      Seq(0.5 -> "median_qty")), Seq("median_qty"))
     price.join(qty, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("median_price"), col("p95_price"),
         col("median_qty"))
@@ -1681,11 +1692,20 @@ object Relational {
     prep(spark)
     def profile(tag: String, rows: DataFrame) = {
       val counts = rows.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      // exact p99 in the q28 shape (sorted window + weighted sum), not
+      // percentile()'s value-buffering aggregate — the count table is
+      // keys-sized, which at 100 TB is still billions of rows in one
+      // in-memory buffer. The global quantile's window is one
+      // partition, but Spark's window sort SPILLS (bounded memory);
+      // OOM risk becomes a spill, the honest trade for exactness.
+      val p99 = exactQuantiles(counts.withColumn("g", lit(1)), "g", "cnt",
+        Seq(0.99 -> "p99_raw"))
+        .select(round(col("p99_raw"), 6).as("p99_cnt"))
       counts
         .agg(sum(col("cnt")).as("n_rows"),
           count(lit(1)).as("n_keys"),
-          max(col("cnt")).as("max_cnt"),
-          round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt"))
+          max(col("cnt")).as("max_cnt"))
+        .crossJoin(broadcast(p99))
         .select(lit(tag).as("keyspace"), col("n_rows"), col("n_keys"),
           col("max_cnt"), col("p99_cnt"),
           round(col("max_cnt") * col("n_keys") /

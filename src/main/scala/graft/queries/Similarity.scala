@@ -410,9 +410,17 @@ object Similarity {
     * stand-in for that. */
   private[graft] def kmeansCodebook(
       spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "ivf_codebook") {
+    trainCodebook(spark, dir, IvfK, "ivf_codebook")
+
+  /** [[kmeansCodebook]] generalized over the codebook size: q132's
+    * SemDeDup pass trains its own K ~ sqrt(N) codebook (cell-depth
+    * bounding — see [[semanticDedup]]) while the IVF family keeps the
+    * fixed [[IvfK]]. Same Lloyd's, same seeds, separate memo. */
+  private def trainCodebook(spark: SparkSession, dir: String, k: Int,
+      memoKey: String): DataFrame =
+    memo(spark, dir, memoKey) {
       val e = vecs(spark, dir)
-      var cent = seedRows(spark, dir, IvfK)
+      var cent = seedRows(spark, dir, k)
         .select(col("cell"), col("v").as("cv"))
       for (_ <- 1 to IvfIters) {
         val cb = cent.withColumn("cn", expr("sqrt(array_dot(cv, cv))"))
@@ -497,21 +505,29 @@ object Similarity {
 
   /** DuckDB mirror of [[seedRows]]: the k smallest-hash vectors with
     * 0-based cell numbers, shared by the IVF and PQ seed CTEs. */
-  private def duckSeedRows(k: Int): String =
+  private def duckSeedRows(k: Int): String = duckSeedRowsExpr(k.toString)
+
+  /** Seed CTE with the codebook size as an arbitrary SQL scalar
+    * expression — lets q132's oracle compute K ~ sqrt(N) in SQL. */
+  private def duckSeedRowsExpr(kExpr: String): String =
     s"""SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cell, v
        |  FROM (SELECT vec_id, v,
        |          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
        |            AS hk
        |        FROM n)
-       |  QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= $k""".stripMargin
+       |  QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= $kExpr""".stripMargin
 
   /** DuckDB mirror of [[kmeansCodebook]]: seed CTE + one (assign,
     * recompute) CTE pair per iteration, ending in centroid table
     * `c$IvfIters`. */
-  private def duckKmeansCtes: String = {
+  private def duckKmeansCtes: String = duckKmeansCtesExpr(IvfK.toString)
+
+  /** The kmeans CTE chain with the codebook size as a SQL scalar
+    * expression (see [[duckSeedRowsExpr]]). */
+  private def duckKmeansCtesExpr(kExpr: String): String = {
     val seed =
       s"""c0 AS (
-         |  SELECT cell, v AS cv FROM (${duckSeedRows(IvfK)}))""".stripMargin
+         |  SELECT cell, v AS cv FROM (${duckSeedRowsExpr(kExpr)}))""".stripMargin
     val iters = (1 to IvfIters).map { t =>
       s"""s$t AS (
          |  SELECT cell, v,
@@ -1161,17 +1177,28 @@ object Similarity {
     * Scale shape: the clustering makes the quadratic step LOCAL —
     * pair mining is an equality self-join on the cell key
     * (shuffle_hash-pinned, never broadcast-funneled), so the volume is
-    * sum(c_i^2) over cell sizes rather than N^2; at 100 TB the
-    * codebook size K scales with the corpus to bound cells (the
-    * published SemDeDup deployment uses K ~ sqrt(N)), and the
-    * codebook itself is the memoized+persisted [[kmeansCodebook]]
-    * shared with q64/q70/q102/q108 — trained once per corpus, a
-    * broadcast-sized constant. Everything after the cell join is one
+    * sum(c_i^2) over cell sizes rather than N^2; the codebook size is
+    * K = max([[IvfK]], ceil(sqrt(N))) — the published SemDeDup
+    * deployment's corpus-scaled dial, LIVE in both engines (the
+    * oracle computes the same K from count(*)), bounding pair volume
+    * at ~N^1.5. The codebook is memoized+persisted per (session, dir,
+    * K) via the same [[trainCodebook]] Lloyd's as the IVF family —
+    * trained once per corpus, a broadcast-sized constant.
+    * Everything after the cell join is one
     * cell-keyed aggregation; removal is emitted as a digest, with the
     * keep set derivable as an anti-join at write time. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val cent = kmeansCodebook(spark, dir)
+    // K ~ sqrt(N): the published SemDeDup cell-depth dial, now LIVE
+    // instead of a doc note — with a FIXED K, an m-times-larger corpus
+    // deepens every cell m-fold and the within-cell pair volume grows
+    // m^2 (measured: the x64 stress corpus ran 23x the x8 time).
+    // sqrt(N) cells bound expected depth at sqrt(N), so pair volume
+    // sum(c_i^2) ~ N^1.5 instead of N^2/K. The count is a parquet
+    // metadata read; the codebook is memoized per (session, dir, K).
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val semK = math.max(IvfK, math.ceil(math.sqrt(nVecs.toDouble)).toInt)
+    val cent = trainCodebook(spark, dir, semK, s"semdedup_codebook_$semK")
       .select(col("cell"), col("cv"),
         expr("sqrt(array_dot(cv, cv))").as("cn"))
     // Assign every vector to its nearest cell (broadcast codebook,
@@ -1221,7 +1248,8 @@ object Similarity {
 
   val semanticDedupSql: String =
     s"""WITH n AS ($duckVecs),
-       |$duckKmeansCtes,
+       |${duckKmeansCtesExpr(
+        "(SELECT greatest(" + IvfK + ", CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM n)")},
        |cb AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn
        |       FROM c$IvfIters),
        |sc AS (SELECT vec_id, v, nrm, cell,
