@@ -1424,8 +1424,13 @@ object Similarity {
     * Scale shape: each round is one edge-set join on src (edges are
     * ≤ 3N and MEMOIZED — the graph builds once, shared with q138),
     * one groupBy dst, one node-keyed left join. Rounds are O(1)
-    * driver-side (3 fixed iterations), so the lineage stays shallow —
-    * no checkpoint needed, unlike q88's data-dependent fixpoint. */
+    * driver-side (3 fixed iterations), but each round references the
+    * PREVIOUS rank frame three times (contribution join, dangling
+    * anti-join, carry-through), so without materialization the
+    * lineage re-executes multiplicatively across rounds (measured 6 s
+    * at sf0.1, ~5x the per-round work) — hence the q88-style lazy
+    * per-round localCheckpoint, cutting each round to one execution
+    * of the last. */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val edges = knnEdges(spark, dir)
@@ -1434,6 +1439,7 @@ object Similarity {
     val nn = nodes.agg(count(lit(1)).as("n_nodes"))
     var r = nodes.select(col("vec_id"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
+      r = r.localCheckpoint(false)
       val contrib = edges.join(outd, "src")
         .join(r.withColumnRenamed("vec_id", "src"), "src")
         .select(col("dst"), expr("r div d").as("c"))
