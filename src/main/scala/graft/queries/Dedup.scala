@@ -265,6 +265,96 @@ object Dedup {
        |  WHERE inter / (sa + sb - inter) >= 0.5)""".stripMargin
 
   // ---------------------------------------------------------------
+  // q164 LSH banding tuning curve
+  // ---------------------------------------------------------------
+
+  /** q164: the (bands × rows-per-band) tuning curve for q56's MinHash
+    * LSH — the q102 recall-ladder idea applied to LEXICAL dedup: the
+    * same k=8 signature re-banded as (8×1), (4×2), (2×4), (1×8), each
+    * config's candidate volume, verified-pair hits, and integer-ppm
+    * precision/recall measured as an ORACLED output. This is the
+    * dial a production corpus tunes before a 100 TB dedup run: more
+    * rows per band → steeper S-curve → fewer candidates (cheaper) but
+    * lower recall; the measured curve replaces the guess.
+    *
+    * Ground truth is q56's verified pair set (exact shingle Jaccard
+    * ≥ 0.5 over the r=1 candidates — the memoized [[minhashPairs]]).
+    * Every coarser banding's candidates are a SUBSET of the r=1
+    * candidates (agreeing on all r positions of a band implies
+    * agreeing on ≥ 1 position), so recall is measured against the
+    * complete verified set, not a sample.
+    *
+    * Scale shape: one banded self-join per config on the memoized
+    * signature table (equality on (band, slice) keys, shuffle_hash-
+    * pinned, never all-pairs) + a semi-join against the memoized
+    * verified pairs; each config's output is one row. */
+  def lshTuning(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val sigs = minhashSigs(spark, dir).select(col("doc_id"), col("sig"))
+    val verified = minhashPairs(spark, dir).select(col("ia"), col("ib"))
+    val totTrue = verified.agg(count(lit(1)).as("n_true"))
+    val configs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+    configs.map { case (b, r) =>
+      val banded = sigs.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${b - 1}), g -> slice(sig, g * $r + 1, $r))"))
+          .as(Seq("band", "bv")))
+      val cands = banded.as("a").hint("shuffle_hash")
+        .join(banded.as("b").hint("shuffle_hash"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .distinct()
+      val stats = cands
+        .join(verified.withColumn("hit", lit(1)), Seq("ia", "ib"), "left")
+        .agg(count(lit(1)).as("n_cands"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      stats.crossJoin(broadcast(totTrue))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_cands"), col("n_hits"),
+          expr("""CASE WHEN n_cands = 0 THEN 0
+                  ELSE (n_hits * 1000000) div n_cands END""")
+            .as("precision_ppm"),
+          expr("""CASE WHEN n_true = 0 THEN 0
+                  ELSE (n_hits * 1000000) div n_true END""")
+            .as("recall_ppm"))
+    }.reduce(_.unionByName(_)).orderBy(col("bands").desc)
+  }
+
+  val lshTuningSql: String = {
+    def config(b: Int, r: Int): String =
+      s"""SELECT CAST($b AS INTEGER) AS bands,
+         |  CAST($r AS INTEGER) AS rows_per_band,
+         |  (SELECT count(*) FROM c_${b}_$r) AS n_cands,
+         |  (SELECT count(*) FROM c_${b}_$r c
+         |     JOIN pairs p ON c.ia = p.ia AND c.ib = p.ib) AS n_hits,
+         |  CASE WHEN (SELECT count(*) FROM c_${b}_$r) = 0 THEN 0
+         |    ELSE (SELECT count(*) FROM c_${b}_$r c
+         |            JOIN pairs p ON c.ia = p.ia AND c.ib = p.ib)
+         |         * 1000000 // (SELECT count(*) FROM c_${b}_$r) END
+         |    AS precision_ppm,
+         |  CASE WHEN (SELECT count(*) FROM pairs) = 0 THEN 0
+         |    ELSE (SELECT count(*) FROM c_${b}_$r c
+         |            JOIN pairs p ON c.ia = p.ia AND c.ib = p.ib)
+         |         * 1000000 // (SELECT count(*) FROM pairs) END
+         |    AS recall_ppm""".stripMargin
+    def candCte(b: Int, r: Int): String =
+      s"""c_${b}_$r AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE len(list_filter(range($b), g ->
+         |    len(list_filter(range(1, $r + 1),
+         |      i -> a.sig[g * $r + i] = b.sig[g * $r + i])) = $r)) > 0)"""
+        .stripMargin
+    val cfgs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+    s"""WITH $duckVerifiedPairCtes,
+       |${cfgs.map { case (b, r) => candCte(b, r) }.mkString(",\n")}
+       |${cfgs.map { case (b, r) => config(b, r) }
+        .mkString("\nUNION ALL\n")}
+       |ORDER BY bands DESC""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q57 SimHash near-dup (exact blocked Hamming join)
   // ---------------------------------------------------------------
 
@@ -487,6 +577,7 @@ object Dedup {
     "q56_minhash_lsh" -> minhashLsh,
     "q57_simhash" -> simhash,
     "q58_ngram_jaccard" -> ngramJaccard,
+    "q164_lsh_tuning" -> lshTuning,
     "q116_source_overlap" -> sourceOverlap
   )
 
@@ -495,6 +586,7 @@ object Dedup {
     "q56_minhash_lsh" -> minhashLshSql,
     "q57_simhash" -> simhashSql,
     "q58_ngram_jaccard" -> ngramJaccardSql,
+    "q164_lsh_tuning" -> lshTuningSql,
     "q116_source_overlap" -> sourceOverlapSql
   )
 }
