@@ -170,6 +170,96 @@ object Curation {
        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // q165 leakage-safe train/val/test split
+  // ---------------------------------------------------------------
+
+  /** q165: near-dup-aware train/val/test split — the eval-integrity
+    * operator a plain hash split (q73) cannot provide: when a val/test
+    * document's near-twin sits in train, the eval is contaminated.
+    * The fix is to assign splits by DEDUP CLUSTER, not by document:
+    * every member of a q88 component follows its cluster root's hash
+    * (80/10/10 on hash(root) % 10), so a cluster can never span
+    * splits. The output states both policies side by side — per
+    * (policy, split): docs and distinct clusters; plus a LEAK row per
+    * policy counting clusters that span more than one split and the
+    * documents inside them. By construction the cluster policy's LEAK
+    * row is (0, 0); the doc policy's row is the measured
+    * contamination that justifies the operator.
+    *
+    * Scale shape: labels come from the shared [[connectedComponents]]
+    * fixpoint (pair-set-sized); both policies are scan-stage hash
+    * projections over the labeled corpus; the leak check is one
+    * (root)-keyed aggregate. Deterministic hash → stable splits
+    * across re-runs (the q73 contract), now also stable under
+    * re-crawled duplicates arriving with new doc_ids. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val labels = connectedComponents(
+      Dedup.minhashPairs(spark, dir).select(col("ia"), col("ib")))
+    val docs = documents(spark, dir).select(col("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("root"))
+    def bucketOf(c: String) = expr(
+      s"CASE WHEN ${Exprs.hash60(s"cast($c as string)")} % 10 < 8 " +
+        "THEN 'train' WHEN " +
+        s"${Exprs.hash60(s"cast($c as string)")} % 10 = 8 " +
+        "THEN 'val' ELSE 'test' END")
+    def policy(name: String, keyCol: String) = {
+      val assigned = docs.withColumn("split", bucketOf(keyCol))
+      val per = assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("count(distinct root)").as("n_clusters"))
+        .select(lit(name).as("policy"), col("split"), col("n_docs"),
+          col("n_clusters"))
+      val leak = assigned.groupBy(col("root"))
+        .agg(count(lit(1)).as("sz"),
+          expr("count(distinct split)").as("ns"))
+        .filter(col("ns") > 1)
+        .agg(coalesce(sum(col("sz")), lit(0L)).as("n_docs"),
+          count(lit(1)).as("n_clusters"))
+        .select(lit(name).as("policy"), lit("LEAK").as("split"),
+          col("n_docs"), col("n_clusters"))
+      per.unionByName(leak)
+    }
+    policy("cluster", "root").unionByName(policy("doc", "doc_id"))
+      .orderBy("policy", "split")
+  }
+
+  val leakageSafeSplitSql: String = {
+    def h(c: String) =
+      s"('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT"
+    def bucket(c: String) =
+      s"""CASE WHEN ${h(c)} % 10 < 8 THEN 'train'
+         |     WHEN ${h(c)} % 10 = 8 THEN 'val' ELSE 'test' END"""
+        .stripMargin
+    def policy(name: String, key: String) =
+      s"""SELECT '$name' AS policy, split, count(*) AS n_docs,
+         |  count(DISTINCT root) AS n_clusters
+         |FROM (SELECT root, ${bucket(key)} AS split FROM d) GROUP BY 2
+         |UNION ALL
+         |SELECT '$name', 'LEAK',
+         |  CAST(coalesce(sum(sz), 0) AS BIGINT), count(*)
+         |FROM (SELECT root, count(*) AS sz, count(DISTINCT split) AS ns
+         |      FROM (SELECT root, ${bucket(key)} AS split FROM d)
+         |      GROUP BY 1) x
+         |WHERE ns > 1""".stripMargin
+    s"""WITH RECURSIVE ${Dedup.duckVerifiedPairCtes},
+       |e AS (SELECT ia AS u, ib AS v FROM pairs
+       |      UNION SELECT ib, ia FROM pairs),
+       |reach(n, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.n),
+       |lab AS (SELECT n AS node, min(r) AS root FROM reach GROUP BY 1),
+       |d AS (SELECT dd.doc_id, coalesce(lab.root, dd.doc_id) AS root
+       |      FROM documents dd LEFT JOIN lab ON dd.doc_id = lab.node)
+       |${policy("cluster", "root")}
+       |UNION ALL
+       |${policy("doc", "doc_id")}
+       |ORDER BY policy, split""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q122 quality-aware dedup keeper selection
   // ---------------------------------------------------------------
 
@@ -1637,6 +1727,7 @@ object Curation {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_dedup_clusters" -> dedupClusters,
+    "q165_leakage_safe_split" -> leakageSafeSplit,
     "q89_decontaminate" -> decontaminate,
     "q90_source_sample" -> sourceSample,
     "q98_span_dedup" -> spanDedup,
@@ -1660,6 +1751,7 @@ object Curation {
 
   val oracle: Map[String, String] = Map(
     "q88_dedup_clusters" -> dedupClustersSql,
+    "q165_leakage_safe_split" -> leakageSafeSplitSql,
     "q89_decontaminate" -> decontaminateSql,
     "q90_source_sample" -> sourceSampleSql,
     "q98_span_dedup" -> spanDedupSql,
