@@ -136,6 +136,19 @@ object Curation {
       .distinct(), round)
   }
 
+  /** Cluster labels of the verified near-dup pair set — memoized AND
+    * persisted per (session, dir), like [[Similarity]]'s knnEdges: the
+    * CC fixpoint is a corpus-level artifact that four consumers (q88
+    * histogram, q122 keeper, q123 corpus build, q165 split) read; a
+    * production pipeline materializes it once per dedup run. Before
+    * this memo each consumer re-ran the whole iterative fixpoint. */
+  private[queries] def dupClusterLabels(
+      spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "cc_labels") {
+      connectedComponents(
+        Dedup.minhashPairs(spark, dir).select(col("ia"), col("ib")))
+    }
+
   /** q88: consolidate the verified MinHash near-dup pairs
     * ([[Dedup.minhashPairs]], the q56 stream) into dedup clusters and
     * digest the cluster-size histogram — the step that turns pairwise
@@ -144,8 +157,7 @@ object Curation {
     * the whole corpus. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val labels = connectedComponents(
-      Dedup.minhashPairs(spark, dir).select(col("ia"), col("ib")))
+    val labels = dupClusterLabels(spark, dir)
     documents(spark, dir).select(col("doc_id"))
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(coalesce(col("label"), col("doc_id")).as("root"))
@@ -194,8 +206,7 @@ object Curation {
     * re-crawled duplicates arriving with new doc_ids. */
   def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val labels = connectedComponents(
-      Dedup.minhashPairs(spark, dir).select(col("ia"), col("ib")))
+    val labels = dupClusterLabels(spark, dir)
     val docs = documents(spark, dir).select(col("doc_id"))
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("root"))
@@ -281,8 +292,7 @@ object Curation {
     * cross-engine exact. */
   def qualityKeeper(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val labels = connectedComponents(
-      Dedup.minhashPairs(spark, dir).select(col("ia"), col("ib")))
+    val labels = dupClusterLabels(spark, dir)
     TextAnalysis.scoredDocs(spark, dir)
       .select(col("doc_id"), col("quality"))
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
@@ -437,8 +447,7 @@ object Curation {
     * corpus-sized shuffle is introduced by composing. */
   def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val labels = connectedComponents(
-      Dedup.minhashPairs(spark, dir).select(col("ia"), col("ib")))
+    val labels = dupClusterLabels(spark, dir)
     val scored = TextAnalysis.scoredDocs(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
     val keepers = scored.select(col("doc_id"), col("quality"))
