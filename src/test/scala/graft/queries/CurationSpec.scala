@@ -89,6 +89,32 @@ class CurationSpec extends SparkSpec {
     dir
   }
 
+  test("leakage-safe split: clusters never span splits, doc policy measured on the same corpus") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cur_spec").toString
+    // 10 groups of 3 identical docs (guaranteed near-dup clusters)
+    // plus 5 singletons; ids interleaved so naive doc-hash splitting
+    // has every chance to tear clusters apart
+    val docs = (0 until 10).flatMap { g =>
+      val text = s"alpha bravo charlie delta echo foxtrot golf hotel " +
+        s"unique$g marker$g payload$g"
+      (0 until 3).map(c => (g * 3 + c.toLong, text, "en", "web"))
+    } ++ (30L until 35L).map(i =>
+      (i, s"solo document number $i with its own words entirely", "en", "web"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.leakageSafeSplit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // the operator's guarantee: cluster policy leaks NOTHING
+    assert(out.contains(("cluster", "LEAK", 0L, 0L)), out.mkString(", "))
+    // both policies partition all 35 docs across train/val/test
+    for (p <- Seq("cluster", "doc"))
+      assert(out.collect {
+        case (`p`, s, n, _) if s != "LEAK" => n
+      }.sum === 35L, out.mkString(", "))
+  }
+
   test("decontamination flags exactly the docs sharing a 4-gram with the benchmark slice") {
     // doc 0 (id % 97 == 0) is the benchmark. doc 1 embeds one of its
     // 4-grams verbatim; doc 2 shares only a trigram; doc 3 disjoint.
