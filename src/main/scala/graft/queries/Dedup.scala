@@ -295,16 +295,21 @@ object Dedup {
     val totTrue = verified.agg(count(lit(1)).as("n_true"))
     val configs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
     configs.map { case (b, r) =>
-      val banded = sigs.select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${b - 1}), g -> slice(sig, g * $r + 1, $r))"))
-          .as(Seq("band", "bv")))
-      val cands = banded.as("a").hint("shuffle_hash")
-        .join(banded.as("b").hint("shuffle_hash"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-        .distinct()
+      // the (8x1) anchor config IS the production banding — its
+      // candidate set is the memoized bandCandidates table (shared
+      // with q56/q58/q88), not a second identical self-join
+      val cands = if (r == 1) bandCandidates(spark, dir) else {
+        val banded = sigs.select(col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(0, ${b - 1}), g -> slice(sig, g * $r + 1, $r))"))
+            .as(Seq("band", "bv")))
+        banded.as("a").hint("shuffle_hash")
+          .join(banded.as("b").hint("shuffle_hash"),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+          .distinct()
+      }
       val stats = cands
         .join(verified.withColumn("hit", lit(1)), Seq("ia", "ib"), "left")
         .agg(count(lit(1)).as("n_cands"),

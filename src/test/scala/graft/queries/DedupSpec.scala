@@ -57,6 +57,31 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getDouble(2) === 1.0)
   }
 
+  test("lsh tuning curve: anchor config has full recall, candidates and " +
+      "recall are monotone in rows-per-band, identical docs survive every banding") {
+    // 3 identical docs (identical signatures -> candidates under EVERY
+    // banding) + 2 unrelated docs
+    val dir = corpus(Seq(
+      0L -> base, 1L -> base, 2L -> base,
+      3L -> "zebra xylophone quartz vortex jumble knight puzzle wizard gnome fjord",
+      4L -> "granite harbor lantern meadow nimbus orchard prairie quarry russet sable"))
+    val out = Dedup.lshTuning(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.map(x => (x._1, x._2)).toSeq ===
+      Seq((8, 1), (4, 2), (2, 4), (1, 8)))
+    // the r=1 anchor measures recall against ITS OWN verified pairs
+    assert(out.head._6 === 1000000L, out.mkString(", "))
+    // identical docs agree on every signature position -> the 3 planted
+    // pairs are candidates AND hits under every banding
+    for (row <- out) assert(row._4 >= 3L, row.toString)
+    // coarser bandings can only shrink candidates and recall
+    for (Seq(fine, coarse) <- out.toSeq.sliding(2)) {
+      assert(coarse._3 <= fine._3, s"candidates grew: $fine -> $coarse")
+      assert(coarse._6 <= fine._6, s"recall grew: $fine -> $coarse")
+    }
+  }
+
   test("simhash: identical docs at hamming 0; unrelated docs far apart") {
     val dir = corpus(Seq(
       0L -> base,
