@@ -521,16 +521,17 @@ object TextAnalysis {
     * per-lang rollup is the only other exchange. Per-doc bits are
     * rounded to 4 decimals before summing so cross-engine log/sum
     * ulp drift cannot reach the digest. */
-  def unigramLm(spark: SparkSession, dir: String): DataFrame = {
-    prep(spark)
-    val docs = documents(spark, dir)
-      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
-    // The trained model state (vocab map + corpus token total, ONE
-    // row) is memoized per (session, dir) like the IVF codebook: a
-    // production pipeline trains the LM once and scores many batches,
-    // and without the memo every invocation re-runs the corpus-wide
-    // explode+groupBy that dominates the query.
-    val lm = memo(spark, dir, "lm_vocab") {
+  /** The trained corpus unigram-LM state (top-[[LmVocabSize]] vocab
+    * map + corpus token total, ONE row) — memoized per (session, dir)
+    * like the IVF codebook: a production pipeline trains the LM once
+    * and scores many batches, and without the memo every invocation
+    * re-runs the corpus-wide explode+groupBy that dominates. Shared
+    * by q87 (scoring) and q166 (the DSIR denominator). Column names
+    * are `vm`/`n_total`. */
+  private def lmState(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "lm_vocab") {
+      val docs = documents(spark, dir)
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
       val vocab = docs.select(explode(col("toks")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok").asc).limit(LmVocabSize)
@@ -538,6 +539,12 @@ object TextAnalysis {
           collect_list(struct(col("tok"), col("cnt")))).as("vm"))
         .crossJoin(docs.select(sum(size(col("toks"))).as("n_total")))
     }
+
+  def unigramLm(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val docs = documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+    val lm = lmState(spark, dir)
     docs.crossJoin(broadcast(lm))
       .withColumn("n_toks", size(col("toks")))
       .withColumn("bits", round(expr(
@@ -575,6 +582,124 @@ object TextAnalysis {
        |  round(sum(bits), 4) AS sum_bits,
        |  round(sum(bits) / sum(n_toks), 4) AS avg_bits_per_tok
        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q166 DSIR-style importance resampling
+  // ---------------------------------------------------------------
+
+  /** q166: DSIR-style importance resampling (Xie et al. 2023,
+    * arXiv:2302.03169) — select corpus documents toward a TARGET
+    * domain's distribution using importance weights from two cheap
+    * unigram LMs, the published shape modern pretraining sets use to
+    * upweight quality/domain data without training a classifier:
+    *
+    *   - target LM: trained on the q51 quality >= 0.5 slice (the
+    *     "domain we want more of"), same top-[[LmVocabSize]] vocab +
+    *     0.5-count OOV discipline as q87, memoized;
+    *   - corpus LM: the SHARED memoized q87 state ([[lmState]]);
+    *   - per doc: mean per-token log2 likelihood RATIO
+    *     (log p_t − log p_c, the DSIR importance weight in log
+    *     space), rounded 4dp per doc (the q87 cross-engine rule);
+    *   - resample: keep with probability proportional to the weight,
+    *     normalized by the corpus max — made DETERMINISTIC the q90
+    *     way: keep iff hash(doc_id) ppm < round(2^(spt−max_spt)·1e6)
+    *     (reproducible across runs AND engines; a boundary flip would
+    *     need pow to land within ~1e-16 of a ppm rounding edge).
+    *
+    * Scale shape: both LM states are 1-row broadcasts; scoring is a
+    * scan-stage array fold (no per-token join); the max is one 1-row
+    * aggregate broadcast back; the keep decision is a scan-stage
+    * predicate. Digest per lang: docs, kept count, rounded score sum,
+    * xor of kept ids. */
+  def dsirResample(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val docs = documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+    val lmC = lmState(spark, dir)
+    val lmT = memo(spark, dir, "lm_vocab_target") {
+      val tdocs = scoredDocs(spark, dir)
+        .filter(col("quality") >= 0.5)
+        .withColumn("ltoks", split(lower(trim(col("text"))), "\\s+"))
+      val vocab = tdocs.select(explode(col("ltoks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("tcnt"))
+        .orderBy(col("tcnt").desc, col("tok").asc).limit(LmVocabSize)
+      vocab.agg(map_from_entries(
+          collect_list(struct(col("tok"), col("tcnt")))).as("tvm"))
+        .crossJoin(tdocs.select(sum(size(col("ltoks"))).as("t_total")))
+    }
+    val scored = docs.crossJoin(broadcast(lmC)).crossJoin(broadcast(lmT))
+      .withColumn("spt", round(expr(
+        """aggregate(toks, 0D, (a, t) -> a
+          |  + log2(coalesce(cast(element_at(tvm, t) as double), 0.5D)
+          |         / t_total)
+          |  - log2(coalesce(cast(element_at(vm, t) as double), 0.5D)
+          |         / n_total)) / size(toks)""".stripMargin), 4))
+      .select(col("doc_id"), col("lang"), col("spt"))
+    val maxSpt = scored.agg(max(col("spt")).as("max_spt"))
+    scored.crossJoin(broadcast(maxSpt))
+      .withColumn("keep_ppm", expr(
+        "cast(round(pow(2.0D, spt - max_spt) * 1000000, 0) as bigint)"))
+      .withColumn("keep", expr(
+        s"${Exprs.hash60("cast(doc_id as string)")} % 1000000") <
+        col("keep_ppm"))
+      .withColumn("h", expr(Exprs.hash60("cast(doc_id as string)")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        round(sum(col("spt")), 4).as("sum_score"),
+        coalesce(expr("bit_xor(CASE WHEN keep THEN h END)"), lit(0L))
+          .as("kept_digest"))
+      .orderBy("lang")
+  }
+
+  val dsirResampleSql: String = {
+    def h(c: String) =
+      s"('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT"
+    s"""WITH $scoredDocsSqlCtes,
+       |ld AS (
+       |  SELECT doc_id, lang,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |cu AS (SELECT unnest(toks) AS tok FROM ld),
+       |cc AS (SELECT tok, count(*) AS cnt FROM cu GROUP BY 1),
+       |cv AS (SELECT tok, cnt FROM cc
+       |       ORDER BY cnt DESC, tok ASC LIMIT $LmVocabSize),
+       |cm AS (SELECT map(list(tok ORDER BY tok), list(cnt ORDER BY tok))
+       |         AS vm FROM cv),
+       |cn AS (SELECT count(*) AS n_total FROM cu),
+       |td AS (SELECT ld.doc_id, ld.toks FROM ld
+       |       JOIN q ON ld.doc_id = q.doc_id WHERE q.quality >= 0.5),
+       |tu AS (SELECT unnest(toks) AS tok FROM td),
+       |tc AS (SELECT tok, count(*) AS tcnt FROM tu GROUP BY 1),
+       |tv AS (SELECT tok, tcnt FROM tc
+       |       ORDER BY tcnt DESC, tok ASC LIMIT $LmVocabSize),
+       |tm AS (SELECT map(list(tok ORDER BY tok), list(tcnt ORDER BY tok))
+       |         AS tvm FROM tv),
+       |tn AS (SELECT count(*) AS t_total FROM tu),
+       |sc AS (
+       |  SELECT doc_id, lang,
+       |    round(list_sum(list_transform(toks,
+       |      tk -> log2(coalesce(
+       |              CAST(list_extract(map_extract(tvm, tk), 1) AS DOUBLE),
+       |              0.5) / t_total)
+       |          - log2(coalesce(
+       |              CAST(list_extract(map_extract(vm, tk), 1) AS DOUBLE),
+       |              0.5) / n_total))) / len(toks), 4) AS spt
+       |  FROM ld, cm, cn, tm, tn),
+       |mx AS (SELECT max(spt) AS max_spt FROM sc),
+       |k AS (
+       |  SELECT doc_id, lang, spt,
+       |    ${h("doc_id")} % 1000000 <
+       |      CAST(round(pow(2.0, spt - max_spt) * 1000000, 0) AS BIGINT)
+       |      AS keep
+       |  FROM sc, mx)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  round(sum(spt), 4) AS sum_score,
+       |  coalesce(bit_xor(CASE WHEN keep THEN ${h("doc_id")} END), 0)
+       |    AS kept_digest
+       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // q99 BPE merge training
@@ -1505,6 +1630,7 @@ object TextAnalysis {
     "q85_repetition_stats" -> repetitionStats,
     "q86_pii_redact" -> piiRedact,
     "q87_unigram_lm" -> unigramLm,
+    "q166_dsir_resample" -> dsirResample,
     "q99_bpe_train" -> bpeTrain,
     "q100_bpe_apply" -> bpeApply,
     "q107_quality_gate" -> qualityGate,
@@ -1530,6 +1656,7 @@ object TextAnalysis {
     "q85_repetition_stats" -> repetitionStatsSql,
     "q86_pii_redact" -> piiRedactSql,
     "q87_unigram_lm" -> unigramLmSql,
+    "q166_dsir_resample" -> dsirResampleSql,
     "q99_bpe_train" -> bpeTrainSql,
     "q100_bpe_apply" -> bpeApplySql,
     "q107_quality_gate" -> qualityGateSql,
