@@ -234,6 +234,103 @@ object TextAnalysis {
        |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  private val MixChunkTokens = 16
+
+  /** q167: mixed-language document detection — the curation gate a
+    * WHOLE-document lang-ID (q52) cannot provide: a document that
+    * switches language mid-text still gets one confident doc-level
+    * label and then pollutes a monolingual training slice. Chunk each
+    * document into [[MixChunkTokens]]-token windows, run the SAME
+    * marker-voting classifier per chunk (chunks with zero marker hits
+    * vote 'und' and abstain), take the majority language over the
+    * identified chunks, and flag documents whose minority share
+    * exceeds 20% (integer-ppm cross-multiply, no float threshold).
+    *
+    * Scale shape: everything is ONE scan-stage nested-lambda pass per
+    * document (chunk starts via `sequence`, per-chunk score vectors,
+    * vote fold) — no explode, no per-chunk shuffle; the only exchange
+    * is the per-lang digest rollup. Digest per true lang: docs, mixed
+    * docs, identified/abstained chunk totals, xor of mixed doc ids. */
+  def mixedLang(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val mk = LangMarkers.zipWithIndex.flatMap { case ((_, ws), i) =>
+      ws.flatMap(w => Seq(s"'$w'", (i + 1).toString))
+    }.mkString("map(", ", ", ")")
+    val allMarkers = sqlList(LangMarkers.flatMap(_._2))
+    val nl = LangMarkers.size
+    val c = MixChunkTokens
+    documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("preds", expr(
+        // per chunk: marker votes per language -> argmax index, 0=und
+        s"""transform(sequence(0, cast((size(toks) - 1) div $c as int)),
+           |  k -> aggregate(
+           |    filter(slice(toks, k * $c + 1, $c), t -> t IN $allMarkers),
+           |    array_repeat(0, $nl),
+           |    (acc, t) -> transform(acc, (v, i) ->
+           |      IF(i + 1 = element_at($mk, t), v + 1, v)),
+           |    acc -> IF(array_max(acc) = 0, 0,
+           |      cast(array_position(acc, array_max(acc)) as int))))"""
+          .stripMargin))
+      .withColumn("votes", expr(
+        s"""transform(sequence(1, $nl),
+           |  L -> size(filter(preds, p -> p = L)))""".stripMargin))
+      .withColumn("n_chunks", size(col("preds")))
+      .withColumn("n_ident", expr("size(filter(preds, p -> p != 0))"))
+      .withColumn("n_major", expr("array_max(votes)"))
+      .withColumn("mixed",
+        // minority share > 20%: (ident - major) * 5 > ident, integer
+        expr("n_ident > 0 AND (n_ident - n_major) * 5 > n_ident"))
+      .withColumn("h", expr(Exprs.hash60("cast(doc_id as string)")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("mixed"), 1L).otherwise(0L)).as("n_mixed"),
+        sum(col("n_chunks")).cast("long").as("sum_chunks"),
+        sum(col("n_ident")).cast("long").as("sum_identified"),
+        coalesce(expr("bit_xor(CASE WHEN mixed THEN h END)"), lit(0L))
+          .as("mixed_digest"))
+      .orderBy("lang")
+  }
+
+  val mixedLangSql: String = {
+    val nl = LangMarkers.size
+    val c = MixChunkTokens
+    val scoreList = LangMarkers.map { case (_, ws) =>
+      s"len(list_filter(ch, t -> t IN ${sqlList(ws)}))"
+    }.mkString("[", ",\n         ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, lang,
+       |    list_transform(
+       |      list_transform(range(0, (len(toks) - 1) // $c + 1),
+       |        k -> list_slice(toks, k * $c + 1, k * $c + $c)),
+       |      ch -> CASE WHEN list_max($scoreList) = 0 THEN 0
+       |        ELSE list_position($scoreList,
+       |               list_max($scoreList)) END) AS preds
+       |  FROM t),
+       |v AS (
+       |  SELECT doc_id, lang, len(preds) AS n_chunks,
+       |    len(list_filter(preds, x -> x != 0)) AS n_ident,
+       |    list_max(list_transform(range(1, $nl + 1),
+       |      L -> len(list_filter(preds, x -> x = L)))) AS n_major
+       |  FROM p),
+       |f AS (
+       |  SELECT doc_id, lang, n_chunks, n_ident,
+       |    n_ident > 0 AND (n_ident - n_major) * 5 > n_ident AS mixed
+       |  FROM v)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN mixed THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+       |  CAST(sum(n_chunks) AS BIGINT) AS sum_chunks,
+       |  CAST(sum(n_ident) AS BIGINT) AS sum_identified,
+       |  coalesce(bit_xor(CASE WHEN mixed THEN
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |    END), 0) AS mixed_digest
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Canonical document fingerprint: md5 of the sorted distinct token
     * set — an order/multiplicity-insensitive content hash (the
     * shuffle-free half of fingerprint dedup; [[Dedup.exactDedup]] is
@@ -1622,6 +1719,7 @@ object TextAnalysis {
     "q50_token_stats" -> tokenStats,
     "q51_quality_score" -> qualityScore,
     "q52_lang_id" -> langId,
+    "q167_mixed_lang" -> mixedLang,
     "q53_fingerprint" -> fingerprint,
     "q54_token_bpe" -> tokenBpe,
     "q59_rolling_hash" -> rollingHash,
@@ -1648,6 +1746,7 @@ object TextAnalysis {
     "q50_token_stats" -> tokenStatsSql,
     "q51_quality_score" -> qualityScoreSql,
     "q52_lang_id" -> langIdSql,
+    "q167_mixed_lang" -> mixedLangSql,
     "q53_fingerprint" -> fingerprintSql,
     "q54_token_bpe" -> tokenBpeSql,
     "q59_rolling_hash" -> rollingHashSql,

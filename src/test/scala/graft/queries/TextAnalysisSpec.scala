@@ -20,6 +20,27 @@ class TextAnalysisSpec extends SparkSpec {
     dir
   }
 
+  test("mixed-language detection: half-and-half docs flag, pure docs don't, " +
+      "markerless chunks abstain") {
+    // 16-token chunks. doc 0: two English chunks -> pure. doc 1: one
+    // English chunk + one Spanish chunk -> 50% minority -> mixed.
+    // doc 2: one English chunk + one chunk with NO markers -> the
+    // markerless chunk abstains, doc stays pure.
+    val en = (1 to 8).map(_ => "the cat and a dog is").mkString(" ")
+      .split(" ").take(16).mkString(" ")
+    val es = (1 to 8).map(_ => "el perro y la casa que de").mkString(" ")
+      .split(" ").take(16).mkString(" ")
+    val noise = (1 to 16).map(i => s"zz$i").mkString(" ")
+    val dir = corpus(Seq(s"$en $en", s"$en $es", s"$en $noise"))
+    val out = TextAnalysis.mixedLang(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 3L)   // n_docs
+    assert(r.getLong(2) === 1L)   // only the half-and-half doc is mixed
+    assert(r.getLong(3) === 6L)   // 2 chunks per doc
+    assert(r.getLong(4) === 5L)   // one chunk abstained
+  }
+
   test("bpe training: learns the dominant pair first; exhausted merges are no-ops") {
     // 'ab' x3 and 'cd' x1: merge 1 must be (a,b) cnt 3, merge 2 (c,d)
     // cnt 1; afterwards NO pairs remain, so ranks 3..8 must not exist
