@@ -41,6 +41,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getLong(4) === 5L)   // one chunk abstained
   }
 
+  test("mixed-language plan: scan-stage lambdas only — no Generate, one exchange") {
+    val dir = corpus(Seq("the cat and a dog is", "el perro y la casa"))
+    val df = TextAnalysis.mixedLang(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"per-chunk work must stay inside the scan-stage lambdas:\n$plan")
+  }
+
   test("bpe training: learns the dominant pair first; exhausted merges are no-ops") {
     // 'ab' x3 and 'cd' x1: merge 1 must be (a,b) cnt 3, merge 2 (c,d)
     // cnt 1; afterwards NO pairs remain, so ranks 3..8 must not exist
