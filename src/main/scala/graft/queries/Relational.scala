@@ -1235,10 +1235,18 @@ object Relational {
             "y -> concat(x, '|', y))))")).as("bk"))
     // the distinct-pair shuffle carries ONLY (did, eid) ids — the
     // name strings would sextuple the exchange payload; they rejoin
-    // from the (catalog-sized, broadcast) name tables afterwards
+    // from the (catalog-sized, broadcast) name tables afterwards.
+    // The CLEAN catalog's blocking index is memoized+persisted per
+    // (session, dir): a production linkage run builds the static
+    // catalog's index once and probes it with every arrival batch
+    // (the IVF-codebook discipline); only the dirty side's keys are
+    // per-batch work.
+    val catalogKeys = Tables.memo(spark, dir, "linkage_catalog_keys") {
+      pairKeys(ents, "eid", "ename")
+    }
     val cands = pairKeys(
         dirty.select(col("truth").as("did"), col("dname")), "did", "dname")
-      .join(pairKeys(ents, "eid", "ename"), "bk")
+      .join(catalogKeys, "bk")
       .filter(abs(length(col("dname")) - length(col("ename"))) <=
         LinkMaxDist)
       .select(col("did"), col("eid")).distinct()
