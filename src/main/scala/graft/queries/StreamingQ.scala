@@ -346,23 +346,62 @@ object StreamingQ {
       |FROM w JOIN cs ON w.cls = cs.cls CROSS JOIN t
       |ORDER BY source""".stripMargin
 
+  /** Misra–Gries capacity of the q126 trending-terms sketch: any term
+    * with frequency above 1/(K+1) of its language's token stream is
+    * GUARANTEED to survive (order-independently), so the exact top-5
+    * emerges deterministically from the recount as long as the real
+    * top-5 clear that bar — on the fixtures the 5th term carries
+    * ~3–4% of its language's tokens vs a 1/65 ≈ 1.5% bar, and a
+    * production deployment sizes K to its own head/tail split. */
+  val TrendingSketchK = 64
+
   /** q126: streaming trending terms — the live "what is the crawl
-    * bringing in" monitor: per-(lang, word) counts aggregate over the
-    * documents ARRIVAL stream (Complete mode; state is vocab-sized,
-    * the streaming-safe cardinality), then the tiny streamed count
-    * table ranks per language through the bounded-heap
-    * [[graft.functions.TopTermsAgg]] — no window sort, the q112
-    * discipline. Stream == batch: the oracle computes the identical
-    * top-5 straight off the documents table. */
+    * bringing in" monitor, in the bounded-state sketch→verify shape a
+    * web-crawl stream actually needs. A per-(lang, word) streaming
+    * count (the naive form) keeps VOCABULARY-sized state and re-emits
+    * it every trigger — unbounded on a real crawl (URLs, typos, IDs).
+    * Instead:
+    *
+    *   1. STREAM pass: per language, a [[graft.functions
+    *      .MisraGriesAgg]] heavy-hitter sketch aggregates the token
+    *      stream. State = one ≤[[TrendingSketchK]]-counter buffer per
+    *      language — bounded regardless of vocabulary; the memory
+    *      sink receives languages×1 rows per trigger, never the
+    *      vocabulary.
+    *   2. VERIFY pass: the ≤K surviving candidate terms per language
+    *      are recounted EXACTLY over the landed corpus (broadcast
+    *      semi-join on the candidate set — candidate-sized, not
+    *      vocab-sized) and ranked through the bounded-heap
+    *      [[graft.functions.TopTermsAgg]] — no window sort, the q112
+    *      discipline.
+    *
+    * The MG guarantee (every term above N/(K+1) survives, for EVERY
+    * arrival order and merge tree) is what makes the final top-5
+    * deterministic even though the sketch's borderline content is
+    * not: the true top-5 are always candidates, and exact recounted
+    * counts rank them identically to the batch answer — any extra
+    * borderline candidates rank strictly below by the same (cnt DESC,
+    * term ASC) order. Stream == batch: the oracle computes the
+    * identical top-5 straight off the documents table. */
   def streamTopTerms(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val agg = Streams.documentsStream(spark, dir)
+    val sketch = Streams.documentsStream(spark, dir)
       .select(col("lang"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(col("w") =!= "")
+      .groupBy(col("lang"))
+      .agg(graft.functions.MisraGries.sketch(TrendingSketchK)(col("w"))
+        .as("sk"))
+    val cand = Streams.runToMemory(
+      sketch, sink(spark, "s_topterms"), OutputMode.Complete())
+      .select(col("lang"), explode(col("sk.term")).as("w"))
+    val words = Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    words.join(broadcast(cand), Seq("lang", "w"), "left_semi")
       .groupBy(col("lang"), col("w"))
       .agg(count(lit(1)).as("cnt"))
-    Streams.runToMemory(agg, sink(spark, "s_topterms"), OutputMode.Complete())
       .groupBy(col("lang"))
       .agg(graft.functions.TopK.topTerms(5)(
         col("cnt").cast("double"), col("w")).as("top"))
