@@ -308,6 +308,70 @@ class SimilaritySpec extends SparkSpec {
     assert((imp == 0L) === (a4 == b4))
   }
 
+  test("graph beam ANN: self-excluded ranked rows, navigates to the " +
+      "query's cluster, and the walk never shuffle-joins the corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.{
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    // 8 clusters of 15 near-identical vectors (axis = i % 8): cluster
+    // mates collide in every LSH band, so the kNN graph is genuinely
+    // navigable — the shape graph ANN is built for. Tail jitter keeps
+    // cosines distinct across members.
+    val dir = java.nio.file.Files.createTempDirectory("beam_spec").toString
+    val rows = (0 until 120).map { i =>
+      val v = Array.fill(64)(0.0f)
+      v(i % 8) = 1.0f
+      v(63) = 0.3f + (i % 13) * 0.005f
+      (i.toLong, v.toSeq, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Tables.prep(spark) // registers array_dot before the direct edge call
+    // materialize the memoized refined graph first, so the search
+    // plan probes the cached edge artifact instead of inlining its
+    // build (the serving-time shape)
+    Similarity.refinedEdges(spark, dir).count()
+    val out = Similarity.graphBeamAnn(spark, dir).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 100L)) // queryPred on a 120-corpus
+    for ((q, rs) <- byQ) {
+      assert(rs.length === 5)
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to 5))
+      assert(rs.forall(_.getLong(2) != q), "self in results")
+      val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      // every answer is a cluster mate at near-identical cosine —
+      // the walk entered and exploited the right graph neighborhood
+      assert(rs.forall(_.getLong(2) % 8 == q % 8),
+        s"off-cluster answer for q$q: ${rs.map(_.getLong(2)).toSeq}")
+      assert(cs.forall(_ > 0.99))
+    }
+    // bounded-frontier contract: with the edge memo materialized, the
+    // whole walk (entry scoring, hop expansions, beam cuts) runs on
+    // broadcast joins — a sort-merge or shuffled-hash join would mean
+    // a corpus-sized exchange inside a hop
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Similarity.graphBeamAnn(spark, dir)
+        .queryExecution.executedPlan
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        plan.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+        s"corpus-shuffling join inside the beam walk:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // bounded-frontier contract: with the edge memo materialized, the
+    // whole walk (entry scoring, hop expansions, beam cuts) runs on
+    // broadcast joins — a sort-merge or shuffled-hash join would mean
+    // a corpus-sized exchange inside a hop
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Similarity.graphBeamAnn(spark, dir)
+        .queryExecution.executedPlan
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        plan.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+        s"corpus-shuffling join inside the beam walk:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("label centroids: 3 nearest members per label, cos in [-1, 1]") {
     val dir = corpus(120)
     val out = Similarity.labelCentroids(spark, dir).collect()
