@@ -48,8 +48,16 @@ object SkewJoin {
     val counts = big.groupBy(col(bigKey)).agg(count(lit(1)).as("cnt"))
     val tot = counts.agg(sum(col("cnt")).as("n_rows"),
       count(lit(1)).as("n_keys"))
+    // cross-multiply in decimal(38,0): both factors are longs, so the
+    // products reach ~8.5e37 at extreme cardinalities — a long×long
+    // compare would wrap silently under the non-ANSI session and
+    // mis-flag (or worse, UN-flag) exactly at the 100 TB scales this
+    // operator exists for; decimal(38) holds the full product exactly
     val heavy = counts.crossJoin(broadcast(tot))
-      .filter(col("cnt") * col("n_keys") > lit(heavyFactor) * col("n_rows"))
+      .filter(
+        col("cnt").cast("decimal(38,0)") * col("n_keys").cast("decimal(38,0)")
+          > lit(heavyFactor).cast("decimal(38,0)")
+            * col("n_rows").cast("decimal(38,0)"))
       .orderBy(col("cnt").desc)
       .limit(maxHeavy)
       .select(col(bigKey))
@@ -72,14 +80,23 @@ object SkewJoin {
       return j
     }
     val spark = big.sparkSession
-    import spark.implicits._
     // broadcast tag table instead of a giant IN-list: keeps the probe
-    // a codegen'd broadcast-hash lookup at any flagged-set size
-    val heavyDf = broadcast(
-      spark.createDataset(heavyKeys.map(_.toString)).toDF("__hk")
-        .withColumn("__heavy", lit(true)))
+    // a codegen'd broadcast-hash lookup at any flagged-set size. The
+    // tag column keeps the key's NATIVE type (a cast-both-to-string
+    // match would silently miss timestamp/date keys: JVM toString and
+    // Spark's cast-to-string render them differently, degrading the
+    // join to unsalted — correct but unprotected). Null keys never
+    // match an inner equi-join, so they need no tag row.
+    import scala.jdk.CollectionConverters._
+    val keyType = big.schema(bigKey).dataType
+    val heavyDf = broadcast(spark.createDataFrame(
+      heavyKeys.filter(_ != null)
+        .map(k => org.apache.spark.sql.Row(k)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__hk", keyType))))
+      .withColumn("__heavy", lit(true)))
     val b = big
-      .join(heavyDf, col(bigKey).cast("string") === col("__hk"), "left")
+      .join(heavyDf, col(bigKey) === col("__hk"), "left")
       .withColumn("__salt",
         // content-hash salt: deterministic (survives task retries),
         // spread by the full row so a hot key fans over all salts
@@ -89,7 +106,7 @@ object SkewJoin {
           .otherwise(lit(0)))
       .drop("__hk", "__heavy")
     val s = small
-      .join(heavyDf, col(smallKey).cast("string") === col("__hk"), "left")
+      .join(heavyDf, col(smallKey) === col("__hk"), "left")
       .withColumn("__salt",
         explode(when(col("__heavy"), sequence(lit(0), lit(salts - 1)))
           .otherwise(array(lit(0)))))

@@ -953,12 +953,17 @@ object Reference {
   def dailyRunQ(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val tmp = System.getProperty("java.io.tmpdir")
+    // Session-scoped suffix: two concurrent sessions on one machine
+    // must not interleave drops or corrupt each other's audit trail
+    // (within one session the paths are stable, so re-runs still
+    // exercise the delete-and-replace idempotence below)
+    val runTag = spark.sparkContext.applicationId
     // R5: every location comes from typed config, validated up front
     // (injected env — the spec for process-env backing is ConfigSpec)
     val cfg = new graft.io.Config(Map(
-      "GRAFT_DOWNLOAD_DIR" -> java.nio.file.Paths.get(tmp, "graft_daily_drop").toString,
-      "GRAFT_TARGET_DIR" -> java.nio.file.Paths.get(tmp, "graft_daily_tbl").toString,
-      "GRAFT_AUDIT_DIR" -> java.nio.file.Paths.get(tmp, "graft_daily_audit").toString))
+      "GRAFT_DOWNLOAD_DIR" -> java.nio.file.Paths.get(tmp, s"graft_daily_drop_$runTag").toString,
+      "GRAFT_TARGET_DIR" -> java.nio.file.Paths.get(tmp, s"graft_daily_tbl_$runTag").toString,
+      "GRAFT_AUDIT_DIR" -> java.nio.file.Paths.get(tmp, s"graft_daily_audit_$runTag").toString))
     cfg.validateRequired("GRAFT_DOWNLOAD_DIR", "GRAFT_TARGET_DIR",
       "GRAFT_AUDIT_DIR")
     val drop = cfg.required("GRAFT_DOWNLOAD_DIR")

@@ -565,11 +565,16 @@ object Relational {
     * group, in the distributed shape (see [[percentiles]]): one sorted
     * window pass, candidate-rank filter, constant-memory weighted sum.
     * Shared by q28 and q69's exact arm. */
-  private def exactQuantiles(df: DataFrame, groupCol: String,
+  private[queries] def exactQuantiles(df: DataFrame, groupCol: String,
       measure: String, qs: Seq[(Double, String)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byGroup = Window.partitionBy(groupCol)
+    // NULL measures are excluded BEFORE ranking — the aggregate this
+    // replaces (percentile / quantile_cont) ignores NULLs, while a
+    // NULLS FIRST ascending rank would shift every candidate rank and
+    // poison the weighted sum with NULL arithmetic.
     val ranked = df.select(col(groupCol), col(measure).cast("double").as("v"))
+      .filter(col("v").isNotNull)
       .withColumn("rn", row_number().over(byGroup.orderBy(col("v"))))
       .withColumn("n", count(lit(1)).over(byGroup))
     def h(q: Double) = lit(q) * (col("n") - lit(1)) + lit(1)

@@ -63,6 +63,30 @@ class SkewJoinSpec extends SparkSpec {
     assert(j.count() === 300L)
   }
 
+  test("timestamp keys tag natively: flagged key salts instead of " +
+      "silently degrading to the unsalted path") {
+    // JVM Timestamp.toString ("2024-01-01 00:00:00.0") differs from
+    // Spark's cast-to-string ("2024-01-01 00:00:00"): a string-matched
+    // tag table would never tag a timestamp key, so the hot key would
+    // keep its single reducer. The native-type tag must produce a
+    // Generate (small-side replication) AND the identical result set.
+    val hotTs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val coldTs = (1 to 20).map(d =>
+      java.sql.Timestamp.valueOf(f"2024-02-$d%02d 00:00:00"))
+    val big = ((0 until 500).map(i => (hotTs, i.toLong)) ++
+      coldTs.map(t => (t, 0L))).toDF("k", "payload")
+    val dim = (hotTs +: coldTs).map(t => (t, s"d_$t")).toDF("dk", "name")
+    val j = SkewJoin.autoSalted(big, "k", dim, "dk", salts = 4)
+    assert(j.queryExecution.executedPlan.toString.contains("Generate"),
+      "flagged timestamp key did not reach the salted path")
+    val plain = big.join(dim, col("k") === col("dk"))
+      .groupBy(col("name")).agg(count(lit(1)).as("n"))
+      .collect().map(_.toSeq).toSet
+    val salted = j.groupBy(col("name")).agg(count(lit(1)).as("n"))
+      .collect().map(_.toSeq).toSet
+    assert(salted === plain)
+  }
+
   test("flagging respects the exact integer cross-multiply predicate") {
     // mean = 300/60 = 5; a key at exactly 2x the mean (10) must NOT
     // flag (strict >); 11 must

@@ -147,6 +147,19 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("exactQuantiles ignores NULL measures like the aggregate it replaces") {
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", null), ("a", 3.0), ("a", null), ("a", 5.0),
+      ("b", null), ("b", 10.0)).toDF("g", "m")
+    val out = Relational.exactQuantiles(df, "g", "m",
+      Seq(0.5 -> "med")).collect().map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    // quantile_cont over the NON-NULL values only: a={1,3,5} -> 3,
+    // b={10} -> 10; NULLs ranked first would have shifted both
+    assert(out === Map("a" -> 3.0, "b" -> 10.0))
+  }
+
   test("approx distinct (HLL) stays within 5% of the exact count") {
     Tables.prep(spark)
     val rows = Relational.approxDistinct(spark, dir).collect()
