@@ -335,6 +335,57 @@ object Multimodal {
     header ++ px
   }
 
+  /** One decoded audio container: declared rate/channels plus the raw
+    * 16-bit little-endian signed PCM payload. */
+  case class WavAudio(sampleRate: Int, channels: Int, pcm: Array[Byte])
+
+  /** REAL audio-container decode for the formats the JDK ships codecs
+    * for — RIFF/WAV (plus AIFF/AU) via `javax.sound.sampled`, zero
+    * external dependencies; the audio sibling of [[decodeImageIO]].
+    * The container's sample stream is normalized to 16-bit signed
+    * little-endian PCM (WAV's native layout — a no-op copy there;
+    * other widths convert through AudioSystem), so the bytes feed
+    * [[pcmWindowEnergy]] directly. None when the payload carries no
+    * recognizable audio container magic (the unsupported-format
+    * exception), matching the image chain's fall-through contract. */
+  def decodeWavAudio(payload: Array[Byte]): Option[WavAudio] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val base = in.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          base.getSampleRate, 16, base.getChannels,
+          2 * base.getChannels, base.getSampleRate, false)
+        val conv = AudioSystem.getAudioInputStream(target, in)
+        try {
+          val pcm = conv.readAllBytes()
+          Some(WavAudio(base.getSampleRate.toInt, base.getChannels, pcm))
+        } finally conv.close()
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Wrap the [[syntheticPcm]] sample formula in a REAL RIFF/WAV
+    * container via the JDK encoder (mono, 16-bit little-endian,
+    * `8000 + (id%4)*8000` Hz — the stub's rate rule, now carried by an
+    * actual container header). WAV is lossless PCM, so a decode of
+    * these bytes must reproduce the formula's samples exactly — the
+    * audio analogue of q161's PNG parity contract. */
+  def encodeWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    val pcm = syntheticPcm(id)
+    val rate = (8000 + (id % 4) * 8000).toFloat
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      rate, 16, 1, 2, rate, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** One audio clip's windowed-energy digest. */
   case class AudioEnergy(n_samples: Int, n_windows: Int, sum_abs: Long,
       max_window_abs: Long)

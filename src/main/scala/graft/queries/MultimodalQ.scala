@@ -328,6 +328,53 @@ object MultimodalQ {
       |  TRUE AS jpeg_within_band
       |FROM ids ORDER BY media_id""".stripMargin
 
+  /** q169: REAL WAV-container decode via `javax.sound.sampled` — the
+    * production-format closure of q84's raw-PCM path, exactly as q161
+    * closed q81's PPM path with ImageIO. Per nation id, the shared
+    * PCM sample formula is wrapped in an actual RIFF/WAV container
+    * ([[Multimodal.encodeWav]]) and decoded back through
+    * [[Multimodal.decodeWavAudio]] inside the mapPartitions batch
+    * shape; the decoded stream then runs the SAME 64-sample energy
+    * windowing as q84. WAV is lossless PCM, so the container header
+    * fields (rate rule, mono) and every energy figure must match the
+    * formula EXACTLY — the oracle restates both in SQL, and any
+    * defect in the header parse, sample-width normalization, or
+    * little-endian reassembly breaks the hash. */
+  def wavDecode(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    import spark.implicits._
+    mediaDigest(spark, dir,
+      Seq("sample_rate", "channels", "n_samples", "n_windows", "sum_abs",
+        "max_window_abs")) { id =>
+      val wav = Multimodal.decodeWavAudio(Multimodal.encodeWav(id))
+        .getOrElse(sys.error(s"WAV round-trip failed for id=$id"))
+      val e = Multimodal.pcmWindowEnergy(wav.pcm, 64)
+      (id, wav.sampleRate, wav.channels, e.n_samples, e.n_windows,
+        e.sum_abs, e.max_window_abs)
+    }
+  }
+
+  val wavDecodeSql: String =
+    """WITH ids AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+      |    256 + (n_nationkey % 4) * 64 AS n
+      |  FROM nation),
+      |w AS (SELECT media_id, n, n // 64 AS nw FROM ids),
+      |e AS (
+      |  SELECT media_id, n, nw,
+      |    list_transform(range(0, nw), wi ->
+      |      list_sum(list_transform(range(wi * 64, wi * 64 + 64),
+      |        s -> abs((media_id * 31 + s * 77) % 4096 - 2048)))) AS wins
+      |  FROM w)
+      |SELECT media_id,
+      |  CAST(8000 + (media_id % 4) * 8000 AS INTEGER) AS sample_rate,
+      |  CAST(1 AS INTEGER) AS channels,
+      |  CAST(n AS INTEGER) AS n_samples,
+      |  CAST(nw AS INTEGER) AS n_windows,
+      |  CAST(list_sum(wins) AS BIGINT) AS sum_abs,
+      |  CAST(list_max(wins) AS BIGINT) AS max_window_abs
+      |FROM e ORDER BY media_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_media_features" -> mediaFeatures,
     "q81_image_decode" -> imageDecode,
@@ -335,7 +382,8 @@ object MultimodalQ {
     "q83_frame_sample" -> frameSample,
     "q84_audio_energy" -> audioEnergy,
     "q124_image_dedup" -> imageDedup,
-    "q161_imageio_decode" -> imageioDecode
+    "q161_imageio_decode" -> imageioDecode,
+    "q169_wav_decode" -> wavDecode
   )
 
   val oracle: Map[String, String] = Map(
@@ -345,6 +393,7 @@ object MultimodalQ {
     "q83_frame_sample" -> frameSampleSql,
     "q84_audio_energy" -> audioEnergySql,
     "q124_image_dedup" -> imageDedupSql,
-    "q161_imageio_decode" -> imageioDecodeSql
+    "q161_imageio_decode" -> imageioDecodeSql,
+    "q169_wav_decode" -> wavDecodeSql
   )
 }

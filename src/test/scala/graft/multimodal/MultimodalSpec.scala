@@ -131,6 +131,33 @@ class MultimodalSpec extends SparkSpec {
       .map(k => math.abs((3L * 31 + k * 77) % 4096 - 2048)).sum)
   }
 
+  test("WAV container decode: JDK round-trip is PCM-lossless, an " +
+      "independently-encoded checked-in fixture decodes to the exact " +
+      "energy digest, junk bytes -> None") {
+    // JDK encode -> JDK decode: header fields + exact PCM bytes back
+    val wav = decodeWavAudio(encodeWav(3L)).get
+    assert(wav.sampleRate === 32000) // 8000 + (3%4)*8000
+    assert(wav.channels === 1)
+    assert(wav.pcm.toSeq === syntheticPcm(3L).toSeq)
+    // the checked-in fixture was written by an INDEPENDENT encoder
+    // (CPython's wave module) from the same id=3 sample formula — a
+    // header-parse or endianness defect cannot cancel out across two
+    // encoders
+    val bytes = {
+      val in = getClass.getResourceAsStream("/fixtures/audio_id3.wav")
+      try in.readAllBytes() finally in.close()
+    }
+    val fix = decodeWavAudio(bytes).get
+    assert(fix.sampleRate === 32000)
+    assert(fix.channels === 1)
+    val e = pcmWindowEnergy(fix.pcm, 64)
+    val expected = pcmWindowEnergy(syntheticPcm(3L), 64)
+    assert(e === expected)
+    // no container magic -> None (the image-chain fall-through contract)
+    assert(decodeWavAudio(Array[Byte](0x00, 0x13, 0x37)).isEmpty)
+    assert(decodeWavAudio(Array.emptyByteArray).isEmpty)
+  }
+
   test("sampleFrames: every stride-th frame, partial tail ignored") {
     // 3.5 frames of 4 bytes: frames 0,1,2 complete, 2 trailing bytes
     val payload = Array.tabulate[Byte](14)(i => (i + 1).toByte)
