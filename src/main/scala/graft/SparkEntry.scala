@@ -29,6 +29,7 @@ object SparkEntry {
       "q37_conducta_pipeline", // driver-local fixture + write
       "q38_estados_pipeline",  // driver-local fixture
       "q42_jdbc_roundtrip",    // embedded-Derby load per call
+      "q170_jdbc_pushdown_read", // embedded-Derby load per call
       "q76_empty_write_guard", // writes a scratch table per call
       "q78_xlsx_roundtrip",    // writes a local xlsx fixture per call
       "q79_read_fallback",     // writes local xlsx+csv fixtures per call

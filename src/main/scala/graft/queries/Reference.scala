@@ -478,6 +478,59 @@ object Reference {
       .orderBy("id")
   }
 
+  /** q170: the BI-tool READ path over the loaded warehouse table
+    * (reference README.md:113 — the tables exist so Power BI /
+    * Metabase can query them): a predicate-filtered read back through
+    * the JDBC SOURCE, where the filter must reach the database as SQL
+    * (`PushedFilters` on the JDBC scan — ReferenceSpec asserts it in
+    * the plan) instead of materializing the table into Spark and
+    * filtering there. At warehouse scale that difference is the whole
+    * query: the database serves an indexed slice; an unpushed filter
+    * ships every row over JDBC first.
+    *
+    * Self-contained: ensures + idempotently loads the same conducta
+    * rows q42 loads (same per-date delete+insert, so running q42 and
+    * q170 in any order converges to identical table contents), then
+    * reads back `fecha >= 2024-01-16`. Oracle = the q37 value table
+    * under the same predicate. */
+  def jdbcPushdownRead(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val cutoff = "2024-01-16"
+    jdbcFilteredConducta(spark, dir, cutoff)
+      .orderBy("id")
+  }
+
+  /** The q170 read, factored so ReferenceSpec can assert the plan:
+    * load (idempotent) + JDBC-source read with the date predicate. */
+  private[queries] def jdbcFilteredConducta(spark: SparkSession,
+      dir: String, cutoff: String): DataFrame = {
+    val url = "jdbc:derby:" + java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), "graft_derby").toString +
+      ";create=true"
+    val table = "tbl_neotel_conducta"
+    val ddl = graft.conform.Schemas.Conducta.fields.map { f =>
+      val t = f.dataType match {
+        case org.apache.spark.sql.types.IntegerType => "INT"
+        case org.apache.spark.sql.types.DoubleType  => "DOUBLE"
+        case org.apache.spark.sql.types.DateType    => "DATE"
+        case _                                      => "VARCHAR(200)"
+      }
+      s"${f.name} $t"
+    }.mkString(", ")
+    JdbcSink.ensureTable(url, table, ddl)
+    val out = conductaPipeline(spark, dir)
+    val allowed = Set("tbl_neotel_conducta", "tbl_neotel_estados_operativos")
+    val fechas = out.select(col("fecha")).distinct().collect()
+      .map(_.getDate(0).toString).sorted
+    for (f <- fechas)
+      JdbcSink.loadIdempotent(
+        out.filter(col("fecha") === lit(f)), url, table, f, allowed)
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load()
+      .filter(col("fecha") >= lit(java.sql.Date.valueOf(cutoff)))
+      .select(graft.conform.Schemas.Conducta.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   /** The reference's CANONICAL layer-B query (SURVEY §2.4/§2.5): the
     * loaded tables share (id, fecha) keys, and every `t_diario_*`
     * column is BY CONSTRUCTION the day-grain rollup of the
@@ -1168,6 +1221,7 @@ object Reference {
     "q37_conducta_pipeline" -> conductaPipeline,
     "q38_estados_pipeline" -> estadosPipeline,
     "q42_jdbc_roundtrip" -> jdbcRoundtrip,
+    "q170_jdbc_pushdown_read" -> jdbcPushdownRead,
     "q43_time_to_minutes_native" -> timeToMinutesNativeQ,
     "q44_daily_rollup_join" -> dailyRollupJoin,
     "q75_route_by_name" -> routeByNameQ,
@@ -1195,6 +1249,9 @@ object Reference {
     "q37_conducta_pipeline" -> conductaPipelineSql,
     "q38_estados_pipeline" -> estadosPipelineSql,
     "q42_jdbc_roundtrip" -> conductaPipelineSql, // same rows via the JDBC sink
+    "q170_jdbc_pushdown_read" ->
+      s"""SELECT * FROM ($conductaPipelineSql)
+         |WHERE fecha >= DATE '2024-01-16' ORDER BY id""".stripMargin,
     "q43_time_to_minutes_native" -> timeToMinutesSql, // same semantics, native expr
     "q44_daily_rollup_join" -> dailyRollupJoinSql,
     "q75_route_by_name" -> routeByNameSql,

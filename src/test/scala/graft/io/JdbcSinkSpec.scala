@@ -67,4 +67,29 @@ class JdbcSinkSpec extends SparkSpec {
       JdbcSink.loadIdempotent(df, url, "evil", "2024-01-01", allowed)
     }
   }
+
+  test("JDBC source read pushes the predicate into the database " +
+      "(q170's BI read shape)") {
+    import spark.implicits._
+    JdbcSink.ensureTable(url, "t_push", "id INT, fecha DATE, v DOUBLE")
+    val df = Seq((1, "2024-01-01", 1.5), (2, "2024-01-02", 2.5),
+      (3, "2024-02-01", 3.5))
+      .toDF("id", "fecha", "v")
+      .withColumn("fecha", col("fecha").cast("date"))
+    for (f <- Seq("2024-01-01", "2024-01-02", "2024-02-01"))
+      JdbcSink.loadIdempotent(
+        df.filter(col("fecha") === f), url, "t_push", f, Set("t_push"))
+    val read = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "t_push").load()
+      .filter(col("fecha") >= lit(java.sql.Date.valueOf("2024-01-02")))
+    // the filter must reach the JDBC scan as a pushed predicate —
+    // an empty PushedFilters means Spark would drag the whole table
+    // over JDBC and filter locally
+    val scanDesc = read.queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString("\n")
+    assert(scanDesc.contains("PushedFilters") &&
+      scanDesc.toLowerCase.contains("fecha"),
+      s"date predicate not pushed to the JDBC source:\n$scanDesc")
+    assert(read.collect().map(_.getInt(0)).sorted.toSeq === Seq(2, 3))
+  }
 }
