@@ -87,6 +87,23 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("AQE off: salted result still identical to the plain join " +
+      "(the non-AQE-engine fallback the doc claims)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plain = bigSkewed.join(smallDim, col("k") === col("dk"))
+        .groupBy(col("name")).agg(count(lit(1)).as("n"),
+          sum(col("payload")).as("s"))
+        .collect().map(_.toSeq).toSet
+      val salted = SkewJoin.autoSalted(bigSkewed, "k", smallDim, "dk",
+          salts = 4)
+        .groupBy(col("name")).agg(count(lit(1)).as("n"),
+          sum(col("payload")).as("s"))
+        .collect().map(_.toSeq).toSet
+      assert(salted === plain)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("flagging respects the exact integer cross-multiply predicate") {
     // mean = 300/60 = 5; a key at exactly 2x the mean (10) must NOT
     // flag (strict >); 11 must
