@@ -1368,8 +1368,30 @@ object TextAnalysis {
     * lookups — then two-phase aggregates per doc and per language.
     * Bits round to 4dp per document (the q87 convention) so
     * cross-engine log/sum drift stays inside the rounding. */
+  /** The per-document bigram-LM scored frame (doc_id, lang, n_bg,
+    * bits) — memoized + persisted and shared by q117 (corpus-level
+    * digest) and q171 (CCNet perplexity buckets): the scored corpus is
+    * the artifact a CCNet-style pipeline writes once and filters from
+    * many times. Body is q117's scoring chain verbatim; see
+    * [[bigramLm]] for the model-shape rationale. */
+  private def bigramDocBits(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "lm_bigram_docbits") {
+      bigramDocBitsBody(spark, dir)
+    }
+
   def bigramLm(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
+    bigramDocBits(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bg")).as("n_bigrams"),
+        round(sum(col("bits")), 4).as("sum_bits"),
+        round(sum(col("bits")) / sum(col("n_bg")), 4)
+          .as("avg_bits_per_bigram"))
+      .orderBy("lang")
+  }
+
+  private def bigramDocBitsBody(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
     // The model is three memoized BITS tables, not count maps:
@@ -1426,17 +1448,14 @@ object TextAnalysis {
         greatest(size(col("toks")) - 1, lit(0)).as("n_bg"))
       .join(perDoc, Seq("doc_id"), "left")
       .withColumn("bits", coalesce(col("bits"), lit(0.0)))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_bg")).as("n_bigrams"),
-        round(sum(col("bits")), 4).as("sum_bits"),
-        round(sum(col("bits")) / sum(col("n_bg")), 4)
-          .as("avg_bits_per_bigram"))
-      .orderBy("lang")
+      .select(col("doc_id"), col("lang"), col("n_bg"), col("bits"))
   }
 
-  val bigramLmSql: String =
-    s"""WITH t AS (
+  /** DuckDB mirror of [[bigramDocBits]] (CTE chain ending in `d` =
+    * (doc_id, lang, n_bg, bits)) — ONE definition shared by the q117
+    * and q171 oracles. */
+  private val duckBigramDocCtes: String =
+    s"""t AS (
        |  SELECT doc_id, lang,
        |    string_split_regex(lower(trim(text)), '\\s+') AS toks
        |  FROM documents),
@@ -1476,12 +1495,88 @@ object TextAnalysis {
        |  FROM t LEFT JOIN
        |    (SELECT doc_id, round(sum(bits), 4) AS bits
        |     FROM sb GROUP BY 1) s
-       |    ON t.doc_id = s.doc_id)
+       |    ON t.doc_id = s.doc_id)""".stripMargin
+
+  val bigramLmSql: String =
+    s"""WITH $duckBigramDocCtes
        |SELECT lang, count(*) AS n_docs,
        |  CAST(sum(n_bg) AS BIGINT) AS n_bigrams,
        |  round(sum(bits), 4) AS sum_bits,
        |  round(sum(bits) / sum(n_bg), 4) AS avg_bits_per_bigram
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q171 CCNet-style perplexity bucket filter
+  // ---------------------------------------------------------------
+
+  /** q171: the CCNet quality filter (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", LREC'20) — score every document by language-model
+    * bits-per-bigram, split each LANGUAGE at its perplexity terciles,
+    * and keep head+middle: the published shape behind most public
+    * web-crawl corpora (CCNet itself, RedPajama, FineWeb lineage),
+    * where "low perplexity under an in-domain LM" is the quality
+    * proxy and the per-language split stops the filter from simply
+    * preferring whichever language the LM likes.
+    *
+    * Scale shape: per-doc scores come from the MEMOIZED
+    * [[bigramDocBits]] frame (broadcast-hash LM lookups, q117's
+    * plan); the tercile cut points are computed by the
+    * DISTRIBUTED-exact quantile machinery
+    * ([[Relational.exactQuantiles]] — ranked window + candidate-rank
+    * filter, constant memory, the q28 discipline), broadcast back
+    * (languages-sized), and bucketing is a scan-stage comparison.
+    * Production CCNet computes cuts from a sample; the exact form
+    * here is one extra spill-safe sorted pass and gives the oracle
+    * bit-exact cut points. Docs with no bigram (n_bg = 0) carry no
+    * LM evidence and are excluded from bucketing, like CCNet's
+    * too-short paragraphs. Both bpt and the cuts round to 4 decimals
+    * before comparison so the bucket boundary is cross-engine
+    * deterministic. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val scored = bigramDocBits(spark, dir)
+      .filter(col("n_bg") >= 1)
+      .withColumn("bpt", round(col("bits") / col("n_bg"), 4))
+    val cuts = Relational.exactQuantiles(scored, "lang", "bpt",
+      Seq(1.0 / 3 -> "c33", 2.0 / 3 -> "c66"))
+      .select(col("lang"), round(col("c33"), 4).as("c33"),
+        round(col("c66"), 4).as("c66"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .withColumn("bucket",
+        when(col("bpt") <= col("c33"), "head")
+          .when(col("bpt") <= col("c66"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bg")).as("n_bigrams"),
+        round(sum(col("bits")), 4).as("sum_bits"))
+      .withColumn("kept", col("bucket") =!= "tail")
+      .orderBy("lang", "bucket")
+  }
+
+  val ccnetBucketsSql: String =
+    s"""WITH $duckBigramDocCtes,
+       |scored AS (
+       |  SELECT doc_id, lang, n_bg, bits,
+       |    round(bits / n_bg, 4) AS bpt
+       |  FROM d WHERE n_bg >= 1),
+       |cuts AS (
+       |  SELECT lang, round(quantile_cont(bpt, 1.0/3), 4) AS c33,
+       |    round(quantile_cont(bpt, 2.0/3), 4) AS c66
+       |  FROM scored GROUP BY 1),
+       |b AS (
+       |  SELECT s.lang,
+       |    CASE WHEN bpt <= c33 THEN 'head'
+       |         WHEN bpt <= c66 THEN 'middle'
+       |         ELSE 'tail' END AS bucket,
+       |    n_bg, bits
+       |  FROM scored s JOIN cuts ON s.lang = cuts.lang)
+       |SELECT lang, bucket, count(*) AS n_docs,
+       |  CAST(sum(n_bg) AS BIGINT) AS n_bigrams,
+       |  round(sum(bits), 4) AS sum_bits,
+       |  bucket != 'tail' AS kept
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------
   // q112 TF-IDF top terms per language
@@ -1735,6 +1830,7 @@ object TextAnalysis {
     "q111_bpe_eval" -> bpeEval,
     "q112_tfidf" -> tfidf,
     "q117_bigram_lm" -> bigramLm,
+    "q171_ccnet_buckets" -> ccnetBuckets,
     "q127_inverted_index" -> invertedIndex,
     "q128_postings_search" -> postingsSearch,
     "q129_bm25" -> bm25,
@@ -1762,6 +1858,7 @@ object TextAnalysis {
     "q111_bpe_eval" -> bpeEvalSql,
     "q112_tfidf" -> tfidfSql,
     "q117_bigram_lm" -> bigramLmSql,
+    "q171_ccnet_buckets" -> ccnetBucketsSql,
     "q127_inverted_index" -> invertedIndexSql,
     "q128_postings_search" -> postingsSearchSql,
     "q129_bm25" -> bm25Sql,

@@ -335,4 +335,24 @@ class TextAnalysisSpec extends SparkSpec {
       .as[String].head()
     assert(clean === "sample text contact <EMAIL> or <PHONE>")
   }
+
+  test("ccnet buckets: predictable docs land in head, singleton-bigram " +
+      "docs in tail, kept = not tail") {
+    // One language, 9 docs, LM trained on this same corpus:
+    //   - 3 docs of a deterministic bigram chain (P(b|a)=1 -> ~0 bits)
+    //   - 3 docs where 'c' fans to three continuations (~log2(3) bits)
+    //   - 3 docs of singleton tokens (backoff penalty -> highest bits)
+    val head = Seq.fill(3)("a b a b a b a b")
+    val mid = Seq.fill(3)("c d c e c f")
+    val tail = (0 until 3).map(i =>
+      (0 until 5).map(j => s"r${i}_$j").mkString(" "))
+    val dir = corpus(head ++ mid ++ tail)
+    val out = TextAnalysis.ccnetBuckets(spark, dir).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getBoolean(5))).toMap
+    assert(out.keySet === Set("head", "middle", "tail"))
+    assert(out("head")._1 === 3L)
+    assert(out("middle")._1 === 3L)
+    assert(out("tail")._1 === 3L)
+    assert(out("head")._2 && out("middle")._2 && !out("tail")._2)
+  }
 }
