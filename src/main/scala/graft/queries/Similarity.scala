@@ -1819,9 +1819,22 @@ object Similarity {
         .select(col("qid"), col("s.vec_id").as("vec_id"),
           col("s.cos").as("cos"))
     val seeds = seedRows(spark, dir, BeamSeeds).select(col("vec_id"))
+    // Per-hop materialization (the q145 per-round discipline): the
+    // frontier's lineage feeds BOTH the next hop and the visited
+    // union, so without the lazy localCheckpoint each level's join
+    // tree would be re-executed ~2^H times by the final ranking —
+    // measured as a ~10x blowup on the sf0.1 ladder before the cut.
+    // BOTH the frontier and each hop's scored set are checkpointed:
+    // every score() is a probe into the CORPUS table, so an
+    // unmaterialized scored tree re-executed by the final ranking is
+    // a whole extra corpus scan — at 100 TB the job-barrier cost of
+    // the checkpoint (frames are queries×B rows) is nothing next to
+    // one avoided scan; each hop therefore scans the corpus exactly
+    // once.
     val entry = beam(score(q.select(col("qid"))
       .join(broadcast(seeds), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"))), BeamEntry)
+      .localCheckpoint(false)
     var frontier = entry
     var visited = entry
     for (_ <- 1 to BeamHops) {
@@ -1830,9 +1843,10 @@ object Similarity {
           Seq("src"))
         .filter(col("dst") =!= col("qid"))
         .select(col("qid"), col("dst").as("vec_id"))
-      val scored = score(neigh)
+      val scored = score(neigh).localCheckpoint(false)
       visited = visited.unionByName(scored)
       frontier = beam(frontier.unionByName(scored), BeamWidth)
+        .localCheckpoint(false)
     }
     topkRank(visited, "qid", 5)
   }
