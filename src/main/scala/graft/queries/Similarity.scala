@@ -1798,6 +1798,15 @@ object Similarity {
     * index × data, and a deployment monitors it continuously. */
   def graphBeamAnn(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
+    // The ranked result is itself memoized: q168 and the q102 ladder
+    // both consume it, and the walk is a deterministic derived table
+    // of queries×5 rows — one walk per (session, dir), like every
+    // other shared index artifact here.
+    memo(spark, dir, "graph_beam_result")(graphBeamWalk(spark, dir))
+      .orderBy("qid", "rnk")
+  }
+
+  private def graphBeamWalk(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
     val q = vecs(spark, dir).filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
