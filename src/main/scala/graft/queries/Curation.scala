@@ -271,6 +271,87 @@ object Curation {
   }
 
   // ---------------------------------------------------------------
+  // q173 corpus snapshot diff (incremental-crawl bookkeeping)
+  // ---------------------------------------------------------------
+
+  /** q173: content-hash diff of two corpus snapshots — the
+    * bookkeeping pass an incremental crawl runs between snapshot N
+    * and N+1 before any expensive recuration: classify every doc_id
+    * as added / removed / changed / unchanged by comparing content
+    * hashes, so downstream stages (dedup signatures, embeddings,
+    * quality scores) recompute ONLY the added+changed slice instead
+    * of the whole corpus. Snapshot B is derived deterministically
+    * from the fixture corpus (drop `id%17=3`, revise `id%13=5`,
+    * add a re-crawled `id%19=7` cohort under fresh negative ids) so
+    * the oracle checks the classifier against known ground truth.
+    *
+    * Scale shape: each snapshot contributes ONE scan projecting
+    * (doc_id, source, md5) — the text never leaves the scan stage —
+    * and the diff is a single co-partitioned full-outer SMJ on
+    * doc_id followed by a |sources|×4-row digest. At 100 TB both
+    * snapshots would be written bucketed by doc_id, making the join
+    * exchange-free (zip-partition); q109's partition-digest
+    * reconcile is the coarse fast path, this is the row-grain
+    * classification run on the flagged slice. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val base = documents(spark, dir)
+    val snapA = base.select(col("doc_id"), col("source").as("src_a"),
+      md5(col("text")).as("h_a"))
+    val bKept = base.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 13 === 5, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text2"))
+    val bNew = base.filter(col("doc_id") % 19 === 7)
+      .select((-col("doc_id") - 1).as("doc_id"), col("source"),
+        concat(lit("recrawl: "), col("text")).as("text2"))
+    val snapB = bKept.unionByName(bNew)
+      .select(col("doc_id"), col("source").as("src_b"),
+        md5(col("text2")).as("h_b"))
+    snapA.join(snapB, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("src_a"), col("src_b")).as("source"),
+        when(col("h_b").isNull, "removed")
+          .when(col("h_a").isNull, "added")
+          .when(col("h_a") =!= col("h_b"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("doc_id"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"bit_xor(${Exprs.hash60("cast(doc_id as string)")})")
+          .as("id_digest"))
+      .orderBy("source", "status")
+  }
+
+  val snapshotDiffSql: String = {
+    val h = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    s"""WITH a AS (
+       |  SELECT doc_id, source AS src_a, md5(text) AS h_a FROM documents),
+       |bk AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 13 = 5 THEN text || ' [rev2]' ELSE text END
+       |      AS text2
+       |  FROM documents WHERE doc_id % 17 <> 3),
+       |bn AS (
+       |  SELECT -doc_id - 1 AS doc_id, source, 'recrawl: ' || text AS text2
+       |  FROM documents WHERE doc_id % 19 = 7),
+       |b AS (
+       |  SELECT doc_id, source AS src_b, md5(text2) AS h_b
+       |  FROM (SELECT * FROM bk UNION ALL SELECT * FROM bn)),
+       |j AS (
+       |  SELECT coalesce(a.src_a, b.src_b) AS source,
+       |    CASE WHEN b.h_b IS NULL THEN 'removed'
+       |         WHEN a.h_a IS NULL THEN 'added'
+       |         WHEN a.h_a <> b.h_b THEN 'changed'
+       |         ELSE 'unchanged' END AS status,
+       |    coalesce(a.doc_id, b.doc_id) AS doc_id
+       |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+       |SELECT source, status, count(*) AS n_docs,
+       |  bit_xor($h) AS id_digest
+       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q122 quality-aware dedup keeper selection
   // ---------------------------------------------------------------
 
@@ -1737,6 +1818,7 @@ object Curation {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_dedup_clusters" -> dedupClusters,
     "q165_leakage_safe_split" -> leakageSafeSplit,
+    "q173_snapshot_diff" -> snapshotDiff,
     "q89_decontaminate" -> decontaminate,
     "q90_source_sample" -> sourceSample,
     "q98_span_dedup" -> spanDedup,
@@ -1761,6 +1843,7 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "q88_dedup_clusters" -> dedupClustersSql,
     "q165_leakage_safe_split" -> leakageSafeSplitSql,
+    "q173_snapshot_diff" -> snapshotDiffSql,
     "q89_decontaminate" -> decontaminateSql,
     "q90_source_sample" -> sourceSampleSql,
     "q98_span_dedup" -> spanDedupSql,

@@ -60,6 +60,56 @@ object TextAnalysis {
       |    AS sum_tok
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Tokenizer fertility by language — the multilingual-tokenizer
+    * health metric (subword tokens per whitespace word, and UTF-8
+    * bytes per subword token): a language whose fertility is far
+    * above the corpus mean is being over-segmented by the tokenizer,
+    * which inflates its effective sequence length and training cost.
+    * Uses the same BPE-ish regex segmenter as q54 so the two metrics
+    * share one tokenization contract.
+    *
+    * Scale shape: a pure narrow projection (two `regexp_extract_all`
+    * / `split` counts and an `octet_length`, all codegen'd in the
+    * scan stage) followed by one per-language aggregate — token
+    * arrays are never materialized past the count, nothing shuffles
+    * except |langs| partial-agg rows. At 100 TB this is a single
+    * corpus scan, embarrassingly parallel. */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    documents(spark, dir)
+      .select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).as("n_words"),
+        size(expr(
+          "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .as("n_subtoks"),
+        expr("octet_length(text)").as("n_bytes"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("sum_words"),
+        sum("n_subtoks").as("sum_subtoks"),
+        sum("n_bytes").as("sum_bytes"),
+        round(sum(col("n_subtoks")).cast("double") / sum(col("n_words")), 6)
+          .as("fertility"),
+        round(sum(col("n_bytes")).cast("double") / sum(col("n_subtoks")), 6)
+          .as("bytes_per_subtok"))
+      .orderBy("lang")
+  }
+
+  val tokenFertilitySql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |    AS sum_words,
+      |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT)
+      |    AS sum_subtoks,
+      |  CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+      |  round(CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE)
+      |        / sum(len(string_split_regex(trim(text), '\s+'))), 6)
+      |    AS fertility,
+      |  round(CAST(sum(strlen(text)) AS DOUBLE)
+      |        / sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))), 6)
+      |    AS bytes_per_subtok
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val Stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
   private def sqlList(ws: Seq[String]) = ws.mkString("('", "', '", "')")
 
@@ -1817,6 +1867,7 @@ object TextAnalysis {
     "q167_mixed_lang" -> mixedLang,
     "q53_fingerprint" -> fingerprint,
     "q54_token_bpe" -> tokenBpe,
+    "q172_token_fertility" -> tokenFertility,
     "q59_rolling_hash" -> rollingHash,
     "q67_word_count" -> wordCount,
     "q73_hash_split" -> hashSplit,
@@ -1845,6 +1896,7 @@ object TextAnalysis {
     "q167_mixed_lang" -> mixedLangSql,
     "q53_fingerprint" -> fingerprintSql,
     "q54_token_bpe" -> tokenBpeSql,
+    "q172_token_fertility" -> tokenFertilitySql,
     "q59_rolling_hash" -> rollingHashSql,
     "q67_word_count" -> wordCountSql,
     "q73_hash_split" -> hashSplitSql,

@@ -532,4 +532,28 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"sampling must be a pure filter:\n$plan")
   }
+
+  test("snapshot diff: every ground-truth class lands on the right doc") {
+    // id 3 -> removed (3%17=3); id 5 -> changed (5%13=5); id 7 stays
+    // unchanged AND spawns added re-crawl id -8 (7%19=7); id 1 untouched.
+    val dir = corpus(Seq(
+      (1L, "alpha", "en", "srcA"), (3L, "beta", "en", "srcA"),
+      (5L, "gamma", "en", "srcB"), (7L, "delta", "en", "srcB")))
+    val out = Curation.snapshotDiff(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("srcA", "removed") -> 1L, ("srcA", "unchanged") -> 1L,
+      ("srcB", "added") -> 1L, ("srcB", "changed") -> 1L,
+      ("srcB", "unchanged") -> 1L))
+  }
+
+  test("snapshot diff plan: one full-outer SMJ on doc_id, text never " +
+      "survives past the scan-stage hash") {
+    val dir = corpus(Seq((1L, "alpha", "en", "srcA")))
+    val df = Curation.snapshotDiff(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"diff must be a full outer join:\n$plan")
+    assert(plan.split("SortMergeJoin").length - 1 <= 2,
+      s"one co-partitioned diff join expected:\n$plan")
+  }
 }

@@ -355,4 +355,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("tail")._1 === 3L)
     assert(out("head")._2 && out("middle")._2 && !out("tail")._2)
   }
+
+  test("token fertility: subtoks-per-word and utf8 bytes-per-subtok on " +
+      "hand-counted docs, multibyte chars counted as bytes not chars") {
+    // doc0 "ab cd": 2 words, subtoks [ab][cd]=2, bytes 5
+    // doc1 "hello, world": 2 words, subtoks [hello][,][world]=3, bytes 12
+    // doc2 "héllo": 1 word, subtoks [h][é][llo]=3 (é is a single
+    //   non-ascii punct-class match), bytes 6 (é is 2 UTF-8 bytes)
+    val dir = corpus(Seq("ab cd", "hello, world", "héllo"))
+    val out = TextAnalysis.tokenFertility(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "en")
+    assert(r.getLong(1) === 3L)               // n_docs
+    assert(r.getLong(2) === 5L)               // sum_words
+    assert(r.getLong(3) === 8L)               // sum_subtoks
+    assert(r.getLong(4) === 23L)              // sum_bytes (not 22 chars)
+    assert(r.getDouble(5) === 1.6)            // 8/5
+    assert(r.getDouble(6) === 2.875)          // 23/8
+  }
+
+  test("token fertility plan: one scan + one aggregate, no join, no Generate") {
+    val dir = corpus(Seq("ab cd"))
+    val plan = TextAnalysis.tokenFertility(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"fertility must not join:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"token arrays must stay inside scan-stage counts:\n$plan")
+  }
 }
