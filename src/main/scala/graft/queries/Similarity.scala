@@ -1615,6 +1615,147 @@ object Similarity {
        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // q174 hard-negative mining (dedup-cluster-excluded ANN negatives)
+  // ---------------------------------------------------------------
+
+  /** q174: hard-negative mining — the ANCE/contriever-style upgrade
+    * of q149's RANDOM negatives: for each probe query the negatives
+    * that actually teach an embedding model are the HIGHEST-cosine
+    * corpus vectors that are NOT near-duplicates of the anchor.
+    * "Not a near-duplicate" is decided by the shared q88 dedup
+    * clusters ([[Curation.dupClusterLabels]]): any vector in the
+    * query's own connected component is a potential positive and is
+    * excluded, so a mined negative can never be a paraphrase of the
+    * anchor (the false-negative poison hard-negative mining is known
+    * for). Output: top-5 hard negatives per query with their cosines
+    * — exactly the per-anchor negative set an InfoNCE batch builder
+    * would consume.
+    *
+    * Scale shape: identical to q60's baseline (the bounded
+    * [[QueryBudget]] query side — now carrying its cluster root — is
+    * broadcast; each scan partition reduces to ≤2k rows per query
+    * before the shuffle via the bounded-heap [[topkRank]]), plus ONE
+    * id-keyed equi-join attaching cluster roots to the corpus (the
+    * label table is duplicate-cluster-sized, already memoized for
+    * q88/q122/q123/q165). The cluster-exclusion predicate rides the
+    * broadcast join — no extra shuffle anywhere. At 100 TB the root
+    * column is a precomputed column written by the dedup run, and
+    * this is a single scan. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val e = vecs(spark, dir)
+    val roots = Curation.dupClusterLabels(spark, dir)
+      .select(col("node").as("vec_id"), col("label").as("cc_root"))
+    val corp = e.join(roots, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("v"), col("nrm"),
+        coalesce(col("cc_root"), col("vec_id")).as("root"))
+    val q = corp.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("root").as("qroot"))
+    val scored = corp.join(broadcast(q),
+        col("vec_id") =!= col("qid") && col("root") =!= col("qroot"))
+      .withColumn("cos", round(
+        expr("array_dot(qv, v)") / (col("qn") * col("nrm")), 4))
+    topkRank(scored, "qid", 5)
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH RECURSIVE ${graft.queries.Dedup.duckVerifiedPairCtes},
+       |e AS (SELECT ia AS u, ib AS v FROM pairs
+       |      UNION SELECT ib, ia FROM pairs),
+       |reach(n, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.n),
+       |lab AS (SELECT n AS node, min(r) AS root FROM reach GROUP BY 1),
+       |nv AS ($duckVecs),
+       |c0 AS (
+       |  SELECT vec_id, v, nrm, coalesce(lab.root, vec_id) AS root
+       |  FROM nv LEFT JOIN lab ON nv.vec_id = lab.node),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, root AS qroot
+       |      FROM c0 WHERE $queryPredSql),
+       |c AS (SELECT qid, vec_id,
+       |        round(list_dot_product(qv, v) / (qn * nrm), 4) AS cos
+       |      FROM q, c0 WHERE vec_id != qid AND root != qroot),
+       |r AS (SELECT qid, vec_id, cos,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, vec_id ASC) AS rnk
+       |      FROM c)
+       |SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q176 embedding-space outlier detection (off-manifold pruning)
+  // ---------------------------------------------------------------
+
+  /** q176: embedding-space outlier detection — the curation pass that
+    * complements SemDeDup (q132 prunes what is too CLOSE to the
+    * manifold's modes; this flags what is too FAR from the manifold
+    * entirely: encoding junk, wrong-modality blobs, adversarial
+    * inputs). Every vector is scored by cosine to the GLOBAL corpus
+    * centroid, the scores are standardized (z = (cos − μ)/σ), and the
+    * per-class bottom-3 (most negative z, i.e. most off-manifold) are
+    * emitted with their z-scores — the review queue a curation run
+    * hands to a human or a stricter model.
+    *
+    * Determinism: centroid components round to 6dp (the kmeans
+    * discipline), cosines to 4dp, μ/σ to 6dp, z to 4dp — every
+    * cross-engine float boundary is rounded before it can drift.
+    * Bottom-k replaces a `z < −τ` threshold precisely because a
+    * threshold puts a hash-equality gate on a float boundary; the
+    * fixed-k queue is also what a bounded review budget wants.
+    *
+    * Scale shape: the centroid is one posexplode + (dim)-keyed
+    * two-phase avg (64 partial rows per task), rebuilt and broadcast
+    * as a 1-row crossJoin; μ/σ is a second 1-row aggregate broadcast
+    * back; the bottom-k per label is the bounded-heap [[topkRank]]
+    * (map-side ≤2k rows per class cross the shuffle). Three corpus
+    * scans, no corpus shuffle, nothing all-pairs. */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val e = vecs(spark, dir)
+    val cent = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(avg(col("x")).as("cx"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(i, cx))), s -> round(s.cx, 6))")
+        .as("cv"))
+      .withColumn("cn", expr("sqrt(array_dot(cv, cv))"))
+    val scored = e.crossJoin(broadcast(cent))
+      .withColumn("cosc", round(
+        expr("array_dot(cv, v)") / (col("cn") * col("nrm")), 4))
+    val stats = scored.agg(round(avg(col("cosc")), 6).as("mu"),
+      round(expr("stddev_pop(cosc)"), 6).as("sd"))
+    // negated z in the TopK's `cos` slot: the bounded heap keeps the
+    // LARGEST zneg = most off-manifold; the final projection flips
+    // the sign back.
+    val z = scored.crossJoin(broadcast(stats))
+      .withColumn("cos", round((col("mu") - col("cosc")) / col("sd"), 4))
+    topkRank(z, "label", 3)
+      .select(col("label"), col("rnk"), col("vec_id"),
+        (-col("cos")).as("z"))
+  }
+
+  val embeddingOutliersSql: String =
+    s"""WITH n AS ($duckVecs),
+       |flat AS (SELECT i, v[i] AS x FROM n, range(1, ${Dim + 1}) t(i)),
+       |cm AS (SELECT i, round(avg(x), 6) AS cx FROM flat GROUP BY 1),
+       |cent AS (SELECT list(cx ORDER BY i) AS cv FROM cm),
+       |cn AS (SELECT cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+       |s AS (SELECT vec_id, label,
+       |        round(list_dot_product(cv, v) / (cn * nrm), 4) AS cosc
+       |      FROM n, cn),
+       |st AS (SELECT round(avg(cosc), 6) AS mu,
+       |              round(stddev_pop(cosc), 6) AS sd FROM s),
+       |zt AS (SELECT vec_id, label,
+       |         round((mu - cosc) / sd, 4) AS zneg FROM s, st),
+       |r AS (SELECT label, vec_id, zneg,
+       |        row_number() OVER (PARTITION BY label
+       |          ORDER BY zneg DESC, vec_id ASC) AS rnk
+       |      FROM zt)
+       |SELECT label, rnk, vec_id, -zneg AS z FROM r WHERE rnk <= 3
+       |ORDER BY label, rnk""".stripMargin
+
+  // ---------------------------------------------------------------
   // q152 NN-Descent refinement round
   // ---------------------------------------------------------------
 
@@ -1934,7 +2075,9 @@ object Similarity {
     "q145_pagerank" -> pagerank,
     "q149_contrastive_pairs" -> contrastivePairs,
     "q152_nn_descent" -> nnDescent,
-    "q168_graph_beam_ann" -> graphBeamAnn
+    "q168_graph_beam_ann" -> graphBeamAnn,
+    "q174_hard_negatives" -> hardNegatives,
+    "q176_embedding_outliers" -> embeddingOutliers
   )
 
   val oracle: Map[String, String] = Map(
@@ -1955,6 +2098,8 @@ object Similarity {
     "q145_pagerank" -> pagerankSql,
     "q149_contrastive_pairs" -> contrastivePairsSql,
     "q152_nn_descent" -> nnDescentSql,
-    "q168_graph_beam_ann" -> graphBeamAnnSql
+    "q168_graph_beam_ann" -> graphBeamAnnSql,
+    "q174_hard_negatives" -> hardNegativesSql,
+    "q176_embedding_outliers" -> embeddingOutliersSql
   )
 }

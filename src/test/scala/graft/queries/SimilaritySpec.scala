@@ -383,4 +383,76 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(out.count(_.getInt(1) == 1) === 3) // one rank-1 per label
   }
+
+  test("hard negatives: the anchor's near-dup twin is excluded while " +
+      "remaining the plain top-k's #1 hit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("hardneg_spec").toString
+    // documents: doc 1 is a verbatim copy of doc 0 (minhash pair ->
+    // same dedup cluster); everything else is lexically distinct.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val texts = (0 until 120).map { i =>
+      val t =
+        if (i == 1) base
+        else if (i == 0) base
+        else base.split(' ').map(w => s"$w$i").mkString(" ")
+      (i.toLong, t, "en", s"src${i % 4}", t.length.toLong)
+    }
+    texts.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // embeddings: vec 1 nearly parallel to vec 0 (cos ~ 1); the rest
+    // of the corpus points elsewhere.
+    val rows = (0 until 120).map { i =>
+      val v = Array.fill(64)(0.01f)
+      if (i == 1) { v(0) = 0.99f; v(63) = 0.5f }
+      else { v(i % 64) = 1.0f; v(63) = 0.5f + (i % 7) * 0.01f }
+      (i.toLong, v.toSeq, i % 3)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val plain = Similarity.cosineTopK(spark, dir).collect()
+      .filter(_.getLong(0) == 0L)
+    assert(plain.head.getLong(2) === 1L,
+      "fixture broken: the twin must be the plain top-k's #1 hit")
+
+    val out = Similarity.hardNegatives(spark, dir).collect()
+    val q0 = out.filter(_.getLong(0) == 0L).sortBy(_.getInt(1))
+    assert(q0.length === 5)
+    assert(!q0.map(_.getLong(2)).contains(0L)) // self excluded
+    assert(!q0.map(_.getLong(2)).contains(1L),
+      "cluster-mate leaked into the hard-negative set")
+    val cosines = q0.map(_.getDouble(3)).toSeq
+    assert(cosines === cosines.sorted.reverse)
+    // each query yields exactly 5 ranked negatives
+    for (q <- out.map(_.getLong(0)).distinct)
+      assert(out.count(_.getLong(0) == q) === 5)
+  }
+
+  test("embedding outliers: the engineered off-manifold vector is its " +
+      "label's rank-1 outlier with the most negative z") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("outlier_spec").toString
+    val rows = (0 until 120).map { i =>
+      val v = Array.fill(64)(0.01f)
+      if (i == 7) { // off-manifold: points AGAINST the shared tail
+        java.util.Arrays.fill(v, -0.01f); v(63) = -1.0f
+      } else { v(i % 64) = 1.0f; v(63) = 0.5f + (i % 7) * 0.01f }
+      (i.toLong, v.toSeq, i % 3)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.embeddingOutliers(spark, dir).collect()
+    // 3 rows per label, z ascending with rank (rank 1 = worst)
+    for (l <- Seq(0, 1, 2)) {
+      val mine = out.filter(_.getInt(0) == l).sortBy(_.getInt(1))
+      assert(mine.length === 3)
+      val zs = mine.map(_.getDouble(3)).toSeq
+      assert(zs === zs.sorted)
+    }
+    val worst = out.filter(r => r.getInt(0) == 1 && r.getInt(1) == 1).head
+    assert(worst.getLong(2) === 7L)
+    assert(worst.getDouble(3) < -2.0, s"junk vector z=${worst.getDouble(3)}")
+  }
 }
