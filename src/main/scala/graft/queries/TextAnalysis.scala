@@ -1860,6 +1860,131 @@ object TextAnalysis {
       |SELECT spec.fb, spec.n_types, spec.sum_tokens, fit.octave_slope
       |FROM spec, fit ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q175 Naive Bayes language classifier (train / apply / confusion)
+  // ---------------------------------------------------------------
+
+  /** q175: a multinomial Naive Bayes language classifier trained and
+    * applied entirely as DataFrame ops — the supervised-classification
+    * family (fasttext-style cheap doc classifiers: language, quality,
+    * domain) the curation stack routes documents with. Train on the
+    * q73 hash-split train buckets (md5(doc_id) % 10 < 8), score the
+    * held-out buckets, emit the confusion matrix — the measured
+    * generalization, not resubstitution accuracy.
+    *
+    * Model: per-language token log2-probabilities with Laplace
+    * smoothing, lp = log2((c+1)/(n_lang+V)) over the TRAIN vocabulary
+    * V; OOV backs off to log2(1/(n_lang+V)); priors log2(docs_l/docs).
+    * Every model value is rounded to 6dp at TRAINING time, so scoring
+    * sums identical doubles on both engines; per-(doc, lang) scores
+    * round to 4dp before the argmax and ties break toward the
+    * lexicographically LARGER language (array_max on (score, lang)
+    * structs — the oracle's row_number mirrors both keys).
+    *
+    * Scale shape: the model is ONE explode + (lang, tok) groupBy
+    * (vocabulary-bounded), pivoted to a tok-keyed row with one lp
+    * column per language and BROADCAST — scoring is exploded eval
+    * tokens through a broadcast hash join (O(1) codegen'd lookups;
+    * the q117 measurement showed map `element_at` pays a LINEAR
+    * MapData scan per token), then a (doc, lang)-keyed sum with
+    * map-side partials. The only driver collects are the language
+    * inventory and its per-class scalars (priors/OOV) — bounded by
+    * the number of LANGUAGES, not the corpus (the q163/BPE bounded-
+    * collect discipline). */
+  def nbLangClassifier(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val d = documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("b",
+        expr(s"${Exprs.hash60("cast(doc_id as string)")} % 10"))
+    val train = d.filter(col("b") < 8)
+    val ev = d.filter(col("b") >= 8)
+    val tt = train.select(col("lang"), explode(col("toks")).as("tok"))
+    val nTok = tt.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val vDf = tt.agg(countDistinct(col("tok")).as("v"))
+    val model = tt.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(nTok), "lang").crossJoin(broadcast(vDf))
+      .withColumn("lp",
+        round(log2((col("c") + lit(1.0)) / (col("n") + col("v"))), 6))
+    // bounded collects: one row per LANGUAGE (oov/prior scalars)
+    val oov = nTok.crossJoin(vDf)
+      .withColumn("lp", round(log2(lit(1.0) / (col("n") + col("v"))), 6))
+      .select(col("lang"), col("lp")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val pri = train.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("ntr"))))
+      .withColumn("lp", round(log2(col("nd") / col("ntr")), 6))
+      .select(col("lang"), col("lp")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val langs = oov.keys.toSeq.sorted
+    val wide = model.groupBy(col("tok")).pivot("lang", langs)
+      .agg(first(col("lp")))
+    val et = ev.select(col("doc_id"), col("lang"),
+      explode(col("toks")).as("tok"))
+    val sumCols = langs.map(l =>
+      sum(coalesce(col(s"`$l`"), lit(oov(l)))).as(s"s_$l"))
+    val sums = et.join(broadcast(wide), Seq("tok"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sumCols.head, sumCols.tail: _*)
+    val cands = array(langs.map(l =>
+      struct(round(col(s"s_$l") + lit(pri(l)), 4).as("s"),
+        lit(l).as("lang"))): _*)
+    sums.withColumn("cands", cands)
+      .withColumn("pred", expr("array_max(cands).lang"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"bit_xor(${Exprs.hash60("cast(doc_id as string)")})")
+          .as("id_digest"))
+      .orderBy("lang", "pred")
+  }
+
+  val nbLangClassifierSql: String = {
+    def h(c: String) =
+      s"('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT"
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks,
+       |    ${h("doc_id")} % 10 AS b
+       |  FROM documents),
+       |tr AS (SELECT * FROM d WHERE b < 8),
+       |ev AS (SELECT * FROM d WHERE b >= 8),
+       |tt AS (SELECT lang, unnest(toks) AS tok FROM tr),
+       |vs AS (SELECT count(DISTINCT tok) AS v FROM tt),
+       |nt AS (SELECT lang, count(*) AS n FROM tt GROUP BY 1),
+       |m AS (
+       |  SELECT ct.lang, ct.tok, round(log2((c + 1.0) / (n + v)), 6) AS lp
+       |  FROM (SELECT lang, tok, count(*) AS c FROM tt GROUP BY 1, 2) ct
+       |  JOIN nt ON ct.lang = nt.lang, vs),
+       |oov AS (SELECT lang, round(log2(1.0 / (n + v)), 6) AS lp
+       |        FROM nt, vs),
+       |pri AS (SELECT lang,
+       |          round(log2(count(*) / (SELECT count(*) FROM tr)), 6) AS lp
+       |        FROM tr GROUP BY 1),
+       |et AS (SELECT doc_id, ev.lang AS true_lang, unnest(toks) AS tok
+       |       FROM ev),
+       |sc AS (
+       |  SELECT et.doc_id, et.true_lang, L.lang AS cand,
+       |    sum(coalesce(m.lp, o.lp)) AS s0
+       |  FROM et
+       |  CROSS JOIN (SELECT DISTINCT lang FROM tr) L
+       |  LEFT JOIN m ON m.lang = L.lang AND m.tok = et.tok
+       |  JOIN oov o ON o.lang = L.lang
+       |  GROUP BY 1, 2, 3),
+       |sc2 AS (
+       |  SELECT sc.doc_id, sc.true_lang, sc.cand,
+       |    round(s0 + pri.lp, 4) AS s
+       |  FROM sc JOIN pri ON pri.lang = sc.cand),
+       |pk AS (
+       |  SELECT doc_id, true_lang, cand AS pred,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY s DESC, cand DESC) AS rn
+       |  FROM sc2)
+       |SELECT true_lang AS lang, pred, count(*) AS n_docs,
+       |  bit_xor(${h("doc_id")}) AS id_digest
+       |FROM pk WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_token_stats" -> tokenStats,
     "q51_quality_score" -> qualityScore,
@@ -1886,7 +2011,8 @@ object TextAnalysis {
     "q128_postings_search" -> postingsSearch,
     "q129_bm25" -> bm25,
     "q137_vocab_growth" -> vocabGrowth,
-    "q146_zipf_spectrum" -> zipfSpectrum
+    "q146_zipf_spectrum" -> zipfSpectrum,
+    "q175_nb_lang_classifier" -> nbLangClassifier
   )
 
   val oracle: Map[String, String] = Map(
@@ -1915,6 +2041,7 @@ object TextAnalysis {
     "q128_postings_search" -> postingsSearchSql,
     "q129_bm25" -> bm25Sql,
     "q137_vocab_growth" -> vocabGrowthSql,
-    "q146_zipf_spectrum" -> zipfSpectrumSql
+    "q146_zipf_spectrum" -> zipfSpectrumSql,
+    "q175_nb_lang_classifier" -> nbLangClassifierSql
   )
 }

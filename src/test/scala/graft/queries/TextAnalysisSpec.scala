@@ -383,4 +383,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Generate"),
       s"token arrays must stay inside scan-stage counts:\n$plan")
   }
+
+  test("naive bayes classifier: separable vocabularies classify the held-out " +
+      "split correctly; confusion partitions the eval docs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("nb_spec").toString
+    // Two languages with DISJOINT vocabularies; enough docs that both
+    // the train (md5 bucket < 8) and eval (>= 8) splits hold both
+    // languages. With disjoint vocabularies every eval token is either
+    // in-class evidence or OOV-for-the-other-class, so NB must get
+    // every doc right regardless of the split's exact composition.
+    val aWords = Seq("alpha", "beta", "gamma", "delta")
+    val bWords = Seq("uno", "dos", "tres", "cuatro")
+    val rows = (0 until 80).map { i =>
+      val w = if (i % 2 == 0) aWords else bWords
+      val text = (0 until 12).map(j => w(j % 4)).mkString(" ")
+      (i.toLong, if (i % 2 == 0) "aa" else "bb", s"src${i % 3}",
+        text, text.length)
+    }
+    rows.toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.nbLangClassifier(spark, dir).collect()
+    assert(out.nonEmpty)
+    // perfect separation: only diagonal rows
+    for (r <- out)
+      assert(r.getString(0) === r.getString(1),
+        s"misclassified: true=${r.getString(0)} pred=${r.getString(1)}")
+    val langsSeen = out.map(_.getString(0)).toSet
+    assert(langsSeen === Set("aa", "bb"),
+      s"eval split lost a language: $langsSeen")
+    // confusion counts cover exactly the eval split
+    val nEval = spark.read.parquet(s"$dir/documents.parquet")
+      .where(expr(
+        s"${Exprs.hash60("cast(doc_id as string)")} % 10 >= 8"))
+      .count()
+    assert(out.map(_.getLong(2)).sum === nEval)
+  }
 }
