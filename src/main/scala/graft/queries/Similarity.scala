@@ -1756,6 +1756,115 @@ object Similarity {
        |ORDER BY label, rnk""".stripMargin
 
   // ---------------------------------------------------------------
+  // q177 label propagation over the kNN graph (semi-supervised)
+  // ---------------------------------------------------------------
+
+  /** q177: two rounds of label propagation (Zhu & Ghahramani 2002)
+    * over the shared q138 kNN edge set — the semi-supervised
+    * classifier that turns a small labeled seed set plus a neighbor
+    * graph into corpus-wide labels (the cheap way to extend a
+    * human-labeled sample to 100 TB once a kNN artifact exists).
+    * Seeds (vec_id % 4 == 0) keep their true label and stay clamped;
+    * each synchronous round labels every still-unlabeled node with
+    * the MAJORITY label among its already-labeled undirected
+    * neighbors (tie → smallest label; once assigned, a label is
+    * final). The output grades itself: per (true label, status ∈
+    * seed/propagated/unlabeled) — node count, how many propagated
+    * labels match the truth, and an id digest.
+    *
+    * Determinism: votes are integer counts; the argmax is
+    * `max(struct(votes, -label))` so ties break toward the SMALLEST
+    * label on both engines — no float anywhere.
+    *
+    * Scale shape: each round is one edge-set join (≤6N undirected
+    * rows) against the labeled frontier + one (node, label) count +
+    * one node-keyed argmax aggregate — never corpus², rounds fixed at
+    * 2, each round lazily localCheckpoint-ed (the q145 lesson:
+    * iterative lineage re-executes multiplicatively without it). */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val edges = knnEdges(spark, dir)
+    val und = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nodes = vecs(spark, dir).select(col("vec_id"), col("label"))
+    var lab = nodes.select(col("vec_id"),
+      when(col("vec_id") % 4 === 0, col("label")).as("plab"),
+      when(col("vec_id") % 4 === 0, lit("seed")).as("status"))
+      .localCheckpoint(false)
+    for (_ <- 1 to 2) {
+      val votes = und
+        .join(lab.filter(col("plab").isNotNull)
+          .select(col("vec_id").as("dst"), col("plab").as("nlab")), "dst")
+        .groupBy(col("src"), col("nlab"))
+        .agg(count(lit(1)).as("nv"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("nv"), (-col("nlab")).as("neg"))).as("w"))
+        .select(col("src").as("vec_id"), (-col("w.neg")).as("vlab"))
+      lab = lab.join(votes, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("plab"), col("vlab")).as("plab"),
+          coalesce(col("status"),
+            when(col("vlab").isNotNull, lit("propagated"))).as("status"))
+        .localCheckpoint(false)
+    }
+    lab.join(nodes, Seq("vec_id"))
+      .groupBy(col("label"), coalesce(col("status"), lit("unlabeled"))
+        .as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("plab") === col("label") &&
+          col("status") === "propagated", 1L).otherwise(0L))
+          .as("n_correct_prop"),
+        expr(s"bit_xor(${Exprs.hash60("cast(vec_id as string)")})")
+          .as("id_digest"))
+      .orderBy("label", "status")
+  }
+
+  val labelPropagationSql: String = {
+    // one synchronous round: everything labeled in `prev` votes;
+    // still-unlabeled nodes adopt the majority (tie -> smallest label)
+    def round(prev: String, out: String): String =
+      s"""v_$out AS (
+         |  SELECT und.src, p.plab AS nlab, count(*) AS nv
+         |  FROM und JOIN $prev p ON und.dst = p.vec_id
+         |  WHERE p.plab IS NOT NULL
+         |  GROUP BY 1, 2),
+         |w_$out AS (
+         |  SELECT src AS vec_id, nlab AS vlab FROM (
+         |    SELECT src, nlab, row_number() OVER (PARTITION BY src
+         |      ORDER BY nv DESC, nlab ASC) AS rn
+         |    FROM v_$out)
+         |  WHERE rn = 1),
+         |$out AS (
+         |  SELECT p.vec_id,
+         |    coalesce(p.plab, w.vlab) AS plab,
+         |    coalesce(p.status,
+         |      CASE WHEN w.vlab IS NOT NULL THEN 'propagated' END)
+         |      AS status
+         |  FROM $prev p LEFT JOIN w_$out w ON p.vec_id = w.vec_id)"""
+        .stripMargin
+    s"""WITH $duckKnnEdgeCtes,
+       |und AS (SELECT src, dst FROM ed
+       |        UNION SELECT dst, src FROM ed),
+       |l0 AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id % 4 = 0 THEN label END AS plab,
+       |    CASE WHEN vec_id % 4 = 0 THEN 'seed' END AS status
+       |  FROM n),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")}
+       |SELECT n.label, coalesce(l2.status, 'unlabeled') AS status,
+       |  count(*) AS n,
+       |  CAST(sum(CASE WHEN l2.plab = n.label
+       |    AND l2.status = 'propagated' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct_prop,
+       |  bit_xor(('0x' || substr(md5(CAST(n.vec_id AS VARCHAR)), 1, 15))
+       |    ::BIGINT) AS id_digest
+       |FROM n JOIN l2 ON n.vec_id = l2.vec_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q152 NN-Descent refinement round
   // ---------------------------------------------------------------
 
@@ -2077,7 +2186,8 @@ object Similarity {
     "q152_nn_descent" -> nnDescent,
     "q168_graph_beam_ann" -> graphBeamAnn,
     "q174_hard_negatives" -> hardNegatives,
-    "q176_embedding_outliers" -> embeddingOutliers
+    "q176_embedding_outliers" -> embeddingOutliers,
+    "q177_label_propagation" -> labelPropagation
   )
 
   val oracle: Map[String, String] = Map(
@@ -2100,6 +2210,7 @@ object Similarity {
     "q152_nn_descent" -> nnDescentSql,
     "q168_graph_beam_ann" -> graphBeamAnnSql,
     "q174_hard_negatives" -> hardNegativesSql,
-    "q176_embedding_outliers" -> embeddingOutliersSql
+    "q176_embedding_outliers" -> embeddingOutliersSql,
+    "q177_label_propagation" -> labelPropagationSql
   )
 }

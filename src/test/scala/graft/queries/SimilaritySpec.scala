@@ -455,4 +455,39 @@ class SimilaritySpec extends SparkSpec {
     assert(worst.getLong(2) === 7L)
     assert(worst.getDouble(3) < -2.0, s"junk vector z=${worst.getDouble(3)}")
   }
+
+  test("label propagation: labels flow only within a label's identical-" +
+      "vector component, every propagated label is correct") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("labelprop_spec").toString
+    // identical vectors within a label -> kNN edges never cross
+    // labels -> any propagated label MUST match the truth
+    val rows = (0 until 120).map { i =>
+      val v = Array.fill(64)(0.01f)
+      v(i % 3) = 1.0f
+      (i.toLong, v.toSeq, i % 3)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.labelPropagation(spark, dir).collect()
+    // statuses partition all 120 nodes
+    assert(out.map(_.getLong(2)).sum === 120L)
+    for (r <- out) {
+      val (status, n, nCorrect) =
+        (r.getString(1), r.getLong(2), r.getLong(3))
+      if (status == "propagated")
+        assert(nCorrect === n,
+          s"label ${r.getInt(0)}: $nCorrect/$n propagated correct")
+      else assert(nCorrect === 0L)
+    }
+    // every label's seed row counts exactly its vec_id % 4 == 0 nodes
+    for (l <- 0 until 3) {
+      val expected = (0 until 120).count(i => i % 3 == l && i % 4 == 0)
+      val seedRow = out.find(r => r.getInt(0) == l &&
+        r.getString(1) == "seed")
+      assert(seedRow.map(_.getLong(2)) === Some(expected.toLong))
+    }
+    // propagation actually happened
+    assert(out.exists(_.getString(1) == "propagated"))
+  }
 }
