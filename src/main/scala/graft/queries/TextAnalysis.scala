@@ -1985,6 +1985,92 @@ object TextAnalysis {
        |FROM pk WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q178 count-min sketch frequency estimation
+  // ---------------------------------------------------------------
+
+  private val CmsD = 4   // hash rows
+  private val CmsW = 512 // columns per row
+
+  /** q178: count-min sketch (Cormode & Muthukrishnan 2005) token
+    * frequency estimation — the mergeable-sketch complement of q22's
+    * HyperLogLog: HLL answers "how many distinct", CMS answers "how
+    * often is THIS one", both in fixed memory. The sketch is a
+    * [[CmsD]]×[[CmsW]] integer cell table; est(tok) = min over rows
+    * of cell(r, h_r(tok)). The output checks the estimate against
+    * exact counts for the deterministic top-20 probe set (q67's
+    * count-desc/token-asc order) and emits the two CMS guarantees as
+    * columns: `overcount` (est − exact, provably ≥ 0) and `bound_ok`
+    * (overcount·w ≤ 3·N — the εN bound with e rounded up to the
+    * integer 3, so the check is integer-exact on both engines).
+    *
+    * Scale shape: cell counts are SUMS, so the sketch is mergeable
+    * across partitions, batches, and days — the map-side partial
+    * aggregation IS the sketch merge, and the shuffle carries ≤ d×w
+    * rows per task. Built here from the vocab-bounded count table
+    * (one explode + groupBy — cheaper than hashing every occurrence
+    * 4×, identical cells); estimation joins the 20-row probe set
+    * against the BROADCAST ≤2048-row sketch. The md5-based h_r
+    * mirrors in the oracle value-for-value. */
+  def cmsSketch(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val toks = documents(spark, dir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    val cnts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val nTot = toks.agg(count(lit(1)).as("n_total"))
+    val rcExpr = expr(
+      s"""transform(sequence(0, ${CmsD - 1}), r -> named_struct(
+         |  'r', r,
+         |  'c', ${Exprs.hash60(
+               "concat('cms', cast(r as string), ':', tok)")} % $CmsW))"""
+        .stripMargin)
+    val cells = cnts.select(col("cnt"), explode(rcExpr).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(sum(col("cnt")).as("cell"))
+    val probes = cnts.orderBy(col("cnt").desc, col("tok").asc).limit(20)
+    probes.select(col("tok"), col("cnt"), explode(rcExpr).as("rc"))
+      .select(col("tok"), col("cnt"),
+        col("rc.r").as("pr"), col("rc.c").as("pc"))
+      .join(broadcast(cells),
+        col("pr") === col("r") && col("pc") === col("c"))
+      .groupBy(col("tok"), col("cnt"))
+      .agg(min(col("cell")).as("est"))
+      .crossJoin(broadcast(nTot))
+      .select(col("tok"), col("cnt").as("exact_cnt"),
+        col("est").as("est_cnt"),
+        (col("est") - col("cnt")).as("overcount"),
+        ((col("est") - col("cnt")) * CmsW <= col("n_total") * 3)
+          .as("bound_ok"))
+      .orderBy("tok")
+  }
+
+  val cmsSketchSql: String = {
+    def h(r: String, tok: String) =
+      s"('0x' || substr(md5('cms' || CAST($r AS VARCHAR) || ':' || $tok)," +
+        s" 1, 15))::BIGINT % $CmsW"
+    s"""WITH u AS (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |cn AS (SELECT tok, count(*) AS cnt FROM u GROUP BY 1),
+       |nt AS (SELECT count(*) AS n_total FROM u),
+       |cells AS (
+       |  SELECT t.r, ${h("t.r", "cn.tok")} AS c,
+       |    CAST(sum(cnt) AS BIGINT) AS cell
+       |  FROM cn CROSS JOIN range(0, $CmsD) t(r)
+       |  GROUP BY 1, 2),
+       |p AS (SELECT tok, cnt FROM cn
+       |      ORDER BY cnt DESC, tok ASC LIMIT 20),
+       |e AS (
+       |  SELECT p.tok, p.cnt, min(cells.cell) AS est
+       |  FROM p CROSS JOIN range(0, $CmsD) t(r)
+       |  JOIN cells ON cells.r = t.r AND cells.c = ${h("t.r", "p.tok")}
+       |  GROUP BY 1, 2)
+       |SELECT tok, cnt AS exact_cnt, est AS est_cnt,
+       |  est - cnt AS overcount,
+       |  (est - cnt) * $CmsW <= n_total * 3 AS bound_ok
+       |FROM e, nt ORDER BY tok""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_token_stats" -> tokenStats,
     "q51_quality_score" -> qualityScore,
@@ -2012,7 +2098,8 @@ object TextAnalysis {
     "q129_bm25" -> bm25,
     "q137_vocab_growth" -> vocabGrowth,
     "q146_zipf_spectrum" -> zipfSpectrum,
-    "q175_nb_lang_classifier" -> nbLangClassifier
+    "q175_nb_lang_classifier" -> nbLangClassifier,
+    "q178_cms_sketch" -> cmsSketch
   )
 
   val oracle: Map[String, String] = Map(
@@ -2042,6 +2129,7 @@ object TextAnalysis {
     "q129_bm25" -> bm25Sql,
     "q137_vocab_growth" -> vocabGrowthSql,
     "q146_zipf_spectrum" -> zipfSpectrumSql,
-    "q175_nb_lang_classifier" -> nbLangClassifierSql
+    "q175_nb_lang_classifier" -> nbLangClassifierSql,
+    "q178_cms_sketch" -> cmsSketchSql
   )
 }

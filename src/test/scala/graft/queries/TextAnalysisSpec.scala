@@ -384,6 +384,24 @@ class TextAnalysisSpec extends SparkSpec {
       s"token arrays must stay inside scan-stage counts:\n$plan")
   }
 
+  test("count-min sketch: never undercounts, and recovers exact counts " +
+      "on a collision-free fixture vocabulary") {
+    // counts: aa=4, bb=2, cc=1, dd=1; N=8 tokens, 4 types in 512
+    // columns -> collision-free for these md5 rows (deterministic)
+    val dir = corpus(Seq("aa bb aa cc", "bb aa dd", "aa"))
+    val out = TextAnalysis.cmsSketch(spark, dir).collect()
+    assert(out.length === 4) // vocab < 20 probes
+    val exact = Map("aa" -> 4L, "bb" -> 2L, "cc" -> 1L, "dd" -> 1L)
+    for (r <- out) {
+      val (tok, ex, est, over, ok) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(ex === exact(tok))
+      assert(est >= ex, s"CMS undercounted $tok: $est < $ex") // theorem
+      assert(over === est - ex)
+      assert(ok && est === ex, s"unexpected collision on $tok")
+    }
+  }
+
   test("naive bayes classifier: separable vocabularies classify the held-out " +
       "split correctly; confusion partitions the eval docs") {
     import spark.implicits._
