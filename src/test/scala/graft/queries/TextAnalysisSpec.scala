@@ -436,5 +436,14 @@ class TextAnalysisSpec extends SparkSpec {
         s"${Exprs.hash60("cast(doc_id as string)")} % 10 >= 8"))
       .count()
     assert(out.map(_.getLong(2)).sum === nEval)
+    // scoring contract: the token-model lookup is a BROADCAST hash
+    // join (the q117 lesson) — a sort-merge join here would shuffle
+    // the exploded token stream by token
+    val plan = TextAnalysis.nbLangClassifier(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model lookup must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"token stream must not shuffle by token:\n${plan.take(2000)}")
   }
 }
