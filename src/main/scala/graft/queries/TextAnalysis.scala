@@ -2012,23 +2012,30 @@ object TextAnalysis {
     * 4×, identical cells); estimation joins the 20-row probe set
     * against the BROADCAST ≤2048-row sketch. The md5-based h_r
     * mirrors in the oracle value-for-value. */
+  private val cmsRcExpr = expr(
+    s"""transform(sequence(0, ${CmsD - 1}), r -> named_struct(
+       |  'r', r,
+       |  'c', ${Exprs.hash60(
+             "concat('cms', cast(r as string), ':', tok)")} % $CmsW))"""
+      .stripMargin)
+
+  /** The d×w cell table from a (tok, cnt) count table — factored out
+    * so the merge law (sketch(A) + sketch(B) = sketch(A ∪ B), cell-
+    * wise sum) is SPEC-ASSERTED, not just claimed. */
+  private[queries] def cmsCellsFromCounts(cnts: DataFrame): DataFrame =
+    cnts.select(col("cnt"), explode(cmsRcExpr).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(sum(col("cnt")).as("cell"))
+
   def cmsSketch(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val toks = documents(spark, dir)
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
     val cnts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val nTot = toks.agg(count(lit(1)).as("n_total"))
-    val rcExpr = expr(
-      s"""transform(sequence(0, ${CmsD - 1}), r -> named_struct(
-         |  'r', r,
-         |  'c', ${Exprs.hash60(
-               "concat('cms', cast(r as string), ':', tok)")} % $CmsW))"""
-        .stripMargin)
-    val cells = cnts.select(col("cnt"), explode(rcExpr).as("rc"))
-      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
-      .agg(sum(col("cnt")).as("cell"))
+    val cells = cmsCellsFromCounts(cnts)
     val probes = cnts.orderBy(col("cnt").desc, col("tok").asc).limit(20)
-    probes.select(col("tok"), col("cnt"), explode(rcExpr).as("rc"))
+    probes.select(col("tok"), col("cnt"), explode(cmsRcExpr).as("rc"))
       .select(col("tok"), col("cnt"),
         col("rc.r").as("pr"), col("rc.c").as("pc"))
       .join(broadcast(cells),

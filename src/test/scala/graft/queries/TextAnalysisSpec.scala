@@ -402,6 +402,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch merge law: sketch(A) + sketch(B) equals " +
+      "sketch(A union B) cell-for-cell") {
+    import spark.implicits._
+    val a = Seq(("aa", 3L), ("bb", 1L), ("cc", 2L)).toDF("tok", "cnt")
+    val b = Seq(("bb", 4L), ("dd", 5L)).toDF("tok", "cnt")
+    val union = a.unionByName(b).groupBy("tok")
+      .agg(sum("cnt").as("cnt"))
+    val merged = TextAnalysis.cmsCellsFromCounts(a)
+      .withColumnRenamed("cell", "ca")
+      .join(TextAnalysis.cmsCellsFromCounts(b)
+        .withColumnRenamed("cell", "cb"), Seq("r", "c"), "full")
+      .select(col("r"), col("c"),
+        (coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L)))
+          .as("cell"))
+    val direct = TextAnalysis.cmsCellsFromCounts(union)
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "cell-wise sum of two sketches must equal the union's sketch")
+  }
+
   test("naive bayes classifier: separable vocabularies classify the held-out " +
       "split correctly; confusion partitions the eval docs") {
     import spark.implicits._
