@@ -123,9 +123,20 @@ class TopTermsAgg(k: Int)
     else if (x < y) -1
     else 0
 
+  /** term comparison mirroring SQL `ASC NULLS FIRST`: a null term
+    * wins a score tie (sorts first), so the [[graft.plans
+    * .WindowTopKRewrite]] path — whose window ordering is the default
+    * ASC NULLS FIRST — stays row-identical even on nullable string
+    * columns. Raw `<` would NPE on null. */
+  private def cmpTerm(x: String, y: String): Int =
+    if (x == null && y == null) 0
+    else if (x == null) -1
+    else if (y == null) 1
+    else x.compareTo(y)
+
   private def better(a: TermEntry, b: TermEntry): Boolean = {
     val c = cmpScore(a.score, b.score)
-    c > 0 || (c == 0 && a.term < b.term)
+    c > 0 || (c == 0 && cmpTerm(a.term, b.term) < 0)
   }
 
   private def trim(s: Seq[TermEntry]): Seq[TermEntry] =
