@@ -2078,6 +2078,85 @@ object TextAnalysis {
        |FROM e, nt ORDER BY tok""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q179 RAG chunking (overlapping retrieval windows, stable ids)
+  // ---------------------------------------------------------------
+
+  private val ChunkW = 16 // window tokens
+  private val ChunkS = 12 // stride (overlap = 4)
+
+  /** q179: retrieval-corpus chunking — the RAG preparation pass that
+    * splits every document into overlapping token windows (size
+    * [[ChunkW]], stride [[ChunkS]]) with STABLE chunk identities
+    * (hash of doc_id:start — re-runs, repartitions, and corpus growth
+    * never renumber an existing chunk, the q73 determinism contract
+    * at chunk grain). Digested per language: chunk counts, the
+    * overlap-waste ratio the stride choice costs (duplicate-token
+    * fraction of the chunk corpus, integer ppm), and a chunk-id xor
+    * fingerprint the downstream index build can be reconciled
+    * against.
+    *
+    * Scale shape: there is NO explode — chunk count, chunk-token sum,
+    * and the per-doc chunk-id fold are all closed-form integer
+    * expressions of the token count (last chunk = the remainder;
+    * every earlier chunk is full), so the whole operator is one scan
+    * stage plus the per-lang rollup. A pipeline that needs the chunk
+    * ROWS materializes the same arithmetic through posexplode; the
+    * stats-and-fingerprint pass here never pays that fan-out. */
+  def ragChunking(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("n"))
+      // L = index of the last chunk = ceil(max(n - W, 0) / S)
+      .withColumn("l", expr(
+        s"cast(ceil(greatest(n - $ChunkW, 0) / $ChunkS.0) as bigint)"))
+      .withColumn("n_chunks", col("l") + 1)
+      .withColumn("chunk_toks",
+        col("l") * ChunkW + (col("n") - col("l") * ChunkS))
+      .withColumn("doc_digest", expr(
+        s"""aggregate(sequence(0L, l), 0L, (acc, i) -> acc ^
+           |  ${Exprs.hash60(
+                "concat(cast(doc_id as string), ':', cast(i * " +
+                  s"$ChunkS as string))")})""".stripMargin))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(col("chunk_toks")).as("sum_chunk_toks"),
+        sum(col("n")).as("sum_doc_toks"),
+        expr("""(sum(chunk_toks - n) * 1000000)
+                div sum(chunk_toks)""").as("overlap_ppm"),
+        expr("bit_xor(doc_digest)").as("chunk_digest"))
+      .orderBy("lang")
+  }
+
+  val ragChunkingSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n,
+       |    CAST(ceil(greatest(n - $ChunkW, 0) / $ChunkS.0) AS BIGINT) AS l
+       |  FROM d),
+       |e AS (
+       |  SELECT lang, n, l, l + 1 AS n_chunks,
+       |    l * $ChunkW + (n - l * $ChunkS) AS chunk_toks,
+       |    list_reduce(
+       |      list_prepend(0::BIGINT, list_transform(range(0, l + 1),
+       |        i -> ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+       |          CAST(i * $ChunkS AS VARCHAR)), 1, 15))::BIGINT)),
+       |      (a, b) -> xor(a, b)) AS doc_digest
+       |  FROM c)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+       |  CAST(sum(chunk_toks) AS BIGINT) AS sum_chunk_toks,
+       |  CAST(sum(n) AS BIGINT) AS sum_doc_toks,
+       |  CAST((sum(chunk_toks - n) * 1000000) // sum(chunk_toks) AS BIGINT)
+       |    AS overlap_ppm,
+       |  bit_xor(doc_digest) AS chunk_digest
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_token_stats" -> tokenStats,
     "q51_quality_score" -> qualityScore,
@@ -2106,7 +2185,8 @@ object TextAnalysis {
     "q137_vocab_growth" -> vocabGrowth,
     "q146_zipf_spectrum" -> zipfSpectrum,
     "q175_nb_lang_classifier" -> nbLangClassifier,
-    "q178_cms_sketch" -> cmsSketch
+    "q178_cms_sketch" -> cmsSketch,
+    "q179_rag_chunking" -> ragChunking
   )
 
   val oracle: Map[String, String] = Map(
@@ -2137,6 +2217,7 @@ object TextAnalysis {
     "q137_vocab_growth" -> vocabGrowthSql,
     "q146_zipf_spectrum" -> zipfSpectrumSql,
     "q175_nb_lang_classifier" -> nbLangClassifierSql,
-    "q178_cms_sketch" -> cmsSketchSql
+    "q178_cms_sketch" -> cmsSketchSql,
+    "q179_rag_chunking" -> ragChunkingSql
   )
 }

@@ -384,6 +384,30 @@ class TextAnalysisSpec extends SparkSpec {
       s"token arrays must stay inside scan-stage counts:\n$plan")
   }
 
+  test("rag chunking: exact window arithmetic, and the stats pass never " +
+      "explodes or joins") {
+    // doc0: 40 tokens -> chunks at 0/12/24 (L=2): 3 chunks,
+    //   chunk tokens 16+16+16=48... last chunk = 40-24=16 -> 48,
+    //   overlap 8 -> ppm (8*1e6) div 48 = 166666
+    // doc1: 10 tokens -> 1 chunk, 10 tokens, overlap 0
+    val dir = corpus(Seq(
+      (1 to 40).map(i => s"w$i").mkString(" "),
+      (1 to 10).map(i => s"v$i").mkString(" ")))
+    val df = TextAnalysis.ragChunking(spark, dir)
+    val out = df.collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "en")
+    assert(r.getLong(1) === 2L)             // n_docs
+    assert(r.getLong(2) === 4L)             // 3 + 1 chunks
+    assert(r.getLong(3) === 58L)            // 48 + 10
+    assert(r.getLong(4) === 50L)            // 40 + 10
+    assert(r.getLong(5) === (8L * 1000000L) / 58L) // overlap ppm
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate") && !plan.contains("Join"),
+      s"chunk stats must stay closed-form in the scan stage:\n$plan")
+  }
+
   test("count-min sketch: never undercounts, and recovers exact counts " +
       "on a collision-free fixture vocabulary") {
     // counts: aa=4, bb=2, cc=1, dd=1; N=8 tokens, 4 types in 512
