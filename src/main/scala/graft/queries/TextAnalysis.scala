@@ -2157,6 +2157,77 @@ object TextAnalysis {
        |  bit_xor(doc_digest) AS chunk_digest
        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q180 chunk-level dedup (RAG index dedup at chunk grain)
+  // ---------------------------------------------------------------
+
+  /** q180: chunk-grain exact dedup — the pass a retrieval index runs
+    * AFTER q179's chunking: boilerplate that survives document-grain
+    * dedup (shared headers, templates, repeated passages) becomes
+    * verbatim-duplicate CHUNKS, and every duplicate chunk is wasted
+    * index space plus a degenerate nearest-neighbor. Chunks hash by
+    * their token content (not position), so the same passage in two
+    * documents collapses; per language the digest reports chunk
+    * volume, distinct volume, the dedup savings in integer ppm, and
+    * a distinct-chunk-hash fingerprint the pruned index build
+    * reconciles against.
+    *
+    * Scale shape: this is q179's documented materialization path —
+    * posexplode fans each document into its chunk rows (the
+    * unavoidable fan-out once chunk CONTENT is needed), the content
+    * hash is computed in the same scan stage, and the only exchange
+    * is the (lang, hash)-keyed distinct count — the standard dedup
+    * shuffle, never all-pairs. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("l", expr(
+        s"cast(ceil(greatest(n - $ChunkW, 0) / $ChunkS.0) as bigint)"))
+      .select(col("lang"), posexplode(expr(
+        s"""transform(sequence(0L, l), i ->
+           |  ${Exprs.hash60(
+                s"concat_ws(' ', slice(toks, cast(i * $ChunkS + 1 as int), " +
+                  s"cast(least($ChunkW, n - i * $ChunkS) as int)))")})"""
+          .stripMargin)).as(Seq("pos", "chash")))
+      .groupBy(col("lang"), col("chash"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        expr("""((sum(cnt) - count(1)) * 1000000)
+                div sum(cnt)""").as("dup_ppm"),
+        expr("bit_xor(chash)").as("distinct_digest"))
+      .orderBy("lang")
+  }
+
+  val chunkDedupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang, toks, len(toks) AS n,
+       |    CAST(ceil(greatest(len(toks) - $ChunkW, 0) / $ChunkS.0)
+       |      AS BIGINT) AS l
+       |  FROM d),
+       |ch AS (
+       |  SELECT lang,
+       |    ('0x' || substr(md5(array_to_string(
+       |      list_slice(toks, i * $ChunkS + 1,
+       |        least(i * $ChunkS + $ChunkW, n)), ' ')), 1, 15))::BIGINT
+       |      AS chash
+       |  FROM c, unnest(range(0, l + 1)) t(i)),
+       |g AS (SELECT lang, chash, count(*) AS cnt FROM ch GROUP BY 1, 2)
+       |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+       |  count(*) AS n_distinct,
+       |  CAST(((sum(cnt) - count(*)) * 1000000) // sum(cnt) AS BIGINT)
+       |    AS dup_ppm,
+       |  bit_xor(chash) AS distinct_digest
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_token_stats" -> tokenStats,
     "q51_quality_score" -> qualityScore,
@@ -2186,7 +2257,8 @@ object TextAnalysis {
     "q146_zipf_spectrum" -> zipfSpectrum,
     "q175_nb_lang_classifier" -> nbLangClassifier,
     "q178_cms_sketch" -> cmsSketch,
-    "q179_rag_chunking" -> ragChunking
+    "q179_rag_chunking" -> ragChunking,
+    "q180_chunk_dedup" -> chunkDedup
   )
 
   val oracle: Map[String, String] = Map(
@@ -2218,6 +2290,7 @@ object TextAnalysis {
     "q146_zipf_spectrum" -> zipfSpectrumSql,
     "q175_nb_lang_classifier" -> nbLangClassifierSql,
     "q178_cms_sketch" -> cmsSketchSql,
-    "q179_rag_chunking" -> ragChunkingSql
+    "q179_rag_chunking" -> ragChunkingSql,
+    "q180_chunk_dedup" -> chunkDedupSql
   )
 }

@@ -408,6 +408,21 @@ class TextAnalysisSpec extends SparkSpec {
       s"chunk stats must stay closed-form in the scan stage:\n$plan")
   }
 
+  test("chunk dedup: a passage shared by two documents collapses to one " +
+      "distinct chunk") {
+    // doc0 = passage P (exactly one 16-token chunk); doc1 = P ++ 12
+    // fresh tokens (chunks: P again at offset 0, then tokens 13..28).
+    // 3 chunks, 2 distinct, dup_ppm = 1000000 div 3.
+    val p = (1 to 16).map(i => s"p$i").mkString(" ")
+    val dir = corpus(Seq(p, p + " " + (1 to 12).map(i => s"q$i").mkString(" ")))
+    val out = TextAnalysis.chunkDedup(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 3L)  // n_chunks
+    assert(r.getLong(2) === 2L)  // n_distinct
+    assert(r.getLong(3) === 1000000L / 3L)
+  }
+
   test("count-min sketch: never undercounts, and recovers exact counts " +
       "on a collision-free fixture vocabulary") {
     // counts: aa=4, bb=2, cc=1, dd=1; N=8 tokens, 4 types in 512
