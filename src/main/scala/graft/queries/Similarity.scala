@@ -1615,6 +1615,97 @@ object Similarity {
        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // q181 reciprocal-rank fusion over the ANN ladder
+  // ---------------------------------------------------------------
+
+  /** q181: reciprocal-rank fusion (Cormack et al., SIGIR 2009) over
+    * three structurally different ANN indexes — the production
+    * hybrid-retrieval move: instead of trusting one index family,
+    * fuse the rankings of several cheap ones (IVF nprobe=2,
+    * multiprobe LSH, PQ) with RRF(d) = Σ_lists 1/(60 + rank_list(d))
+    * and serve the fused top-5. The output extends the q102 ladder's
+    * rollup with an `rrf_fused` row, so the lift (or lack of it) over
+    * every single index is an ORACLED measurement, not a claim.
+    * RRF contributions are integer micro-units (1e6 div (60 + rank))
+    * so the fusion involves no float anywhere.
+    *
+    * Scale shape: the three candidate rankings are tiny derived
+    * tables (≤ 5 rows per query each, memoized signature/codebook/
+    * codes tables shared with the ladder); fusion is one
+    * (qid, vec_id) groupBy over ≤ 15·queries rows; the fused top-5
+    * is the bounded heap. Nothing touches the corpus beyond what the
+    * underlying indexes already scanned. */
+  def rankFusion(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val exact5 = cosineTopK(spark, dir).filter(col("rnk") <= 5)
+      .select(col("qid"), col("vec_id"))
+    val methods = Seq(
+      "ivf_nprobe2" -> ivfAnnNprobe2(spark, dir),
+      "lsh_multiprobe" -> annLshMultiprobe(spark, dir),
+      "pq" -> pqAnn(spark, dir))
+    val ranked = methods.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("qid"), col("vec_id"),
+        col("rnk"))
+    }.reduce(_ unionByName _)
+    val fusedTop = topkRank(
+      ranked.groupBy(col("qid"), col("vec_id"))
+        .agg(sum(expr("1000000 div (60 + rnk)")).as("rrf"))
+        .withColumn("cos", col("rrf").cast("double")),
+      "qid", 5)
+    val all = ranked.select(col("method"), col("qid"), col("vec_id"))
+      .unionByName(fusedTop.select(lit("rrf_fused").as("method"),
+        col("qid"), col("vec_id")))
+    val nq = exact5.agg(countDistinct(col("qid")).as("n_queries"))
+    all.join(exact5.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_results"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("method"), col("n_queries"), col("n_results"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / (lit(5) * col("n_queries")), 4)
+          .as("recall_at_5"))
+      .orderBy("method")
+  }
+
+  /** Oracle: re-derives the three variants from their own SQL
+    * (verbatim derived tables, the q102 pattern), fuses with the same
+    * integer RRF, and mirrors the hit rollup. */
+  lazy val rankFusionSql: String =
+    s"""WITH ex AS (SELECT qid, vec_id FROM ($cosineTopKSql) WHERE rnk <= 5),
+       |rk AS (
+       |  SELECT 'ivf_nprobe2' AS method, qid, vec_id, rnk
+       |  FROM ($ivfAnnNprobe2Sql)
+       |  UNION ALL
+       |  SELECT 'lsh_multiprobe' AS method, qid, vec_id, rnk
+       |  FROM ($annLshMultiprobeSql)
+       |  UNION ALL
+       |  SELECT 'pq' AS method, qid, vec_id, rnk FROM ($pqAnnSql)),
+       |fs AS (
+       |  SELECT qid, vec_id,
+       |    CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf
+       |  FROM rk GROUP BY 1, 2),
+       |ft AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY rrf DESC, vec_id ASC) AS rn
+       |    FROM fs)
+       |  WHERE rn <= 5),
+       |al AS (
+       |  SELECT method, qid, vec_id FROM rk
+       |  UNION ALL
+       |  SELECT 'rrf_fused', qid, vec_id FROM ft),
+       |nq AS (SELECT count(DISTINCT qid) AS n_queries FROM ex)
+       |SELECT method, n_queries, count(*) AS n_results,
+       |  CAST(coalesce(sum(CASE WHEN ex.vec_id IS NOT NULL
+       |    THEN 1 END), 0) AS BIGINT) AS n_hits,
+       |  round(coalesce(sum(CASE WHEN ex.vec_id IS NOT NULL
+       |    THEN 1 END), 0) * 1.0 / (5 * n_queries), 4) AS recall_at_5
+       |FROM al LEFT JOIN ex
+       |  ON al.qid = ex.qid AND al.vec_id = ex.vec_id, nq
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // q174 hard-negative mining (dedup-cluster-excluded ANN negatives)
   // ---------------------------------------------------------------
 
@@ -2187,7 +2278,8 @@ object Similarity {
     "q168_graph_beam_ann" -> graphBeamAnn,
     "q174_hard_negatives" -> hardNegatives,
     "q176_embedding_outliers" -> embeddingOutliers,
-    "q177_label_propagation" -> labelPropagation
+    "q177_label_propagation" -> labelPropagation,
+    "q181_rank_fusion" -> rankFusion
   )
 
   val oracle: Map[String, String] = Map(
@@ -2211,6 +2303,7 @@ object Similarity {
     "q168_graph_beam_ann" -> graphBeamAnnSql,
     "q174_hard_negatives" -> hardNegativesSql,
     "q176_embedding_outliers" -> embeddingOutliersSql,
-    "q177_label_propagation" -> labelPropagationSql
+    "q177_label_propagation" -> labelPropagationSql,
+    "q181_rank_fusion" -> rankFusionSql
   )
 }

@@ -456,6 +456,24 @@ class SimilaritySpec extends SparkSpec {
     assert(worst.getDouble(3) < -2.0, s"junk vector z=${worst.getDouble(3)}")
   }
 
+  test("rank fusion: the ladder's three index rows plus the fused row, " +
+      "each serving exactly 5 results per query") {
+    val dir = corpus(120)
+    val out = Similarity.rankFusion(spark, dir).collect()
+    val methods = out.map(_.getString(0)).sorted.toSeq
+    assert(methods ===
+      Seq("ivf_nprobe2", "lsh_multiprobe", "pq", "rrf_fused"))
+    val fused = out.find(_.getString(0) == "rrf_fused").get
+    val nq = fused.getLong(1)
+    assert(nq === 2L) // corpus(120): queries 0 and 100
+    // the fused list serves a full top-5 per query; recalls are sane
+    assert(fused.getLong(2) === 5L * nq)
+    for (r <- out) {
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getLong(3) <= r.getLong(2))
+    }
+  }
+
   test("label propagation: labels flow only within a label's identical-" +
       "vector component, every propagated label is correct") {
     import spark.implicits._
