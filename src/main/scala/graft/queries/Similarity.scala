@@ -1706,6 +1706,87 @@ object Similarity {
        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // q182 semantic decontamination (embedding-space eval-leak scan)
+  // ---------------------------------------------------------------
+
+  /** Eval-slice budget: vec_id % 97 == 0 (q89's eval-slice
+    * convention) capped to the first [[DeconBudget]] members — eval
+    * sets are fixed-size artifacts in production, so the broadcast
+    * side is bounded by construction, the [[QueryBudget]] discipline. */
+  private val DeconBudget = 64
+
+  private def deconEvalPred =
+    col("vec_id") % 97 === 0 && col("vec_id") < lit(97L * DeconBudget)
+
+  private val deconEvalPredSql =
+    s"vec_id % 97 = 0 AND vec_id < ${97L * DeconBudget}"
+
+  /** q182: SEMANTIC decontamination — the embedding-space complement
+    * of q89's n-gram scan: a paraphrased eval question shares no
+    * 4-gram with its source but sits at high cosine to it, which is
+    * exactly the leak n-gram decontamination is known to miss. Every
+    * non-eval vector is flagged when its ROUNDED cosine (4dp — the
+    * engine-wide rule, so the ≥ 0.5 threshold cannot sit on a float
+    * boundary between engines) to ANY eval vector reaches 0.5.
+    * Digested per label: corpus size, flagged count, flagged ppm,
+    * and the flagged-id fingerprint the corpus build excludes by.
+    *
+    * Scale shape: the eval side is a bounded broadcast
+    * ([[DeconBudget]]); the corpus side is ONE scan through the
+    * broadcast nested-loop semi-join (each partition checks its
+    * vectors against the in-memory eval set and emits a flag — no
+    * shuffle of the corpus, no candidate generation); the rollup is
+    * one (label) aggregate. The same pass at 100 TB is the
+    * eval-embedding sweep run before every corpus release. */
+  def semanticDecon(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val e = vecs(spark, dir)
+    val ev = e.filter(deconEvalPred)
+      .select(col("vec_id").as("eid"), col("v").as("evv"),
+        col("nrm").as("evn"))
+    val train = e.filter(!deconEvalPred)
+    val flagged = train
+      .join(broadcast(ev),
+        round(expr("array_dot(evv, v)") / (col("evn") * col("nrm")), 4)
+          >= 0.5,
+        "left_semi")
+      .select(col("vec_id"), lit(1L).as("f"))
+    train.select(col("vec_id"), col("label"))
+      .join(flagged, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        coalesce(sum(col("f")), lit(0L)).as("n_flagged"),
+        expr("(coalesce(sum(f), 0) * 1000000) div count(1)")
+          .as("flagged_ppm"),
+        coalesce(expr(s"bit_xor(CASE WHEN f = 1 THEN " +
+          s"${Exprs.hash60("cast(vec_id as string)")} END)"), lit(0L))
+          .as("flagged_digest"))
+      .orderBy("label")
+  }
+
+  val semanticDeconSql: String =
+    s"""WITH n AS ($duckVecs),
+       |ev AS (SELECT vec_id AS eid, v AS evv, nrm AS evn FROM n
+       |       WHERE $deconEvalPredSql),
+       |tr AS (SELECT vec_id, label, v, nrm FROM n
+       |       WHERE NOT ($deconEvalPredSql)),
+       |fl AS (
+       |  SELECT DISTINCT tr.vec_id FROM tr JOIN ev
+       |    ON round(list_dot_product(evv, v) / (evn * nrm), 4) >= 0.5),
+       |m AS (
+       |  SELECT tr.vec_id, tr.label,
+       |    CASE WHEN fl.vec_id IS NOT NULL THEN 1 END AS f
+       |  FROM tr LEFT JOIN fl ON tr.vec_id = fl.vec_id)
+       |SELECT label, count(*) AS n_vecs,
+       |  CAST(coalesce(sum(f), 0) AS BIGINT) AS n_flagged,
+       |  CAST((coalesce(sum(f), 0) * 1000000) // count(*) AS BIGINT)
+       |    AS flagged_ppm,
+       |  coalesce(bit_xor(CASE WHEN f = 1 THEN
+       |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+       |    END), 0) AS flagged_digest
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // q174 hard-negative mining (dedup-cluster-excluded ANN negatives)
   // ---------------------------------------------------------------
 
@@ -2279,7 +2360,8 @@ object Similarity {
     "q174_hard_negatives" -> hardNegatives,
     "q176_embedding_outliers" -> embeddingOutliers,
     "q177_label_propagation" -> labelPropagation,
-    "q181_rank_fusion" -> rankFusion
+    "q181_rank_fusion" -> rankFusion,
+    "q182_semantic_decon" -> semanticDecon
   )
 
   val oracle: Map[String, String] = Map(
@@ -2304,6 +2386,7 @@ object Similarity {
     "q174_hard_negatives" -> hardNegativesSql,
     "q176_embedding_outliers" -> embeddingOutliersSql,
     "q177_label_propagation" -> labelPropagationSql,
-    "q181_rank_fusion" -> rankFusionSql
+    "q181_rank_fusion" -> rankFusionSql,
+    "q182_semantic_decon" -> semanticDeconSql
   )
 }

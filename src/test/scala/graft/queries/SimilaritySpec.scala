@@ -474,6 +474,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic decontamination: the eval vector's paraphrase twin is " +
+      "flagged, orthogonal vectors are not") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("decon_spec").toString
+    // eval slice = {0, 97}; vec 5 nearly parallel to eval vec 0 (the
+    // paraphrase leak), everything else one-hot on distinct axes with
+    // NO shared tail (pairwise cos ~ 0)
+    val rows = (0 until 120).map { i =>
+      val v = Array.fill(64)(0.0f)
+      if (i == 5) { v(0) = 0.98f; v(1) = 0.2f }
+      else v(i % 64) = 1.0f
+      (i.toLong, v.toSeq, i % 3)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.semanticDecon(spark, dir).collect()
+    // flagged set: vec 5 (cos to eval-0 ~ 0.98) plus the one-hot
+    // DUPLICATES of the eval axes (i % 64 == 0 or 33): 64, 33
+    val flaggedTotal = out.map(_.getLong(2)).sum
+    val expectFlagged = (0 until 120).count { i =>
+      i != 0 && i != 97 &&
+        (i == 5 || (i % 64 == 0 && i != 5) || i % 64 == 97 % 64)
+    }
+    assert(flaggedTotal === expectFlagged.toLong,
+      s"flagged=$flaggedTotal expected=$expectFlagged")
+    // totals partition the non-eval corpus
+    assert(out.map(_.getLong(1)).sum === 118L)
+    for (r <- out) assert(r.getLong(2) <= r.getLong(1))
+  }
+
   test("label propagation: labels flow only within a label's identical-" +
       "vector component, every propagated label is correct") {
     import spark.implicits._
