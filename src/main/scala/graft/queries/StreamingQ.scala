@@ -295,6 +295,91 @@ object StreamingQ {
       .orderBy("cell")
   }
 
+  /** q183: streaming distribution-drift monitor (PSI) — the
+    * data-quality alarm complementary to q121's SHARE monitor: q121
+    * flags a source sending too MUCH; this flags a window whose value
+    * DISTRIBUTION changed shape (payment amounts suddenly bimodal,
+    * sensor values clipped, a upstream unit change), which share
+    * accounting cannot see. Per 1-hour event-time window: the value
+    * histogram over 8 fixed bins (floor(value/5) clamped — fixed
+    * integer edges, never data-dependent quantiles, so the binning is
+    * deterministic and mergeable), compared to the whole-run
+    * reference histogram by Population Stability Index with +1
+    * smoothing: PSI_w = Σ_b (p_wb − q_b)·ln(p_wb/q_b), rounded 6dp
+    * (p, q are exact integer ratios → both engines feed ln identical
+    * doubles; 1-ulp ln drift dies at 6dp).
+    *
+    * Scale shape: the STREAM side is one watermarked windowed count
+    * per (window, bin) — 8 bins of bounded state per open window,
+    * Complete-mode over the fixture like q39. Everything after the
+    * stream is batch arithmetic on the windows×8 table: the bin
+    * densification (missing bins still contribute their smoothed
+    * mass) is a windows-sized crossJoin with a literal 8-row bin
+    * table, and the reference is derived from the streamed result
+    * itself — one source of truth, no second scan. Stream == batch:
+    * the oracle computes identical PSI straight off events. */
+  def streamPsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val binned = Streams.eventsStream(spark, dir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"),
+        expr("cast(greatest(least(floor(value / 5), 7), 0) as bigint)")
+          .as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("bin"), col("cnt"))
+    val t = Streams.runToMemory(
+      binned, sink(spark, "s_psi"), OutputMode.Complete())
+    val bins = spark.range(8).select(col("id").as("bin"))
+    val nW = t.groupBy(col("w_start")).agg(sum(col("cnt")).as("nw"))
+    // fresh-aliased projection of the sink table: nW/ref/nTot derive
+    // from the same memory sink, so an un-renamed self-join would
+    // carry duplicate exprIds into the analyzer
+    val tR = t.select(col("w_start").as("tw"), col("bin").as("tb"),
+      col("cnt").as("tc"))
+    val ref = t.groupBy(col("bin")).agg(sum(col("cnt")).as("cb"))
+      .select(col("bin").as("rb"), col("cb"))
+    val nTot = t.agg(sum(col("cnt")).as("n"))
+    nW.crossJoin(broadcast(bins))
+      .join(tR, col("w_start") === col("tw") && col("bin") === col("tb"),
+        "left")
+      .withColumn("c", coalesce(col("tc"), lit(0L)))
+      .join(broadcast(ref), col("bin") === col("rb"), "left")
+      .withColumn("cb", coalesce(col("cb"), lit(0L)))
+      .crossJoin(broadcast(nTot))
+      .withColumn("p", (col("c") + lit(1.0)) / (col("nw") + lit(8.0)))
+      .withColumn("q", (col("cb") + lit(1.0)) / (col("n") + lit(8.0)))
+      .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+      .groupBy(col("w_start"), col("nw").as("n_events"))
+      .agg(round(sum(col("term")), 6).as("psi"))
+      .orderBy("w_start")
+  }
+
+  val streamPsiDriftSql: String =
+    """WITH e AS (
+      |  SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+      |    CAST(greatest(least(floor(value / 5), 7), 0) AS BIGINT) AS bin
+      |  FROM events),
+      |t AS (SELECT w_start, bin, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |nw AS (SELECT w_start, CAST(sum(cnt) AS BIGINT) AS nw
+      |       FROM t GROUP BY 1),
+      |rf AS (SELECT bin, CAST(sum(cnt) AS BIGINT) AS cb
+      |       FROM t GROUP BY 1),
+      |nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM t),
+      |dense AS (
+      |  SELECT nw.w_start, nw.nw, b.range AS bin,
+      |    coalesce(t.cnt, 0) AS c, coalesce(rf.cb, 0) AS cb
+      |  FROM nw CROSS JOIN range(0, 8) b
+      |  LEFT JOIN t ON t.w_start = nw.w_start AND t.bin = b.range
+      |  LEFT JOIN rf ON rf.bin = b.range),
+      |terms AS (
+      |  SELECT w_start, nw,
+      |    ((c + 1.0) / (nw + 8.0) - (cb + 1.0) / (n + 8.0)) *
+      |      ln(((c + 1.0) / (nw + 8.0)) / ((cb + 1.0) / (n + 8.0)))
+      |      AS term
+      |  FROM dense, nt)
+      |SELECT w_start, nw AS n_events, round(sum(term), 6) AS psi
+      |FROM terms GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   /** q121: streaming mixture monitor — the drift alarm a daily corpus
     * build runs while data lands: the documents ARRIVAL stream
     * aggregates per-source token counts (streaming Complete-mode
@@ -628,6 +713,7 @@ object StreamingQ {
     "q39_stream_tumbling" -> streamTumbling,
     "q121_stream_mixture_monitor" -> streamMixtureMonitor,
     "q126_stream_top_terms" -> streamTopTerms,
+    "q183_stream_psi_drift" -> streamPsiDrift,
     "q40_stream_dedup" -> streamDedup,
     "q41_stream_sessions" -> streamSessions,
     "q71_stream_sliding" -> streamSliding,
@@ -643,6 +729,7 @@ object StreamingQ {
   val oracle: Map[String, String] = Map(
     "q121_stream_mixture_monitor" -> streamMixtureMonitorSql,
     "q126_stream_top_terms" -> streamTopTermsSql,
+    "q183_stream_psi_drift" -> streamPsiDriftSql,
     "q39_stream_tumbling" -> streamTumblingSql,
     "q40_stream_dedup" -> streamDedupSql,
     "q41_stream_sessions" -> streamSessionsSql,

@@ -217,4 +217,47 @@ class StreamsSpec extends SparkSpec {
     run()
     assert(state() === expected)
   }
+
+  test("psi drift: a shape-shifted window scores high, a reference-shaped " +
+      "window scores low, symmetry is exact, psi is never negative") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("psi_spec").toString
+    // W1 (10:00): 20 events in bin 0; W2 (11:00): 20 in bin 7;
+    // W3 (12:00): 10 + 10 -> matches the global 50/50 reference
+    def ev(i: Long, hour: Int, v: Double) =
+      (i, java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:30:00"),
+        i % 8, "view", v, "{}")
+    val rows =
+      (0L until 20L).map(ev(_, 10, 2.0)) ++
+      (20L until 40L).map(ev(_, 11, 37.0)) ++
+      (40L until 50L).map(ev(_, 12, 2.0)) ++
+      (50L until 60L).map(ev(_, 12, 37.0))
+    // the stream source lists the parent dir for a FILE named
+    // events.parquet — write to staging, move the single part in
+    val staging = java.nio.file.Paths.get(dir, "staging")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = java.nio.file.Files.list(staging).iterator()
+.asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var moved = false
+    while (part.hasNext && !moved) {
+      val p = part.next()
+      if (p.toString.endsWith(".parquet")) {
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(dir, "events.parquet"))
+        moved = true
+      }
+    }
+    assert(moved, "fixture staging produced no parquet part")
+    val out = graft.queries.StreamingQ.streamPsiDrift(spark, dir).collect()
+    assert(out.length === 3)
+    val Array(w1, w2, w3) = out
+    assert(out.forall(_.getLong(1) === 20L))
+    val psis = out.map(_.getDouble(2))
+    assert(psis.forall(_ >= 0.0), s"PSI must be non-negative: ${psis.toSeq}")
+    // bin0<->bin7 symmetry: identical smoothed ratios -> identical psi
+    assert(w1.getDouble(2) === w2.getDouble(2))
+    // the reference-shaped window drifts least
+    assert(w3.getDouble(2) < w1.getDouble(2))
+  }
 }
