@@ -2103,6 +2103,142 @@ object Relational {
       .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
   }
 
+  // ---------------------------------------------------------------
+  // q184 Z-order layout (multi-column file pruning)
+  // ---------------------------------------------------------------
+
+  private val ZBits = 8
+  private val ZFiles = 64
+
+  /** Bit-interleave expression builders shared by the Spark plan and
+    * the DuckDB oracle — ONE loop emits both spellings, so the
+    * z-values cannot drift between engines. */
+  private def zSpark(a: String, b: String): String =
+    (0 until ZBits).map { i =>
+      s"(shiftleft(shiftright($a, $i) & 1, ${2 * i + 1}) + " +
+        s"shiftleft(shiftright($b, $i) & 1, ${2 * i}))"
+    }.mkString(" + ")
+
+  private def zDuck(a: String, b: String): String =
+    (0 until ZBits).map { i =>
+      s"(((($a >> $i) & 1) << ${2 * i + 1}) + ((($b >> $i) & 1) << ${2 * i}))"
+    }.mkString(" + ")
+
+  /** q184: Z-order (Morton-curve) layout vs linear layout — the
+    * multi-dimensional data-clustering decision every 100 TB lakehouse
+    * table faces: sorting files by ONE key gives perfect min/max
+    * pruning on that key and none on any other; interleaving the key
+    * bits (the Z-curve) gives GOOD pruning on both. This operator
+    * SIMULATES both layouts over lineitem — [[ZFiles]] equal-range
+    * "files" by l_orderkey (linear) and by z(l_orderkey, l_partkey)
+    * (z-order) — computes each file's min/max footer stats, and
+    * replays two range queries (an orderkey range and a partkey
+    * range) against those stats. The output is the measured file-skip
+    * table: files hit and rows scanned per (layout, query) — the
+    * number a table-layout decision should be made on, not a rule of
+    * thumb.
+    *
+    * Scale shape: the z-value is a pure scan-stage integer
+    * expression; bucket assignment is one multiply-divide off the
+    * broadcast 1-row max table; the stats table is ≤ 2·[[ZFiles]]
+    * rows. Nothing here shuffles more than the per-bucket
+    * aggregation — exactly the cost of writing the layout for real. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey").cast("long").as("ok"),
+        col("l_partkey").cast("long").as("pk"))
+    // normalize BOTH dimensions to ZBits before interleaving — the
+    // textbook z-order requirement this operator first demonstrated
+    // by its absence: with raw values, pk's top bits are all zero
+    // (max 2k < 2^11 vs ok's 14 bits), the z top bits depend on ok
+    // alone, and the "z-order" degenerates to the linear layout
+    val mx0 = li.agg(max(col("ok")).as("okm"), max(col("pk")).as("pkm"))
+    val zd = li.crossJoin(broadcast(mx0))
+      .select(col("ok"), col("pk"),
+        expr(s"(ok * ${1 << ZBits}) div (okm + 1)").as("okn"),
+        expr(s"(pk * ${1 << ZBits}) div (pkm + 1)").as("pkn"))
+      .withColumn("z", expr(zSpark("okn", "pkn")))
+    val mx = zd.agg(max(col("z")).as("zm"))
+    val bucketed = zd.crossJoin(broadcast(mx))
+      .select(col("ok"), col("pk"),
+        expr(s"(okn * $ZFiles) div ${1 << ZBits}").as("linear_f"),
+        expr(s"(z * $ZFiles) div (zm + 1)").as("zorder_f"))
+    def stats(fcol: String, label: String) = bucketed
+      .groupBy(col(fcol).as("f"))
+      .agg(count(lit(1)).as("rows"),
+        min(col("ok")).as("ok_min"), max(col("ok")).as("ok_max"),
+        min(col("pk")).as("pk_min"), max(col("pk")).as("pk_max"))
+      .select(lit(label).as("layout"), col("f"), col("rows"),
+        col("ok_min"), col("ok_max"), col("pk_min"), col("pk_max"))
+    val files = stats("linear_f", "linear").unionByName(
+      stats("zorder_f", "zorder"))
+    // replayed range queries, RELATIVE to each key's domain so the
+    // simulation is meaningful at every scale factor: a ~10%-of-range
+    // slice of each dimension
+    files.crossJoin(broadcast(mx0))
+      .withColumn("ok_lo", expr("okm div 3"))
+      .withColumn("ok_hi", expr("okm div 3 + okm div 10"))
+      .withColumn("pk_lo", expr("pkm div 4"))
+      .withColumn("pk_hi", expr("pkm div 4 + pkm div 10"))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("ok_min") <= col("ok_hi") &&
+          col("ok_max") >= col("ok_lo"), 1L)
+          .otherwise(0L)).as("ok_query_files"),
+        sum(when(col("ok_min") <= col("ok_hi") &&
+          col("ok_max") >= col("ok_lo"), col("rows"))
+          .otherwise(0L)).as("ok_query_rows"),
+        sum(when(col("pk_min") <= col("pk_hi") &&
+          col("pk_max") >= col("pk_lo"), 1L)
+          .otherwise(0L)).as("pk_query_files"),
+        sum(when(col("pk_min") <= col("pk_hi") &&
+          col("pk_max") >= col("pk_lo"), col("rows"))
+          .otherwise(0L)).as("pk_query_rows"))
+      .orderBy("layout")
+  }
+
+  val zorderLayoutSql: String =
+    s"""WITH li AS (
+       |  SELECT CAST(l_orderkey AS BIGINT) AS ok,
+       |         CAST(l_partkey AS BIGINT) AS pk
+       |  FROM lineitem),
+       |mx0 AS (SELECT max(ok) AS okm, max(pk) AS pkm FROM li),
+       |zn AS (
+       |  SELECT ok, pk,
+       |    (ok * ${1 << ZBits}) // (okm + 1) AS okn,
+       |    (pk * ${1 << ZBits}) // (pkm + 1) AS pkn
+       |  FROM li, mx0),
+       |z AS (SELECT ok, pk, okn, pkn, ${zDuck("okn", "pkn")} AS z FROM zn),
+       |mx AS (SELECT max(z) AS zm FROM z),
+       |b AS (
+       |  SELECT ok, pk,
+       |    (okn * $ZFiles) // ${1 << ZBits} AS linear_f,
+       |    (z * $ZFiles) // (zm + 1) AS zorder_f
+       |  FROM z, mx),
+       |fs AS (
+       |  SELECT 'linear' AS layout, linear_f AS f, count(*) AS rows,
+       |    min(ok) AS ok_min, max(ok) AS ok_max,
+       |    min(pk) AS pk_min, max(pk) AS pk_max
+       |  FROM b GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'zorder', zorder_f, count(*),
+       |    min(ok), max(ok), min(pk), max(pk)
+       |  FROM b GROUP BY 2),
+       |q AS (SELECT okm // 3 AS ok_lo, okm // 3 + okm // 10 AS ok_hi,
+       |             pkm // 4 AS pk_lo, pkm // 4 + pkm // 10 AS pk_hi
+       |      FROM mx0)
+       |SELECT layout, count(*) AS n_files,
+       |  CAST(sum(CASE WHEN ok_min <= ok_hi AND ok_max >= ok_lo
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS ok_query_files,
+       |  CAST(sum(CASE WHEN ok_min <= ok_hi AND ok_max >= ok_lo
+       |    THEN rows ELSE 0 END) AS BIGINT) AS ok_query_rows,
+       |  CAST(sum(CASE WHEN pk_min <= pk_hi AND pk_max >= pk_lo
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS pk_query_files,
+       |  CAST(sum(CASE WHEN pk_min <= pk_hi AND pk_max >= pk_lo
+       |    THEN rows ELSE 0 END) AS BIGINT) AS pk_query_rows
+       |FROM fs, q GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_events_daily" -> eventsDaily,
@@ -2126,6 +2262,7 @@ object Relational {
     "q20_filter_pushdown" -> filterPushdown,
     "q21_sql_exists" -> sqlExists,
     "q22_approx_distinct" -> approxDistinct,
+    "q184_zorder_layout" -> zorderLayout,
     "q23_bucketed_join" -> bucketedJoin,
     "q24_salted_join" -> saltedJoin,
     "q163_auto_skew_join" -> autoSkewJoin,
@@ -2177,6 +2314,7 @@ object Relational {
     "q20_filter_pushdown" -> filterPushdownSql,
     "q21_sql_exists" -> sqlExistsSql,
     "q22_approx_distinct" -> approxDistinctSql,
+    "q184_zorder_layout" -> zorderLayoutSql,
     "q23_bucketed_join" -> joinFactsSql, // same answer via bucketed layout
     "q24_salted_join" -> saltedJoinSql,
     "q163_auto_skew_join" -> autoSkewJoinSql,

@@ -588,4 +588,23 @@ class RelationalSpec extends SparkSpec {
     assert(out("changed_new") === ((3L, 3L, 43000L))) // +100.00 each
     assert(out("inserted") === ((2L, 2L, 0L)))        // 10000013/10000091
   }
+
+  test("z-order layout trades a little single-key pruning for " +
+      "multi-key pruning the linear layout cannot do at all") {
+    val out = Relational.all("q184_zorder_layout")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val lin = out("linear"); val zo = out("zorder")
+    // l_partkey is uncorrelated with the linear sort key, so EVERY
+    // linear file spans the partkey query range — zero pruning
+    assert(lin.getLong(4) === lin.getLong(1),
+      "linear layout unexpectedly pruned the partkey query")
+    // the z-order layout prunes the partkey query to a fraction
+    assert(zo.getLong(4) * 2 < zo.getLong(1),
+      s"z-order pruned only ${zo.getLong(4)}/${zo.getLong(1)} files")
+    // ...at the price of a wider orderkey query footprint
+    assert(zo.getLong(2) >= lin.getLong(2))
+    // row accounting: scanned rows never exceed the table
+    val total = Tables.lineitem(spark, dir).count()
+    assert(zo.getLong(5) <= total && lin.getLong(5) === total)
+  }
 }
