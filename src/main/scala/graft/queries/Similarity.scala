@@ -67,7 +67,7 @@ object Similarity {
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("nrm", expr("sqrt(array_dot(v, v))"))
 
-  private val duckVecs: String =
+  private[queries] val duckVecs: String =
     """SELECT vec_id, label,
       |  list_transform(embedding, x -> x::DOUBLE) AS v,
       |  sqrt(list_dot_product(list_transform(embedding, x -> x::DOUBLE),

@@ -1986,6 +1986,74 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------
+  // q185 pseudo-relevance-feedback dense rerank (sparse -> dense)
+  // ---------------------------------------------------------------
+
+  /** q185: PRF dense rerank — the two-stage retrieval bridge between
+    * the sparse and dense families: BM25 (q129) retrieves the
+    * candidates, the best-ranked candidate that HAS an embedding
+    * becomes the pseudo-relevance feedback vector (classic PRF — the
+    * query has no embedding of its own, so the top hit stands in),
+    * and the remaining embeddable candidates re-rank by cosine to
+    * it. The output carries both ranks side by side, so sparse/dense
+    * disagreement — the signal that decides whether a dense second
+    * stage is worth serving — is an oracled table.
+    *
+    * Scale shape: everything downstream of BM25 operates on the
+    * ≤ top-5-per-query candidate table: one id-keyed join to attach
+    * embeddings, a per-query min + broadcast of the feedback
+    * vectors (queries-sized), and a rank window over ≤ 4 rows per
+    * query. The corpus is touched only by BM25 itself. */
+  def prfRerank(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val cands = bm25(spark, dir)
+      .select(col("qid"), col("rnk").as("bm25_rnk"), col("doc_id"))
+    val e = embeddings(spark, dir)
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm", expr("sqrt(array_dot(v, v))"))
+      .select(col("vec_id").as("doc_id"), col("v"), col("nrm"))
+    val withV = cands.join(e, Seq("doc_id"))
+    val fb = withV.groupBy(col("qid")).agg(min(col("bm25_rnk")).as("fb_rnk"))
+    val fbVec = withV.join(fb, Seq("qid"))
+      .filter(col("bm25_rnk") === col("fb_rnk"))
+      .select(col("qid"), col("doc_id").as("fb_doc"),
+        col("v").as("fv"), col("nrm").as("fn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    withV.join(broadcast(fbVec), Seq("qid"))
+      .filter(col("doc_id") =!= col("fb_doc"))
+      .withColumn("cos", round(
+        expr("array_dot(fv, v)") / (col("fn") * col("nrm")), 4))
+      .withColumn("dense_rnk", row_number().over(w))
+      .select(col("qid"), col("dense_rnk"), col("doc_id"),
+        col("bm25_rnk"), col("cos"))
+      .orderBy("qid", "dense_rnk")
+  }
+
+  lazy val prfRerankSql: String =
+    s"""WITH bm AS (
+       |  SELECT qid, rnk AS bm25_rnk, doc_id FROM ($bm25Sql)),
+       |e AS (SELECT vec_id AS doc_id, v, nrm
+       |      FROM (${Similarity.duckVecs})),
+       |wv AS (SELECT bm.qid, bm.bm25_rnk, bm.doc_id, e.v, e.nrm
+       |       FROM bm JOIN e ON bm.doc_id = e.doc_id),
+       |fb AS (SELECT qid, min(bm25_rnk) AS fb_rnk FROM wv GROUP BY 1),
+       |fv AS (
+       |  SELECT wv.qid, wv.doc_id AS fb_doc, wv.v AS fv, wv.nrm AS fn
+       |  FROM wv JOIN fb ON wv.qid = fb.qid AND wv.bm25_rnk = fb.fb_rnk),
+       |rr AS (
+       |  SELECT wv.qid, wv.doc_id, wv.bm25_rnk,
+       |    round(list_dot_product(fv.fv, wv.v) / (fv.fn * wv.nrm), 4)
+       |      AS cos
+       |  FROM wv JOIN fv ON wv.qid = fv.qid
+       |  WHERE wv.doc_id != fv.fb_doc)
+       |SELECT qid,
+       |  row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, doc_id ASC) AS dense_rnk,
+       |  doc_id, bm25_rnk, cos
+       |FROM rr ORDER BY qid, dense_rnk""".stripMargin
+
+  // ---------------------------------------------------------------
   // q178 count-min sketch frequency estimation
   // ---------------------------------------------------------------
 
@@ -2258,6 +2326,7 @@ object TextAnalysis {
     "q175_nb_lang_classifier" -> nbLangClassifier,
     "q178_cms_sketch" -> cmsSketch,
     "q179_rag_chunking" -> ragChunking,
+    "q185_prf_rerank" -> prfRerank,
     "q180_chunk_dedup" -> chunkDedup
   )
 
@@ -2291,6 +2360,7 @@ object TextAnalysis {
     "q175_nb_lang_classifier" -> nbLangClassifierSql,
     "q178_cms_sketch" -> cmsSketchSql,
     "q179_rag_chunking" -> ragChunkingSql,
+    "q185_prf_rerank" -> prfRerankSql,
     "q180_chunk_dedup" -> chunkDedupSql
   )
 }

@@ -423,6 +423,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getLong(3) === 1000000L / 3L)
   }
 
+  test("prf rerank: feedback doc excluded, dense ranks consecutive, " +
+      "cosines ordered, every candidate came from bm25") {
+    val dir = "/root/testdata/sf0.001"
+    val bm = TextAnalysis.all("q129_bm25")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSet
+    val out = TextAnalysis.prfRerank(spark, dir).collect()
+    assert(out.nonEmpty)
+    for (q <- out.map(_.getString(0)).distinct) {
+      val mine = out.filter(_.getString(0) == q).sortBy(_.getInt(1))
+      assert(mine.map(_.getInt(1)).toSeq === (1 to mine.length))
+      val cosines = mine.map(_.getDouble(4)).toSeq
+      assert(cosines === cosines.sorted.reverse)
+      // every reranked doc was a bm25 candidate
+      for (r <- mine) assert(bm.contains((q, r.getLong(2))))
+    }
+    // the feedback doc — best-bm25-ranked candidate WITH an
+    // embedding — never appears in its own rerank list
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val bmRanked = TextAnalysis.all("q129_bm25")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for (q <- out.map(_.getString(0)).distinct) {
+      val fbDoc = bmRanked.filter(r => r._1 == q && emb.contains(r._3))
+        .minBy(_._2)._3
+      assert(!out.filter(_.getString(0) == q)
+        .map(_.getLong(2)).contains(fbDoc),
+        s"feedback doc $fbDoc leaked into query $q's rerank list")
+    }
+  }
+
   test("count-min sketch: never undercounts, and recovers exact counts " +
       "on a collision-free fixture vocabulary") {
     // counts: aa=4, bb=2, cc=1, dd=1; N=8 tokens, 4 types in 512
