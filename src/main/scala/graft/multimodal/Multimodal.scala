@@ -110,6 +110,38 @@ object Multimodal {
     }
   }
 
+  /** Perceptual difference-hash (dHash) of a binary PPM: the raster
+    * is nearest-neighbor sampled onto a 9×8 integer-luminance grid
+    * (lum = r+g+b — integer-exact, no float weights; sample (x, y)
+    * reads source pixel (x·w div 9, y·h div 8)), and bit (x, y) of
+    * the 64-bit hash is 1 iff lum(x, y) > lum(x+1, y) — the
+    * horizontal-gradient signature that survives re-encoding,
+    * brightness shifts, and mild noise, which exact content hashing
+    * ([[ppmContentHash]]) cannot. All-integer end to end so an
+    * oracle can regenerate it arithmetically. None for non-P6. */
+  def ppmDHash(payload: Array[Byte]): Option[Long] =
+    parsePpmHeader(payload).map { case (w, h, off) =>
+      def lum(gx: Int, gy: Int): Int = {
+        val sx = gx * w / 9
+        val sy = gy * h / 8
+        val i = off + (sy * w + sx) * 3
+        (payload(i) & 0xff) + (payload(i + 1) & 0xff) +
+          (payload(i + 2) & 0xff)
+      }
+      var bits = 0L
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (lum(gx, gy) > lum(gx + 1, gy))
+            bits |= 1L << (gy * 8 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      bits
+    }
+
   /** Pixel-content fingerprint of a binary PPM: a base-131 mod-1e9+7
     * polynomial over (width, height, pixel bytes) — an identity that
     * depends only on the decoded raster, so byte-identical content
@@ -332,6 +364,19 @@ object Multimodal {
     val h = 3 + (id % 5).toInt
     val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
     val px = Array.tabulate(w * h * 3)(k => ((id * 7 + k * 13) % 256).toByte)
+    header ++ px
+  }
+
+  /** [[syntheticPpm]] with a uniform brightness shift — the
+    * "re-encoded / brightness-tweaked copy" a perceptual dedup pass
+    * must group with its base while exact content hashing keeps them
+    * apart. Bytes wrap mod 256 like the base generator. */
+  def syntheticPpmVariant(base: Long, shift: Long): Array[Byte] = {
+    val w = 4 + (base % 8).toInt
+    val h = 3 + (base % 5).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = Array.tabulate(w * h * 3)(k =>
+      ((base * 7 + k * 13 + shift) % 256).toByte)
     header ++ px
   }
 

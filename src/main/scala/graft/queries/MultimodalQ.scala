@@ -234,6 +234,94 @@ object MultimodalQ {
     * exactly q55's one-shuffle dedup geometry. The oracle regenerates
     * the rasters arithmetically and folds the identical polynomial in
     * SQL, so a decoder defect breaks the hash. */
+  /** q186: PERCEPTUAL image dedup (dHash) — the near-dup sibling of
+    * q124's exact content dedup: a brightness-shifted or re-encoded
+    * copy has a different content hash but (mostly) the same 64-bit
+    * difference-hash ([[Multimodal.ppmDHash]]: 9×8 integer-luminance
+    * grid, horizontal-gradient bits). The blob builder makes this
+    * measurable: 25 media ids = 7 base rasters × brightness shifts
+    * (0/2/4/6, bytes wrapping mod 256), so exact hashing yields ~25
+    * groups while dHash collapses each base's unwrapped variants.
+    * Per (perceptual group size): group count, keeper sum, and the
+    * DISTINCT-CONTENT sum — the count of exact-distinct rasters each
+    * perceptual group merged, i.e. exactly what the perceptual pass
+    * bought over q124.
+    *
+    * Scale shape: decode + dHash in the mapPartitions batch stage
+    * (per-blob byte loop, the codec policy); the shuffle carries
+    * (dhash, content_hash, media_id) triples only. Wrap-around
+    * gradient flips are part of the deterministic arithmetic — the
+    * oracle regenerates raster and hash from the formula, so the
+    * grouping is checked value-for-value, not asserted. */
+  def perceptualDedup(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    import spark.implicits._
+    nation(spark, dir)
+      .select(col("n_nationkey").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val blob = Multimodal.syntheticPpmVariant(id % 7, (id / 7) * 2)
+        (id,
+          Multimodal.ppmDHash(blob).getOrElse(-1L),
+          Multimodal.ppmContentHash(blob).getOrElse(-1L))
+      })
+      .toDF("media_id", "dhash", "content_hash")
+      .groupBy(col("dhash"))
+      .agg(min(col("media_id")).as("keeper"),
+        count(lit(1)).as("group_size"),
+        expr("count(distinct content_hash)").as("n_contents"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("keeper")).as("sum_keepers"),
+        sum(col("n_contents")).as("sum_contents"),
+        expr("bit_xor(dhash)").as("dhash_digest"))
+      .orderBy("group_size")
+  }
+
+  val perceptualDedupSql: String = {
+    // lum(gx, gy) computed straight from the generator formula —
+    // px[k] = (base*7 + k*13 + shift) % 256, k = ((sy*w + sx)*3 + c)
+    def lum(gx: String): String =
+      s"""list_sum(list_transform(range(0, 3), c ->
+         |  (base * 7 + ((((gy * h) // 8) * w + (($gx * w) // 9)) * 3 + c)
+         |     * 13 + shift) % 256))""".stripMargin
+    s"""WITH ids AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+       |    n_nationkey % 7 AS base, (n_nationkey // 7) * 2 AS shift
+       |  FROM nation),
+       |d AS (SELECT media_id, base, shift,
+       |        4 + base % 8 AS w, 3 + base % 5 AS h
+       |      FROM ids),
+       |hb AS (
+       |  SELECT media_id, base, shift, w, h,
+       |    -- bit 63 contributes -2^63 (two's complement): the Scala
+       |    -- kernel ORs 1L << 63 into a signed long, and disjoint
+       |    -- bits make OR == SUM; a plain BIGINT 1 << 63 overflows
+       |    CAST(list_sum(flatten(list_transform(range(0, 8), gy ->
+       |      list_transform(range(0, 8), gx ->
+       |        CASE WHEN ${lum("gx")} > ${lum("(gx + 1)")}
+       |          THEN (CASE WHEN gy * 8 + gx = 63
+       |                THEN (-9223372036854775808)::HUGEINT
+       |                ELSE (1::HUGEINT << (gy * 8 + gx)) END)
+       |          ELSE 0::HUGEINT END))))
+       |      AS BIGINT) AS dhash,
+       |    list_reduce(
+       |      list_prepend(0::BIGINT,
+       |        list_concat([w::BIGINT, h::BIGINT],
+       |          list_transform(range(0, w * h * 3),
+       |            k -> (base * 7 + k * 13 + shift) % 256))),
+       |      (acc, v) -> (acc * 131 + v) % 1000000007) AS content_hash
+       |  FROM d),
+       |g AS (
+       |  SELECT dhash, min(media_id) AS keeper, count(*) AS group_size,
+       |    count(DISTINCT content_hash) AS n_contents
+       |  FROM hb GROUP BY 1)
+       |SELECT group_size, count(*) AS n_groups,
+       |  CAST(sum(keeper) AS BIGINT) AS sum_keepers,
+       |  CAST(sum(n_contents) AS BIGINT) AS sum_contents,
+       |  bit_xor(dhash) AS dhash_digest
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def imageDedup(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     import spark.implicits._
@@ -382,6 +470,7 @@ object MultimodalQ {
     "q83_frame_sample" -> frameSample,
     "q84_audio_energy" -> audioEnergy,
     "q124_image_dedup" -> imageDedup,
+    "q186_perceptual_dedup" -> perceptualDedup,
     "q161_imageio_decode" -> imageioDecode,
     "q169_wav_decode" -> wavDecode
   )
@@ -393,6 +482,7 @@ object MultimodalQ {
     "q83_frame_sample" -> frameSampleSql,
     "q84_audio_energy" -> audioEnergySql,
     "q124_image_dedup" -> imageDedupSql,
+    "q186_perceptual_dedup" -> perceptualDedupSql,
     "q161_imageio_decode" -> imageioDecodeSql,
     "q169_wav_decode" -> wavDecodeSql
   )

@@ -191,4 +191,45 @@ class MultimodalSpec extends SparkSpec {
     assert(ppmContentHash(syntheticPpm(4)) !== ppmContentHash(a))
     assert(ppmContentHash("not a ppm".getBytes("US-ASCII")).isEmpty)
   }
+
+  test("dHash: invariant under a wrap-free brightness shift (exactly " +
+      "where content hashing splits), sensitive to a gradient flip") {
+    import graft.multimodal.Multimodal._
+    // hand-built 9x8 raster with pixel bytes in [40, 140]: a +20
+    // shift cannot wrap, so every luminance GRADIENT is preserved
+    val w = 9; val h = 8
+    def ppm(shift: Int): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = Array.tabulate(w * h * 3)(k =>
+        ((40 + (k * 37) % 100 + shift) & 0xff).toByte)
+      header ++ px
+    }
+    val base = ppm(0); val bright = ppm(20)
+    assert(ppmDHash(base).isDefined)
+    assert(ppmDHash(base) === ppmDHash(bright),
+      "perceptual hash must survive a wrap-free brightness shift")
+    assert(ppmContentHash(base) !== ppmContentHash(bright),
+      "content hash must split what the perceptual hash groups")
+    // flip one sampled gradient: bump the (0,0) sample far above its
+    // right neighbor
+    val flipped = ppm(0)
+    val off = s"P6\n$w $h\n255\n".getBytes("US-ASCII").length
+    flipped(off) = 255.toByte
+    flipped(off + 1) = 255.toByte
+    flipped(off + 2) = 255.toByte
+    assert(ppmDHash(flipped) !== ppmDHash(base))
+    assert(ppmDHash("nope".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("q186 perceptual groups partition the 25 media ids and merge " +
+      "exact-distinct contents") {
+    val out = graft.queries.MultimodalQ.perceptualDedup(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(r => r.getLong(0) * r.getLong(1)).sum === 25L)
+    // at least one perceptual group merged >1 exact-distinct raster
+    val merged = out.filter(_.getLong(0) > 1)
+    assert(merged.nonEmpty)
+    assert(merged.exists(r => r.getLong(3) > r.getLong(1)),
+      "no perceptual group merged distinct contents")
+  }
 }
