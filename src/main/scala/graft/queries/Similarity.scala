@@ -1706,6 +1706,93 @@ object Similarity {
        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // q187 Matryoshka truncation recall (dimension-prefix serving)
+  // ---------------------------------------------------------------
+
+  /** q187: truncated-dimension recall — the Matryoshka-representation
+    * question (Kusupati et al. 2022) every embedding deployment asks
+    * before buying a smaller index: if we serve only the first d of
+    * 64 dimensions, how much of the full-dimension top-5 survives?
+    * For each prefix d ∈ {8, 16, 32, 64}: exact cosine top-5 over
+    * `slice(v, 1, d)` for the bounded probe set, scored against the
+    * full-dimension top-5 — recall@5 plus the result-count carrier,
+    * the q102 rollup shape applied to the dimension dial. d = 64 is
+    * the built-in sanity row (recall 1.0 by construction).
+    *
+    * Scale shape: four passes of the q60 baseline (bounded broadcast
+    * query side, bounded-heap per-partition top-k) over successively
+    * cheaper dot products; at 100 TB the d-prefix scan is the whole
+    * point — 8/64ths of the flops and bytes per candidate. */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val e = vecs(spark, dir)
+    def topAt(d: Int): DataFrame = {
+      val ed = e.select(col("vec_id"),
+        expr(s"slice(v, 1, $d)").as("vd"))
+        .withColumn("nd", expr("sqrt(array_dot(vd, vd))"))
+      val q = ed.filter(queryPred)
+        .select(col("vec_id").as("qid"), col("vd").as("qv"),
+          col("nd").as("qn"))
+      val scored = ed.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(
+          expr("array_dot(qv, vd)") / (col("qn") * col("nd")), 4))
+      topkRank(scored, "qid", 5)
+    }
+    val full = topAt(Dim).select(col("qid"), col("vec_id"))
+    val nq = full.agg(countDistinct(col("qid")).as("n_queries"))
+    Seq(8, 16, 32, 64).map { d =>
+      topAt(d).select(col("qid"), col("vec_id"))
+        .join(full.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .select(lit(d).as("dims"), col("n_results"), col("n_hits"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(nq))
+      .select(col("dims"), col("n_queries"), col("n_results"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / (lit(5) * col("n_queries")), 4)
+          .as("recall_at_5"))
+      .orderBy("dims")
+  }
+
+  val matryoshkaRecallSql: String = {
+    def topAt(d: Int, name: String): String =
+      s"""$name AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, n.vec_id,
+         |      round(list_dot_product(q.qv, n.vd) / (q.qn * n.nd), 4)
+         |        AS cos,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY round(list_dot_product(q.qv, n.vd)
+         |          / (q.qn * n.nd), 4) DESC, n.vec_id ASC) AS rnk
+         |    FROM (SELECT vec_id AS qid, vd AS qv, nd AS qn FROM d$d
+         |          WHERE $queryPredSql) q
+         |    JOIN d$d n ON n.vec_id != q.qid)
+         |  WHERE rnk <= 5)""".stripMargin
+    def dims(d: Int): String =
+      s"""d$d AS (
+         |  SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nd
+         |  FROM (SELECT vec_id, list_slice(v, 1, $d) AS vd
+         |        FROM nv))""".stripMargin
+    val ds = Seq(8, 16, 32, 64)
+    s"""WITH nv AS ($duckVecs),
+       |${ds.map(dims).mkString(",\n")},
+       |${ds.map(d => topAt(d, s"t$d")).mkString(",\n")},
+       |nq AS (SELECT count(DISTINCT qid) AS n_queries FROM t64),
+       |u AS (${ds.map(d =>
+             s"SELECT $d AS dims, qid, vec_id FROM t$d")
+             .mkString("\n  UNION ALL\n")})
+       |SELECT dims, n_queries, count(*) AS n_results,
+       |  CAST(coalesce(sum(CASE WHEN f.vec_id IS NOT NULL
+       |    THEN 1 END), 0) AS BIGINT) AS n_hits,
+       |  round(coalesce(sum(CASE WHEN f.vec_id IS NOT NULL
+       |    THEN 1 END), 0) * 1.0 / (5 * n_queries), 4) AS recall_at_5
+       |FROM u LEFT JOIN t64 f
+       |  ON u.qid = f.qid AND u.vec_id = f.vec_id, nq
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q182 semantic decontamination (embedding-space eval-leak scan)
   // ---------------------------------------------------------------
 
@@ -2361,7 +2448,8 @@ object Similarity {
     "q176_embedding_outliers" -> embeddingOutliers,
     "q177_label_propagation" -> labelPropagation,
     "q181_rank_fusion" -> rankFusion,
-    "q182_semantic_decon" -> semanticDecon
+    "q182_semantic_decon" -> semanticDecon,
+    "q187_matryoshka_recall" -> matryoshkaRecall
   )
 
   val oracle: Map[String, String] = Map(
@@ -2387,6 +2475,7 @@ object Similarity {
     "q176_embedding_outliers" -> embeddingOutliersSql,
     "q177_label_propagation" -> labelPropagationSql,
     "q181_rank_fusion" -> rankFusionSql,
-    "q182_semantic_decon" -> semanticDeconSql
+    "q182_semantic_decon" -> semanticDeconSql,
+    "q187_matryoshka_recall" -> matryoshkaRecallSql
   )
 }

@@ -504,6 +504,20 @@ class SimilaritySpec extends SparkSpec {
     for (r <- out) assert(r.getLong(2) <= r.getLong(1))
   }
 
+  test("matryoshka recall: the full-dimension row is exact by " +
+      "construction; every prefix serves a full top-5") {
+    val dir = corpus(120)
+    val out = Similarity.matryoshkaRecall(spark, dir).collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(8, 16, 32, 64))
+    val full = out.find(_.getInt(0) == 64).get
+    assert(full.getDouble(4) === 1.0)
+    for (r <- out) {
+      assert(r.getLong(2) === 5L * r.getLong(1)) // 5 results per query
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getLong(3) <= r.getLong(2))
+    }
+  }
+
   test("label propagation: labels flow only within a label's identical-" +
       "vector component, every propagated label is correct") {
     import spark.implicits._
