@@ -976,17 +976,33 @@ object Similarity {
     * n_results is carried so a variant quietly returning fewer than 5
     * rows per query (sparse LSH candidates) is visible, not absorbed
     * into the recall denominator. */
+  /** Memoized per-variant serving tables (qid, rnk, vec_id, cos) —
+    * the ladder (q102) and the fusion (q181) both consume variant
+    * RANKINGS, and before this memo each consumer re-ran the full
+    * scoring pass even though the index artifacts underneath were
+    * already memoized. A production deployment serves from the
+    * ranking table it materialized; the per-(session, dir) memo is
+    * the local stand-in. The registered per-variant queries stay
+    * unmemoized — their bench rows keep measuring a real serve. */
+  private def servedTop(spark: SparkSession, dir: String, name: String,
+      build: => DataFrame): DataFrame =
+    memo(spark, dir, s"ann_top_$name")(build)
+
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val exact5 = cosineTopK(spark, dir).filter(col("rnk") <= 5)
+    val exact5 = servedTop(spark, dir, "exact",
+      cosineTopK(spark, dir)).filter(col("rnk") <= 5)
       .select(col("qid"), col("vec_id"))
     val methods = Seq(
-      "ivf_nprobe1" -> ivfAnn(spark, dir),
-      "ivf_nprobe2" -> ivfAnnNprobe2(spark, dir),
-      "lsh" -> annLsh(spark, dir),
-      "lsh_multiprobe" -> annLshMultiprobe(spark, dir),
-      "pq" -> pqAnn(spark, dir),
-      "graph_beam" -> graphBeamAnn(spark, dir))
+      "ivf_nprobe1" -> servedTop(spark, dir, "ivf1", ivfAnn(spark, dir)),
+      "ivf_nprobe2" -> servedTop(spark, dir, "ivf2",
+        ivfAnnNprobe2(spark, dir)),
+      "lsh" -> servedTop(spark, dir, "lsh", annLsh(spark, dir)),
+      "lsh_multiprobe" -> servedTop(spark, dir, "lshmp",
+        annLshMultiprobe(spark, dir)),
+      "pq" -> servedTop(spark, dir, "pq", pqAnn(spark, dir)),
+      "graph_beam" -> servedTop(spark, dir, "beam",
+        graphBeamAnn(spark, dir)))
     val approx = methods.map { case (m, df) =>
       df.select(lit(m).as("method"), col("qid"), col("vec_id"))
     }.reduce(_ unionByName _)
@@ -1637,12 +1653,15 @@ object Similarity {
     * underlying indexes already scanned. */
   def rankFusion(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val exact5 = cosineTopK(spark, dir).filter(col("rnk") <= 5)
+    val exact5 = servedTop(spark, dir, "exact",
+      cosineTopK(spark, dir)).filter(col("rnk") <= 5)
       .select(col("qid"), col("vec_id"))
     val methods = Seq(
-      "ivf_nprobe2" -> ivfAnnNprobe2(spark, dir),
-      "lsh_multiprobe" -> annLshMultiprobe(spark, dir),
-      "pq" -> pqAnn(spark, dir))
+      "ivf_nprobe2" -> servedTop(spark, dir, "ivf2",
+        ivfAnnNprobe2(spark, dir)),
+      "lsh_multiprobe" -> servedTop(spark, dir, "lshmp",
+        annLshMultiprobe(spark, dir)),
+      "pq" -> servedTop(spark, dir, "pq", pqAnn(spark, dir)))
     val ranked = methods.map { case (m, df) =>
       df.select(lit(m).as("method"), col("qid"), col("vec_id"),
         col("rnk"))
