@@ -1,0 +1,45 @@
+package graft
+
+/** Whole-registry plan lint: every batch query in the bench set is
+  * PLANNED (not executed) at sf0.001 and its physical plan checked
+  * against the engine's standing anti-pattern contracts:
+  *
+  *   - no `CartesianProductExec` — the repo's crossJoins are all
+  *     1-row aggregate broadcasts, which plan as
+  *     BroadcastNestedLoopJoin; a real cartesian product appearing
+  *     anywhere means a broadcast contract silently broke;
+  *   - no Python/batch-eval UDFs — the §2.8 policy is native
+  *     expressions and typed Aggregators only.
+  *
+  * Streaming queries are excluded (building them RUNS the stream to
+  * completion by design — their plan contracts live in their own
+  * specs), as are the side-effecting fixtures the bench also skips.
+  * Queries whose construction performs bounded driver work (model
+  * scalars, profiles) execute that work here — at sf0.001 that is
+  * part of the point: the lint also proves every registered builder
+  * still constructs. */
+class RegistryPlanLintSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def isStreaming(name: String) =
+    name.contains("stream") || name == "q108_stream_ivf_index"
+
+  test("no registered batch plan contains a cartesian product or a UDF") {
+    graft.queries.Tables.prep(spark)
+    val names = SparkEntry.benchQueries.filterNot(isStreaming)
+    assert(names.size > 130, s"lint lost coverage: ${names.size}")
+    val offenders = names.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val bad = Seq(
+        "CartesianProduct" -> plan.contains("CartesianProduct"),
+        "PythonUDF" -> plan.contains("PythonUDF"),
+        "BatchEvalPython" -> plan.contains("BatchEvalPython")
+      ).collect { case (what, true) => s"$name: $what" }
+      bad
+    }
+    assert(offenders.isEmpty,
+      s"plan-lint violations:\n${offenders.mkString("\n")}")
+  }
+}
