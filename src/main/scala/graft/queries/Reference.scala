@@ -445,11 +445,21 @@ object Reference {
     * DELETE+batched-INSERT — one date loaded TWICE (the daily re-run);
     * read back through spark.read.jdbc. Same oracle as q37: if the
     * re-run doubled rows or the sink mangled a value, the hash breaks. */
+  /** Session-scoped embedded-Derby location (the q162 lesson the
+    * advisor taught for fixed tmp paths): Derby allows ONE process
+    * per database directory, so a fixed /tmp path makes two
+    * concurrent sessions on a machine fail each other's boots.
+    * Scoping by applicationId keeps q42/q170 sharing one warehouse
+    * within a session while isolating sessions. */
+  private def derbyUrl(spark: SparkSession): String =
+    "jdbc:derby:" + java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"),
+        s"graft_derby_${spark.sparkContext.applicationId}").toString +
+      ";create=true"
+
   def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val url = "jdbc:derby:" + java.nio.file.Paths
-      .get(System.getProperty("java.io.tmpdir"), "graft_derby").toString +
-      ";create=true"
+    val url = derbyUrl(spark)
     val table = "tbl_neotel_conducta"
     val ddl = graft.conform.Schemas.Conducta.fields.map { f =>
       val t = f.dataType match {
@@ -504,9 +514,7 @@ object Reference {
     * load (idempotent) + JDBC-source read with the date predicate. */
   private[queries] def jdbcFilteredConducta(spark: SparkSession,
       dir: String, cutoff: String): DataFrame = {
-    val url = "jdbc:derby:" + java.nio.file.Paths
-      .get(System.getProperty("java.io.tmpdir"), "graft_derby").toString +
-      ";create=true"
+    val url = derbyUrl(spark)
     val table = "tbl_neotel_conducta"
     val ddl = graft.conform.Schemas.Conducta.fields.map { f =>
       val t = f.dataType match {
