@@ -160,6 +160,41 @@ class RelationalSpec extends SparkSpec {
     assert(out === Map("a" -> 3.0, "b" -> 10.0))
   }
 
+  test("exactQuantiles law: matches the naive interpolated quantile on " +
+      "random duplicate-heavy groups at every q incl. the endpoints") {
+    import spark.implicits._
+    def qcont(vs: Seq[Double], q: Double): Double = {
+      val s = vs.sorted
+      val h = q * (s.length - 1) + 1
+      val lo = s(math.floor(h).toInt - 1)
+      val hi = s(math.ceil(h).toInt - 1)
+      lo + (h - math.floor(h)) * (hi - lo)
+    }
+    val rnd = new scala.util.Random(428)
+    for (trial <- 1 to 20) {
+      val groups = 1 + rnd.nextInt(4)
+      val rows = (0 until groups).flatMap { g =>
+        val n = 1 + rnd.nextInt(30)
+        // small value domain -> heavy duplicates, the rank-candidate
+        // edge case (floor == ceil collisions)
+        Seq.fill(n)((s"g$g", rnd.nextInt(6).toDouble))
+      }
+      val qs = Seq(0.0 -> "q0", 0.25 -> "q25", 0.37 -> "q37",
+        0.5 -> "q50", 0.9 -> "q90", 1.0 -> "q100")
+      val out = Relational.exactQuantiles(
+        rows.toDF("g", "m"), "g", "m", qs).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val byG = rows.groupBy(_._1)
+      assert(out.keySet === byG.keySet, s"trial $trial")
+      for ((g, grows) <- byG; ((q, _), i) <- qs.zipWithIndex) {
+        val expect = qcont(grows.map(_._2), q)
+        val got = out(g).getDouble(i + 1)
+        assert(math.abs(got - expect) < 1e-9,
+          s"trial $trial group $g q=$q: $got != $expect")
+      }
+    }
+  }
+
   test("approx distinct (HLL) stays within 5% of the exact count") {
     Tables.prep(spark)
     val rows = Relational.approxDistinct(spark, dir).collect()
