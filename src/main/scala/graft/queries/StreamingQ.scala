@@ -295,6 +295,54 @@ object StreamingQ {
       .orderBy("cell")
   }
 
+  /** q188: event-time-correct VERSIONED dimension enrichment — the
+    * temporal upgrade of q71's stateless enrich: q71 joins every
+    * event to the dimension's CURRENT row, which silently rewrites
+    * history whenever the dimension changes mid-stream (the classic
+    * slowly-changing-dimension bug); here each event joins the
+    * version whose validity interval contains the EVENT TIME
+    * (`key match AND vf <= ts < vt` riding the broadcast join), so a
+    * replayed or late event enriches identically no matter when it
+    * arrives — the as-of join semantics (Temporal q26) in streaming
+    * form. The dimension is the nation table split into two versions
+    * at 2024-01-16 (month fixture midpoint).
+    *
+    * Scale shape: stateless per-micro-batch broadcast join — the
+    * validity predicate adds zero state; versions-per-key multiplies
+    * the broadcast, not the stream. Stream == batch: the oracle
+    * derives each event's version arithmetically. */
+  def streamVersionedEnrich(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val base = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val dim = base
+      .select(col("n_nationkey"), col("n_name"), lit(1L).as("version"),
+        lit("1970-01-01 00:00:00").cast("timestamp").as("vf"),
+        cut.as("vt"))
+      .unionByName(base
+        .select(col("n_nationkey"), col("n_name"), lit(2L).as("version"),
+          cut.as("vf"),
+          lit("2999-01-01 00:00:00").cast("timestamp").as("vt")))
+    val enriched = Streams.enrichWithDim(
+      Streams.eventsStream(spark, dir), dim,
+      col("user_id") % 25 === col("n_nationkey") &&
+        col("ts") >= col("vf") && col("ts") < col("vt"))
+    val out = Streams.runToMemory(
+      enriched.groupBy(col("n_name"), col("version"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value")),
+      sink(spark, "s_venrich"), OutputMode.Complete())
+    out.orderBy("n_name", "version")
+  }
+
+  val streamVersionedEnrichSql: String =
+    """SELECT n.n_name,
+      |  CASE WHEN e.ts < TIMESTAMP '2024-01-16 00:00:00'
+      |    THEN 1 ELSE 2 END AS version,
+      |  count(*) AS n, round(sum(e.value), 4) AS sum_value
+      |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q183: streaming distribution-drift monitor (PSI) — the
     * data-quality alarm complementary to q121's SHARE monitor: q121
     * flags a source sending too MUCH; this flags a window whose value
@@ -714,6 +762,7 @@ object StreamingQ {
     "q121_stream_mixture_monitor" -> streamMixtureMonitor,
     "q126_stream_top_terms" -> streamTopTerms,
     "q183_stream_psi_drift" -> streamPsiDrift,
+    "q188_stream_versioned_enrich" -> streamVersionedEnrich,
     "q40_stream_dedup" -> streamDedup,
     "q41_stream_sessions" -> streamSessions,
     "q71_stream_sliding" -> streamSliding,
@@ -730,6 +779,7 @@ object StreamingQ {
     "q121_stream_mixture_monitor" -> streamMixtureMonitorSql,
     "q126_stream_top_terms" -> streamTopTermsSql,
     "q183_stream_psi_drift" -> streamPsiDriftSql,
+    "q188_stream_versioned_enrich" -> streamVersionedEnrichSql,
     "q39_stream_tumbling" -> streamTumblingSql,
     "q40_stream_dedup" -> streamDedupSql,
     "q41_stream_sessions" -> streamSessionsSql,

@@ -218,6 +218,47 @@ class StreamsSpec extends SparkSpec {
     assert(state() === expected)
   }
 
+  test("versioned enrich: an event joins the dimension version valid at " +
+      "its EVENT time, not the current one") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("venrich_spec")
+      .toString
+    // same user (key 3): one event just before the 2024-01-16 cut,
+    // one just after — they must land in different dimension versions
+    val rows = Seq(
+      (0L, java.sql.Timestamp.valueOf("2024-01-15 23:59:59"),
+        3L, "view", 1.0, "{}"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-16 00:00:01"),
+        3L, "view", 2.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"),
+        3L, "view", 4.0, "{}"))
+    val staging = java.nio.file.Paths.get(dir, "staging")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val it = java.nio.file.Files.list(staging).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var moved = false
+    while (it.hasNext && !moved) {
+      val p = it.next()
+      if (p.toString.endsWith(".parquet")) {
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(dir, "events.parquet"))
+        moved = true
+      }
+    }
+    // nation fixture: one key (3) suffices
+    Seq((3L, "KEY3", 0L, "x"))
+      .toDF("n_nationkey", "n_name", "n_regionkey", "n_comment")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val out = graft.queries.StreamingQ
+      .streamVersionedEnrich(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("KEY3", 1L, 2L, 5.0),  // two pre-cut events: 1.0 + 4.0
+      ("KEY3", 2L, 1L, 2.0))) // one post-cut event
+  }
+
   test("psi drift: a shape-shifted window scores high, a reference-shaped " +
       "window scores low, symmetry is exact, psi is never negative") {
     import spark.implicits._
