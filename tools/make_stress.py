@@ -16,6 +16,15 @@ import duckdb, os, shutil, sys
 sf_dir, out_dir, mult = sys.argv[1], sys.argv[2], int(sys.argv[3])
 os.makedirs(out_dir, exist_ok=True)
 MULTIPLIED = {"documents": "doc_id", "embeddings": "vec_id", "part": "p_partkey"}
+# --with-facts (v2 corpora): also multiply the fact tables, for rungs
+# of events/lineitem-grain operators (q183 PSI, q184 z-order, ...).
+# Off by default so the documented r8/r9 rung corpora stay exactly
+# reproducible. NOTE: shifted l_orderkey/event_id break joins against
+# the UN-multiplied orders/customer dims — v2 dirs are for
+# fact-table-local rungs only.
+if "--with-facts" in sys.argv:
+    MULTIPLIED = dict(MULTIPLIED,
+                      events="event_id", lineitem="l_orderkey")
 con = duckdb.connect()
 for f in sorted(os.listdir(sf_dir)):
     if not f.endswith(".parquet"):
