@@ -52,7 +52,7 @@ object RewriteBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.graft.rewriteWindowTopK", "true")
+      .config("spark.graft.rewriteWindowTopKDistinct", "true")
       .withExtensions(new graft.plans.GraftExtensions())
       .getOrCreate()
     // optional 3rd arg: ObjectHashAggregate sort-fallback threshold

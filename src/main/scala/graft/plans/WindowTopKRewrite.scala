@@ -37,7 +37,7 @@ import graft.functions.{TermEntry, TopKAgg, TopKEntry, TopTermsAgg}
   * ObjectHashAggregate falls back to sort-based execution past 128
   * in-memory keys — and lifting that threshold OOMs (2M typed heap
   * buffers per partition), so the fallback is load-bearing, not
-  * tunable. Enable (`spark.graft.rewriteWindowTopK=true`) when you
+  * tunable. Enable (`spark.graft.rewriteWindowTopKDistinct=true`) when you
   * want the aggregate form's SEMANTICS rather than raw speed: the
   * distinct-top-k contract (band-duplicate candidate streams rank
   * without a separate `.distinct()` shuffle) or the ranked-array
@@ -74,7 +74,7 @@ import graft.functions.{TermEntry, TopKAgg, TopKEntry, TopTermsAgg}
   *
   * Registered by [[GraftExtensions]]
   * (`spark.sql.extensions=graft.plans.GraftExtensions`); fires only
-  * with `spark.graft.rewriteWindowTopK=true`.
+  * with `spark.graft.rewriteWindowTopKDistinct=true`.
   */
 object WindowTopKRewrite extends Rule[LogicalPlan] {
 
@@ -82,7 +82,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
     * workload, leave it to Spark. */
   val MaxK = 4096
 
-  private val ConfKey = "spark.graft.rewriteWindowTopK"
+  private val ConfKey = "spark.graft.rewriteWindowTopKDistinct"
 
   private def enabled: Boolean =
     SQLConf.get.getConfString(ConfKey, "false").toBoolean

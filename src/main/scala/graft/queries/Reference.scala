@@ -451,11 +451,29 @@ object Reference {
     * concurrent sessions on a machine fail each other's boots.
     * Scoping by applicationId keeps q42/q170 sharing one warehouse
     * within a session while isolating sessions. */
-  private def derbyUrl(spark: SparkSession): String =
-    "jdbc:derby:" + java.nio.file.Paths
+  private def derbyUrl(spark: SparkSession): String = {
+    val dir = java.nio.file.Paths
       .get(System.getProperty("java.io.tmpdir"),
-        s"graft_derby_${spark.sparkContext.applicationId}").toString +
-      ";create=true"
+        s"graft_derby_${spark.sparkContext.applicationId}").toString
+    registerDerbyCleanup(dir)
+    "jdbc:derby:" + dir + ";create=true"
+  }
+
+  /** Application-scoped Derby warehouses accumulated forever under
+    * java.io.tmpdir before this hook (advisor note, round 9: the old
+    * fixed path was at least self-overwriting). One recursive-delete
+    * shutdown hook per directory, registered once: by the time JVM
+    * shutdown hooks run, Derby's own engine shutdown (its hook) has
+    * closed or is closing the files — a racing delete at worst leaves
+    * a partial tree for the NEXT run's identical hook, never breaks a
+    * live query. */
+  private val derbyCleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def registerDerbyCleanup(dir: String): Unit =
+    if (derbyCleanupRegistered.add(dir))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try deleteRecursively(dir) catch { case _: Throwable => () }))
 
   def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)

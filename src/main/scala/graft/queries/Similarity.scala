@@ -1757,10 +1757,16 @@ object Similarity {
           expr("array_dot(qv, vd)") / (col("qn") * col("nd")), 4))
       topkRank(scored, "qid", 5)
     }
+    // persisted: FIVE consumers read it (the recall join of every
+    // rung, the n_queries aggregate) and the d = 64 rung IS this
+    // table — re-running the full-dimension scoring pass just to
+    // produce the by-construction recall-1.0 row was the advisor's
+    // round-9 note
     val full = topAt(Dim).select(col("qid"), col("vec_id"))
+      .persist()
     val nq = full.agg(countDistinct(col("qid")).as("n_queries"))
     Seq(8, 16, 32, 64).map { d =>
-      topAt(d).select(col("qid"), col("vec_id"))
+      (if (d == Dim) full else topAt(d).select(col("qid"), col("vec_id")))
         .join(full.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
         .agg(count(lit(1)).as("n_results"),
           coalesce(sum(col("hit")), lit(0L)).as("n_hits"))

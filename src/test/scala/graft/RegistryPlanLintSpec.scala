@@ -22,8 +22,11 @@ class RegistryPlanLintSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  // Driven by the streaming registry itself, not a name substring: a
+  // future BATCH query whose name happens to contain "stream" stays
+  // under lint coverage (advisor note, round 9).
   private def isStreaming(name: String) =
-    name.contains("stream") || name == "q108_stream_ivf_index"
+    graft.queries.StreamingQ.all.contains(name)
 
   test("no registered batch plan contains a cartesian product or a UDF") {
     graft.queries.Tables.prep(spark)

@@ -23,7 +23,7 @@ class WindowTopKRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.graft.rewriteWindowTopK", "true") // default off
+      .config("spark.graft.rewriteWindowTopKDistinct", "true") // default off
       .withExtensions(new GraftExtensions())
       .getOrCreate()
     SparkSession.setDefaultSession(orig)
@@ -117,11 +117,11 @@ class WindowTopKRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
     assert(ranked.queryExecution.executedPlan.toString.contains("Window"))
     // kill switch
-    ext.conf.set("spark.graft.rewriteWindowTopK", "false")
+    ext.conf.set("spark.graft.rewriteWindowTopKDistinct", "false")
     try {
       val off = topkWindow(scored(ext), 5)
       assert(off.queryExecution.executedPlan.toString.contains("Window"))
       assert(off.count() === 15)
-    } finally ext.conf.set("spark.graft.rewriteWindowTopK", "true")
+    } finally ext.conf.set("spark.graft.rewriteWindowTopKDistinct", "true")
   }
 }
