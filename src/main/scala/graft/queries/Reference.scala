@@ -255,6 +255,64 @@ object Reference {
     """SELECT CAST(ts AS DATE) AS fecha, count(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q189 partition-pruned single-date warehouse read (the BI scan)
+  // ---------------------------------------------------------------
+
+  /** Session-scoped `fecha`-partitioned events warehouse, written ONCE
+    * per (application, dir) through [[IdempotentWriter]] — the table
+    * the reference's load phase produces (S7, main.py:1500-1578) and
+    * its BI consumers read back by date (README.md:113; the hot
+    * predicate `WHERE CAST(fecha AS DATE) = ?`, main.py:1535).
+    * Memoized so q189 benches the READ, not a per-call rebuild. */
+  private val fechaWarehouses =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private[graft] def fechaWarehouse(
+      spark: SparkSession, dir: String): String =
+    fechaWarehouses.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir), {
+        val tmp = java.nio.file.Paths
+          .get(System.getProperty("java.io.tmpdir"),
+            s"graft_fecha_wh_${spark.sparkContext.applicationId}_" +
+              java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL))
+          .toString
+        deleteRecursively(tmp)
+        registerScratchCleanup(tmp)
+        IdempotentWriter.overwritePartitions(
+          events(spark, dir).select(
+            to_date(col("ts")).as("fecha"), col("event_id"),
+            col("user_id"), col("event_type"), col("value")),
+          tmp, addLoadDate = false)
+        tmp
+      })
+
+  /** The warehouse read path q189 proves: filter on the PARTITION
+    * column, so the scan's `PartitionFilters` prune the directory
+    * listing to exactly one `fecha=...` partition before any file is
+    * opened — at 100 TB × 365 days this is the difference between
+    * scanning one day and scanning the table. ReferenceSpec asserts
+    * the plan fact (partitionFilters non-empty, selectedPartitions
+    * == 1); the oracle checks the values. */
+  private[graft] def dailyEventsRead(
+      spark: SparkSession, warehouse: String, date: String): DataFrame =
+    spark.read.parquet(warehouse)
+      .filter(col("fecha") === lit(date).cast("date"))
+      .groupBy(col("fecha"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("event_type")
+
+  def partitionPrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    dailyEventsRead(spark, fechaWarehouse(spark, dir), "2024-01-05")
+  }
+
+  val partitionPrunedReadSql: String =
+    """SELECT CAST(ts AS DATE) AS fecha, event_type, count(*) AS n,
+      |  round(sum(value), 4) AS sum_value
+      |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+      |GROUP BY 1, 2 ORDER BY 2""".stripMargin
+
   /** S1+S4+P*+X*+F2 full micro-pipeline: a latin-1, `;`-separated CSV
     * with accented/messy headers → probe → conform → coerce → drop
     * null keys. The oracle pins the exact expected rows (VALUES). */
@@ -455,23 +513,23 @@ object Reference {
     val dir = java.nio.file.Paths
       .get(System.getProperty("java.io.tmpdir"),
         s"graft_derby_${spark.sparkContext.applicationId}").toString
-    registerDerbyCleanup(dir)
+    registerScratchCleanup(dir)
     "jdbc:derby:" + dir + ";create=true"
   }
 
-  /** Application-scoped Derby warehouses accumulated forever under
-    * java.io.tmpdir before this hook (advisor note, round 9: the old
-    * fixed path was at least self-overwriting). One recursive-delete
-    * shutdown hook per directory, registered once: by the time JVM
-    * shutdown hooks run, Derby's own engine shutdown (its hook) has
-    * closed or is closing the files — a racing delete at worst leaves
-    * a partial tree for the NEXT run's identical hook, never breaks a
-    * live query. */
-  private val derbyCleanupRegistered =
+  /** Application-scoped scratch (Derby warehouses, the q189 fecha
+    * warehouse) accumulated forever under java.io.tmpdir before this
+    * hook (advisor note, round 9: the old fixed paths were at least
+    * self-overwriting). One recursive-delete shutdown hook per
+    * directory, registered once: by the time JVM shutdown hooks run,
+    * Derby's own engine shutdown (its hook) has closed or is closing
+    * the files — a racing delete at worst leaves a partial tree for
+    * the NEXT run's identical hook, never breaks a live query. */
+  private val scratchCleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def registerDerbyCleanup(dir: String): Unit =
-    if (derbyCleanupRegistered.add(dir))
+  private def registerScratchCleanup(dir: String): Unit =
+    if (scratchCleanupRegistered.add(dir))
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         try deleteRecursively(dir) catch { case _: Throwable => () }))
 
@@ -1261,7 +1319,8 @@ object Reference {
     "q101_run_audit" -> runAuditQ,
     "q105_merge_upsert" -> mergeUpsertQ,
     "q109_reconcile" -> reconcileQ,
-    "q162_daily_run" -> dailyRunQ
+    "q162_daily_run" -> dailyRunQ,
+    "q189_partition_pruned_read" -> partitionPrunedRead
   )
 
   val oracle: Map[String, String] = Map(
@@ -1291,6 +1350,7 @@ object Reference {
     "q101_run_audit" -> runAuditSql,
     "q105_merge_upsert" -> mergeUpsertSql,
     "q109_reconcile" -> reconcileSql,
-    "q162_daily_run" -> dailyRunSql
+    "q162_daily_run" -> dailyRunSql,
+    "q189_partition_pruned_read" -> partitionPrunedReadSql
   )
 }

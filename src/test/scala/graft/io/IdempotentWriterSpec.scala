@@ -127,4 +127,34 @@ class IdempotentWriterSpec extends SparkSpec {
     IdempotentWriter.mergeUpsert(batch, dir, "id")
     assert(spark.read.parquet(dir).count() === 1)
   }
+
+  test("q189: a single-date read PARTITION-prunes the fecha warehouse " +
+      "to exactly one partition (main.py:1535's hot predicate)") {
+    val dir = "/root/testdata/sf0.001"
+    val wh = graft.queries.Reference.fechaWarehouse(spark, dir)
+    val df = graft.queries.Reference.dailyEventsRead(spark, wh, "2024-01-05")
+    // AQE wraps the physical plan; collect() does not descend into it
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size === 1, plan.toString)
+    val scan = scans.head
+    // The fecha predicate must land in partitionFilters (directory
+    // pruning before any file is opened), not merely dataFilters.
+    assert(scan.partitionFilters.exists(_.toString.contains("fecha")),
+      s"partitionFilters: ${scan.partitionFilters}")
+    // and the listing must prune to the ONE matching fecha directory
+    assert(scan.selectedPartitions.partitionCount === 1,
+      s"selected ${scan.selectedPartitions.partitionCount} partitions")
+    // correctness of the pruned read: same totals as the source filter
+    val n = df.agg(sum(col("n"))).head.getLong(0)
+    val expected = graft.queries.Tables.events(spark, dir)
+      .filter(to_date(col("ts")) === lit("2024-01-05").cast("date")).count()
+    assert(n === expected && expected > 0)
+  }
 }
