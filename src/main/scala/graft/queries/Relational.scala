@@ -47,6 +47,55 @@ object Relational {
       |  count(*) AS count_order
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q190 DECIMAL(12,2) currency arm — SURVEY §1.2's "principled money
+    * type" note closed: the q01 pricing shape computed END-TO-END in
+    * exact decimal arithmetic (no double in the money path). Prices
+    * and discounts are synthesized from INTEGER columns (cents, whole
+    * percent) because a double→decimal cast rounds differently across
+    * engines on non-representable cents; decimal multiply (scale
+    * 2×2→4) and sum are EXACT in both engines, so no rounding exists
+    * anywhere in the pipeline. The typed frame (spec-asserted
+    * DecimalType schema, scales 2 and 4) is rendered to exact-scale
+    * STRINGS only at the oracle boundary: the driver compare's pandas
+    * bridge degrades DuckDB decimals to float64, which drops trailing
+    * zeros ("1.40"→1.4) — the string rendering preserves the scale
+    * and proves exactness STRONGER than a float column could. */
+  private[graft] def decimalPricingTyped(
+      spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr("CAST((l_orderkey % 9000) * 100 + (l_partkey % 100) " +
+          "AS DECIMAL(14,0)) * 0.01").as("price"),
+        expr("CAST(l_suppkey % 11 AS DECIMAL(4,0)) * 0.01").as("disc"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).as("sum_price_d"),
+        sum(expr("price * (1 - disc)")).as("sum_disc_price_d"),
+        max(col("price")).as("max_price_d"))
+
+  def decimalPricing(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    decimalPricingTyped(spark, dir)
+      .select(col("l_returnflag"), col("n"),
+        col("sum_price_d").cast("string").as("sum_price"),
+        col("sum_disc_price_d").cast("string").as("sum_disc_price"),
+        col("max_price_d").cast("string").as("max_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val decimalPricingSql: String =
+    """WITH d AS (
+      |  SELECT l_returnflag,
+      |    CAST((l_orderkey % 9000) * 100 + (l_partkey % 100)
+      |      AS DECIMAL(14,0)) * 0.01 AS price,
+      |    CAST(l_suppkey % 11 AS DECIMAL(4,0)) * 0.01 AS disc
+      |  FROM lineitem)
+      |SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(price) AS VARCHAR) AS sum_price,
+      |  CAST(sum(price * (1 - disc)) AS VARCHAR) AS sum_disc_price,
+      |  CAST(max(price) AS VARCHAR) AS max_price
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Day-grain rollup of event-grain data — the `t_*`→`t_diario_*`
     * relationship of the reference (SURVEY §2.5). Group keys are
     * (day, type): bounded cardinality, two-phase agg. */
@@ -2263,6 +2312,7 @@ object Relational {
     "q21_sql_exists" -> sqlExists,
     "q22_approx_distinct" -> approxDistinct,
     "q184_zorder_layout" -> zorderLayout,
+    "q190_decimal_pricing" -> decimalPricing,
     "q23_bucketed_join" -> bucketedJoin,
     "q24_salted_join" -> saltedJoin,
     "q163_auto_skew_join" -> autoSkewJoin,
@@ -2315,6 +2365,7 @@ object Relational {
     "q21_sql_exists" -> sqlExistsSql,
     "q22_approx_distinct" -> approxDistinctSql,
     "q184_zorder_layout" -> zorderLayoutSql,
+    "q190_decimal_pricing" -> decimalPricingSql,
     "q23_bucketed_join" -> joinFactsSql, // same answer via bucketed layout
     "q24_salted_join" -> saltedJoinSql,
     "q163_auto_skew_join" -> autoSkewJoinSql,

@@ -642,4 +642,24 @@ class RelationalSpec extends SparkSpec {
     val total = Tables.lineitem(spark, dir).count()
     assert(zo.getLong(5) <= total && lin.getLong(5) === total)
   }
+
+  test("q190: the money path is DECIMAL end-to-end (schema-asserted) " +
+      "and the rendered strings carry exact scale") {
+    import org.apache.spark.sql.types.DecimalType
+    val typed = Relational.decimalPricingTyped(spark, dir)
+    val byName = typed.schema.fields.map(f => f.name -> f.dataType).toMap
+    // sums: decimal with the EXACT scales the arithmetic produces —
+    // 2 for the cent-grain sum, 4 for the (2×2)-scale discount product
+    assert(byName("sum_price_d").asInstanceOf[DecimalType].scale === 2)
+    assert(byName("sum_disc_price_d").asInstanceOf[DecimalType].scale === 4)
+    assert(byName("max_price_d").asInstanceOf[DecimalType].scale === 2)
+    // rendering preserves the scale: every value has exactly 2 / 4
+    // decimal digits, including trailing zeros a double would drop
+    val rows = Relational.all("q190_decimal_pricing")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(2).matches("""\d+\.\d{2}"""), r.getString(2))
+      assert(r.getString(3).matches("""\d+\.\d{4}"""), r.getString(3))
+    }
+  }
 }
