@@ -182,6 +182,170 @@ object Curation {
        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // q191 incremental dedup-artifact maintenance (delta arrival)
+  // ---------------------------------------------------------------
+
+  /** The delta threshold: the corpus's newest ~1/8 by doc_id plays
+    * "today's date partition" of an append-only arrival (ids are
+    * assigned in arrival order; the reference's own cadence is a
+    * daily delta, main.py:201-209). 1-row driver collect, provably
+    * bounded; cached per (application, dir) so repeated calls don't
+    * re-run the aggregate. */
+  private val deltaThresholds =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  private def deltaThreshold(spark: SparkSession, dir: String): Long =
+    deltaThresholds.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir),
+      documents(spark, dir).agg(max(col("doc_id"))).head.getLong(0) * 7 / 8)
+
+  /** Label repair: contract each new pair's endpoints through
+    * yesterday's labels (a node outside any base component is its own
+    * super-node), run connected components on the CONTRACTED edge set
+    * — delta-pair-sized, never corpus-sized — and re-label exactly
+    * the touched components. Correctness: a base component's label is
+    * its min doc_id, so the contracted CC's min-of-super-node-labels
+    * IS the true min of the merged component; untouched components
+    * keep their labels verbatim. Exposed for the fixture spec that
+    * pins the hard case (one delta pair bridging two existing base
+    * components → one component labeled with the global min). */
+  private[graft] def repairedLabels(docs: DataFrame, baseLabels: DataFrame,
+      newPairs: DataFrame): DataFrame = {
+    val contracted = newPairs
+      .join(baseLabels.select(col("node").as("ia"), col("label").as("la")),
+        Seq("ia"), "left")
+      .join(baseLabels.select(col("node").as("ib"), col("label").as("lb")),
+        Seq("ib"), "left")
+      .select(coalesce(col("la"), col("ia")).as("u"),
+        coalesce(col("lb"), col("ib")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val repair = connectedComponents(contracted)
+      .select(col("node").as("bl"), col("label").as("rl"))
+    docs.select(col("doc_id"))
+      .join(baseLabels.withColumnRenamed("node", "doc_id"),
+        Seq("doc_id"), "left")
+      .withColumn("bl", coalesce(col("label"), col("doc_id")))
+      .join(repair, Seq("bl"), "left")
+      .select(col("doc_id"), coalesce(col("rl"), col("bl")).as("root"))
+  }
+
+  /** q191: incremental dedup-artifact maintenance — the capability a
+    * daily 100 TB pipeline needs that a full rebuild cannot provide
+    * (q174's measured x64 artifact rebuild is ~137 s; re-paying it on
+    * every arrival makes the dedup the pipeline's dominant cost).
+    * Given yesterday's persisted artifacts (base signature table +
+    * base CC labels, the session memos) and today's delta partition
+    * (the newest ~1/8 of doc_ids), the incremental path does ONLY
+    * delta-bounded work:
+    *
+    *   1. APPEND: minhash signatures for the delta docs alone
+    *      ([[Dedup.signaturesFresh]] — ~1/8 of the corpus hashing);
+    *   2. COLLIDE: band self-join of the delta bands against base ∪
+    *      delta bands — every candidate pair has ≥ 1 delta endpoint,
+    *      so the join is delta-rows × bucket-width, never the full
+    *      corpus self-join (restricting one side of an equality join
+    *      loses nothing: base-base collisions are yesterday's pairs);
+    *   3. VERIFY: exact shingle Jaccard ≥ 0.5 on those candidates
+    *      (same predicate as q56, unrounded filter);
+    *   4. REPAIR: [[repairedLabels]] — contracted CC over the new
+    *      pairs only; untouched components never shuffle.
+    *
+    * Output: the q88 cluster-size histogram computed from the
+    * INCREMENTALLY maintained labels, plus per size-class how many
+    * clusters contain a delta doc. The DuckDB oracle computes the
+    * same histogram from a FULL rebuild (recursive CTE over the whole
+    * verified pair set) — a hash match IS the proof that incremental
+    * == rebuild, the equivalence the operator exists to guarantee
+    * (also spec-pinned label-for-label at sf0.001, and by the bridge
+    * fixture). */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val thr = deltaThreshold(spark, dir)
+    incrementalLabels(spark, dir)
+      .withColumn("is_delta", (col("doc_id") > thr).cast("long"))
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("csize"), max(col("is_delta")).as("touched"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("root")).as("sum_roots"),
+        sum(col("touched")).as("n_touched"))
+      .orderBy("csize")
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH RECURSIVE ${Dedup.duckVerifiedPairCtes},
+       |e AS (SELECT ia AS u, ib AS v FROM pairs
+       |      UNION SELECT ib, ia FROM pairs),
+       |reach(n, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.n),
+       |lab AS (SELECT n AS node, min(r) AS root FROM reach GROUP BY 1),
+       |mx AS (SELECT max(doc_id) * 7 // 8 AS thr FROM documents),
+       |cl AS (SELECT root, count(*) AS csize,
+       |         max(CASE WHEN node > thr THEN 1 ELSE 0 END) AS touched
+       |       FROM lab, mx GROUP BY 1)
+       |SELECT csize, count(*) AS n_clusters,
+       |  CAST(sum(root) AS BIGINT) AS sum_roots,
+       |  CAST(sum(touched) AS BIGINT) AS n_touched
+       |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The incremental pipeline up to per-doc (doc_id, root) labels —
+    * the spec-equality surface: must equal the FULL rebuild's labels
+    * ([[dupClusterLabels]] + singleton completion) doc-for-doc.
+    *
+    * Steps 1-3 of the q191 increment (append / collide / verify);
+    * yesterday's artifacts come from the session memos (= the tables
+    * a production run reads back from storage; restricting the
+    * memoized corpus tables to ids <= thr yields exactly what
+    * yesterday's run over the base corpus would have written, because
+    * both the band equality join and the per-pair verification
+    * restrict cleanly to a sub-corpus). The delta work is fresh per
+    * call — it IS the measured increment. */
+  private[graft] def incrementalLabels(
+      spark: SparkSession, dir: String): DataFrame = {
+    val thr = deltaThreshold(spark, dir)
+    val baseSigs = Dedup.minhashSigs(spark, dir)
+      .filter(col("doc_id") <= thr)
+    val baseLabels = memo(spark, dir, "cc_base_labels") {
+      connectedComponents(Dedup.minhashPairs(spark, dir)
+        .filter(col("ib") <= thr).select(col("ia"), col("ib")))
+    }
+    // NOT checkpointed/persisted although three plan branches read it
+    // (delta bands + both verify sides): measured at x64, a lazy
+    // localCheckpoint per call ACCUMULATES delta-signature blocks in
+    // the block manager across invocations and the resulting memory
+    // pressure more than doubled the warm runtime (56.9 s → 153.5 s);
+    // re-running the delta-bounded hashing per branch is the cheaper
+    // side of that trade at every measured rung
+    val deltaSigs = Dedup.signaturesFresh(spark,
+      documents(spark, dir).filter(col("doc_id") > thr))
+    val allSigs = baseSigs.unionByName(deltaSigs)
+    def bands(sigs: DataFrame) = sigs.select(col("doc_id"),
+      posexplode(col("sig")).as(Seq("band", "mh")))
+    val cands = bands(deltaSigs).as("a").hint("shuffle_hash")
+      .join(bands(allSigs).as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("ia"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("ib"))
+      .distinct()
+    val newPairs = cands
+      .join(allSigs.select(col("doc_id").as("ia"), col("hsh").as("sha")), "ia")
+      .join(allSigs.select(col("doc_id").as("ib"), col("hsh").as("shb")), "ib")
+      .withColumn("inter",
+        expr("sorted_intersect_count(sha, shb)").cast("double"))
+      // unrounded-ratio filter, exactly q56's verify predicate
+      .withColumn("jraw",
+        col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jraw") >= 0.5)
+      .select(col("ia"), col("ib"))
+    repairedLabels(documents(spark, dir), baseLabels, newPairs)
+  }
+
+  // ---------------------------------------------------------------
   // q165 leakage-safe train/val/test split
   // ---------------------------------------------------------------
 
@@ -1817,6 +1981,7 @@ object Curation {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_dedup_clusters" -> dedupClusters,
+    "q191_incremental_dedup" -> incrementalDedup,
     "q165_leakage_safe_split" -> leakageSafeSplit,
     "q173_snapshot_diff" -> snapshotDiff,
     "q89_decontaminate" -> decontaminate,
@@ -1842,6 +2007,7 @@ object Curation {
 
   val oracle: Map[String, String] = Map(
     "q88_dedup_clusters" -> dedupClustersSql,
+    "q191_incremental_dedup" -> incrementalDedupSql,
     "q165_leakage_safe_split" -> leakageSafeSplitSql,
     "q173_snapshot_diff" -> snapshotDiffSql,
     "q89_decontaminate" -> decontaminateSql,

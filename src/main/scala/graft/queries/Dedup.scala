@@ -115,18 +115,42 @@ object Dedup {
     * stays well inside BIGINT on both engines (9 * 2^31 << 2^63). */
   private val MinhashP = 2147483647L
 
+  /** The one-hash affine minhash family, defined ONCE so the memoized
+    * corpus build and q191's fresh delta build cannot drift. */
+  private val h0Expr = s"transform(hs, h -> h % $MinhashP)"
+  private val sigExpr =
+    s"""transform(sequence(0, ${MinhashK - 1}),
+       |  s -> array_min(transform(h0,
+       |         h -> ((s + 2) * h + s * 7919) % $MinhashP)))""".stripMargin
+
   /** MinHash(k=8) signature table over 3-token shingles (shared by
     * q56 and q58's candidate generation — one memoized build). */
-  private def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def minhashSigs(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "minhash_sigs") {
       shingleHashes(spark, dir)
-        .withColumn("h0", expr(s"transform(hs, h -> h % $MinhashP)"))
-        .withColumn("sig", expr(
-          s"""transform(sequence(0, ${MinhashK - 1}),
-             |  s -> array_min(transform(h0,
-             |         h -> ((s + 2) * h + s * 7919) % $MinhashP)))""".stripMargin))
+        .withColumn("h0", expr(h0Expr))
+        .withColumn("sig", expr(sigExpr))
         .select(col("doc_id"), col("hsh"), col("sig"))
     }
+
+  /** Signatures built FRESH for an arbitrary document subset — the
+    * delta-arrival path of q191's incremental maintenance: a new date
+    * partition's docs are shingled, hashed and signed WITHOUT touching
+    * the persisted corpus signature table. Same expressions as
+    * [[minhashSigs]] by construction (shared [[h0Expr]]/[[sigExpr]]),
+    * so an appended delta signature equals what a full rebuild would
+    * have produced for the same doc. Not memoized: this IS the
+    * per-arrival work the incremental design pays. */
+  private[queries] def signaturesFresh(
+      spark: SparkSession, docs: DataFrame): DataFrame =
+    withShingles(docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+      .withColumn("hs", expr(s"transform(shingles, x -> ${hSql("x")})"))
+      .withColumn("hsh",
+        expr("array_sort(transform(shingles, x -> xxhash64(x)))"))
+      .withColumn("h0", expr(h0Expr))
+      .withColumn("sig", expr(sigExpr))
+      .select(col("doc_id"), col("hsh"), col("sig"))
 
   /** One (band, value) row per signature position (r=1 banding). */
   private def minhashBands(spark: SparkSession, dir: String): DataFrame =

@@ -2192,8 +2192,12 @@ object Relational {
     * broadcast 1-row max table; the stats table is ≤ 2·[[ZFiles]]
     * rows. Nothing here shuffles more than the per-bucket
     * aggregation — exactly the cost of writing the layout for real. */
-  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
-    prep(spark)
+  /** The (ok, pk, linear_f, zorder_f) bucket assignment shared by
+    * q184's simulation and q192's PHYSICAL write: range-normalize
+    * both dimensions to [[ZBits]] bits, Morton-interleave, slice each
+    * ordering into [[ZFiles]] equal-range buckets. */
+  private[graft] def zorderBuckets(
+      spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
       .select(col("l_orderkey").cast("long").as("ok"),
         col("l_partkey").cast("long").as("pk"))
@@ -2209,10 +2213,19 @@ object Relational {
         expr(s"(pk * ${1 << ZBits}) div (pkm + 1)").as("pkn"))
       .withColumn("z", expr(zSpark("okn", "pkn")))
     val mx = zd.agg(max(col("z")).as("zm"))
-    val bucketed = zd.crossJoin(broadcast(mx))
+    zd.crossJoin(broadcast(mx))
       .select(col("ok"), col("pk"),
         expr(s"(okn * $ZFiles) div ${1 << ZBits}").as("linear_f"),
         expr(s"(z * $ZFiles) div (zm + 1)").as("zorder_f"))
+  }
+
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey").cast("long").as("ok"),
+        col("l_partkey").cast("long").as("pk"))
+    val mx0 = li.agg(max(col("ok")).as("okm"), max(col("pk")).as("pkm"))
+    val bucketed = zorderBuckets(spark, dir)
     def stats(fcol: String, label: String) = bucketed
       .groupBy(col(fcol).as("f"))
       .agg(count(lit(1)).as("rows"),
@@ -2288,6 +2301,108 @@ object Relational {
        |    THEN rows ELSE 0 END) AS BIGINT) AS pk_query_rows
        |FROM fs, q GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q192 z-order layout WRITTEN + physically measured (q184 made real)
+  // ---------------------------------------------------------------
+
+  /** Both layouts physically written, once per (application, dir):
+    * each bucket ordering is hash-repartitioned into [[ZFiles]]
+    * output partitions so a parquet FILE holds one (occasionally a
+    * few, on hash collision) bucket's rows and its footer min/max
+    * stats match the bucket's range — the real artifact q184 only
+    * simulated. Returns (linearPath, zorderPath). The spec and
+    * [[graft.ZorderProbe]] read these back under single-dimension
+    * range predicates and measure the scan's post-row-group-skip
+    * output rows — the physical file/row-group pruning the layout
+    * decision buys. */
+  private val zorderWrites = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (String, String)]
+
+  private[graft] def zorderWritten(
+      spark: SparkSession, dir: String): (String, String) =
+    zorderWrites.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir), {
+        val base = java.nio.file.Paths
+          .get(System.getProperty("java.io.tmpdir"),
+            s"graft_zorder_${spark.sparkContext.applicationId}_" +
+              java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL))
+          .toString
+        val p = new org.apache.hadoop.fs.Path(base)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.delete(p, true)
+        fs.deleteOnExit(p) // scratch: removed when the session's FS closes
+        val buckets = zorderBuckets(spark, dir).persist()
+        val lin = s"$base/linear"
+        val zo = s"$base/zorder"
+        // RANGE repartition, not hash: contiguous bucket ranges per
+        // output file, so each file's footer min/max span ~one bucket
+        // (hash partitioning mixed ~1.5 arbitrary buckets per file and
+        // measurably halved the skip rate)
+        buckets.repartitionByRange(ZFiles, col("linear_f"))
+          .select(col("ok"), col("pk"))
+          .write.mode("overwrite").parquet(lin)
+        buckets.repartitionByRange(ZFiles, col("zorder_f"))
+          .select(col("ok"), col("pk"))
+          .write.mode("overwrite").parquet(zo)
+        buckets.unpersist()
+        (lin, zo)
+      })
+
+  /** q192: the q184 decision executed — both layouts written to
+    * parquet, read back under the SAME two relative range predicates,
+    * and aggregated. The oracle computes the identical aggregates
+    * straight from lineitem (layout-independent), so a hash match
+    * proves the physical roundtrip + filter correctness of BOTH
+    * written layouts; the pruning each layout's footer stats buy is
+    * the SPEC's scan-metric assertion (zorder strictly prunes the
+    * pk-range scan the linear layout cannot) and BENCH_NOTES' probe
+    * table ([[graft.ZorderProbe]]). */
+  def zorderWriteRead(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val (lin, zo) = zorderWritten(spark, dir)
+    Seq(("linear", lin), ("zorder", zo)).map { case (label, path) =>
+      val t = spark.read.parquet(path)
+      val mx = t.agg(max(col("ok")).as("okm"), max(col("pk")).as("pkm"))
+      Seq("ok_range", "pk_range").map { q =>
+        val bounded = t.crossJoin(broadcast(mx))
+          .withColumn("lo", expr(
+            if (q == "ok_range") "okm div 3" else "pkm div 4"))
+          .withColumn("hi", expr(
+            if (q == "ok_range") "okm div 3 + okm div 10"
+            else "pkm div 4 + pkm div 10"))
+          .filter((if (q == "ok_range") col("ok") else col("pk"))
+            .between(col("lo"), col("hi")))
+        bounded.agg(count(lit(1)).as("n_match"),
+          sum(col("ok")).as("sum_ok"), sum(col("pk")).as("sum_pk"))
+          .select(lit(label).as("layout"), lit(q).as("query"),
+            col("n_match"), col("sum_ok"), col("sum_pk"))
+      }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).orderBy("layout", "query")
+  }
+
+  val zorderWriteReadSql: String =
+    """WITH li AS (
+      |  SELECT CAST(l_orderkey AS BIGINT) AS ok,
+      |         CAST(l_partkey AS BIGINT) AS pk
+      |  FROM lineitem),
+      |mx AS (SELECT max(ok) AS okm, max(pk) AS pkm FROM li),
+      |q AS (
+      |  SELECT 'ok_range' AS query, okm // 3 AS lo,
+      |         okm // 3 + okm // 10 AS hi, 'ok' AS dim FROM mx
+      |  UNION ALL
+      |  SELECT 'pk_range', pkm // 4, pkm // 4 + pkm // 10, 'pk' FROM mx),
+      |m AS (
+      |  SELECT q.query, count(*) AS n_match,
+      |    CAST(sum(ok) AS BIGINT) AS sum_ok,
+      |    CAST(sum(pk) AS BIGINT) AS sum_pk
+      |  FROM li JOIN q
+      |    ON (CASE WHEN q.dim = 'ok' THEN li.ok ELSE li.pk END)
+      |       BETWEEN q.lo AND q.hi
+      |  GROUP BY 1)
+      |SELECT l.layout, m.query, m.n_match, m.sum_ok, m.sum_pk
+      |FROM m CROSS JOIN (VALUES ('linear'), ('zorder')) l(layout)
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_events_daily" -> eventsDaily,
@@ -2313,6 +2428,7 @@ object Relational {
     "q22_approx_distinct" -> approxDistinct,
     "q184_zorder_layout" -> zorderLayout,
     "q190_decimal_pricing" -> decimalPricing,
+    "q192_zorder_write_read" -> zorderWriteRead,
     "q23_bucketed_join" -> bucketedJoin,
     "q24_salted_join" -> saltedJoin,
     "q163_auto_skew_join" -> autoSkewJoin,
@@ -2366,6 +2482,7 @@ object Relational {
     "q22_approx_distinct" -> approxDistinctSql,
     "q184_zorder_layout" -> zorderLayoutSql,
     "q190_decimal_pricing" -> decimalPricingSql,
+    "q192_zorder_write_read" -> zorderWriteReadSql,
     "q23_bucketed_join" -> joinFactsSql, // same answer via bucketed layout
     "q24_salted_join" -> saltedJoinSql,
     "q163_auto_skew_join" -> autoSkewJoinSql,

@@ -556,4 +556,41 @@ class CurationSpec extends SparkSpec {
     assert(plan.split("SortMergeJoin").length - 1 <= 2,
       s"one co-partitioned diff join expected:\n$plan")
   }
+
+  test("q191 label repair: a delta pair bridging two base components " +
+      "merges them under the GLOBAL min; untouched components keep labels") {
+    import spark.implicits._
+    // yesterday: components {1,2} (root 1), {3,4} (root 3), {8,9}
+    // (root 8, untouched today); base singleton 5; delta docs 100, 101
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 8L, 9L, 100L, 101L).toDF("doc_id")
+    val baseLabels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L),
+      (8L, 8L), (9L, 8L)).toDF("node", "label")
+    // today's verified pairs: 100 near-dups BOTH 2 and 3 → the two
+    // base components and doc 100 must merge under root 1 (the global
+    // min, which lives in a component doc 100 never directly touched);
+    // 101 pairs with base singleton 5 → root 5
+    val newPairs = Seq((2L, 100L), (3L, 100L), (5L, 101L)).toDF("ia", "ib")
+    val out = Curation.repairedLabels(docs, baseLabels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 100L -> 1L,
+      5L -> 5L, 101L -> 5L,
+      8L -> 8L, 9L -> 8L))
+  }
+
+  test("q191 incremental labels equal the full rebuild, doc for doc") {
+    val dir = "/root/testdata/sf0.001"
+    Tables.prep(spark)
+    val inc = Curation.incrementalLabels(spark, dir)
+    // the full rebuild: q88's corpus-wide CC labels + singleton completion
+    val full = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(Curation.dupClusterLabels(spark, dir)
+        .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("root"))
+    val diff = inc.as("i").join(full.as("f"), Seq("doc_id"), "full")
+      .filter(col("i.root") =!= col("f.root") ||
+        col("i.root").isNull || col("f.root").isNull)
+    assert(diff.count() === 0)
+    assert(inc.count() === Tables.documents(spark, dir).count())
+  }
 }
