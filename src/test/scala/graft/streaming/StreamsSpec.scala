@@ -301,4 +301,20 @@ class StreamsSpec extends SparkSpec {
     // the reference-shaped window drifts least
     assert(w3.getDouble(2) < w1.getDouble(2))
   }
+
+  test("stateful streaming results are provider-independent: RocksDB " +
+      "state store == default in-memory store (the 100 TB config)") {
+    val dir = "/root/testdata/sf0.001"
+    graft.queries.Tables.prep(spark)
+    val q = graft.queries.StreamingQ.all("q126_stream_top_terms")
+    val defaultRows = q(spark, dir).collect().toSeq
+    assert(defaultRows.nonEmpty)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocksRows = q(spark, dir).collect().toSeq
+      assert(rocksRows === defaultRows)
+    } finally spark.conf.unset(
+      "spark.sql.streaming.stateStore.providerClass")
+  }
 }
