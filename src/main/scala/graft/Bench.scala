@@ -72,12 +72,30 @@ object Bench {
     val flaky = results.collect { case (k, _, _, true) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _) => v }.sum
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
+    // Noise visibility (the q02-q04 lesson, three rounds running): a
+    // sub-second query whose two sweeps disagree by >1.5x is machine
+    // noise, not regression. The compact stdout line carries only the
+    // high-spread names; bench_local.json records BOTH sweeps for
+    // every query so any future "x got slower" read can check the
+    // spread before chasing it.
+    val spreadNames = names.filter { n =>
+      val (t1, ok1) = sweep1(n); val (t2, ok2) = sweep2(n)
+      ok1 && ok2 && math.max(t1, t2) > 1.5 * math.min(t1, t2)
+    }
+    val noisy = spreadNames.map(n => s"\"" + n + "\"")
+      .mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"spread_gt1p5":$noisy,"sf":"$sfDir"}"""
     println(json)
-    // Belt-and-braces against the line truncation: the full JSON is
-    // also left on disk next to the build.
+    // Belt-and-braces against the line truncation: the full JSON —
+    // including the per-sweep timings the stdout line has no room
+    // for — is also left on disk next to the build.
+    def sweepJson(sw: Map[String, (Double, Boolean)]): String =
+      names.map(n => s"\"" + n + "\":" + ms(
+        if (sw(n)._2) sw(n)._1 else -sw(n)._1)).mkString("{", ",", "}")
+    val fileJson = json.dropRight(1) +
+      s""","queries_sweep1":${sweepJson(sweep1)},"queries_sweep2":${sweepJson(sweep2)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_local.json"),
-      json.getBytes("UTF-8"))
+      fileJson.getBytes("UTF-8"))
     spark.stop()
   }
 }

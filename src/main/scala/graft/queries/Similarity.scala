@@ -2340,7 +2340,11 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  private def graphBeamWalk(spark: SparkSession, dir: String): DataFrame = {
+  /** The walk with its hop knob exposed ([[graft.BeamSweep]] measures
+    * the H=1..4 recall/cost curve for BENCH_NOTES; q168 serves the
+    * production H = [[BeamHops]]). */
+  private[graft] def graphBeamWalk(spark: SparkSession, dir: String,
+      hops: Int = BeamHops): DataFrame = {
     val e = vecs(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
     val q = vecs(spark, dir).filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
@@ -2380,7 +2384,7 @@ object Similarity {
       .localCheckpoint(false)
     var frontier = entry
     var visited = entry
-    for (_ <- 1 to BeamHops) {
+    for (_ <- 1 to hops) {
       val neigh = edges
         .join(broadcast(frontier.select(col("qid"), col("vec_id").as("src"))),
           Seq("src"))
