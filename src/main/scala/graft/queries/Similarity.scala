@@ -373,10 +373,16 @@ object Similarity {
     * deterministic seed sample for BOTH trained codebooks (IVF full
     * vectors, PQ subvector slices). TakeOrderedAndProject, no global
     * sort; the window ranks only the k collected rows. */
-  private def seedRows(spark: SparkSession, dir: String, k: Int): DataFrame = {
+  private def seedRows(spark: SparkSession, dir: String, k: Int): DataFrame =
+    seedRowsOf(vecs(spark, dir), k)
+
+  /** The deterministic smallest-md5 seed sample over an arbitrary
+    * vector set — generalized so q193's BASE-corpus codebook seeds
+    * from base vectors only (yesterday's training run never saw the
+    * delta). */
+  private def seedRowsOf(e: DataFrame, k: Int): DataFrame = {
     val wSeed = Window.orderBy(col("hk"), col("vec_id"))
-    vecs(spark, dir)
-      .withColumn("hk", expr(Exprs.hash60("cast(vec_id as string)")))
+    e.withColumn("hk", expr(Exprs.hash60("cast(vec_id as string)")))
       .orderBy(col("hk"), col("vec_id")).limit(k)
       .withColumn("cell", row_number().over(wSeed) - 1)
   }
@@ -419,8 +425,14 @@ object Similarity {
   private def trainCodebook(spark: SparkSession, dir: String, k: Int,
       memoKey: String): DataFrame =
     memo(spark, dir, memoKey) {
-      val e = vecs(spark, dir)
-      var cent = seedRows(spark, dir, k)
+      lloydsTrain(vecs(spark, dir), k)
+    }
+
+  /** Lloyd's over an arbitrary vector set (seeds drawn from the same
+    * set) — the training loop shared by the corpus codebooks and
+    * q193's base-only codebook. */
+  private def lloydsTrain(e: DataFrame, k: Int): DataFrame = {
+      var cent = seedRowsOf(e, k)
         .select(col("cell"), col("v").as("cv"))
       for (_ <- 1 to IvfIters) {
         val cb = cent.withColumn("cn", expr("sqrt(array_dot(cv, cv))"))
@@ -2454,7 +2466,140 @@ object Similarity {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q193 codebook refresh-or-keep (incremental index maintenance)
+  // ---------------------------------------------------------------
+
+  /** Embedding-side delta threshold (newest ~1/8 of vec_ids = today's
+    * arrival, the q191 convention). 1-row driver collect, bounded;
+    * cached per (application, dir). */
+  private val vecDeltaThresholds =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  private def vecDeltaThreshold(spark: SparkSession, dir: String): Long =
+    vecDeltaThresholds.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir),
+      vecs(spark, dir).agg(max(col("vec_id"))).head.getLong(0) * 7 / 8)
+
+  /** q193: the refresh-or-keep decision that completes the q191
+    * incremental-maintenance triple (signatures appended ✓, CC labels
+    * repaired ✓, codebook refreshed-or-kept — this): when a delta
+    * arrives, a production IVF index does NOT retrain by default — it
+    * measures whether YESTERDAY's codebook still quantizes the new
+    * data, and retrains only on drift. The base codebook is trained
+    * on base vectors alone (base-only Lloyd's, base-only seeds —
+    * yesterday's run never saw the delta); every vector is then
+    * assigned to its nearest base-codebook cell, and per scope
+    * (base/delta) the output states: count, mean quantization
+    * similarity (rounded cosine to the assigned centroid), distinct
+    * cells used, and the top cell's share in integer ppm (a delta
+    * collapsing into few cells is distribution shift even when mean
+    * similarity holds).
+    *
+    * The comparison is HOLDOUT-fair: the codebook trains on the
+    * deterministic hash-half of the base (seeds included), and the
+    * refresh decision compares the delta against the base's OTHER
+    * half — both out-of-sample. Comparing the delta against the
+    * training set itself bakes train-set optimism into the margin
+    * (measured ~0.10 of cosine at sf0.01 — five times the drift
+    * tolerance) and would fire refresh on every arrival. The flag
+    * fires when the delta's mean quantization similarity falls more
+    * than 0.02 below the holdout's — all comparisons on rounded
+    * values, both engines agree exactly.
+    *
+    * Scale shape: one broadcast of the ≤16-row codebook, one argmax
+    * pass over the corpus (map-side max_by, no window), two bounded
+    * aggregates. The DECISION costs one corpus scan — retraining
+    * costs [[IvfIters]] of them, which is the point. */
+  def codebookRefresh(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val thr = vecDeltaThreshold(spark, dir)
+    val trainPred =
+      expr(s"${Exprs.hash60("cast(vec_id as string)")} % 2 = 0")
+    val e = vecs(spark, dir)
+    val baseCb = memo(spark, dir, "ivf_codebook_base") {
+      lloydsTrain(e.filter(col("vec_id") <= thr && trainPred), IvfK)
+    }
+    val cb = baseCb.select(col("cell"), col("cv"),
+      expr("sqrt(array_dot(cv, cv))").as("cn"))
+    val assigned = e.join(broadcast(cb), expr("true"))
+      .withColumn("ccos", round(
+        expr("array_dot(cv, v)") / (col("cn") * col("nrm")), 4))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cell"), col("ccos")),
+        struct(col("ccos"), -col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"), col("m.ccos").as("q"))
+      .withColumn("scope",
+        when(col("vec_id") > thr, "delta")
+          .when(trainPred, "base_train")
+          .otherwise("base_holdout"))
+    val per = assigned.groupBy(col("scope"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("q")), 6).as("mean_qsim"),
+        countDistinct(col("cell")).as("cells_used"))
+    val top = assigned.groupBy(col("scope"), col("cell"))
+      .agg(count(lit(1)).as("celln"))
+      .groupBy(col("scope")).agg(max(col("celln")).as("top_cn"))
+    val stats = per.join(top, "scope")
+      .withColumn("top_cell_ppm", expr("top_cn * 1000000 div n_vecs"))
+    val baseMean = stats.filter(col("scope") === "base_holdout")
+      .select(col("mean_qsim").as("base_mean"))
+    val deltaMean = stats.filter(col("scope") === "delta")
+      .select(col("mean_qsim").as("delta_mean"))
+    stats.crossJoin(broadcast(baseMean)).crossJoin(broadcast(deltaMean))
+      .withColumn("refresh",
+        when(round(col("base_mean") - col("delta_mean"), 6) > 0.02, 1L)
+          .otherwise(0L))
+      .select(col("scope"), col("n_vecs"), col("mean_qsim"),
+        col("cells_used"), col("top_cell_ppm"), col("refresh"))
+      .orderBy("scope")
+  }
+
+  val codebookRefreshSql: String =
+    s"""WITH nv AS ($duckVecs),
+       |thrv AS (SELECT max(vec_id) * 7 // 8 AS thr FROM nv),
+       |n AS (SELECT nv.* FROM nv, thrv WHERE vec_id <= thr
+       |      AND ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+       |          % 2 = 0),
+       |$duckKmeansCtes,
+       |cb AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn
+       |       FROM c$IvfIters),
+       |asg AS (
+       |  SELECT vec_id, cell, ccos,
+       |    CASE WHEN vec_id > thr THEN 'delta'
+       |         WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+       |              ::BIGINT % 2 = 0 THEN 'base_train'
+       |         ELSE 'base_holdout' END AS scope
+       |  FROM (SELECT nv.vec_id, cb.cell, thrv.thr,
+       |          round(list_dot_product(cb.cv, nv.v) / (cb.cn * nv.nrm), 4)
+       |            AS ccos,
+       |          row_number() OVER (PARTITION BY nv.vec_id
+       |            ORDER BY round(list_dot_product(cb.cv, nv.v)
+       |              / (cb.cn * nv.nrm), 4) DESC, cb.cell ASC) AS rc
+       |        FROM nv, cb, thrv)
+       |  WHERE rc = 1),
+       |per AS (
+       |  SELECT scope, count(*) AS n_vecs, round(avg(ccos), 6) AS mean_qsim,
+       |    count(DISTINCT cell) AS cells_used
+       |  FROM asg GROUP BY 1),
+       |tp AS (
+       |  SELECT scope, max(celln) AS top_cn
+       |  FROM (SELECT scope, cell, count(*) AS celln FROM asg GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |s AS (
+       |  SELECT per.scope, n_vecs, mean_qsim, cells_used,
+       |    top_cn * 1000000 // n_vecs AS top_cell_ppm
+       |  FROM per JOIN tp ON per.scope = tp.scope),
+       |bm AS (SELECT mean_qsim AS base_mean FROM s
+       |       WHERE scope = 'base_holdout'),
+       |dm AS (SELECT mean_qsim AS delta_mean FROM s WHERE scope = 'delta')
+       |SELECT s.scope, s.n_vecs, s.mean_qsim, s.cells_used, s.top_cell_ppm,
+       |  CAST(CASE WHEN round(base_mean - delta_mean, 6) > 0.02
+       |    THEN 1 ELSE 0 END AS BIGINT) AS refresh
+       |FROM s, bm, dm ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_codebook_refresh" -> codebookRefresh,
     "q60_cosine_topk" -> cosineTopK,
     "q61_ann_lsh" -> annLsh,
     "q62_label_centroids" -> labelCentroids,
@@ -2482,6 +2627,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q193_codebook_refresh" -> codebookRefreshSql,
     "q60_cosine_topk" -> cosineTopKSql,
     "q61_ann_lsh" -> annLshSql,
     "q62_label_centroids" -> labelCentroidsSql,

@@ -552,4 +552,41 @@ class SimilaritySpec extends SparkSpec {
     // propagation actually happened
     assert(out.exists(_.getString(1) == "propagated"))
   }
+
+  /** 128 ids → thr = 127*7/8 = 111: base = 0..111, delta = 112..127.
+    * Base vectors sit in 4 tight axis clusters; the delta either
+    * drifts to an unseen axis or stays in-distribution. */
+  private def refreshCorpus(drift: Boolean): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cb_refresh").toString
+    val rows = (0 until 128).map { i =>
+      val v = Array.fill(64)(0.01f)
+      val axis = if (i > 111 && drift) 32 else i % 4
+      v(axis) = 1.0f
+      v(60) = 0.3f + (i % 5) * 0.01f // deterministic jitter, no exact ties
+      (i.toLong, v.toSeq, i % 3)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q193: a drifted delta fires refresh; an in-distribution delta " +
+      "keeps the codebook (holdout-fair comparison)") {
+    def run(dir: String): Map[String, org.apache.spark.sql.Row] =
+      Similarity.all("q193_codebook_refresh")(spark, dir)
+        .collect().map(r => r.getString(0) -> r).toMap
+    val keep = run(refreshCorpus(drift = false))
+    assert(keep.keySet === Set("base_train", "base_holdout", "delta"))
+    assert(keep.values.forall(_.getLong(5) === 0L),
+      s"in-distribution delta must keep: $keep")
+    val drifted = run(refreshCorpus(drift = true))
+    assert(drifted.values.forall(_.getLong(5) === 1L),
+      s"drifted delta must refresh: $drifted")
+    // the drift is visible in the stats themselves: the delta's mean
+    // quantization similarity collapses vs the holdout's
+    val hold = drifted("base_holdout").getDouble(2)
+    val delt = drifted("delta").getDouble(2)
+    assert(delt < hold - 0.1, s"holdout=$hold delta=$delt")
+  }
 }
