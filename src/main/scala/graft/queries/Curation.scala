@@ -194,7 +194,7 @@ object Curation {
   private val deltaThresholds =
     scala.collection.concurrent.TrieMap.empty[(String, String), Long]
 
-  private def deltaThreshold(spark: SparkSession, dir: String): Long =
+  private[queries] def deltaThreshold(spark: SparkSession, dir: String): Long =
     deltaThresholds.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir),
       documents(spark, dir).agg(max(col("doc_id"))).head.getLong(0) * 7 / 8)

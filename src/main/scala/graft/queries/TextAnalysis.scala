@@ -1178,15 +1178,18 @@ object TextAnalysis {
     * One explode + one groupBy; the sort is per-posting-list, inside
     * the aggregate's own group. */
   private def postings(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "postings") {
-      documents(spark, dir)
-        .select(col("doc_id"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-        .filter(col("w") =!= "")
-        .distinct()
-        .groupBy(col("w"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-    }
+    memo(spark, dir, "postings")(postingsOf(documents(spark, dir)))
+
+  /** The index build over an arbitrary document set — factored so
+    * q194's incremental maintenance tokenizes ONLY the delta. */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+      .groupBy(col("w"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
 
   /** Shared DuckDB CTE ending in `post(w, docs)` = [[postings]]. */
   private val postingsSqlCte: String =
@@ -1239,6 +1242,78 @@ object TextAnalysis {
        |SELECT bucket, count(*) AS n_terms,
        |  CAST(sum(df) AS BIGINT) AS sum_postings,
        |  bit_xor(h) AS content_digest
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q194 incremental inverted-index maintenance (delta append)
+  // ---------------------------------------------------------------
+
+  /** q194: the retrieval-index member of the incremental-maintenance
+    * family (q191 signatures + CC labels, q193 codebook, this for the
+    * q127 postings artifact). On a delta arrival the index is NOT
+    * rebuilt: only the DELTA documents are tokenized (the corpus-work
+    * term), and each term's delta posting list is APPENDED to
+    * yesterday's — because arrivals are append-only and doc_ids
+    * monotone, every delta id exceeds every base id, so
+    * `concat(base_list, delta_list)` of two sorted lists IS the
+    * sorted merged list: the merge is a concatenation on a
+    * co-partitioned term-keyed full-outer join of two INDEX-sized
+    * tables, with no re-sort and no touch of the base corpus. At
+    * 100 TB that is the difference between re-tokenizing the corpus
+    * daily and tokenizing one day.
+    *
+    * Output: q127's digest (df-bucketed term counts + posting-list
+    * content xor — membership AND order pinned) computed from the
+    * incrementally merged index, plus per bucket the count of
+    * FIRST-SEEN terms (posting list entirely delta — the vocabulary
+    * growth a crawl monitors). The oracle computes the same from a
+    * FULL rebuild: the content digest hash-matching is the
+    * merged == rebuilt proof, exactly the q191 pattern. */
+  def incrementalPostings(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val thr = Curation.deltaThreshold(spark, dir)
+    // yesterday's artifact: the index over the base corpus
+    val basePost = memo(spark, dir, "postings_base") {
+      postingsOf(documents(spark, dir).filter(col("doc_id") <= thr))
+    }
+    // today's work: tokenize the delta alone
+    val deltaPost = postingsOf(
+      documents(spark, dir).filter(col("doc_id") > thr))
+    val merged = basePost.select(col("w"), col("docs").as("bdocs"))
+      .join(deltaPost.select(col("w"), col("docs").as("ddocs")),
+        Seq("w"), "full")
+      .select(col("w"),
+        expr("""concat(coalesce(bdocs, cast(array() as array<bigint>)),
+                       coalesce(ddocs, cast(array() as array<bigint>)))""")
+          .as("docs"),
+        col("bdocs").isNull.cast("long").as("is_new"))
+    merged
+      .withColumn("df", size(col("docs")))
+      .withColumn("bucket", floor(log2(col("df"))).cast("long"))
+      .withColumn("h", expr(Exprs.hash60(
+        "concat(w, ':', array_join(transform(docs, d -> cast(d as string)), ','))")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("df")).cast("long").as("sum_postings"),
+        expr("bit_xor(h)").as("content_digest"),
+        sum(col("is_new")).as("n_new_terms"))
+      .orderBy("bucket")
+  }
+
+  val incrementalPostingsSql: String =
+    s"""WITH $postingsSqlCte,
+       |mx AS (SELECT max(doc_id) * 7 // 8 AS thr FROM documents),
+       |b AS (
+       |  SELECT w, docs, len(docs) AS df,
+       |    CAST(floor(log2(len(docs))) AS BIGINT) AS bucket,
+       |    ('0x' || substr(md5(w || ':' || array_to_string(docs, ',')),
+       |     1, 15))::BIGINT AS h,
+       |    CASE WHEN docs[1] > thr THEN 1 ELSE 0 END AS is_new
+       |  FROM post, mx)
+       |SELECT bucket, count(*) AS n_terms,
+       |  CAST(sum(df) AS BIGINT) AS sum_postings,
+       |  bit_xor(h) AS content_digest,
+       |  CAST(sum(is_new) AS BIGINT) AS n_new_terms
        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Fixed conjunctive queries for q128 — head terms of the harness
@@ -2319,6 +2394,7 @@ object TextAnalysis {
     "q117_bigram_lm" -> bigramLm,
     "q171_ccnet_buckets" -> ccnetBuckets,
     "q127_inverted_index" -> invertedIndex,
+    "q194_incremental_postings" -> incrementalPostings,
     "q128_postings_search" -> postingsSearch,
     "q129_bm25" -> bm25,
     "q137_vocab_growth" -> vocabGrowth,
@@ -2353,6 +2429,7 @@ object TextAnalysis {
     "q117_bigram_lm" -> bigramLmSql,
     "q171_ccnet_buckets" -> ccnetBucketsSql,
     "q127_inverted_index" -> invertedIndexSql,
+    "q194_incremental_postings" -> incrementalPostingsSql,
     "q128_postings_search" -> postingsSearchSql,
     "q129_bm25" -> bm25Sql,
     "q137_vocab_growth" -> vocabGrowthSql,

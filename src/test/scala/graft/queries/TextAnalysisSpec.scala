@@ -534,4 +534,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"token stream must not shuffle by token:\n${plan.take(2000)}")
   }
+
+  test("q194: delta-appended postings equal the full rebuild digest; " +
+      "first-seen delta terms are counted") {
+    // 16 docs -> thr = 15*7/8 = 13: base = 0..13, delta = 14..15.
+    // Delta reuses 'alpha' (append to an existing list) and introduces
+    // 'zeta'/'eta' (first-seen terms — posting lists entirely delta).
+    val dir = corpus(
+      (0 to 13).map(i => s"alpha beta gamma w$i") ++
+        Seq("alpha zeta", "zeta eta"))
+    Tables.prep(spark)
+    val inc = TextAnalysis.all("q194_incremental_postings")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val full = TextAnalysis.all("q127_inverted_index")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // merged == rebuilt: same buckets, counts, AND content digests
+    // (membership + order of every posting list)
+    assert(inc === full)
+    val newTerms = TextAnalysis.all("q194_incremental_postings")(spark, dir)
+      .collect().map(_.getLong(4)).sum
+    assert(newTerms === 2L, s"zeta + eta expected, got $newTerms")
+  }
 }
