@@ -578,6 +578,36 @@ class CurationSpec extends SparkSpec {
       8L -> 8L, 9L -> 8L))
   }
 
+  test("q191 label repair CHAINS: two successive delta repairs equal " +
+      "one full CC over all pairs (the daily-cadence property)") {
+    import spark.implicits._
+    // day 0: components {1,2}, {3,4}; singletons 5, 6
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 100L, 101L, 200L).toDF("doc_id")
+    val labels0 = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("node", "label")
+    // day 1: doc 100 joins {3,4}; doc 101 pairs with singleton 6
+    val pairs1 = Seq((4L, 100L), (6L, 101L)).toDF("ia", "ib")
+    val labels1 = Curation.repairedLabels(docs, labels0, pairs1)
+    // day 2: doc 200 bridges day-1's {3,4,100} with {1,2}
+    val pairs2 = Seq((100L, 200L), (2L, 200L)).toDF("ia", "ib")
+    val labels2 = Curation.repairedLabels(docs,
+      labels1.select(col("doc_id").as("node"), col("root").as("label")),
+      pairs2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the one-shot rebuild over the union of all pairs ever seen
+    val allPairs = Seq((1L, 2L), (3L, 4L), (4L, 100L), (6L, 101L),
+      (100L, 200L), (2L, 200L)).toDF("u", "v")
+    val full = docs
+      .join(Curation.connectedComponents(allPairs)
+        .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("root"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels2 === full)
+    // and the day-2 bridge really merged everything under the global min
+    assert(labels2(200L) === 1L && labels2(100L) === 1L &&
+      labels2(4L) === 1L)
+  }
+
   test("q191 incremental labels equal the full rebuild, doc for doc") {
     val dir = "/root/testdata/sf0.001"
     Tables.prep(spark)
