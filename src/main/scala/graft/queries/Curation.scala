@@ -346,6 +346,75 @@ object Curation {
   }
 
   // ---------------------------------------------------------------
+  // q195 arrival keeper decisions (the q191 labels SERVED)
+  // ---------------------------------------------------------------
+
+  /** q195: what actually HAPPENS to today's arrivals — the
+    * operational output a daily dedup emits after q191's label
+    * repair: per delta document, keep or drop, and why. Decisions
+    * (root = cluster min; ids are monotone, so a cluster containing
+    * any base doc has a base root):
+    *   - `new_unique`        singleton — keep;
+    *   - `new_cluster_root`  min of an all-delta cluster — keep, its
+    *                         delta twins dedup against it;
+    *   - `duplicate_of_base` near-dup of yesterday's corpus — drop
+    *                         (the keeper already shipped);
+    *   - `duplicate_of_delta` non-root member of an all-delta
+    *                         cluster — drop.
+    * Output digests each decision class (count + xor of doc-id
+    * hashes, so WHICH docs got each verdict is pinned, not just how
+    * many). Serves from the session-materialized label table (the
+    * q191 BUILD is measured by q191; a pipeline writes labels once,
+    * then every consumer reads them — this is the read side).
+    *
+    * The oracle recomputes the decisions from the FULL-rebuild CC
+    * labels, so the hash match re-proves incremental == rebuild at
+    * the decision grain a consumer actually sees. */
+  def arrivalDecisions(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val thr = deltaThreshold(spark, dir)
+    val labels = memo(spark, dir, "inc_labels")(incrementalLabels(spark, dir))
+    val sizes = labels.groupBy(col("root")).agg(count(lit(1)).as("csize"))
+    labels.filter(col("doc_id") > thr)
+      .join(sizes, "root")
+      .withColumn("decision",
+        when(col("root") === col("doc_id") && col("csize") === 1,
+          "new_unique")
+          .when(col("root") === col("doc_id"), "new_cluster_root")
+          .when(col("root") <= thr, "duplicate_of_base")
+          .otherwise("duplicate_of_delta"))
+      .withColumn("h", expr(Exprs.hash60("cast(doc_id as string)")))
+      .groupBy(col("decision"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("doc_digest"))
+      .orderBy("decision")
+  }
+
+  val arrivalDecisionsSql: String =
+    s"""WITH RECURSIVE ${Dedup.duckVerifiedPairCtes},
+       |e AS (SELECT ia AS u, ib AS v FROM pairs
+       |      UNION SELECT ib, ia FROM pairs),
+       |reach(n, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.n),
+       |lab AS (SELECT n AS node, min(r) AS root FROM reach GROUP BY 1),
+       |mx AS (SELECT max(doc_id) * 7 // 8 AS thr FROM documents),
+       |cs AS (SELECT root, count(*) AS csize FROM lab GROUP BY 1),
+       |d AS (
+       |  SELECT lab.node AS doc_id, lab.root, cs.csize,
+       |    CASE WHEN lab.root = lab.node AND cs.csize = 1
+       |           THEN 'new_unique'
+       |         WHEN lab.root = lab.node THEN 'new_cluster_root'
+       |         WHEN lab.root <= mx.thr THEN 'duplicate_of_base'
+       |         ELSE 'duplicate_of_delta' END AS decision
+       |  FROM lab JOIN cs ON lab.root = cs.root, mx
+       |  WHERE lab.node > mx.thr)
+       |SELECT decision, count(*) AS n,
+       |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+       |    ::BIGINT) AS doc_digest
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // q165 leakage-safe train/val/test split
   // ---------------------------------------------------------------
 
@@ -1982,6 +2051,7 @@ object Curation {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_dedup_clusters" -> dedupClusters,
     "q191_incremental_dedup" -> incrementalDedup,
+    "q195_arrival_decisions" -> arrivalDecisions,
     "q165_leakage_safe_split" -> leakageSafeSplit,
     "q173_snapshot_diff" -> snapshotDiff,
     "q89_decontaminate" -> decontaminate,
@@ -2008,6 +2078,7 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "q88_dedup_clusters" -> dedupClustersSql,
     "q191_incremental_dedup" -> incrementalDedupSql,
+    "q195_arrival_decisions" -> arrivalDecisionsSql,
     "q165_leakage_safe_split" -> leakageSafeSplitSql,
     "q173_snapshot_diff" -> snapshotDiffSql,
     "q89_decontaminate" -> decontaminateSql,
