@@ -415,6 +415,100 @@ object Curation {
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // q196 retraction repair (deletion-side incremental maintenance)
+  // ---------------------------------------------------------------
+
+  /** q196: dedup-artifact repair under DELETION — the other half of
+    * the incremental story q191 tells for appends, and the one the
+    * reference's own load semantics force: S7 re-delivers (replaces)
+    * a date partition, and right-to-be-forgotten removes documents
+    * outright. Deleting a doc can SPLIT its cluster (the removed doc
+    * may be the bridge), so labels cannot be patched in place — but
+    * they only change inside components that LOST a member.
+    *
+    * The repair is deletion-bounded: (1) the removed docs' component
+    * roots are the TOUCHED set (a removed doc with no label row was a
+    * singleton — nothing to repair); (2) the surviving edges WITHIN
+    * touched components (pairs re-keyed through the label table,
+    * semi-joined on touched roots, both endpoints surviving) are
+    * re-clustered — a pair set the size of the affected clusters,
+    * never the corpus; (3) every untouched component keeps its label
+    * row verbatim (its edge set is unchanged and its root survives —
+    * it contains no removed doc). Survivors missing from both maps
+    * are singletons (either always were, or just lost their last
+    * twin).
+    *
+    * The removal set is the deterministic hash-eighth of doc_ids (a
+    * mid-corpus slice, so removals hit existing clusters, unlike the
+    * q191 tail-delta). The oracle rebuilds the clustering of the
+    * SURVIVING corpus from scratch — the hash match proves
+    * repair == rebuild, including the split cases. */
+  def retractionRepair(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    retractionLabels(spark, dir)
+      .select(col("root"))
+      .groupBy(col("root")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("root")).as("sum_roots"))
+      .orderBy("csize")
+  }
+
+  /** The deletion-bounded repair itself: (doc_id, root) for every
+    * SURVIVOR — exposed so the spec can pin the split case (removing
+    * a bridge doc must split its cluster into separately-labeled
+    * survivors). */
+  private[graft] def retractionLabels(
+      spark: SparkSession, dir: String): DataFrame = {
+    val removedPred = expr(s"${Exprs.hash60("cast(doc_id as string)")} % 8 = 3")
+    val removedIa = expr(s"${Exprs.hash60("cast(ia as string)")} % 8 = 3")
+    val removedIb = expr(s"${Exprs.hash60("cast(ib as string)")} % 8 = 3")
+    // yesterday's artifacts: full-corpus labels + verified pairs
+    val labels = dupClusterLabels(spark, dir)
+    val pairs = Dedup.minhashPairs(spark, dir).select(col("ia"), col("ib"))
+    val touched = labels
+      .join(documents(spark, dir).filter(removedPred).select(col("doc_id"))
+        .withColumnRenamed("doc_id", "node"), Seq("node"))
+      .select(col("label")).distinct()
+    // surviving edges inside touched components, re-clustered
+    val touchedPairs = pairs
+      .filter(!removedIa && !removedIb)
+      .join(labels.select(col("node").as("ia"), col("label")), Seq("ia"))
+      .join(touched, Seq("label"), "left_semi")
+      .select(col("ia"), col("ib"))
+    val repaired = connectedComponents(touchedPairs)
+    val untouchedLabels = labels
+      .join(touched, Seq("label"), "left_anti")
+    val merged = untouchedLabels.unionByName(repaired)
+    documents(spark, dir).filter(!removedPred).select(col("doc_id"))
+      .join(merged.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("root"))
+  }
+
+  val retractionRepairSql: String =
+    s"""WITH RECURSIVE ${Dedup.duckVerifiedPairCtes},
+       |surv AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+       |        ::BIGINT % 8 != 3),
+       |sp AS (
+       |  SELECT ia, ib FROM pairs
+       |  WHERE ('0x' || substr(md5(CAST(ia AS VARCHAR)), 1, 15))
+       |        ::BIGINT % 8 != 3
+       |    AND ('0x' || substr(md5(CAST(ib AS VARCHAR)), 1, 15))
+       |        ::BIGINT % 8 != 3),
+       |e AS (SELECT ia AS u, ib AS v FROM sp
+       |      UNION SELECT ib, ia FROM sp),
+       |reach(n, r) AS (
+       |  SELECT doc_id, doc_id FROM surv
+       |  UNION
+       |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.n),
+       |lab AS (SELECT n AS node, min(r) AS root FROM reach GROUP BY 1),
+       |cl AS (SELECT root, count(*) AS csize FROM lab GROUP BY 1)
+       |SELECT csize, count(*) AS n_clusters,
+       |  CAST(sum(root) AS BIGINT) AS sum_roots
+       |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // q165 leakage-safe train/val/test split
   // ---------------------------------------------------------------
 
@@ -2052,6 +2146,7 @@ object Curation {
     "q88_dedup_clusters" -> dedupClusters,
     "q191_incremental_dedup" -> incrementalDedup,
     "q195_arrival_decisions" -> arrivalDecisions,
+    "q196_retraction_repair" -> retractionRepair,
     "q165_leakage_safe_split" -> leakageSafeSplit,
     "q173_snapshot_diff" -> snapshotDiff,
     "q89_decontaminate" -> decontaminate,
@@ -2079,6 +2174,7 @@ object Curation {
     "q88_dedup_clusters" -> dedupClustersSql,
     "q191_incremental_dedup" -> incrementalDedupSql,
     "q195_arrival_decisions" -> arrivalDecisionsSql,
+    "q196_retraction_repair" -> retractionRepairSql,
     "q165_leakage_safe_split" -> leakageSafeSplitSql,
     "q173_snapshot_diff" -> snapshotDiffSql,
     "q89_decontaminate" -> decontaminateSql,

@@ -608,6 +608,45 @@ class CurationSpec extends SparkSpec {
       labels2(4L) === 1L)
   }
 
+  test("q196 retraction repair: removing a bridge doc SPLITS its " +
+      "cluster; untouched clusters keep their labels") {
+    import spark.implicits._
+    // id 9 is the one id in 0..9 with hash60(id) % 8 == 3 (removed).
+    // Chain by drifting token windows: J(T1,T2) = J(T2,T3) = 7/13 ≥
+    // 0.5 but J(T1,T3) = 4/16 < 0.5 — so {7, 8, 9} cluster ONLY
+    // through bridge 9. Docs 5 and 6 are exact twins (untouched
+    // cluster); 0..4 unique fillers.
+    def toks(lo: Int, hi: Int) = (lo to hi).map(i => f"tok$i%02d")
+      .mkString(" ")
+    val texts = Map(
+      8 -> toks(1, 12), 9 -> toks(4, 15), 7 -> toks(7, 18),
+      5 -> "uniq alpha beta gamma delta five", 6 -> "uniq alpha beta gamma delta five",
+      0 -> "zero filler aaa bbb ccc", 1 -> "one filler ddd eee fff",
+      2 -> "two filler ggg hhh iii", 3 -> "three filler jjj kkk lll",
+      4 -> "four filler mmm nnn ooo")
+    val dir = java.nio.file.Files.createTempDirectory("retract").toString
+    texts.toSeq.map { case (i, t) => (i.toLong, "en", s"s$i", t, t.length) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables.prep(spark)
+    // fixture guard: the FULL clustering links {7,8,9} via the bridge
+    val full = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(Curation.dupClusterLabels(spark, dir)
+        .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("root"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full(7L) === 7L && full(8L) === 7L && full(9L) === 7L,
+      s"fixture must chain 7-9-8: $full")
+    assert(full(5L) === 5L && full(6L) === 5L)
+    // the repair: 9 gone, 7 and 8 split into singletons; 5-6 intact
+    val out = Curation.retractionLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!out.contains(9L))
+    assert(out(7L) === 7L && out(8L) === 8L, s"split expected: $out")
+    assert(out(5L) === 5L && out(6L) === 5L)
+    assert((0 to 4).forall(i => out(i.toLong) === i.toLong))
+  }
+
   test("q191 incremental labels equal the full rebuild, doc for doc") {
     val dir = "/root/testdata/sf0.001"
     Tables.prep(spark)
