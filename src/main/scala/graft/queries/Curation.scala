@@ -509,6 +509,104 @@ object Curation {
        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // q197 composed incremental daily run (the main() of the family)
+  // ---------------------------------------------------------------
+
+  /** q197: the incremental-maintenance family COMPOSED as one audited
+    * daily run — the reference's `main()` orchestration shape (q162)
+    * applied to today's arrival. Five phases, each through
+    * [[graft.io.RunAudit]] (R2) so a production operator gets the
+    * same structured trail the reference's loads get:
+    *
+    *   1. append_signatures — delta minhash signatures (rows_out =
+    *      delta docs signed);
+    *   2. repair_labels     — q191's contracted-CC repair (rows_out =
+    *      clusters containing a delta doc);
+    *   3. decide_keepers    — q195's verdicts (rows_out = delta docs
+    *      KEPT: cluster roots + uniques);
+    *   4. merge_postings    — q194's index append (rows_out =
+    *      first-seen vocabulary);
+    *   5. check_codebook    — q193's drift decision (rows_out = the
+    *      0/1 refresh flag).
+    *
+    * The oracle re-derives every phase's number from the FAMILY'S OWN
+    * oracle SQL embedded as derived subqueries (DuckDB scopes each
+    * nested WITH) — so the composition cannot drift from the
+    * operators it composes, and a hash match re-proves each
+    * incremental == rebuild equivalence at the run-summary grain.
+    * Durations/errors stay in the audit table but out of the oracled
+    * projection (the q101 discipline). Excluded from the bench set
+    * (writes a scratch audit table per call). */
+  def incrementalDaily(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val thr = deltaThreshold(spark, dir)
+    val auditTbl = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), "graft_inc_daily_audit")
+      .toString
+    deleteDir(spark, auditTbl)
+    val audit = new graft.io.RunAudit("q197")
+    audit.phase[Unit]("arrival", "append_signatures") {
+      ((), Dedup.signaturesFresh(spark,
+        documents(spark, dir).filter(col("doc_id") > thr)).count())
+    }
+    val labels = audit.phase[DataFrame]("arrival", "repair_labels") {
+      val l = memo(spark, dir, "inc_labels")(incrementalLabels(spark, dir))
+      (l, l.filter(col("doc_id") > thr).select(col("root"))
+        .distinct().count())
+    }
+    audit.phase[Unit]("arrival", "decide_keepers") {
+      ((), labels.filter(col("doc_id") > thr &&
+        col("root") === col("doc_id")).count())
+    }
+    audit.phase[Unit]("arrival", "merge_postings") {
+      ((), TextAnalysis.incrementalPostings(spark, dir)
+        .agg(coalesce(sum(col("n_new_terms")), lit(0L))).head.getLong(0))
+    }
+    audit.phase[Unit]("arrival", "check_codebook") {
+      ((), Similarity.codebookRefresh(spark, dir)
+        .agg(max(col("refresh"))).head.getLong(0))
+    }
+    audit.write(spark, auditTbl)
+    spark.read.parquet(auditTbl)
+      .select(col("seq"), col("dataset"), col("phase"), col("rows_out"),
+        col("outcome"))
+      .orderBy("seq")
+  }
+
+  /** Hadoop-FS recursive delete (scratch reset, scheme-correct). */
+  private def deleteDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  lazy val incrementalDailySql: String =
+    s"""SELECT * FROM (
+       |SELECT CAST(1 AS INTEGER) AS seq, 'arrival' AS dataset,
+       |  'append_signatures' AS phase,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM documents,
+       |     (SELECT max(doc_id) * 7 // 8 AS thr FROM documents)
+       |   WHERE doc_id > thr) AS rows_out, 'ok' AS outcome
+       |UNION ALL
+       |SELECT 2, 'arrival', 'repair_labels',
+       |  (SELECT CAST(sum(n_touched) AS BIGINT)
+       |   FROM ($incrementalDedupSql)), 'ok'
+       |UNION ALL
+       |SELECT 3, 'arrival', 'decide_keepers',
+       |  (SELECT CAST(coalesce(sum(n), 0) AS BIGINT)
+       |   FROM ($arrivalDecisionsSql)
+       |   WHERE decision IN ('new_unique', 'new_cluster_root')), 'ok'
+       |UNION ALL
+       |SELECT 4, 'arrival', 'merge_postings',
+       |  (SELECT CAST(coalesce(sum(n_new_terms), 0) AS BIGINT)
+       |   FROM (${TextAnalysis.incrementalPostingsSql})), 'ok'
+       |UNION ALL
+       |SELECT 5, 'arrival', 'check_codebook',
+       |  (SELECT CAST(max(refresh) AS BIGINT)
+       |   FROM (${Similarity.codebookRefreshSql})), 'ok')
+       |ORDER BY seq""".stripMargin
+
+  // ---------------------------------------------------------------
   // q165 leakage-safe train/val/test split
   // ---------------------------------------------------------------
 
@@ -2147,6 +2245,7 @@ object Curation {
     "q191_incremental_dedup" -> incrementalDedup,
     "q195_arrival_decisions" -> arrivalDecisions,
     "q196_retraction_repair" -> retractionRepair,
+    "q197_incremental_daily" -> incrementalDaily,
     "q165_leakage_safe_split" -> leakageSafeSplit,
     "q173_snapshot_diff" -> snapshotDiff,
     "q89_decontaminate" -> decontaminate,
@@ -2175,6 +2274,7 @@ object Curation {
     "q191_incremental_dedup" -> incrementalDedupSql,
     "q195_arrival_decisions" -> arrivalDecisionsSql,
     "q196_retraction_repair" -> retractionRepairSql,
+    "q197_incremental_daily" -> incrementalDailySql,
     "q165_leakage_safe_split" -> leakageSafeSplitSql,
     "q173_snapshot_diff" -> snapshotDiffSql,
     "q89_decontaminate" -> decontaminateSql,
