@@ -79,6 +79,78 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("randomized law: q191 repair == full CC for any graph and any " +
+      "base/delta split; q196 repair == survivors' CC for any removal") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 8) {
+      val n = 3 + rnd.nextInt(20)
+      val m = 1 + rnd.nextInt(35)
+      val edges = Seq.fill(m)(
+        (rnd.nextLong(n.toLong + 1), rnd.nextLong(n.toLong + 1)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      if (edges.nonEmpty) {
+        val docs = (0L to n.toLong).toDF("doc_id")
+        val fullExpected = docs
+          .join(Curation.connectedComponents(edges.toDF("u", "v"))
+            .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("root"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // --- q191 law: ANY threshold split (delta = ids > thr) ---
+        val thr = rnd.nextInt(n + 1).toLong
+        val basePairs = edges.filter { case (a, b) => a <= thr && b <= thr }
+        val deltaPairs = edges.filter { case (a, b) => a > thr || b > thr }
+        val baseLabels =
+          if (basePairs.isEmpty)
+            Seq.empty[(Long, Long)].toDF("node", "label")
+          else Curation.connectedComponents(basePairs.toDF("u", "v"))
+        val inc = Curation.repairedLabels(docs, baseLabels,
+          deltaPairs.map { case (a, b) => (a, b) }.toDF("ia", "ib"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(inc === fullExpected,
+          s"q191 law broke: edges=$edges thr=$thr")
+        // --- q196 law: ANY removal set; repair == survivors' CC ---
+        val removed = (0L to n.toLong)
+          .filter(_ => rnd.nextInt(4) == 0).toSet
+        val survivors = (0L to n.toLong).filterNot(removed)
+        val survEdges = edges.filter { case (a, b) =>
+          !removed(a) && !removed(b) }
+        val survExpected = survivors.toDF("doc_id")
+          .join((if (survEdges.isEmpty)
+            Seq.empty[(Long, Long)].toDF("node", "label")
+          else Curation.connectedComponents(survEdges.toDF("u", "v")))
+            .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("root"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // the q196 repair algebra, replayed on DataFrames: touched
+        // roots -> re-CC surviving edges of touched comps -> merge
+        val fullLabels = Curation.connectedComponents(edges.toDF("u", "v"))
+        val touched = fullLabels
+          .join(removed.toSeq.toDF("node"), Seq("node"))
+          .select(col("label")).distinct()
+        val touchedPairs = survEdges.toDF("ia", "ib")
+          .join(fullLabels.select(col("node").as("ia"), col("label")),
+            Seq("ia"))
+          .join(touched, Seq("label"), "left_semi")
+          .select(col("ia").as("u"), col("ib").as("v"))
+        val repairedPart = Curation.connectedComponents(touchedPairs)
+        val untouched = fullLabels.join(touched, Seq("label"), "left_anti")
+        val rep = survivors.toDF("doc_id")
+          .join(untouched.unionByName(repairedPart)
+            .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("root"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(rep === survExpected,
+          s"q196 law broke: edges=$edges removed=$removed")
+      }
+    }
+  }
+
   /** Scratch corpus dir for the document-level operators. */
   private def corpus(rows: Seq[(Long, String, String, String)]): String = {
     import spark.implicits._
