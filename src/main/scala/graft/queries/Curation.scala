@@ -313,13 +313,17 @@ object Curation {
       connectedComponents(Dedup.minhashPairs(spark, dir)
         .filter(col("ib") <= thr).select(col("ia"), col("ib")))
     }
-    // NOT checkpointed/persisted although three plan branches read it
-    // (delta bands + both verify sides): measured at x64, a lazy
-    // localCheckpoint per call ACCUMULATES delta-signature blocks in
-    // the block manager across invocations and the resulting memory
-    // pressure more than doubled the warm runtime (56.9 s → 153.5 s);
-    // re-running the delta-bounded hashing per branch is the cheaper
-    // side of that trade at every measured rung
+    // The delta signatures feed THREE plan branches (delta bands +
+    // both verify sides) and are deliberately RECOMPUTED per branch —
+    // both materialization alternatives measured WORSE at x64:
+    //   - lazy localCheckpoint accumulates blocks in the block
+    //     manager across invocations (56.9 s → 153.5 s warm);
+    //   - writing them to scratch parquet and reading back (the
+    //     "append step persists the table" framing) pays the array-
+    //     heavy parquet write every call (56.9 s → 140.1 s warm —
+    //     the sorted shingle-hash arrays dominate the file).
+    // The hashing is delta-bounded; three passes of it are cheaper
+    // than either materialization at every measured rung.
     val deltaSigs = Dedup.signaturesFresh(spark,
       documents(spark, dir).filter(col("doc_id") > thr))
     val allSigs = baseSigs.unionByName(deltaSigs)
