@@ -28,12 +28,15 @@ object BeamSweep {
     sim.graphBeamWalk(spark, sfDir, 1).write.format("noop")
       .mode("overwrite").save()
     for (h <- 1 to 4) {
+      // time ONLY the walk's own materialization; the recall join and
+      // counts run outside the clock (they scale with exact5, not
+      // with the hop knob the sweep measures — reviewer find, r10)
       val t0 = System.nanoTime()
       val top = sim.graphBeamWalk(spark, sfDir, h)
-        .select(col("qid"), col("vec_id"))
+        .select(col("qid"), col("vec_id")).localCheckpoint(true)
+      val dt = (System.nanoTime() - t0) / 1e9
       val hits = top.join(exact5, Seq("qid", "vec_id"), "left_semi").count()
       val n = top.count()
-      val dt = (System.nanoTime() - t0) / 1e9
       println(f"SWEEP hops=$h recall5=${hits.toDouble / (5 * nq)}%.4f " +
         f"results=$n time=$dt%.2f s")
     }

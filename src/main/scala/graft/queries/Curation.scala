@@ -544,8 +544,12 @@ object Curation {
   def incrementalDaily(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val thr = deltaThreshold(spark, dir)
+    // applicationId-scoped like every other scratch path this round:
+    // a fixed name lets two concurrent sessions (driver compare + a
+    // manual run) clobber each other's audit table mid-read
     val auditTbl = java.nio.file.Paths
-      .get(System.getProperty("java.io.tmpdir"), "graft_inc_daily_audit")
+      .get(System.getProperty("java.io.tmpdir"),
+        s"graft_inc_daily_audit_${spark.sparkContext.applicationId}")
       .toString
     deleteDir(spark, auditTbl)
     val audit = new graft.io.RunAudit("q197")

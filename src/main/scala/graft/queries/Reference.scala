@@ -272,10 +272,15 @@ object Reference {
       spark: SparkSession, dir: String): String =
     fechaWarehouses.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir), {
+        // full md5 of the dir, not String.hashCode: a 32-bit collision
+        // between two data dirs in one session would silently serve
+        // one dir's warehouse for the other (reviewer find, r10)
         val tmp = java.nio.file.Paths
           .get(System.getProperty("java.io.tmpdir"),
             s"graft_fecha_wh_${spark.sparkContext.applicationId}_" +
-              java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL))
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(dir.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString.take(16))
           .toString
         deleteRecursively(tmp)
         registerScratchCleanup(tmp)
@@ -521,17 +526,33 @@ object Reference {
     * warehouse) accumulated forever under java.io.tmpdir before this
     * hook (advisor note, round 9: the old fixed paths were at least
     * self-overwriting). One recursive-delete shutdown hook per
-    * directory, registered once: by the time JVM shutdown hooks run,
-    * Derby's own engine shutdown (its hook) has closed or is closing
-    * the files — a racing delete at worst leaves a partial tree for
-    * the NEXT run's identical hook, never breaks a live query. */
+    * directory, registered once. The hook can RACE Derby's own
+    * engine-shutdown hook and leave a partial tree — and because
+    * every path embeds this application's id, no later run ever
+    * registers a hook for that exact dir (reviewer find, r10), so
+    * the first registration also sweeps STALE graft scratch from
+    * prior sessions: any `graft_*` tmpdir entry untouched for 6+
+    * hours is a dead session's orphan (live sessions touch their
+    * scratch constantly), deleted here. */
   private val scratchCleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def registerScratchCleanup(dir: String): Unit =
+  private lazy val staleScratchSwept: Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith("graft_") && f.isDirectory &&
+          f.lastModified() < cutoff)
+        try deleteRecursively(f.getPath) catch { case _: Throwable => () }
+    }
+  }
+
+  private def registerScratchCleanup(dir: String): Unit = {
+    staleScratchSwept
     if (scratchCleanupRegistered.add(dir))
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         try deleteRecursively(dir) catch { case _: Throwable => () }))
+  }
 
   def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)

@@ -2221,11 +2221,14 @@ object Relational {
 
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val li = lineitem(spark, dir)
-      .select(col("l_orderkey").cast("long").as("ok"),
-        col("l_partkey").cast("long").as("pk"))
-    val mx0 = li.agg(max(col("ok")).as("okm"), max(col("pk")).as("pkm"))
-    val bucketed = zorderBuckets(spark, dir)
+    // lazily checkpointed: the bucket frame feeds both layouts' stats
+    // plus the final rollup, and each reference re-derived the whole
+    // build from the source — 9 lineitem scans in one plan, measured
+    // (reviewer find, r10); with the checkpoint the build runs once.
+    // The query bounds derive from the materialized frame, not a
+    // fresh lineitem aggregate.
+    val bucketed = zorderBuckets(spark, dir).localCheckpoint(false)
+    val mx0 = bucketed.agg(max(col("ok")).as("okm"), max(col("pk")).as("pkm"))
     def stats(fcol: String, label: String) = bucketed
       .groupBy(col(fcol).as("f"))
       .agg(count(lit(1)).as("rows"),
@@ -2322,10 +2325,14 @@ object Relational {
       spark: SparkSession, dir: String): (String, String) =
     zorderWrites.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir), {
+        // full md5 of the dir, not String.hashCode — see
+        // Reference.fechaWarehouse for the collision hazard
         val base = java.nio.file.Paths
           .get(System.getProperty("java.io.tmpdir"),
             s"graft_zorder_${spark.sparkContext.applicationId}_" +
-              java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL))
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(dir.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString.take(16))
           .toString
         val p = new org.apache.hadoop.fs.Path(base)
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

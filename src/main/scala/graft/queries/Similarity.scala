@@ -1773,13 +1773,15 @@ object Similarity {
           expr("array_dot(qv, vd)") / (col("qn") * col("nd")), 4))
       topkRank(scored, "qid", 5)
     }
-    // persisted: FIVE consumers read it (the recall join of every
-    // rung, the n_queries aggregate) and the d = 64 rung IS this
-    // table — re-running the full-dimension scoring pass just to
-    // produce the by-construction recall-1.0 row was the advisor's
-    // round-9 note
-    val full = topAt(Dim).select(col("qid"), col("vec_id"))
-      .persist()
+    // memoized (not a raw .persist(), which had no unpersist path and
+    // bypassed the session-end eviction — reviewer find, r10): FIVE
+    // consumers read it (the recall join of every rung, the n_queries
+    // aggregate) and the d = 64 rung IS this table — re-running the
+    // full-dimension scoring pass just to produce the by-construction
+    // recall-1.0 row was the advisor's round-9 note
+    val full = memo(spark, dir, "matryoshka_full") {
+      topAt(Dim).select(col("qid"), col("vec_id"))
+    }
     val nq = full.agg(countDistinct(col("qid")).as("n_queries"))
     Seq(8, 16, 32, 64).map { d =>
       (if (d == Dim) full else topAt(d).select(col("qid"), col("vec_id")))
