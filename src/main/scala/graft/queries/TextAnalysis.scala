@@ -2087,7 +2087,13 @@ object TextAnalysis {
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("nrm", expr("sqrt(array_dot(v, v))"))
       .select(col("vec_id").as("doc_id"), col("v"), col("nrm"))
-    val withV = cands.join(e, Seq("doc_id"))
+    // lazily checkpointed: three branches (the feedback-rank agg, the
+    // feedback-vector join, the rerank itself) reference this frame,
+    // and each re-derived the ENTIRE BM25 candidate build without it
+    // (9 same-table scans in the executed plan, the worst in the
+    // registry's r10 audit); the frame is ≤ 5 rows per query, so the
+    // materialization is free
+    val withV = cands.join(e, Seq("doc_id")).localCheckpoint(false)
     val fb = withV.groupBy(col("qid")).agg(min(col("bm25_rnk")).as("fb_rnk"))
     val fbVec = withV.join(fb, Seq("qid"))
       .filter(col("bm25_rnk") === col("fb_rnk"))

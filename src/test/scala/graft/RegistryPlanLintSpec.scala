@@ -28,17 +28,46 @@ class RegistryPlanLintSpec extends SparkSpec {
   private def isStreaming(name: String) =
     graft.queries.StreamingQ.all.contains(name)
 
-  test("no registered batch plan contains a cartesian product or a UDF") {
+  /** Cap on how many times one plan may physically RE-SCAN the same
+    * source table (cached/checkpointed subtrees don't count — the
+    * collect does not descend into InMemoryTableScan). The r10 audit
+    * measured the registry's honest multi-pass algorithms at ≤ 6
+    * same-table scans; q184's accidental nine-scan plan (a
+    * multi-branch reference to an unmaterialized build) and q185's
+    * triple BM25 re-derivation both sat ABOVE this bar before their
+    * fixes — exactly the class this lint exists to catch. */
+  private val MaxSameTableScans = 7
+
+  private val TableName =
+    ("(lineitem|orders|customer|supplier|part|nation|region|events|" +
+      "documents|embeddings)").r
+
+  test("no registered batch plan contains a cartesian product or a UDF, " +
+      "and none re-scans one table more than 7 times") {
     graft.queries.Tables.prep(spark)
     val names = SparkEntry.benchQueries.filterNot(isStreaming)
     assert(names.size > 130, s"lint lost coverage: ${names.size}")
     val offenders = names.flatMap { name =>
-      val plan = SparkEntry.queries(name)(spark, dir)
-        .queryExecution.executedPlan.toString
+      val ep = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan
+      val physical = ep match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val plan = physical.toString
+      val scanCounts = physical.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.flatMap(f => TableName.findFirstIn(f.toString))
+        .groupBy(identity).view.mapValues(_.length)
+      val worst = scanCounts.maxByOption(_._2)
       val bad = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),
         "PythonUDF" -> plan.contains("PythonUDF"),
-        "BatchEvalPython" -> plan.contains("BatchEvalPython")
+        "BatchEvalPython" -> plan.contains("BatchEvalPython"),
+        s"re-scans ${worst.map(_._1).getOrElse("")} ${worst.map(_._2)
+          .getOrElse(0)}x" ->
+          worst.exists(_._2 > MaxSameTableScans)
       ).collect { case (what, true) => s"$name: $what" }
       bad
     }
