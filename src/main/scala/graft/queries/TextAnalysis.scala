@@ -1414,6 +1414,17 @@ object TextAnalysis {
     val hits = tf.join(broadcast(qs), "w")
     val dfTab = hits.select(col("w"), col("doc_id")).distinct()
       .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    bm25Rank(hits, dfTab, stats)
+  }
+
+  /** Shared BM25 scoring tail: per-(qid, doc) tf hit stream + per-term
+    * df table + 1-row corpus scalars -> ranked top-[[Bm25TopK]] per
+    * query. Factored so q129 (full recompute) and q199 (incrementally
+    * merged stats) score through the SAME expression tree — rank
+    * equality between them is then a statement about the STATS, not
+    * about two hand-kept scoring codepaths staying in sync. */
+  private def bm25Rank(hits: DataFrame, dfTab: DataFrame,
+      stats: DataFrame): DataFrame =
     hits.join(broadcast(dfTab), "w")
       .crossJoin(broadcast(stats))
       .withColumn("s", round(
@@ -1431,6 +1442,90 @@ object TextAnalysis {
       .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
         col("col.vec_id").as("doc_id"), col("col.cos").as("score"))
       .orderBy("qid", "rnk")
+
+  // ---------------------------------------------------------------
+  // q199 incremental BM25 scoring-stats maintenance
+  // ---------------------------------------------------------------
+
+  /** q199: incremental maintenance of BM25's SCORING artifacts — the
+    * last shared index artifact to get a delta path (q191 signatures +
+    * CC labels, q193 codebook, q194 postings, q198 graph; this for the
+    * ranking stats q129 serves with). Every artifact is EXACTLY
+    * mergeable integer algebra, so unlike the approximate q198 graph
+    * the proof is full equality:
+    *
+    *   - corpus scalars: N, sum(dl) and the nonempty-doc count are
+    *     longs — base + delta sums are exact, and avgdl divides ONCE,
+    *     after the merge (merging two avgdl floats would not be exact);
+    *   - per-term df: doc_ids are monotone so base and delta doc sets
+    *     are disjoint — df = df_base + df_delta;
+    *   - the probe terms' tf-postings: append, the q194 shape (a
+    *     production index stores tf alongside each posting; the
+    *     memoized base slice stands in for reading yesterday's lists
+    *     for the probe terms).
+    *
+    * A delta arrival therefore tokenizes ONLY the delta — at 100 TB
+    * the difference between re-tokenizing the corpus daily and
+    * tokenizing one day — and the merged stats are IDENTICAL to the
+    * full recompute's, so the served ranking is too: the oracle is
+    * q129's full-rebuild SQL verbatim, and the hash match is the
+    * incremental == rebuild proof at the level a user sees, the ranks
+    * ([[bm25Rank]] is the single scoring tail both paths share).
+    *
+    * `deltaHits`' delta-sized lineage executes twice (df leg + union
+    * leg); a production daily run materializes today's tokenization
+    * once, but at harness scale a scratch write costs more than the
+    * recompute (the measured q191 negative result, BENCH_NOTES). */
+  def incrementalBm25(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    import spark.implicits._
+    val thr = Curation.deltaThreshold(spark, dir)
+    val qTerms = SearchQueries.flatMap { case (_, a, b) => Seq(a, b) }
+      .distinct
+    def toked(pred: Column) = documents(spark, dir).filter(pred)
+      .withColumn("toks",
+        filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= ""))
+    def scalarsOf(d: DataFrame) = d.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(size(col("toks"))), lit(0L)).cast("long").as("sum_dl"),
+      sum(when(size(col("toks")) > 0, 1L).otherwise(0L)).as("n_ne"))
+    def hitsOf(d: DataFrame) = d
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("w"))
+      .filter(col("w").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    // yesterday's artifacts, memoized (= read from yesterday's index)
+    val baseScalars = memo(spark, dir, "bm25_scalars_base") {
+      scalarsOf(toked(col("doc_id") <= thr))
+    }
+    val baseHits = memo(spark, dir, "bm25_hits_base") {
+      hitsOf(toked(col("doc_id") <= thr))
+    }
+    // today's work: tokenize the DELTA alone
+    val deltaToked = toked(col("doc_id") > thr)
+    val deltaHits = hitsOf(deltaToked)
+    // exact integer merges
+    val mergedScalars = baseScalars
+      .select(col("n_docs").as("nb"), col("sum_dl").as("sb"),
+        col("n_ne").as("eb"))
+      .crossJoin(broadcast(scalarsOf(deltaToked)
+        .select(col("n_docs").as("nd"), col("sum_dl").as("sd"),
+          col("n_ne").as("ed"))))
+      .select((col("nb") + col("nd")).as("n_total"),
+        ((col("sb") + col("sd")).cast("double") /
+          (col("eb") + col("ed"))).as("avgdl"))
+    val mergedDf = baseHits.groupBy(col("w")).agg(count(lit(1)).as("dfb"))
+      .join(deltaHits.groupBy(col("w")).agg(count(lit(1)).as("dfd")),
+        Seq("w"), "full")
+      .select(col("w"),
+        (coalesce(col("dfb"), lit(0L)) + coalesce(col("dfd"), lit(0L)))
+          .as("df"))
+    val qs = SearchQueries.flatMap { case (q, a, b) => Seq((q, a), (q, b)) }
+      .toDF("qid", "w")
+    val mergedHits = baseHits.unionByName(deltaHits)
+      .join(broadcast(qs), "w")
+    bm25Rank(mergedHits, mergedDf, mergedScalars)
   }
 
   val bm25Sql: String = {
@@ -2403,6 +2498,7 @@ object TextAnalysis {
     "q194_incremental_postings" -> incrementalPostings,
     "q128_postings_search" -> postingsSearch,
     "q129_bm25" -> bm25,
+    "q199_incremental_bm25" -> incrementalBm25,
     "q137_vocab_growth" -> vocabGrowth,
     "q146_zipf_spectrum" -> zipfSpectrum,
     "q175_nb_lang_classifier" -> nbLangClassifier,
@@ -2438,6 +2534,9 @@ object TextAnalysis {
     "q194_incremental_postings" -> incrementalPostingsSql,
     "q128_postings_search" -> postingsSearchSql,
     "q129_bm25" -> bm25Sql,
+    // the full-rebuild SQL verbatim IS the q199 oracle: hash match ==
+    // the incremental-merge-equals-rebuild proof
+    "q199_incremental_bm25" -> bm25Sql,
     "q137_vocab_growth" -> vocabGrowthSql,
     "q146_zipf_spectrum" -> zipfSpectrumSql,
     "q175_nb_lang_classifier" -> nbLangClassifierSql,

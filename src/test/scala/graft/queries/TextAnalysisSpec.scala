@@ -559,4 +559,31 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getLong(4)).sum
     assert(newTerms === 2L, s"zeta + eta expected, got $newTerms")
   }
+
+  test("q199: incrementally merged BM25 stats serve the exact ranking " +
+      "of the full recompute, delta docs included") {
+    // 16 docs -> thr = 15*7/8 = 13: base = 0..13, delta = 14..15.
+    // Base docs carry the probe terms at tf=1; delta doc 14 stuffs
+    // 'join'/'hash' (q1's terms) so it MUST surface in q1's top-5 —
+    // proving the served ranking sees today's arrival, not just
+    // yesterday's stats. Doc 15 adds filler that moves avgdl, so a
+    // stale-scalars bug would shift every score.
+    val dir = corpus(
+      (0 to 13).map(i => s"join hash row batch scan filter pad$i") ++
+        Seq("join hash join hash join hash",
+          (1 to 30).map(i => s"fill$i").mkString(" ")))
+    Tables.prep(spark)
+    val inc = TextAnalysis.all("q199_incremental_bm25")(spark, dir)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val full = TextAnalysis.all("q129_bm25")(spark, dir)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // merged == rebuilt: identical (qid, rank, doc, score) tuples
+    assert(inc.toSeq === full.toSeq)
+    // the tf-stuffed delta doc tops q1 (tf saturation still beats tf=1)
+    val q1Top = inc.filter(r => r._1 == "q1" && r._2 == 1L).map(_._3)
+    assert(q1Top === Array(14L),
+      s"delta doc 14 should rank first for q1, got ${q1Top.mkString(",")}")
+  }
 }
