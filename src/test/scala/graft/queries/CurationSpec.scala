@@ -680,6 +680,44 @@ class CurationSpec extends SparkSpec {
       labels2(4L) === 1L)
   }
 
+  test("q191 label repair is IDEMPOTENT: re-delivering the same pairs " +
+      "against the post-repair labels is a no-op (at-least-once safety)") {
+    import spark.implicits._
+    // The reference's own S7 cadence re-delivers a date partition on
+    // retry (main.py delete-then-reload); the repair must tolerate the
+    // same verified pairs arriving twice. Algebra: after repair, both
+    // endpoints of every delivered pair share a label, so contraction
+    // turns each pair into a self-loop and the contracted edge set is
+    // EMPTY — labels pass through verbatim.
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 8L, 9L, 100L, 101L).toDF("doc_id")
+    val baseLabels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L),
+      (8L, 8L), (9L, 8L)).toDF("node", "label")
+    val newPairs = Seq((2L, 100L), (3L, 100L), (5L, 101L)).toDF("ia", "ib")
+    val once = Curation.repairedLabels(docs, baseLabels, newPairs)
+    val twice = Curation.repairedLabels(docs,
+      once.select(col("doc_id").as("node"), col("root").as("label")),
+      newPairs)
+    assert(twice.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      once.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // randomized arm: any graph, any split, any re-delivered subset
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val n = 12
+      val ids = (0L until n).toDF("doc_id")
+      val edges = Seq.fill(8)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val base = Curation.connectedComponents(
+        edges.take(4).toDF("u", "v"))
+      val pairs = edges.drop(4).toDF("ia", "ib")
+      val l1 = Curation.repairedLabels(ids, base, pairs)
+      val l2 = Curation.repairedLabels(ids,
+        l1.select(col("doc_id").as("node"), col("root").as("label")), pairs)
+      assert(l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        l1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        s"idempotence broke on trial $trial: edges=$edges")
+    }
+  }
+
   test("q196 retraction repair: removing a bridge doc SPLITS its " +
       "cluster; untouched clusters keep their labels") {
     import spark.implicits._
