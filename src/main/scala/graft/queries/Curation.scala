@@ -327,6 +327,20 @@ object Curation {
     val deltaSigs = Dedup.signaturesFresh(spark,
       documents(spark, dir).filter(col("doc_id") > thr))
     val allSigs = baseSigs.unionByName(deltaSigs)
+    repairedLabels(documents(spark, dir), baseLabels,
+      collideVerify(deltaSigs, allSigs))
+  }
+
+  /** Steps 2–3 of the q191 increment (COLLIDE + VERIFY), factored for
+    * the streaming arrival arm (q200): band-collide the delta
+    * signatures against base ∪ delta — every candidate has ≥ 1 delta
+    * endpoint, so the join is delta-rows × bucket-width, never the
+    * full corpus self-join — then verify exact shingle Jaccard ≥ 0.5
+    * (q56's unrounded predicate) on the candidates. shuffle_hash on
+    * both sides for the q56 reason: size statistics must never flip
+    * the band self-join to a broadcast. */
+  private[graft] def collideVerify(deltaSigs: DataFrame,
+      allSigs: DataFrame): DataFrame = {
     def bands(sigs: DataFrame) = sigs.select(col("doc_id"),
       posexplode(col("sig")).as(Seq("band", "mh")))
     val cands = bands(deltaSigs).as("a").hint("shuffle_hash")
@@ -336,7 +350,7 @@ object Curation {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("ia"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("ib"))
       .distinct()
-    val newPairs = cands
+    cands
       .join(allSigs.select(col("doc_id").as("ia"), col("hsh").as("sha")), "ia")
       .join(allSigs.select(col("doc_id").as("ib"), col("hsh").as("shb")), "ib")
       .withColumn("inter",
@@ -346,7 +360,63 @@ object Curation {
         col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
       .filter(col("jraw") >= 0.5)
       .select(col("ia"), col("ib"))
-    repairedLabels(documents(spark, dir), baseLabels, newPairs)
+  }
+
+  /** One streaming-arrival batch of the incremental dedup pipeline —
+    * the foreachBatch body of q200, exposed for the multi-file spec:
+    * sign the batch ([[Dedup.signaturesFresh]]), collide + verify it
+    * against the persisted signature store, repair the persisted
+    * labels, then append the batch's signatures to the store and
+    * write the repaired labels as the next VERSIONED snapshot
+    * (labels_v&lt;n&gt; — the store being rewritten is also the repair's
+    * input, so in-place overwrite would corrupt; versioned daily
+    * label snapshots are what a production pipeline publishes
+    * anyway). Any near-dup pair is discovered exactly once: at the
+    * arrival of its LATER endpoint (the earlier one is in the store
+    * by then; same-batch pairs collide within the delta) — so by the
+    * chained-repair law the final snapshot equals the full-corpus
+    * rebuild regardless of how arrivals were batched. */
+  private[graft] def applyArrivalBatch(spark: SparkSession,
+      batch: DataFrame, store: java.nio.file.Path): Unit = {
+    import spark.implicits._
+    val sigDir = store.resolve("sigs")
+    val deltaSigs = Dedup.signaturesFresh(spark, batch)
+    val havePrev = java.nio.file.Files.exists(sigDir)
+    val baseSigs =
+      if (havePrev) spark.read.parquet(sigDir.toString)
+      else Seq.empty[(Long, Array[Long], Array[Long])]
+        .toDF("doc_id", "hsh", "sig")
+    val baseLabels =
+      if (havePrev)
+        spark.read.parquet(latestLabels(store).get.toString)
+          .select(col("doc_id").as("node"), col("root").as("label"))
+      else Seq.empty[(Long, Long)].toDF("node", "label")
+    val allSigs = baseSigs.unionByName(deltaSigs)
+    val repaired = repairedLabels(allSigs.select(col("doc_id")),
+      baseLabels, collideVerify(deltaSigs, allSigs))
+    val next = (if (havePrev)
+      latestLabels(store).get.getFileName.toString
+        .stripPrefix("labels_v").toInt + 1
+    else 0)
+    repaired.write.mode("overwrite")
+      .parquet(store.resolve(s"labels_v$next").toString)
+    deltaSigs.write.mode("append").parquet(sigDir.toString)
+  }
+
+  /** Newest labels_v&lt;n&gt; snapshot under the q200 store, if any.
+    * Driver-side directory listing, bounded by the batch count. */
+  private[graft] def latestLabels(
+      store: java.nio.file.Path): Option[java.nio.file.Path] = {
+    if (!java.nio.file.Files.exists(store)) return None
+    val it = java.nio.file.Files.list(store)
+    try {
+      scala.jdk.CollectionConverters.IteratorHasAsScala(it.iterator())
+        .asScala
+        .filter(_.getFileName.toString.startsWith("labels_v"))
+        .toSeq
+        .sortBy(_.getFileName.toString.stripPrefix("labels_v").toInt)
+        .lastOption
+    } finally it.close()
   }
 
   // ---------------------------------------------------------------

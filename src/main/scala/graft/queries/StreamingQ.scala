@@ -295,6 +295,46 @@ object StreamingQ {
       .orderBy("cell")
   }
 
+  /** q200: the q191 incremental dedup pipeline under STREAMING
+    * arrival — the family's last composition gap: q191/q195–q197
+    * prove the daily-batch cadence, q103 streams EXACT dedup, but the
+    * NEAR-DUP label repair itself never ran from a stream. Each
+    * arriving file batch runs [[Curation.applyArrivalBatch]]: sign
+    * the batch, band-collide it against the persisted signature
+    * store, verify shingle Jaccard, repair the persisted labels
+    * (contracted CC — delta-pair-sized), publish the next versioned
+    * label snapshot, append the batch's signatures. Any near-dup
+    * pair is discovered at the arrival of its later endpoint, so by
+    * the chained-repair law the final snapshot equals the FULL
+    * rebuild for ANY batching of the arrivals (StreamsSpec pins the
+    * multi-file case; here the corpus arrives as one batch). Output
+    * is q88's cluster-size histogram read from the final snapshot;
+    * oracle = q88's full-rebuild SQL — stream == batch for the
+    * maintained artifact, the q103/q108 contract extended to the
+    * incremental family. */
+  def streamLabelRepair(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_label_repair")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = Streams.documentsStream(spark, dir).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Curation.applyArrivalBatch(spark, batch, store)
+        }
+        .option("checkpointLocation", store.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(Curation.latestLabels(store).get.toString)
+      .groupBy(col("root")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("root")).as("sum_roots"))
+      .orderBy("csize")
+  }
+
   /** q188: event-time-correct VERSIONED dimension enrichment — the
     * temporal upgrade of q71's stateless enrich: q71 joins every
     * event to the dimension's CURRENT row, which silently rewrites
@@ -770,6 +810,7 @@ object StreamingQ {
     "q91_stream_enrich" -> streamEnrich,
     "q96_stream_load" -> streamLoad,
     "q103_stream_dedup_corpus" -> streamDedupCorpus,
+    "q200_stream_label_repair" -> streamLabelRepair,
     "q108_stream_ivf_index" -> streamIvfIndex,
     "q147_stream_scd2" -> streamScd2,
     "q153_stream_late_data" -> streamLateData
@@ -788,6 +829,9 @@ object StreamingQ {
     "q91_stream_enrich" -> streamEnrichSql,
     "q96_stream_load" -> streamLoadSql,
     "q103_stream_dedup_corpus" -> streamDedupCorpusSql,
+    // q88's full-rebuild histogram IS the q200 oracle: hash match ==
+    // stream-maintained labels equal the batch rebuild
+    "q200_stream_label_repair" -> Curation.dedupClustersSql,
     "q108_stream_ivf_index" -> Similarity.ivfAssignDigestSql,
     "q147_stream_scd2" -> streamScd2Sql,
     "q153_stream_late_data" -> streamLateDataSql

@@ -317,4 +317,78 @@ class StreamsSpec extends SparkSpec {
     } finally spark.conf.unset(
       "spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("q200 streamed label repair: cross-batch near-dups merge and the " +
+      "final snapshot equals the single-batch build (any-batching law)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val scratch = java.nio.file.Files.createTempDirectory("q200_spec")
+    val arrivals = scratch.resolve("arrivals")
+    java.nio.file.Files.createDirectories(arrivals)
+    def docsDF(docs: Seq[(Long, String)]) =
+      docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def writeArrival(name: String, docs: Seq[(Long, String)]): Unit = {
+      val staging = scratch.resolve(s"staging_$name")
+      docsDF(docs).coalesce(1).write.mode("overwrite")
+        .parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging)
+      try {
+        val src = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(part.iterator()).asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        java.nio.file.Files.move(src, arrivals.resolve(s"$name.parquet"))
+      } finally part.close()
+    }
+    val store = scratch.resolve("store")
+    def runStream(): Unit = {
+      val q = spark.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(arrivals.toString)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.queries.Curation.applyArrivalBatch(spark, b, store)
+        }
+        .option("checkpointLocation", scratch.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def labelsOf(s: java.nio.file.Path): Map[Long, Long] =
+      spark.read.parquet(graft.queries.Curation.latestLabels(s).get.toString)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val tB = "uno dos tres cuatro cinco seis siete ocho nueve"
+    val tC = "red green blue yellow purple orange cyan magenta"
+    // arrival 1: docs 1/2 duplicate each other, doc 3 unique
+    writeArrival("a1", Seq((1L, tA), (2L, tA), (3L, tB)))
+    graft.queries.Tables.prep(spark)
+    runStream()
+    assert(labelsOf(store) === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    // arrival 2, same checkpoint (only the new file is processed):
+    // doc 4 near-dups doc 1 — a CROSS-batch pair, discoverable only
+    // because arrival 1's signatures persist in the store
+    writeArrival("a2", Seq((4L, tA + " extra"), (5L, tC)))
+    runStream()
+    // arrival 3: doc 6 near-dups doc 5 (cross-batch again)
+    writeArrival("a3", Seq((6L, tC + " more")))
+    runStream()
+    val streamed = labelsOf(store)
+    assert(streamed(4L) === 1L, "cross-batch near-dup must join cluster 1")
+    assert(streamed(6L) === 5L, "arrival-3 dup must join arrival-2's doc")
+    // any-batching law: the 3-arrival stream's final snapshot equals
+    // the same corpus applied as ONE batch to a fresh store
+    val fresh = scratch.resolve("fresh")
+    graft.queries.Curation.applyArrivalBatch(spark,
+      docsDF(Seq((1L, tA), (2L, tA), (3L, tB), (4L, tA + " extra"),
+        (5L, tC), (6L, tC + " more"))), fresh)
+    assert(streamed === labelsOf(fresh))
+    // one snapshot published per arrival
+    assert(graft.queries.Curation.latestLabels(store).get
+      .getFileName.toString === "labels_v2")
+  }
 }
