@@ -1316,6 +1316,90 @@ object TextAnalysis {
        |  CAST(sum(is_new) AS BIGINT) AS n_new_terms
        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q201 postings retraction (delete-side incremental maintenance)
+  // ---------------------------------------------------------------
+
+  /** The retraction itself, factored for the spec's list-level
+    * equality check: every posting list filtered to ids <= thr,
+    * emptied terms dropped, plus the pre-retraction list size. */
+  private[queries] def retractedPostings(
+      spark: SparkSession, dir: String, thr: Long): DataFrame =
+    postings(spark, dir)
+      .withColumn("dfull", size(col("docs")))
+      .withColumn("docs", expr(s"filter(docs, d -> d <= ${thr}L)"))
+      .filter(size(col("docs")) > 0)
+
+  /** q201: postings RETRACTION — the deletion half of the q194
+    * incremental index maintenance, the q196 symmetry for the
+    * retrieval artifact: the reference's S7 idempotent load
+    * re-delivers a date partition by delete-then-reload
+    * (main.py:1535), so before re-appending, the partition's prior
+    * contribution must leave the index. Retracting the delta id range
+    * is a per-list filter — ids are monotone, so `d <= thr` removes
+    * exactly the partition — applied index-side only: the base corpus
+    * is never touched, and terms whose lists empty (delta-only
+    * vocabulary) drop from the index entirely.
+    *
+    * Output: the q127 digest of the retracted index plus per bucket
+    * `n_shrunk`, the count of terms that survived but lost members
+    * (= terms spanning base AND delta — the re-delivery blast
+    * radius; q194's `n_new_terms` is the mirror stat on append). The
+    * oracle REBUILDS the base index independently from base docs
+    * alone — hash match proves retract(append(index, delta), delta)
+    * == index, which makes retract-then-reappend re-delivery
+    * idempotent by composition with q194's merged == rebuilt proof.
+    *
+    * Scale shape: one pass over the INDEX (index-sized, not
+    * corpus-sized), embarrassingly parallel per term; the filter is a
+    * codegen'd array op inside the scan stage. */
+  def postingsRetraction(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val thr = Curation.deltaThreshold(spark, dir)
+    retractedPostings(spark, dir, thr)
+      .withColumn("shrunk",
+        (size(col("docs")) < col("dfull")).cast("long"))
+      .withColumn("df", size(col("docs")))
+      .withColumn("bucket", floor(log2(col("df"))).cast("long"))
+      .withColumn("h", expr(Exprs.hash60(
+        "concat(w, ':', array_join(transform(docs, d -> cast(d as string)), ','))")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("df")).cast("long").as("sum_postings"),
+        expr("bit_xor(h)").as("content_digest"),
+        sum(col("shrunk")).as("n_shrunk"))
+      .orderBy("bucket")
+  }
+
+  /** Independent BASE-ONLY rebuild (not a filter of the full index):
+    * the oracle derives the lists from base documents alone, so the
+    * hash match is a cross-derivation proof. `n_shrunk` mirrors as
+    * "base term also seen in a delta doc". */
+  val postingsRetractionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, tok AS w
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |        FROM documents)
+      |  WHERE tok <> ''),
+      |mx AS (SELECT max(doc_id) * 7 // 8 AS thr FROM documents),
+      |base AS (
+      |  SELECT w, list_sort(list(DISTINCT doc_id)) AS docs
+      |  FROM toks, mx WHERE doc_id <= thr GROUP BY w),
+      |deltaw AS (SELECT DISTINCT w FROM toks, mx WHERE doc_id > thr),
+      |s AS (
+      |  SELECT base.w, len(docs) AS df,
+      |    CAST(floor(log2(len(docs))) AS BIGINT) AS bucket,
+      |    ('0x' || substr(md5(base.w || ':' || array_to_string(docs, ',')),
+      |     1, 15))::BIGINT AS h,
+      |    CASE WHEN deltaw.w IS NOT NULL THEN 1 ELSE 0 END AS shrunk
+      |  FROM base LEFT JOIN deltaw ON base.w = deltaw.w)
+      |SELECT bucket, count(*) AS n_terms,
+      |  CAST(sum(df) AS BIGINT) AS sum_postings,
+      |  bit_xor(h) AS content_digest,
+      |  CAST(sum(shrunk) AS BIGINT) AS n_shrunk
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Fixed conjunctive queries for q128 — head terms of the harness
     * corpus vocabulary, so every query has deep posting lists (and
     * deep intersections) at every SF. */
@@ -2496,6 +2580,7 @@ object TextAnalysis {
     "q171_ccnet_buckets" -> ccnetBuckets,
     "q127_inverted_index" -> invertedIndex,
     "q194_incremental_postings" -> incrementalPostings,
+    "q201_postings_retraction" -> postingsRetraction,
     "q128_postings_search" -> postingsSearch,
     "q129_bm25" -> bm25,
     "q199_incremental_bm25" -> incrementalBm25,
@@ -2532,6 +2617,7 @@ object TextAnalysis {
     "q171_ccnet_buckets" -> ccnetBucketsSql,
     "q127_inverted_index" -> invertedIndexSql,
     "q194_incremental_postings" -> incrementalPostingsSql,
+    "q201_postings_retraction" -> postingsRetractionSql,
     "q128_postings_search" -> postingsSearchSql,
     "q129_bm25" -> bm25Sql,
     // the full-rebuild SQL verbatim IS the q199 oracle: hash match ==
