@@ -382,8 +382,16 @@ object Curation {
     val sigDir = store.resolve("sigs")
     val deltaSigs = Dedup.signaturesFresh(spark, batch)
     val havePrev = java.nio.file.Files.exists(sigDir)
+    // dropDuplicates on read: a crash BETWEEN the signature append and
+    // the checkpoint commit replays the batch and appends its
+    // signatures twice — the at-least-once case. Deduping by doc_id
+    // makes the store read idempotent (signatures are deterministic,
+    // so the duplicates are identical rows), and the label repair is
+    // idempotent by the re-delivery law, so the whole batch replay is
+    // exactly-once-equivalent.
     val baseSigs =
-      if (havePrev) spark.read.parquet(sigDir.toString)
+      if (havePrev)
+        spark.read.parquet(sigDir.toString).dropDuplicates("doc_id")
       else Seq.empty[(Long, Array[Long], Array[Long])]
         .toDF("doc_id", "hsh", "sig")
     val baseLabels =
@@ -588,7 +596,7 @@ object Curation {
 
   /** q197: the incremental-maintenance family COMPOSED as one audited
     * daily run — the reference's `main()` orchestration shape (q162)
-    * applied to today's arrival. Five phases, each through
+    * applied to today's arrival. Seven phases, each through
     * [[graft.io.RunAudit]] (R2) so a production operator gets the
     * same structured trail the reference's loads get:
     *
@@ -601,7 +609,14 @@ object Curation {
     *   4. merge_postings    — q194's index append (rows_out =
     *      first-seen vocabulary);
     *   5. check_codebook    — q193's drift decision (rows_out = the
-    *      0/1 refresh flag).
+    *      0/1 refresh flag);
+    *   6. merge_bm25_stats  — q199's ranking-stat merge (rows_out =
+    *      delta docs that surfaced in a served top-5 — the
+    *      user-visible impact of today's arrival on rankings);
+    *   7. retraction_drill  — q201 exercised as the S7 re-delivery
+    *      drill: prove the delete path restores the base index
+    *      before any re-append would land (rows_out = terms whose
+    *      lists shrink, the re-delivery blast radius).
     *
     * The oracle re-derives every phase's number from the FAMILY'S OWN
     * oracle SQL embedded as derived subqueries (DuckDB scopes each
@@ -644,6 +659,14 @@ object Curation {
       ((), Similarity.codebookRefresh(spark, dir)
         .agg(max(col("refresh"))).head.getLong(0))
     }
+    audit.phase[Unit]("arrival", "merge_bm25_stats") {
+      ((), TextAnalysis.incrementalBm25(spark, dir)
+        .filter(col("doc_id") > thr).count())
+    }
+    audit.phase[Unit]("arrival", "retraction_drill") {
+      ((), TextAnalysis.postingsRetraction(spark, dir)
+        .agg(coalesce(sum(col("n_shrunk")), lit(0L))).head.getLong(0))
+    }
     audit.write(spark, auditTbl)
     spark.read.parquet(auditTbl)
       .select(col("seq"), col("dataset"), col("phase"), col("rows_out"),
@@ -681,7 +704,17 @@ object Curation {
        |UNION ALL
        |SELECT 5, 'arrival', 'check_codebook',
        |  (SELECT CAST(max(refresh) AS BIGINT)
-       |   FROM (${Similarity.codebookRefreshSql})), 'ok')
+       |   FROM (${Similarity.codebookRefreshSql})), 'ok'
+       |UNION ALL
+       |SELECT 6, 'arrival', 'merge_bm25_stats',
+       |  (SELECT CAST(count(*) AS BIGINT)
+       |   FROM (${TextAnalysis.bm25Sql}),
+       |     (SELECT max(doc_id) * 7 // 8 AS thr FROM documents)
+       |   WHERE doc_id > thr), 'ok'
+       |UNION ALL
+       |SELECT 7, 'arrival', 'retraction_drill',
+       |  (SELECT CAST(coalesce(sum(n_shrunk), 0) AS BIGINT)
+       |   FROM (${TextAnalysis.postingsRetractionSql})), 'ok')
        |ORDER BY seq""".stripMargin
 
   // ---------------------------------------------------------------

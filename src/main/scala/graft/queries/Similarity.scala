@@ -2659,6 +2659,171 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------
+  // q202 graph retraction (node deletion from the serving graph)
+  // ---------------------------------------------------------------
+
+  /** q202: node DELETION from the NN-Descent serving graph — the
+    * q196/q201 deletion symmetry for the last artifact with only an
+    * insert path (q198). Removing nodes (the q196 hash-slice
+    * convention, hash60(id) % 8 = 3 — a compliance deletion or a
+    * retracted partition) breaks the graph two ways: removed nodes'
+    * own adjacency lists vanish (a filter), and SURVIVORS whose
+    * out-edges pointed at removed nodes are left under-connected.
+    * The production repair (the HNSW delete) re-uses the INSERT
+    * machinery: each victim beam-walks the SURVIVING graph — the
+    * filtered artifact production actually has on disk, not a
+    * rebuild — and its repaired list is the top-3 of {surviving old
+    * edges} ∪ {walk visited}. Untouched survivors keep their lists
+    * verbatim (the filter is the whole cost: one index-sized pass).
+    *
+    * Like q198, the graph is an APPROXIMATE artifact, so the oracle
+    * computes BOTH sides exactly in both engines: the repaired
+    * victim edges next to a full REBUILD over the survivors
+    * restricted to the same victims — the mean-cosine gap is the
+    * measured quality cost of repairing in place instead of
+    * rebuilding. Per victim that is E + H·B·deg bounded graph reads,
+    * corpus-size-independent; the rebuild re-pays the banded
+    * self-join over every surviving vector. */
+  def graphRetraction(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    def rm(c: String) =
+      expr(s"${Exprs.hash60(s"cast($c as string)")} % 8 = 3")
+    val full = refinedEdges(spark, dir)
+    val surviving = full.filter(!rm("src") && !rm("dst"))
+    val victims = full.filter(!rm("src") && rm("dst"))
+      .select(col("src")).distinct()
+    val eSurv = vecs(spark, dir).filter(!rm("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val q = eSurv.join(victims, col("vec_id") === col("src"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val seeds = seedRowsOf(vecs(spark, dir).filter(!rm("vec_id")),
+      BeamSeeds).select(col("vec_id"))
+    val walked = beamWalkOver(spark, eSurv, q,
+      surviving.select(col("src"), col("dst")), seeds, BeamHops, 3)
+      .select(col("qid").as("src"), col("vec_id").as("dst"), col("cos"))
+    // repaired list: top-3 of surviving-old ∪ walked (distinct first —
+    // a surviving neighbor the walk also visited must count once)
+    val repaired = surviving.join(victims, "src")
+      .select(col("src"), col("dst"), col("cos"))
+      .unionByName(walked).distinct()
+      .groupBy(col("src"))
+      .agg(graft.functions.TopK.topK(3)(col("cos"), col("dst")).as("tk"))
+      .select(col("src"), explode(col("tk")).as("s"))
+      .select(col("src"), col("s.vec_id").as("dst"), col("s.cos").as("cos"))
+    // the comparison bar: a fresh banded build over survivors only
+    val rebuilt = memo(spark, dir, "nn_refined_surv") {
+      refineFrom(spark, dir,
+        knnEdgesFrom(sigTable(spark, dir).filter(!rm("vec_id"))))
+    }.join(victims, "src")
+      .select(col("src"), col("dst"), col("cos"))
+    def digest(df: DataFrame, side: String) = df
+      .withColumn("h", expr(Exprs.hash60(
+        "concat(cast(src as string), ':', cast(dst as string))")))
+      .agg(count(lit(1)).as("n_edges"),
+        countDistinct(col("src")).as("n_nodes"),
+        round(avg(col("cos")), 6).as("mean_cos"),
+        expr("bit_xor(h)").as("edge_digest"))
+      .select(lit(side).as("side"), col("n_edges"), col("n_nodes"),
+        col("mean_cos"), col("edge_digest"))
+    digest(repaired, "repaired").unionByName(digest(rebuilt, "rebuild"))
+      .orderBy("side")
+  }
+
+  /** DuckDB md5-60-bit hash of a SQL expression (the [[Exprs.hash60]]
+    * mirror), for the q202 removal predicate. */
+  private def duckHash60(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  lazy val graphRetractionSql: String = {
+    def rmSql(c: String) = s"${duckHash60(s"CAST($c AS VARCHAR)")} % 8 = 3"
+    val hops = (1 to BeamHops).map { h =>
+      s"""g$h AS (
+         |  SELECT DISTINCT f.qid, sv.dst AS vec_id
+         |  FROM f${h - 1} f JOIN sv ON f.vec_id = sv.src
+         |  WHERE sv.dst != f.qid),
+         |sc$h AS (
+         |  SELECT g.qid, g.vec_id,
+         |    round(list_dot_product(q.qv, nb.v) / (q.qn * nb.nrm), 4) AS cos
+         |  FROM g$h g JOIN nb ON g.vec_id = nb.vec_id
+         |            JOIN q ON g.qid = q.qid),
+         |f$h AS (
+         |  SELECT qid, vec_id, cos FROM (
+         |    SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id ASC) AS rn
+         |    FROM (SELECT * FROM f${h - 1} UNION SELECT * FROM sc$h))
+         |  WHERE rn <= $BeamWidth)""".stripMargin
+    }.mkString(",\n")
+    val visited = (1 to BeamHops).map(h => s"SELECT * FROM sc$h")
+      .mkString(" UNION ")
+    s"""WITH $duckRefinedEdgeCtes,
+       |nb AS (SELECT * FROM n WHERE NOT (${rmSql("vec_id")})),
+       |$duckBaseChain,
+       |sv AS (SELECT src, dst, cos FROM rf
+       |       WHERE NOT (${rmSql("src")}) AND NOT (${rmSql("dst")})),
+       |vm AS (SELECT DISTINCT src FROM rf
+       |       WHERE NOT (${rmSql("src")}) AND (${rmSql("dst")})),
+       |q AS (SELECT nb.vec_id AS qid, nb.v AS qv, nb.nrm AS qn
+       |      FROM nb JOIN vm ON nb.vec_id = vm.src),
+       |sd AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, ${duckHash60("CAST(vec_id AS VARCHAR)")} AS hk
+       |    FROM nb)
+       |  QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= $BeamSeeds),
+       |s0 AS (
+       |  SELECT q.qid, sd.vec_id,
+       |    round(list_dot_product(q.qv, nb.v) / (q.qn * nb.nrm), 4) AS cos
+       |  FROM sd JOIN nb ON sd.vec_id = nb.vec_id JOIN q
+       |    ON sd.vec_id != q.qid),
+       |f0 AS (
+       |  SELECT qid, vec_id, cos FROM (
+       |    SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, vec_id ASC) AS rn
+       |    FROM s0)
+       |  WHERE rn <= $BeamEntry),
+       |$hops,
+       |vis AS (SELECT * FROM f0 UNION $visited),
+       |wk AS (
+       |  SELECT qid AS src, vec_id AS dst, cos FROM (
+       |    SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, vec_id ASC) AS rnk
+       |    FROM vis)
+       |  WHERE rnk <= 3),
+       |repu AS (
+       |  SELECT sv.src, sv.dst, sv.cos FROM sv JOIN vm ON sv.src = vm.src
+       |  UNION
+       |  SELECT src, dst, cos FROM wk),
+       |rep AS (
+       |  SELECT src, dst, cos FROM (
+       |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst ASC) AS rn
+       |    FROM repu)
+       |  WHERE rn <= 3),
+       |rbs AS (
+       |  SELECT reB.src, reB.dst,
+       |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+       |  FROM reB JOIN vm ON reB.src = vm.src
+       |           JOIN nb a ON reB.src = a.vec_id
+       |           JOIN nb b ON reB.dst = b.vec_id),
+       |dig AS (
+       |  SELECT 'rebuild' AS side, count(*) AS n_edges,
+       |    count(DISTINCT src) AS n_nodes,
+       |    round(avg(cos), 6) AS mean_cos,
+       |    bit_xor(${duckHash60(
+            "CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")})
+       |      AS edge_digest
+       |  FROM rbs
+       |  UNION ALL
+       |  SELECT 'repaired', count(*), count(DISTINCT src),
+       |    round(avg(cos), 6),
+       |    bit_xor(${duckHash60(
+            "CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")})
+       |  FROM rep)
+       |SELECT side, n_edges, n_nodes, mean_cos, edge_digest
+       |FROM dig ORDER BY side""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q193 codebook refresh-or-keep (incremental index maintenance)
   // ---------------------------------------------------------------
 
@@ -2793,6 +2958,7 @@ object Similarity {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q193_codebook_refresh" -> codebookRefresh,
     "q198_incremental_graph_insert" -> incrementalGraphInsert,
+    "q202_graph_retraction" -> graphRetraction,
     "q60_cosine_topk" -> cosineTopK,
     "q61_ann_lsh" -> annLsh,
     "q62_label_centroids" -> labelCentroids,
@@ -2822,6 +2988,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "q193_codebook_refresh" -> codebookRefreshSql,
     "q198_incremental_graph_insert" -> incrementalGraphInsertSql,
+    "q202_graph_retraction" -> graphRetractionSql,
     "q60_cosine_topk" -> cosineTopKSql,
     "q61_ann_lsh" -> annLshSql,
     "q62_label_centroids" -> labelCentroidsSql,

@@ -372,6 +372,48 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q202 graph retraction: every victim gets a repaired list; the " +
+      "banded rebuild covers no more victims than the walk repair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, not}
+    // the navigable clustered fixture from the beam-ANN spec
+    val dir = java.nio.file.Files.createTempDirectory("q202_spec").toString
+    val rows = (0 until 120).map { i =>
+      val v = Array.fill(64)(0.0f)
+      v(i % 8) = 1.0f
+      v(63) = 0.3f + (i % 13) * 0.005f
+      (i.toLong, v.toSeq, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Tables.prep(spark)
+    val full = Similarity.refinedEdges(spark, dir)
+    full.count() // materialize the served artifact first
+    def rm(c: String) =
+      expr(s"${Exprs.hash60(s"cast($c as string)")} % 8 = 3")
+    val nVictims = full.filter(not(rm("src")) && rm("dst"))
+      .select(col("src")).distinct().count()
+    assert(nVictims > 0, "fixture produced no victims — removal slice empty")
+    val out = Similarity.graphRetraction(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set("repaired", "rebuild"))
+    // the walk always yields edges (seeds are scored even for a victim
+    // that lost every surviving neighbor) -> every victim is covered
+    assert(out("repaired")._2 === nVictims)
+    assert(out("repaired")._1 <= 3 * nVictims)
+    // the banded rebuild links only collision-drawing victims — it can
+    // never cover more of them than the walk (the q198 finding,
+    // delete-side): on this collision-dense fixture both should cover
+    // all victims, so assert <= (the law) and > 0 (non-degenerate)
+    assert(out("rebuild")._2 <= nVictims && out("rebuild")._2 > 0)
+    // repaired lists rank by true cosine on a navigable graph — the
+    // mean must sit in the cluster-mate band, not at jitter level
+    assert(out("repaired")._3 > 0.9,
+      s"repaired mean_cos ${out("repaired")._3} — walk failed to " +
+        "reach cluster mates")
+  }
+
   test("label centroids: 3 nearest members per label, cos in [-1, 1]") {
     val dir = corpus(120)
     val out = Similarity.labelCentroids(spark, dir).collect()

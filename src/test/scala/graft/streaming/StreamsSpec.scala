@@ -390,5 +390,12 @@ class StreamsSpec extends SparkSpec {
     // one snapshot published per arrival
     assert(graft.queries.Curation.latestLabels(store).get
       .getFileName.toString === "labels_v2")
+    // crash-replay: the checkpoint commit can die AFTER the signature
+    // append, re-running the batch against a store that already holds
+    // its signatures — the dedup-on-read + repair idempotence must
+    // make the replay a label no-op
+    graft.queries.Curation.applyArrivalBatch(spark,
+      docsDF(Seq((6L, tC + " more"))), store)
+    assert(labelsOf(store) === streamed, "batch replay must be a no-op")
   }
 }
