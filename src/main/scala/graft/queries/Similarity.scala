@@ -2700,7 +2700,7 @@ object Similarity {
     val seeds = seedRowsOf(vecs(spark, dir).filter(!rm("vec_id")),
       BeamSeeds).select(col("vec_id"))
     val walked = beamWalkOver(spark, eSurv, q,
-      surviving.select(col("src"), col("dst")), seeds, BeamHops, 3)
+      surviving.select(col("src"), col("dst")), seeds, RepairHops, 3)
       .select(col("qid").as("src"), col("vec_id").as("dst"), col("cos"))
     // repaired list: top-3 of surviving-old ∪ walked (distinct first —
     // a surviving neighbor the walk also visited must count once)
@@ -2730,6 +2730,15 @@ object Similarity {
       .orderBy("side")
   }
 
+  /** Repair walks HALF the serving hop budget: a victim's lost
+    * neighbor sat at graph distance 1, so its replacement lives in
+    * the surviving structure's immediate neighborhood — unlike a
+    * brand-new q198 vector, which must navigate from global seeds to
+    * an unknown region. Measured: H=2 repairs at the same mean
+    * cosine as H=4 (sf0.01: 0.2699 vs 0.2703, identical 71-victim
+    * coverage) for ~25% less walk cost (sf0.1 warm 8.7 -> 6.8 s). */
+  private val RepairHops = 2
+
   /** DuckDB md5-60-bit hash of a SQL expression (the [[Exprs.hash60]]
     * mirror), for the q202 removal predicate. */
   private def duckHash60(e: String): String =
@@ -2737,7 +2746,7 @@ object Similarity {
 
   lazy val graphRetractionSql: String = {
     def rmSql(c: String) = s"${duckHash60(s"CAST($c AS VARCHAR)")} % 8 = 3"
-    val hops = (1 to BeamHops).map { h =>
+    val hops = (1 to RepairHops).map { h =>
       s"""g$h AS (
          |  SELECT DISTINCT f.qid, sv.dst AS vec_id
          |  FROM f${h - 1} f JOIN sv ON f.vec_id = sv.src
@@ -2754,7 +2763,7 @@ object Similarity {
          |    FROM (SELECT * FROM f${h - 1} UNION SELECT * FROM sc$h))
          |  WHERE rn <= $BeamWidth)""".stripMargin
     }.mkString(",\n")
-    val visited = (1 to BeamHops).map(h => s"SELECT * FROM sc$h")
+    val visited = (1 to RepairHops).map(h => s"SELECT * FROM sc$h")
       .mkString(" UNION ")
     s"""WITH $duckRefinedEdgeCtes,
        |nb AS (SELECT * FROM n WHERE NOT (${rmSql("vec_id")})),
