@@ -381,17 +381,16 @@ object Curation {
     import spark.implicits._
     val sigDir = store.resolve("sigs")
     val deltaSigs = Dedup.signaturesFresh(spark, batch)
-    val havePrev = java.nio.file.Files.exists(sigDir)
-    // dropDuplicates on read: a crash BETWEEN the signature append and
-    // the checkpoint commit replays the batch and appends its
-    // signatures twice — the at-least-once case. Deduping by doc_id
-    // makes the store read idempotent (signatures are deterministic,
-    // so the duplicates are identical rows), and the label repair is
-    // idempotent by the re-delivery law, so the whole batch replay is
-    // exactly-once-equivalent.
+    // _SUCCESS is the commit marker, not bare directory existence: a
+    // crash during the FIRST append can leave sigs/ holding only
+    // _temporary (unreadable as parquet); a crash during a LATER
+    // append leaves the previous commit's files readable — which is
+    // exactly the replay semantics we want (the append never
+    // happened).
+    val havePrev =
+      java.nio.file.Files.exists(sigDir.resolve("_SUCCESS"))
     val baseSigs =
-      if (havePrev)
-        spark.read.parquet(sigDir.toString).dropDuplicates("doc_id")
+      if (havePrev) spark.read.parquet(sigDir.toString)
       else Seq.empty[(Long, Array[Long], Array[Long])]
         .toDF("doc_id", "hsh", "sig")
     val baseLabels =
@@ -399,7 +398,16 @@ object Curation {
         spark.read.parquet(latestLabels(store).get.toString)
           .select(col("doc_id").as("node"), col("root").as("label"))
       else Seq.empty[(Long, Long)].toDF("node", "label")
+    // dropDuplicates AFTER the union: a crash between the signature
+    // append and the checkpoint commit replays the batch, putting the
+    // re-delivered doc in BOTH the store and the delta (and, if the
+    // append itself committed, twice in the store) — at-least-once
+    // arrival. Signatures are deterministic, so every duplicate is an
+    // identical row and one dedup here makes the whole read side
+    // exactly-once-equivalent; the label repair is then a no-op by
+    // the re-delivery law.
     val allSigs = baseSigs.unionByName(deltaSigs)
+      .dropDuplicates("doc_id")
     val repaired = repairedLabels(allSigs.select(col("doc_id")),
       baseLabels, collideVerify(deltaSigs, allSigs))
     val next = (if (havePrev)
@@ -411,7 +419,12 @@ object Curation {
     deltaSigs.write.mode("append").parquet(sigDir.toString)
   }
 
-  /** Newest labels_v&lt;n&gt; snapshot under the q200 store, if any.
+  /** Newest COMMITTED labels_v&lt;n&gt; snapshot under the q200 store, if
+    * any: only snapshots carrying the parquet _SUCCESS marker count —
+    * a crash mid-write leaves a directory without one, and serving a
+    * partial snapshot as the next repair's base would silently
+    * corrupt every later label set (the version counter then reuses
+    * the dead number and mode("overwrite") clears the debris).
     * Driver-side directory listing, bounded by the batch count. */
   private[graft] def latestLabels(
       store: java.nio.file.Path): Option[java.nio.file.Path] = {
@@ -421,6 +434,7 @@ object Curation {
       scala.jdk.CollectionConverters.IteratorHasAsScala(it.iterator())
         .asScala
         .filter(_.getFileName.toString.startsWith("labels_v"))
+        .filter(p => java.nio.file.Files.exists(p.resolve("_SUCCESS")))
         .toSeq
         .sortBy(_.getFileName.toString.stripPrefix("labels_v").toInt)
         .lastOption

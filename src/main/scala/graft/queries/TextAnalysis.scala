@@ -1556,7 +1556,8 @@ object TextAnalysis {
     * incremental == rebuild proof at the level a user sees, the ranks
     * ([[bm25Rank]] is the single scoring tail both paths share).
     *
-    * `deltaHits`' delta-sized lineage executes twice (df leg + union
+    * The delta tokenization runs in THREE delta-sized lineage legs
+    * (the scalars aggregate, `deltaHits`' df leg, `deltaHits`' union
     * leg); a production daily run materializes today's tokenization
     * once, but at harness scale a scratch write costs more than the
     * recompute (the measured q191 negative result, BENCH_NOTES). */
@@ -1572,7 +1573,8 @@ object TextAnalysis {
     def scalarsOf(d: DataFrame) = d.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(size(col("toks"))), lit(0L)).cast("long").as("sum_dl"),
-      sum(when(size(col("toks")) > 0, 1L).otherwise(0L)).as("n_ne"))
+      coalesce(sum(when(size(col("toks")) > 0, 1L).otherwise(0L)),
+        lit(0L)).as("n_ne"))
     def hitsOf(d: DataFrame) = d
       .select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("w"))

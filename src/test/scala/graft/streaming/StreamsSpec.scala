@@ -397,5 +397,12 @@ class StreamsSpec extends SparkSpec {
     graft.queries.Curation.applyArrivalBatch(spark,
       docsDF(Seq((6L, tC + " more"))), store)
     assert(labelsOf(store) === streamed, "batch replay must be a no-op")
+    // row-level check the map comparison above would mask: the
+    // replayed doc must not appear TWICE in the published snapshot
+    // (it sits in both the store and the delta during the replay)
+    val rows = spark.read.parquet(
+      graft.queries.Curation.latestLabels(store).get.toString).collect()
+    assert(rows.length === rows.map(_.getLong(0)).distinct.length,
+      s"duplicate doc rows in the replayed snapshot: ${rows.length}")
   }
 }
