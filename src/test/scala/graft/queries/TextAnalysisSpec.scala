@@ -590,6 +590,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(shrunk === 1L, s"only 'alpha' spans base+delta, got $shrunk")
   }
 
+  test("randomized law: q201 retraction == base build for any corpus " +
+      "and any threshold") {
+    val rnd = new scala.util.Random(20260814)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "zeta", "eta",
+      "theta", "iota")
+    for (trial <- 1 to 3) {
+      val n = 8 + rnd.nextInt(8)
+      val texts = (0 until n).map(_ =>
+        Seq.fill(2 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      val thr = rnd.nextInt(n - 1).toLong // at least one delta doc
+      val dir = corpus(texts)
+      val baseDir = corpus(texts.take(thr.toInt + 1))
+      Tables.prep(spark)
+      val retracted = TextAnalysis.retractedPostings(spark, dir, thr)
+        .select("w", "docs").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+      val baseBuilt = TextAnalysis
+        .retractedPostings(spark, baseDir, Long.MaxValue)
+        .select("w", "docs").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(retracted === baseBuilt,
+        s"retraction law broke on trial $trial: thr=$thr texts=$texts")
+    }
+  }
+
   test("q199: incrementally merged BM25 stats serve the exact ranking " +
       "of the full recompute, delta docs included") {
     // 16 docs -> thr = 15*7/8 = 13: base = 0..13, delta = 14..15.
