@@ -532,10 +532,26 @@ object Reference {
     * registers a hook for that exact dir (reviewer find, r10), so
     * the first registration also sweeps STALE graft scratch from
     * prior sessions: any `graft_*` tmpdir entry untouched for 6+
-    * hours is a dead session's orphan (live sessions touch their
-    * scratch constantly), deleted here. */
+    * hours is a dead session's orphan, deleted here. "Untouched" is
+    * made TRUE for live sessions by [[touchOwnScratch]]: write-once
+    * artifacts (the fecha warehouse, z-order layouts, a Derby db)
+    * never update their mtime on READ, so without an explicit
+    * refresh a 6-hour-lived session's live warehouse would look like
+    * an orphan to a newly started sweep (reviewer find, r10
+    * continuation). */
   private val scratchCleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Refresh the mtime of every scratch dir THIS session registered —
+    * called from [[Tables.prep]], i.e. on every query invocation, so
+    * a live session's scratch is never older than its last query and
+    * the sweep's 6-hour staleness test is sound. Bounded: at most a
+    * handful of registered paths per session. */
+  private[queries] def touchOwnScratch(): Unit = {
+    val now = System.currentTimeMillis()
+    scratchCleanupRegistered.forEach(d => new java.io.File(d)
+      .setLastModified(now))
+  }
 
   private lazy val staleScratchSwept: Unit = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
@@ -547,7 +563,7 @@ object Reference {
     }
   }
 
-  private def registerScratchCleanup(dir: String): Unit = {
+  private[queries] def registerScratchCleanup(dir: String): Unit = {
     staleScratchSwept
     if (scratchCleanupRegistered.add(dir))
       Runtime.getRuntime.addShutdownHook(new Thread(() =>

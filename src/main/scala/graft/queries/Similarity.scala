@@ -2702,11 +2702,16 @@ object Similarity {
     val walked = beamWalkOver(spark, eSurv, q,
       surviving.select(col("src"), col("dst")), seeds, RepairHops, 3)
       .select(col("qid").as("src"), col("vec_id").as("dst"), col("cos"))
-    // repaired list: top-3 of surviving-old ∪ walked (distinct first —
-    // a surviving neighbor the walk also visited must count once)
+    // repaired list: top-3 of surviving-old ∪ walked. No .distinct()
+    // pass: a surviving neighbor the walk also visited appears twice
+    // with a bit-identical (cos, dst) entry, which [[TopKAgg]]
+    // collapses in-buffer by design (the knnEdges contract) — a
+    // distinct here would be one whole extra shuffle for nothing
+    // (reviewer find, r10 continuation; the oracle's UNION dedups,
+    // and identical entries make the two forms agree).
     val repaired = surviving.join(victims, "src")
       .select(col("src"), col("dst"), col("cos"))
-      .unionByName(walked).distinct()
+      .unionByName(walked)
       .groupBy(col("src"))
       .agg(graft.functions.TopK.topK(3)(col("cos"), col("dst")).as("tk"))
       .select(col("src"), explode(col("tk")).as("s"))
@@ -2906,8 +2911,15 @@ object Similarity {
     val top = assigned.groupBy(col("scope"), col("cell"))
       .agg(count(lit(1)).as("celln"))
       .groupBy(col("scope")).agg(max(col("celln")).as("top_cn"))
+    // lazy-checkpoint the 3-row decision frame: THREE branches read it
+    // (the output projection, baseMean, deltaMean), and without the
+    // cut each would re-run the corpus-wide broadcast-argmax
+    // `assigned` lineage — the q184/q185 unmaterialized-multi-branch
+    // class, ~6 embeddings scans per call (reviewer find, r10
+    // continuation). With it, the assignment pass executes once.
     val stats = per.join(top, "scope")
       .withColumn("top_cell_ppm", expr("top_cn * 1000000 div n_vecs"))
+      .localCheckpoint(false)
     val baseMean = stats.filter(col("scope") === "base_holdout")
       .select(col("mean_qsim").as("base_mean"))
     val deltaMean = stats.filter(col("scope") === "delta")

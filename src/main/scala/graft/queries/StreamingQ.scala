@@ -193,6 +193,7 @@ object StreamingQ {
     prep(spark)
     val scratch = java.nio.file.Files
       .createTempDirectory("graft_stream_load")
+    Reference.registerScratchCleanup(scratch.toString)
     val out = scratch.resolve("fact").toString
     def runOnce(tag: String): Unit = Streams.incrementalLoad(
       Streams.eventsStream(spark, dir)
@@ -235,6 +236,7 @@ object StreamingQ {
     prep(spark)
     val scratch = java.nio.file.Files
       .createTempDirectory("graft_stream_dedup")
+    Reference.registerScratchCleanup(scratch.toString)
     val out = scratch.resolve("corpus").toString
     def runOnce(tag: String): Unit = Streams.dedupCorpusLoad(
       Streams.documentsStream(spark, dir), docFingerprint,
@@ -275,6 +277,7 @@ object StreamingQ {
     prep(spark)
     val scratch = java.nio.file.Files
       .createTempDirectory("graft_ivf_index")
+    Reference.registerScratchCleanup(scratch.toString)
     val out = scratch.resolve("index").toString
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -316,6 +319,7 @@ object StreamingQ {
     prep(spark)
     val store = java.nio.file.Files
       .createTempDirectory("graft_label_repair")
+    Reference.registerScratchCleanup(store.toString)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
@@ -622,6 +626,7 @@ object StreamingQ {
     prep(spark)
     val scratch = java.nio.file.Files
       .createTempDirectory("graft_stream_scd2")
+    Reference.registerScratchCleanup(scratch.toString)
     val dim = scratch.resolve("dim").toString
     // seed: the current snapshot, every member one open version
     Tables.customer(spark, dir)
@@ -712,6 +717,7 @@ object StreamingQ {
     import org.apache.spark.sql.streaming.Trigger
     val scratch = java.nio.file.Files
       .createTempDirectory("graft_stream_late")
+    Reference.registerScratchCleanup(scratch.toString)
     val arrivals = java.nio.file.Files
       .createDirectory(scratch.resolve("arrivals"))
     val sinkDir = scratch.resolve("win").toString

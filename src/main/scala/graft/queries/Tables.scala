@@ -87,6 +87,10 @@ object Tables {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     graft.functions.GraftFunctions.register(spark)
+    // keep this session's scratch visibly ALIVE to other sessions'
+    // 6-hour orphan sweeps (write-once artifacts never refresh their
+    // mtime on read — see Reference.touchOwnScratch)
+    Reference.touchOwnScratch()
   }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =

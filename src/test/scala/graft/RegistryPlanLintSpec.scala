@@ -56,9 +56,15 @@ class RegistryPlanLintSpec extends SparkSpec {
         case p => p
       }
       val plan = physical.toString
+      // Attribute each scan by its file LOCATION, never by toString:
+      // the node's string leads with output columns, so a scan
+      // projecting l_partkey would match 'part' before the path's
+      // real table — merging counts across tables and splitting them
+      // within one (reviewer find, r10 continuation)
       val scanCounts = physical.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-      }.flatMap(f => TableName.findFirstIn(f.toString))
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString(",")
+      }.flatMap(loc => TableName.findFirstIn(loc))
         .groupBy(identity).view.mapValues(_.length)
       val worst = scanCounts.maxByOption(_._2)
       val bad = Seq(
