@@ -2410,6 +2410,154 @@ object Relational {
       |FROM m CROSS JOIN (VALUES ('linear'), ('zorder')) l(layout)
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q203 z-order maintenance (layout append + recluster decision)
+  // ---------------------------------------------------------------
+
+  /** Appended files for one daily delta: 1/8 of the corpus at the
+    * same rows-per-file as the [[ZFiles]] base layout. */
+  private val ZDeltaFiles = ZFiles / 8
+
+  /** q203: the LAYOUT artifact's append arm — the incremental-matrix
+    * row q192 left open. A daily arrival does NOT rewrite the
+    * z-ordered table: delta rows land as NEW files in arrival (ok)
+    * order, so each appended file spans nearly the FULL pk range and
+    * the 2-D clustering the base paid for degrades file by file —
+    * the exact reason lakehouses schedule OPTIMIZE/re-cluster as a
+    * maintenance cadence rather than per write. This operator is
+    * that cadence's decision: per scope (base z-ordered files vs
+    * delta appended files) it measures the standard pk-range probe's
+    * file/row touch counts and the wasted-row share in integer ppm,
+    * and fires `recluster` when the delta's waste exceeds the base's
+    * by more than 30 points — the q193 refresh-or-keep pattern
+    * applied to layout. The z-normalization uses BASE maxes only
+    * (yesterday's write never saw the delta), the q193/q198
+    * base-honesty convention.
+    *
+    * File grain is simulated at DATA level exactly like q184 (q192
+    * proved the simulation corresponds to real parquet footer
+    * pruning); the oracle recomputes every number from the same
+    * integer arithmetic, so the DECISION — the thing a scheduler
+    * consumes — is cross-engine pinned. Scale shape: two corpus
+    * scans into a checkpointed (scope, pk, f) frame, then file-grain
+    * (≤ [[ZFiles]]+[[ZDeltaFiles]] rows) aggregates. */
+  def zorderMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey").cast("long").as("ok"),
+        col("l_partkey").cast("long").as("pk"))
+    val mxAll = li.agg(max(col("ok")).as("okm"), max(col("pk")).as("pkm"))
+    val w = li.crossJoin(broadcast(mxAll))
+      .withColumn("thr", expr("okm * 7 div 8"))
+    val base = w.filter(col("ok") <= col("thr"))
+    // yesterday's layout: z-order normalized on the BASE alone
+    val mxB = base.agg(max(col("ok")).as("okbm"), max(col("pk")).as("pkbm"))
+    val bz = base.crossJoin(broadcast(mxB))
+      .select(col("ok"), col("pk"), col("pkm"),
+        expr(s"(ok * ${1 << ZBits}) div (okbm + 1)").as("okn"),
+        expr(s"(pk * ${1 << ZBits}) div (pkbm + 1)").as("pkn"))
+      .withColumn("z", expr(zSpark("okn", "pkn")))
+    val mxZ = bz.agg(max(col("z")).as("zm"))
+    val baseF = bz.crossJoin(broadcast(mxZ))
+      .select(lit("base_zorder").as("scope"), col("pk"), col("pkm"),
+        expr(s"(z * $ZFiles) div (zm + 1)").as("f"))
+    // today's append: delta rows land in arrival (ok) order
+    val deltaF = w.filter(col("ok") > col("thr"))
+      .select(lit("delta_append").as("scope"), col("pk"), col("pkm"),
+        expr(s"((ok - thr - 1) * $ZDeltaFiles) div (okm - thr)").as("f"))
+    // checkpoint the per-row frame (the q184 lesson): both the file
+    // stats and nothing else re-derive the two-scan build
+    val rowsAll = baseF.unionByName(deltaF)
+      .withColumn("lo", expr("pkm div 4"))
+      .withColumn("hi", expr("pkm div 4 + pkm div 10"))
+      .localCheckpoint(false)
+    val fileStats = rowsAll.groupBy(col("scope"), col("f"))
+      .agg(count(lit(1)).as("rows"),
+        min(col("pk")).as("pk_min"), max(col("pk")).as("pk_max"),
+        sum(when(col("pk").between(col("lo"), col("hi")), 1L)
+          .otherwise(0L)).as("needed"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+    // checkpoint the 2-row decision frame (the q193 lesson): three
+    // branches read it for the flag join
+    val per = fileStats
+      .withColumn("touched",
+        (col("pk_min") <= col("hi") && col("pk_max") >= col("lo"))
+          .cast("long"))
+      .groupBy(col("scope"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("touched")).as("files_touched"),
+        sum(col("touched") * col("rows")).as("rows_touched"),
+        sum(col("needed")).as("rows_needed"))
+      .withColumn("waste_ppm", expr(
+        "(rows_touched - rows_needed) * 1000000 div greatest(rows_touched, 1)"))
+      .localCheckpoint(false)
+    val bw = per.filter(col("scope") === "base_zorder")
+      .select(col("waste_ppm").as("base_waste"))
+    val dw = per.filter(col("scope") === "delta_append")
+      .select(col("waste_ppm").as("delta_waste"))
+    per.crossJoin(broadcast(bw)).crossJoin(broadcast(dw))
+      .withColumn("recluster",
+        (col("delta_waste") - col("base_waste") > 300000L).cast("long"))
+      .select(col("scope"), col("n_files"), col("files_touched"),
+        col("rows_touched"), col("rows_needed"), col("waste_ppm"),
+        col("recluster"))
+      .orderBy("scope")
+  }
+
+  val zorderMaintenanceSql: String =
+    s"""WITH li AS (
+       |  SELECT CAST(l_orderkey AS BIGINT) AS ok,
+       |         CAST(l_partkey AS BIGINT) AS pk
+       |  FROM lineitem),
+       |mxa AS (SELECT max(ok) AS okm, max(pk) AS pkm FROM li),
+       |w AS (SELECT ok, pk, okm, pkm, okm * 7 // 8 AS thr FROM li, mxa),
+       |base AS (SELECT * FROM w WHERE ok <= thr),
+       |mxb AS (SELECT max(ok) AS okbm, max(pk) AS pkbm FROM base),
+       |bz AS (
+       |  SELECT ok, pk, pkm,
+       |    (ok * ${1 << ZBits}) // (okbm + 1) AS okn,
+       |    (pk * ${1 << ZBits}) // (pkbm + 1) AS pkn
+       |  FROM base, mxb),
+       |bz2 AS (SELECT ok, pk, pkm, ${zDuck("okn", "pkn")} AS z FROM bz),
+       |mxz AS (SELECT max(z) AS zm FROM bz2),
+       |rowsall AS (
+       |  SELECT 'base_zorder' AS scope, pk, pkm,
+       |    (z * $ZFiles) // (zm + 1) AS f
+       |  FROM bz2, mxz
+       |  UNION ALL
+       |  SELECT 'delta_append', pk, pkm,
+       |    ((ok - thr - 1) * $ZDeltaFiles) // (okm - thr)
+       |  FROM w WHERE ok > thr),
+       |r2 AS (SELECT scope, pk, f, pkm // 4 AS lo,
+       |         pkm // 4 + pkm // 10 AS hi FROM rowsall),
+       |fs AS (
+       |  SELECT scope, f, count(*) AS rows,
+       |    min(pk) AS pk_min, max(pk) AS pk_max,
+       |    sum(CASE WHEN pk BETWEEN lo AND hi THEN 1 ELSE 0 END) AS needed,
+       |    max(lo) AS lo, max(hi) AS hi
+       |  FROM r2 GROUP BY 1, 2),
+       |per AS (
+       |  SELECT scope, count(*) AS n_files,
+       |    CAST(sum(CASE WHEN pk_min <= hi AND pk_max >= lo
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+       |    CAST(sum(CASE WHEN pk_min <= hi AND pk_max >= lo
+       |      THEN rows ELSE 0 END) AS BIGINT) AS rows_touched,
+       |    CAST(sum(needed) AS BIGINT) AS rows_needed
+       |  FROM fs GROUP BY 1),
+       |p2 AS (
+       |  SELECT *, (rows_touched - rows_needed) * 1000000
+       |    // greatest(rows_touched, 1) AS waste_ppm
+       |  FROM per),
+       |bwv AS (SELECT waste_ppm AS base_waste FROM p2
+       |        WHERE scope = 'base_zorder'),
+       |dwv AS (SELECT waste_ppm AS delta_waste FROM p2
+       |        WHERE scope = 'delta_append')
+       |SELECT scope, n_files, files_touched, rows_touched, rows_needed,
+       |  waste_ppm,
+       |  CAST(CASE WHEN delta_waste - base_waste > 300000
+       |    THEN 1 ELSE 0 END AS BIGINT) AS recluster
+       |FROM p2, bwv, dwv ORDER BY scope""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_events_daily" -> eventsDaily,
@@ -2436,6 +2584,7 @@ object Relational {
     "q184_zorder_layout" -> zorderLayout,
     "q190_decimal_pricing" -> decimalPricing,
     "q192_zorder_write_read" -> zorderWriteRead,
+    "q203_zorder_maintenance" -> zorderMaintenance,
     "q23_bucketed_join" -> bucketedJoin,
     "q24_salted_join" -> saltedJoin,
     "q163_auto_skew_join" -> autoSkewJoin,
@@ -2490,6 +2639,7 @@ object Relational {
     "q184_zorder_layout" -> zorderLayoutSql,
     "q190_decimal_pricing" -> decimalPricingSql,
     "q192_zorder_write_read" -> zorderWriteReadSql,
+    "q203_zorder_maintenance" -> zorderMaintenanceSql,
     "q23_bucketed_join" -> joinFactsSql, // same answer via bucketed layout
     "q24_salted_join" -> saltedJoinSql,
     "q163_auto_skew_join" -> autoSkewJoinSql,

@@ -37,4 +37,33 @@ class ZorderWriteSpec extends SparkSpec {
     assert(linOkScan < linTotal)
     assert(zoOkScan < zoTotal)
   }
+
+  test("q203: a pk-clustered delta keeps the layout; a scattered delta " +
+      "fires the recluster decision") {
+    import spark.implicits._
+    // ok ids 0..159 -> thr = 139, delta = 140..159 in 8 appended files
+    def write(deltaPk: Long => Long): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("q203_spec").toString
+      (0L to 159L).map { ok =>
+        val pk = if (ok <= 139L) (ok * 37) % 101 else deltaPk(ok)
+        (ok, pk)
+      }.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      dir
+    }
+    Tables.prep(spark)
+    // clustered delta: every delta pk = 60, outside the probe range
+    // [pkm/4, pkm/4 + pkm/10] = [25, 35] -> no delta file is touched,
+    // delta waste 0 -> keep the layout
+    val keep = Relational.zorderMaintenance(spark, write(_ => 60L))
+      .collect().map(r => r.getString(0) -> r.getLong(6)).toMap
+    assert(keep === Map("base_zorder" -> 0L, "delta_append" -> 0L))
+    // scattered delta: arrival-ordered pk spans the domain, every
+    // appended file overlaps the probe at ~10% useful rows -> recluster
+    val opt = Relational.zorderMaintenance(spark,
+      write(ok => (ok * 37) % 101))
+      .collect().map(r => r.getString(0) -> r.getLong(6)).toMap
+    assert(opt === Map("base_zorder" -> 1L, "delta_append" -> 1L))
+  }
 }
