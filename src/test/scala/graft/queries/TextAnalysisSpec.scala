@@ -616,6 +616,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("randomized law: q199 incremental ranking == q129 full recompute " +
+      "on arbitrary corpora") {
+    val rnd = new scala.util.Random(991129)
+    // probe-term vocabulary (q129's SearchQueries terms) + filler
+    val probe = Vector("join", "hash", "row", "batch", "scan", "filter")
+    val filler = Vector("pad", "fill", "misc", "other")
+    for (trial <- 1 to 3) {
+      val n = 10 + rnd.nextInt(8)
+      val texts = (0 until n).map(_ =>
+        Seq.fill(3 + rnd.nextInt(8))(
+          if (rnd.nextBoolean()) probe(rnd.nextInt(probe.size))
+          else filler(rnd.nextInt(filler.size)))
+          .mkString(" "))
+      val dir = corpus(texts)
+      Tables.prep(spark)
+      val inc = TextAnalysis.all("q199_incremental_bm25")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      val full = TextAnalysis.all("q129_bm25")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(inc === full,
+        s"q199 law broke on trial $trial: texts=$texts")
+    }
+  }
+
   test("q199: incrementally merged BM25 stats serve the exact ranking " +
       "of the full recompute, delta docs included") {
     // 16 docs -> thr = 15*7/8 = 13: base = 0..13, delta = 14..15.
