@@ -543,14 +543,43 @@ object Reference {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Refresh the mtime of every scratch dir THIS session registered —
-    * called from [[Tables.prep]], i.e. on every query invocation, so
-    * a live session's scratch is never older than its last query and
-    * the sweep's 6-hour staleness test is sound. Bounded: at most a
-    * handful of registered paths per session. */
+    * called from [[Tables.prep]] (every query invocation) AND from a
+    * 30-minute daemon heartbeat, so even an IDLE session's live
+    * scratch stays visibly alive to other sessions' sweeps. Entries
+    * whose dir is gone (evicted by [[newScratch]], or swept) drop
+    * from the registry here, so the walk stays bounded by the LIVE
+    * dirs: one per session-scoped artifact plus one per active
+    * scratch prefix. */
   private[queries] def touchOwnScratch(): Unit = {
     val now = System.currentTimeMillis()
-    scratchCleanupRegistered.forEach(d => new java.io.File(d)
-      .setLastModified(now))
+    scratchCleanupRegistered.forEach { d =>
+      val f = new java.io.File(d)
+      if (f.exists()) { f.setLastModified(now); () }
+      else { scratchCleanupRegistered.remove(d); () }
+    }
+  }
+
+  /** The previous invocation's scratch dir per prefix — evicted when
+    * the next invocation creates its own (the memory-sink pattern):
+    * per-call scratch then never outlives two invocations, instead of
+    * accumulating one orphan per call until JVM exit. */
+  private val lastScratch =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Create a registered per-invocation scratch dir, evicting the
+    * SAME-PREFIX dir of the previous invocation. Use this (never raw
+    * createTempDirectory) for scratch that is dead once the query
+    * returns; session-scoped artifacts that must survive the whole
+    * session (Derby, the fecha warehouse, z-order layouts) register
+    * directly via [[registerScratchCleanup]] instead. */
+  private[queries] def newScratch(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    registerScratchCleanup(dir.toString)
+    lastScratch.put(prefix, dir.toString).foreach { prev =>
+      scratchCleanupRegistered.remove(prev)
+      try deleteRecursively(prev) catch { case _: Throwable => () }
+    }
+    dir
   }
 
   private lazy val staleScratchSwept: Unit = {
@@ -563,11 +592,26 @@ object Reference {
     }
   }
 
+  /** ONE shutdown hook draining the whole registry (per-dir hooks
+    * would accumulate one Thread per registration — unbounded for the
+    * per-invocation [[newScratch]] class), plus the idle-session
+    * heartbeat that keeps registered dirs' mtimes fresh between
+    * queries. */
+  private val scratchHookInstalled =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private[queries] def registerScratchCleanup(dir: String): Unit = {
     staleScratchSwept
-    if (scratchCleanupRegistered.add(dir))
+    scratchCleanupRegistered.add(dir)
+    if (scratchHookInstalled.compareAndSet(false, true)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try deleteRecursively(dir) catch { case _: Throwable => () }))
+        scratchCleanupRegistered.forEach(d =>
+          try deleteRecursively(d) catch { case _: Throwable => () })))
+      val t = new java.util.Timer("graft-scratch-heartbeat", true)
+      t.scheduleAtFixedRate(new java.util.TimerTask {
+        override def run(): Unit = touchOwnScratch()
+      }, 30L * 60 * 1000, 30L * 60 * 1000)
+    }
   }
 
   def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
@@ -781,7 +825,7 @@ object Reference {
     * table back; the oracle states the seed. */
   def emptyWriteGuard(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val path = Files.createTempDirectory("graft_f3").toString + "/t"
+    val path = newScratch("graft_f3").toString + "/t"
     val seed = orders(spark, dir)
       .filter(col("o_orderkey") < 100)
       .select(col("o_orderkey"), col("o_orderdate").cast("date").as("fecha"))
@@ -855,7 +899,7 @@ object Reference {
           java.sql.Timestamp.from(java.time.LocalDate.of(2024, 1, 1)
             .plusDays(k).atStartOfDay(java.time.ZoneOffset.UTC).toInstant))
       }
-    val path = Files.createTempDirectory("graft_xlsx")
+    val path = newScratch("graft_xlsx")
       .resolve("nation.xlsx").toString
     graft.io.XlsxRead.writeMinimal(path,
       Seq(Seq[Any]("ID", "Nombre País", "Región", "Valor", "Fecha")) ++ src)
@@ -888,7 +932,7 @@ object Reference {
     val src = nation(spark, dir)
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       .orderBy("n_nationkey").collect()
-    val tmp = Files.createTempDirectory("graft_arrival")
+    val tmp = newScratch("graft_arrival")
     val xlsxPath = tmp.resolve("reporte_nation.xlsx").toString
     // TYPED cells (numbers, a real date) — the xlsx arm must surface
     // them typed pre-conform (ArrivalRead routes through readTyped)
@@ -946,7 +990,7 @@ object Reference {
     * oracle states outcomes and loaded rowcounts independently. */
   def retryLoadQ(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val path = Files.createTempDirectory("graft_retry").toString
+    val path = newScratch("graft_retry").toString
     val flaky = new java.util.concurrent.atomic.AtomicInteger(0)
     val datasets: Seq[(String, Option[DataFrame])] = Seq(
       "pedidos" -> Some(orders(spark, dir)
@@ -1033,7 +1077,7 @@ object Reference {
     * a scale-parameterized oracle.) */
   def compactQ(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val scratch = Files.createTempDirectory("graft_compact")
+    val scratch = newScratch("graft_compact")
       .resolve("docs").toString
     documents(spark, dir).repartition(8)
       .write.mode("overwrite").partitionBy("lang").parquet(scratch)
@@ -1232,8 +1276,7 @@ object Reference {
     * digest from the same base/batch definitions. */
   def mergeUpsertQ(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_merge").resolve("fact").toString
+    val out = newScratch("graft_merge").resolve("fact").toString
     val o = orders(spark, dir)
     def shaped(amount: org.apache.spark.sql.Column) =
       o.select(col("o_orderkey").as("id"), amount.as("amount"),

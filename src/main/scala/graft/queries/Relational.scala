@@ -2338,6 +2338,12 @@ object Relational {
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
         if (fs.exists(p)) fs.delete(p, true)
         fs.deleteOnExit(p) // scratch: removed when the session's FS closes
+        // ALSO registered with the scratch registry: the layout is a
+        // session-scoped write-once artifact, so without the
+        // touch-own-scratch heartbeat another session's 6-hour orphan
+        // sweep could delete it mid-session (reviewer find, r10
+        // continuation)
+        Reference.registerScratchCleanup(base)
         val buckets = zorderBuckets(spark, dir).persist()
         val lin = s"$base/linear"
         val zo = s"$base/zorder"

@@ -191,9 +191,7 @@ object StreamingQ {
     * digest straight off the events table. */
   def streamLoad(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val scratch = java.nio.file.Files
-      .createTempDirectory("graft_stream_load")
-    Reference.registerScratchCleanup(scratch.toString)
+    val scratch = Reference.newScratch("graft_stream_load")
     val out = scratch.resolve("fact").toString
     def runOnce(tag: String): Unit = Streams.incrementalLoad(
       Streams.eventsStream(spark, dir)
@@ -234,9 +232,7 @@ object StreamingQ {
     * semantics, which StreamsSpec pins. */
   def streamDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val scratch = java.nio.file.Files
-      .createTempDirectory("graft_stream_dedup")
-    Reference.registerScratchCleanup(scratch.toString)
+    val scratch = Reference.newScratch("graft_stream_dedup")
     val out = scratch.resolve("corpus").toString
     def runOnce(tag: String): Unit = Streams.dedupCorpusLoad(
       Streams.documentsStream(spark, dir), docFingerprint,
@@ -275,9 +271,7 @@ object StreamingQ {
     * the index build too. */
   def streamIvfIndex(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val scratch = java.nio.file.Files
-      .createTempDirectory("graft_ivf_index")
-    Reference.registerScratchCleanup(scratch.toString)
+    val scratch = Reference.newScratch("graft_ivf_index")
     val out = scratch.resolve("index").toString
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -317,9 +311,7 @@ object StreamingQ {
     * incremental family. */
   def streamLabelRepair(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val store = java.nio.file.Files
-      .createTempDirectory("graft_label_repair")
-    Reference.registerScratchCleanup(store.toString)
+    val store = Reference.newScratch("graft_label_repair")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
@@ -624,9 +616,7 @@ object StreamingQ {
     * fresh keys) straight from the customer table. */
   def streamScd2(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val scratch = java.nio.file.Files
-      .createTempDirectory("graft_stream_scd2")
-    Reference.registerScratchCleanup(scratch.toString)
+    val scratch = Reference.newScratch("graft_stream_scd2")
     val dim = scratch.resolve("dim").toString
     // seed: the current snapshot, every member one open version
     Tables.customer(spark, dir)
@@ -715,9 +705,7 @@ object StreamingQ {
   def streamLateData(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     import org.apache.spark.sql.streaming.Trigger
-    val scratch = java.nio.file.Files
-      .createTempDirectory("graft_stream_late")
-    Reference.registerScratchCleanup(scratch.toString)
+    val scratch = Reference.newScratch("graft_stream_late")
     val arrivals = java.nio.file.Files
       .createDirectory(scratch.resolve("arrivals"))
     val sinkDir = scratch.resolve("win").toString
