@@ -552,10 +552,16 @@ object Reference {
     * scratch prefix. */
   private[queries] def touchOwnScratch(): Unit = {
     val now = System.currentTimeMillis()
+    // touch-if-exists ONLY — never prune missing entries here: the
+    // session-scoped artifacts (fecha warehouse, Derby, z-order
+    // layout) register BEFORE their multi-second creating write, and
+    // a heartbeat firing inside that window would otherwise
+    // unregister them forever (reviewer find, r10 continuation).
+    // Boundedness comes from [[newScratch]] removing evicted entries
+    // explicitly.
     scratchCleanupRegistered.forEach { d =>
       val f = new java.io.File(d)
       if (f.exists()) { f.setLastModified(now); () }
-      else { scratchCleanupRegistered.remove(d); () }
     }
   }
 
@@ -575,7 +581,14 @@ object Reference {
   private[queries] def newScratch(prefix: String): java.nio.file.Path = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     registerScratchCleanup(dir.toString)
-    lastScratch.put(prefix, dir.toString).foreach { prev =>
+    // eviction chain scoped per THREAD: two concurrent invocations of
+    // the same query (different threads by construction) must never
+    // delete each other's in-use scratch; sequential re-invocations
+    // share a thread and still clean eagerly. Orphans from retired
+    // threads drain at the shutdown hook (reviewer find, r10
+    // continuation).
+    val key = s"$prefix@${Thread.currentThread().getId}"
+    lastScratch.put(key, dir.toString).foreach { prev =>
       scratchCleanupRegistered.remove(prev)
       try deleteRecursively(prev) catch { case _: Throwable => () }
     }
