@@ -412,6 +412,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out("repaired")._3 > 0.9,
       s"repaired mean_cos ${out("repaired")._3} — walk failed to " +
         "reach cluster mates")
+    // bounded-frontier contract, repair path: with the graph memos
+    // materialized, the victim re-walk runs on broadcast joins only —
+    // the q168 serving assertion extended to the delete arm
+    import org.apache.spark.sql.execution.joins.{
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Similarity.graphRetraction(spark, dir)
+        .queryExecution.executedPlan
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        plan.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+        s"corpus-shuffling join inside the repair walk:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("label centroids: 3 nearest members per label, cos in [-1, 1]") {
