@@ -38,6 +38,40 @@ class ZorderWriteSpec extends SparkSpec {
     assert(zoOkScan < zoTotal)
   }
 
+  test("q203's premise PHYSICALLY: arrival-ordered delta files appended " +
+      "to a written z-order layout surrender pruning for the delta's rows") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    Tables.prep(spark)
+    val lay = java.nio.file.Files.createTempDirectory("q203_phys")
+      .resolve("t").toString
+    val b = Relational.zorderBuckets(spark, dir).localCheckpoint(false)
+    val thr = b.agg(max(col("ok"))).head.getLong(0) * 7 / 8
+    // yesterday's table: the base z-ordered into range-partitioned files
+    b.filter(col("ok") <= thr).repartitionByRange(64, col("zorder_f"))
+      .select(col("ok"), col("pk")).write.parquet(lay)
+    val (scanB, matchB, _, totalB) =
+      graft.ZorderProbe.measure(spark, lay, "pk")
+    assert(scanB < totalB, "base z-order layout must prune the pk probe")
+    // today's append: delta rows land in arrival (ok) order — each new
+    // file spans the pk domain, exactly what q203's simulation models
+    b.filter(col("ok") > thr).repartitionByRange(8, col("ok"))
+      .select(col("ok"), col("pk")).write.mode("append").parquet(lay)
+    val (scanA, matchA, _, totalA) =
+      graft.ZorderProbe.measure(spark, lay, "pk")
+    val deltaRows = totalA - totalB
+    assert(deltaRows > 0)
+    // the appended files' footer stats exclude nothing: the probe now
+    // physically reads (essentially) every delta row on top of the
+    // base's still-pruned scan — the measured degradation the q203
+    // recluster decision exists to cap
+    assert(scanA - scanB >= deltaRows * 9 / 10,
+      s"expected ~$deltaRows un-prunable delta rows, got ${scanA - scanB}")
+    // the base portion keeps its clustering: still no full-table read
+    assert(scanA < totalA)
+    assert(matchA >= matchB)
+  }
+
   test("q203: a pk-clustered delta keeps the layout; a scattered delta " +
       "fires the recluster decision") {
     import spark.implicits._
