@@ -610,7 +610,7 @@ object Curation {
 
   /** q197: the incremental-maintenance family COMPOSED as one audited
     * daily run — the reference's `main()` orchestration shape (q162)
-    * applied to today's arrival. Seven phases, each through
+    * applied to today's arrival. Eight phases, each through
     * [[graft.io.RunAudit]] (R2) so a production operator gets the
     * same structured trail the reference's loads get:
     *
@@ -630,7 +630,9 @@ object Curation {
     *   7. retraction_drill  — q201 exercised as the S7 re-delivery
     *      drill: prove the delete path restores the base index
     *      before any re-append would land (rows_out = terms whose
-    *      lists shrink, the re-delivery blast radius).
+    *      lists shrink, the re-delivery blast radius);
+    *   8. check_layout      — q203's OPTIMIZE-cadence decision
+    *      (rows_out = the 0/1 recluster flag).
     *
     * The oracle re-derives every phase's number from the FAMILY'S OWN
     * oracle SQL embedded as derived subqueries (DuckDB scopes each
@@ -681,6 +683,10 @@ object Curation {
       ((), TextAnalysis.postingsRetraction(spark, dir)
         .agg(coalesce(sum(col("n_shrunk")), lit(0L))).head.getLong(0))
     }
+    audit.phase[Unit]("arrival", "check_layout") {
+      ((), Relational.zorderMaintenance(spark, dir)
+        .agg(max(col("recluster"))).head.getLong(0))
+    }
     audit.write(spark, auditTbl)
     spark.read.parquet(auditTbl)
       .select(col("seq"), col("dataset"), col("phase"), col("rows_out"),
@@ -728,7 +734,11 @@ object Curation {
        |UNION ALL
        |SELECT 7, 'arrival', 'retraction_drill',
        |  (SELECT CAST(coalesce(sum(n_shrunk), 0) AS BIGINT)
-       |   FROM (${TextAnalysis.postingsRetractionSql})), 'ok')
+       |   FROM (${TextAnalysis.postingsRetractionSql})), 'ok'
+       |UNION ALL
+       |SELECT 8, 'arrival', 'check_layout',
+       |  (SELECT CAST(max(recluster) AS BIGINT)
+       |   FROM (${Relational.zorderMaintenanceSql})), 'ok')
        |ORDER BY seq""".stripMargin
 
   // ---------------------------------------------------------------
