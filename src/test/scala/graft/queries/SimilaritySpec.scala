@@ -311,8 +311,6 @@ class SimilaritySpec extends SparkSpec {
   test("graph beam ANN: self-excluded ranked rows, navigates to the " +
       "query's cluster, and the walk never shuffle-joins the corpus") {
     import spark.implicits._
-    import org.apache.spark.sql.execution.joins.{
-      ShuffledHashJoinExec, SortMergeJoinExec}
     // 8 clusters of 15 near-identical vectors (axis = i % 8): cluster
     // mates collide in every LSH band, so the kNN graph is genuinely
     // navigable — the shape graph ANN is built for. Tail jitter keeps
@@ -350,26 +348,8 @@ class SimilaritySpec extends SparkSpec {
     // whole walk (entry scoring, hop expansions, beam cuts) runs on
     // broadcast joins — a sort-merge or shuffled-hash join would mean
     // a corpus-sized exchange inside a hop
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val plan = Similarity.graphBeamAnn(spark, dir)
-        .queryExecution.executedPlan
-      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty &&
-        plan.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
-        s"corpus-shuffling join inside the beam walk:\n$plan")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    // bounded-frontier contract: with the edge memo materialized, the
-    // whole walk (entry scoring, hop expansions, beam cuts) runs on
-    // broadcast joins — a sort-merge or shuffled-hash join would mean
-    // a corpus-sized exchange inside a hop
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val plan = Similarity.graphBeamAnn(spark, dir)
-        .queryExecution.executedPlan
-      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty &&
-        plan.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
-        s"corpus-shuffling join inside the beam walk:\n$plan")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assertBroadcastOnly(Similarity.graphBeamAnn(spark, dir),
+      "the beam walk")
   }
 
   test("q202 graph retraction: every victim gets a repaired list; the " +
@@ -415,16 +395,8 @@ class SimilaritySpec extends SparkSpec {
     // bounded-frontier contract, repair path: with the graph memos
     // materialized, the victim re-walk runs on broadcast joins only —
     // the q168 serving assertion extended to the delete arm
-    import org.apache.spark.sql.execution.joins.{
-      ShuffledHashJoinExec, SortMergeJoinExec}
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val plan = Similarity.graphRetraction(spark, dir)
-        .queryExecution.executedPlan
-      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty &&
-        plan.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
-        s"corpus-shuffling join inside the repair walk:\n$plan")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assertBroadcastOnly(Similarity.graphRetraction(spark, dir),
+      "the repair walk")
   }
 
   test("label centroids: 3 nearest members per label, cos in [-1, 1]") {

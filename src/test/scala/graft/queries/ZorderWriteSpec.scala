@@ -47,6 +47,15 @@ class ZorderWriteSpec extends SparkSpec {
       .resolve("t").toString
     val b = Relational.zorderBuckets(spark, dir).localCheckpoint(false)
     val thr = b.agg(max(col("ok"))).head.getLong(0) * 7 / 8
+    // fixture premise: ZorderProbe derives its probe window from the
+    // table's CURRENT max(pk), so the before/after comparison is only
+    // a same-predicate comparison when the base slice already holds
+    // the global pk max — assert it, don't assume it
+    val mxFull = b.agg(max(col("pk"))).head.getLong(0)
+    val mxBase = b.filter(col("ok") <= thr)
+      .agg(max(col("pk"))).head.getLong(0)
+    assert(mxBase === mxFull,
+      s"probe window would shift: base max pk $mxBase vs global $mxFull")
     // yesterday's table: the base z-ordered into range-partitioned files
     b.filter(col("ok") <= thr).repartitionByRange(64, col("zorder_f"))
       .select(col("ok"), col("pk")).write.parquet(lay)
