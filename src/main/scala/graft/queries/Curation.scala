@@ -416,7 +416,20 @@ object Curation {
     else 0)
     repaired.write.mode("overwrite")
       .parquet(store.resolve(s"labels_v$next").toString)
-    deltaSigs.write.mode("append").parquet(sigDir.toString)
+    // Idempotent append (advisor find, round 11): a crash-replay after
+    // a COMMITTED append re-delivers the batch, and a bare append would
+    // then grow the store by one duplicate set per replay — correctness
+    // survived via the read-side dropDuplicates above, but the store
+    // and every later band join would grow without bound. Anti-joining
+    // the delta against the store's existing doc_ids makes the append
+    // itself a no-op on replay; the read-side dedup stays as the
+    // belt-and-braces for a crash DURING this very append.
+    val unseenSigs =
+      if (havePrev)
+        deltaSigs.join(baseSigs.select(col("doc_id")), Seq("doc_id"),
+          "left_anti")
+      else deltaSigs
+    unseenSigs.write.mode("append").parquet(sigDir.toString)
   }
 
   /** Newest COMMITTED labels_v&lt;n&gt; snapshot under the q200 store, if

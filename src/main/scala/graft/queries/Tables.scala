@@ -16,8 +16,7 @@ object Tables {
     * verify/bench harness; a dev loop that regenerates data in place
     * should start a fresh session, which evicts the entry). */
   private val tableMemo =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String, String), DataFrame]
+    new graft.KeyedOnce[(SparkSession, String, String), DataFrame]
 
   /** Contexts that already carry the memo-eviction listener. */
   private val cleanupRegistered = java.util.Collections.newSetFromMap(
@@ -34,7 +33,7 @@ object Tables {
       sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          tableMemo.filterInPlace((k, _) => k._1.sparkContext ne sc)
+          tableMemo.removeKeys(_._1.sparkContext eq sc)
           cleanupRegistered.remove(sc)
         }
       })
@@ -43,7 +42,10 @@ object Tables {
   private[queries] def memo(spark: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = {
     ensureCleanup(spark)
-    tableMemo.getOrElseUpdate((spark, dir, key), build.persist())
+    // KeyedOnce (not TrieMap.getOrElseUpdate): a race on an absent key
+    // must never persist() the same plan twice — the loser's orphan
+    // copy would hold block-manager memory until application end.
+    tableMemo((spark, dir, key))(build.persist())
   }
 
   /** Pin the session semantics every query assumes. All are
