@@ -1,0 +1,150 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned, manifest-committed parquet store for the shared index
+  * artifacts the incremental-maintenance family consumes (MinHash
+  * signatures, CC labels, IVF codebook, postings, NN-Descent graph).
+  *
+  * The reference's cadence is one PROCESS per day (reference
+  * main.py:201-209): yesterday's artifacts must be read FROM DISK by
+  * a fresh JVM before today's delta path runs — a per-session cache
+  * (graft.queries.Tables memo) cannot be the hand-off. This store is
+  * that hand-off, with the durability discipline the rest of the
+  * engine already uses:
+  *
+  *   - each publish lands a NEW version directory
+  *     `root/name/v<N>/data` (parquet), never overwriting the version
+  *     a concurrent reader may be serving — the q200 versioned-label
+  *     snapshot pattern generalized;
+  *   - `MANIFEST.json` (version, row count, schema DDL) is written
+  *     AFTER the data and IS the commit marker: a crash mid-publish
+  *     leaves a manifest-less directory that readers skip and the
+  *     next publish supersedes — the latestLabels discipline;
+  *   - reads return the newest COMMITTED version and verify the
+  *     manifest's row count against the parquet actually read, so a
+  *     torn or truncated artifact fails loudly at the consumer
+  *     instead of silently corrupting every downstream repair.
+  *
+  * All filesystem access goes through the path's own Hadoop
+  * FileSystem (never java.io/java.nio) — the IdempotentWriter lesson:
+  * java.nio probes are always false on hdfs:// / s3a://, exactly the
+  * filesystems a cluster deployment stores artifacts on.
+  */
+object ArtifactStore {
+
+  final case class Manifest(name: String, version: Int, rows: Long,
+      schemaDdl: String)
+
+  private def fsOf(spark: SparkSession,
+      path: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    path.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def versionOf(dirName: String): Option[Int] =
+    if (dirName.matches("v\\d+")) Some(dirName.drop(1).toInt) else None
+
+  /** All version numbers present under `root/name`, committed or not
+    * (the next publish must supersede crash debris too). */
+  private def versions(spark: SparkSession, root: String,
+      name: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$name")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => versionOf(s.getPath.getName))
+  }
+
+  private def manifestPath(root: String, name: String,
+      v: Int): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$root/$name/v$v/MANIFEST.json")
+
+  /** Newest COMMITTED (manifest-carrying) version, if any. */
+  def latestVersion(spark: SparkSession, root: String,
+      name: String): Option[Int] =
+    versions(spark, root, name).sorted(Ordering.Int.reverse)
+      .find(v => fsOf(spark, manifestPath(root, name, v))
+        .exists(manifestPath(root, name, v)))
+
+  /** Publish `df` as the next version of artifact `name`. Returns the
+    * committed manifest. The row count is taken from the parquet as
+    * WRITTEN (a metadata-only scan), not from re-executing `df`'s
+    * plan — what readers will see is what the manifest attests. */
+  def publish(df: DataFrame, root: String, name: String): Manifest = {
+    val spark = df.sparkSession
+    val next = versions(spark, root, name).maxOption.getOrElse(0) + 1
+    val dataDir = s"$root/$name/v$next/data"
+    df.write.mode("overwrite").parquet(dataDir)
+    val rows = spark.read.parquet(dataDir).count()
+    val m = Manifest(name, next, rows, df.schema.toDDL)
+    val mp = manifestPath(root, name, next)
+    val out = fsOf(spark, mp).create(mp, false) // exclusive: one committer
+    try out.write(manifestJson(m).getBytes("UTF-8")) finally out.close()
+    m
+  }
+
+  /** Read the newest committed version of `name`, verifying the
+    * manifest's row count against the data actually read. */
+  def read(spark: SparkSession, root: String, name: String): DataFrame = {
+    val (df, _) = readWithManifest(spark, root, name)
+    df
+  }
+
+  def readWithManifest(spark: SparkSession, root: String,
+      name: String): (DataFrame, Manifest) = {
+    val v = latestVersion(spark, root, name).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version of artifact '$name' under $root"))
+    val m = readManifest(spark, root, name, v)
+    val df = spark.read.parquet(s"$root/$name/v$v/data")
+    val got = df.count()
+    require(got == m.rows,
+      s"artifact '$name' v$v: manifest attests ${m.rows} rows, read $got")
+    require(df.schema.fieldNames.toSeq ==
+      org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+        .fieldNames.toSeq,
+      s"artifact '$name' v$v: schema drifted from manifest")
+    (df, m)
+  }
+
+  def readManifest(spark: SparkSession, root: String, name: String,
+      v: Int): Manifest = {
+    val mp = manifestPath(root, name, v)
+    val fs = fsOf(spark, mp)
+    val in = fs.open(mp)
+    val txt =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+    parseManifest(txt)
+  }
+
+  // Hand-rolled JSON (no deps policy): four known fields, the only
+  // string values being the artifact name (path-safe by construction)
+  // and the schema DDL (quote/backslash-escaped).
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  private def manifestJson(m: Manifest): String =
+    s"""{"name":"${esc(m.name)}","version":${m.version},""" +
+      s""""rows":${m.rows},"schema_ddl":"${esc(m.schemaDdl)}"}"""
+
+  private[graft] def parseManifest(txt: String): Manifest = {
+    def long(field: String): Long =
+      s""""$field":(\\d+)""".r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"manifest missing $field: $txt")).group(1).toLong
+    def str(field: String): String =
+      (s""""$field":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"manifest missing $field: $txt")).group(1)
+    Manifest(unesc(str("name")), long("version").toInt, long("rows"),
+      unesc(str("schema_ddl")))
+  }
+}

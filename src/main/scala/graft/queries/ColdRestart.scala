@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.ArtifactStore
+import Tables.prep
+
+/** Cold-artifact restart: the incremental-maintenance family run the
+  * way production actually runs it — by a process that did NOT build
+  * yesterday's artifacts.
+  *
+  * The reference's cadence is one process per day (reference
+  * main.py:201-209): state survives on storage, never in a session.
+  * Rounds 9-10 proved every delta path correct against a rebuild
+  * oracle, but the base artifacts they consumed were session memos
+  * ([[Tables.memo]]) — warm objects a daily pipeline does not have.
+  * This module closes that gap (round-10 verdict, top ask):
+  *
+  *   1. PUBLISH: the five base artifacts (MinHash signature table,
+  *      CC labels, IVF codebook, postings, NN-Descent refined graph)
+  *      are written once per (application, dir) to a versioned
+  *      [[graft.io.ArtifactStore]] with a row-count manifest;
+  *   2. RESTART: a FRESH SparkSession (separate session state, so
+  *      the [[Tables.memo]] domain is empty by construction — memos
+  *      key on the session) reads each artifact back COLD, row-count
+  *      verified against its manifest;
+  *   3. DELTA: the q191/q193/q194/q198 delta paths run in that fresh
+  *      session through the `...From` seams, which touch no session
+  *      memo below the artifact hand-off;
+  *   4. PROOF: each query emits the IDENTICAL output surface as its
+  *      warm twin and shares its oracle — the DuckDB full-rebuild
+  *      hash match is the incremental-from-disk == rebuild proof.
+  *
+  * The session boundary here is a fresh `SparkSession.newSession()`
+  * (the strongest restart one JVM can express — the driver's Verify
+  * contract runs all queries in one process); the PROCESS boundary is
+  * proven by ColdRestartSpec, which publishes the store from a
+  * separate JVM ([[graft.ColdPublish]]) that exits before the reading
+  * session ever sees the artifacts.
+  */
+object ColdRestart {
+
+  private[graft] val SigArtifact = "minhash_sigs_base"
+  private[graft] val LabelArtifact = "cc_labels_base"
+  private[graft] val CodebookArtifact = "ivf_codebook_base"
+  private[graft] val PostingsArtifact = "postings_base"
+  private[graft] val GraphArtifact = "nn_refined_base"
+
+  /** Publish all five base artifacts to `root` from `spark` (the warm
+    * session whose memoized builders define them). Exposed for
+    * [[graft.ColdPublish]] — the separate-JVM publisher the spec's
+    * process-boundary proof runs. */
+  private[graft] def publishAll(spark: SparkSession, dir: String,
+      root: String): Seq[ArtifactStore.Manifest] = {
+    prep(spark)
+    Seq(
+      ArtifactStore.publish(Curation.baseSigsTable(spark, dir), root,
+        SigArtifact),
+      ArtifactStore.publish(Curation.baseCcLabels(spark, dir), root,
+        LabelArtifact),
+      ArtifactStore.publish(Similarity.baseCodebook(spark, dir), root,
+        CodebookArtifact),
+      ArtifactStore.publish(TextAnalysis.basePostings(spark, dir), root,
+        PostingsArtifact),
+      ArtifactStore.publish(Similarity.baseRefinedGraph(spark, dir), root,
+        GraphArtifact))
+  }
+
+  /** Store root, published exactly once per (application, dir) —
+    * [[graft.KeyedOnce]] so racing first callers cannot both run the
+    * delete+publish against the same deterministic path. */
+  private val stores = new graft.KeyedOnce[(String, String), String]
+
+  private[queries] def publishedStore(
+      spark: SparkSession, dir: String): String =
+    stores((spark.sparkContext.applicationId, dir)) {
+      val root = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft_artifacts_${spark.sparkContext.applicationId}_" +
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(dir.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.take(16))
+        .toString
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      Reference.registerScratchCleanup(root)
+      publishAll(spark, dir, root)
+      root
+    }
+
+  /** ONE fresh session per application, created on first cold query:
+    * separate SessionState ⇒ empty memo domain, empty function
+    * registry (prep re-registers), session confs re-pinned by prep.
+    * Reused across invocations — every invocation still re-reads the
+    * artifacts from parquet (the cold read IS the measured work);
+    * only the JVM-level session object is shared, exactly as a daily
+    * driver process reuses one session across its queries. */
+  private val freshSessions = new graft.KeyedOnce[String, SparkSession]
+
+  private def fresh(spark: SparkSession): SparkSession =
+    freshSessions(spark.sparkContext.applicationId) {
+      val s = spark.newSession()
+      prep(s)
+      s
+    }
+
+  // -----------------------------------------------------------------
+  // Cold delta paths from an EXPLICIT store — factored so the spec can
+  // point them at a store written by a separate, already-dead JVM.
+  // -----------------------------------------------------------------
+
+  private[graft] def coldDedup(s: SparkSession, dir: String,
+      root: String): DataFrame = {
+    prep(s)
+    Curation.dedupHistogramOf(
+      Curation.incrementalLabelsFrom(s, dir,
+        ArtifactStore.read(s, root, SigArtifact),
+        ArtifactStore.read(s, root, LabelArtifact)
+          .select(col("node"), col("label"))),
+      Curation.deltaThreshold(s, dir))
+  }
+
+  private[graft] def coldCodebook(s: SparkSession, dir: String,
+      root: String): DataFrame = {
+    prep(s)
+    Similarity.codebookRefreshFrom(s, dir,
+      ArtifactStore.read(s, root, CodebookArtifact))
+  }
+
+  private[graft] def coldPostings(s: SparkSession, dir: String,
+      root: String): DataFrame = {
+    prep(s)
+    TextAnalysis.incrementalPostingsFrom(s, dir,
+      ArtifactStore.read(s, root, PostingsArtifact))
+  }
+
+  private[graft] def coldGraphInsert(s: SparkSession, dir: String,
+      root: String, rebuilt: DataFrame): DataFrame = {
+    prep(s)
+    Similarity.graphInsertCompareFrom(s, dir,
+      ArtifactStore.read(s, root, GraphArtifact), rebuilt)
+  }
+
+  // -----------------------------------------------------------------
+  // q204-q207: the registered cold queries. Each publishes (once) from
+  // the warm session, then runs the delta in the fresh session reading
+  // artifacts from disk; output surface and oracle are the warm twin's.
+  // -----------------------------------------------------------------
+
+  /** q204: q191's incremental dedup with base signatures + CC labels
+    * read cold. */
+  def coldIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val root = publishedStore(spark, dir)
+    coldDedup(fresh(spark), dir, root)
+  }
+
+  /** q205: q193's refresh-or-keep decision with the codebook read
+    * cold. */
+  def coldCodebookRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val root = publishedStore(spark, dir)
+    coldCodebook(fresh(spark), dir, root)
+  }
+
+  /** q206: q194's postings merge with the base index read cold. */
+  def coldPostingsMerge(spark: SparkSession, dir: String): DataFrame = {
+    val root = publishedStore(spark, dir)
+    coldPostings(fresh(spark), dir, root)
+  }
+
+  /** q207: q198's graph insert walking the refined graph read cold.
+    * The rebuild-side comparison bar (not an input the incremental
+    * path consumes — the quality bar both engines restate) comes from
+    * the WARM session where it is already memoized, so the cold call
+    * measures the cold INSERT, not a redundant full rebuild. */
+  def coldGraphInsertQ(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val root = publishedStore(spark, dir)
+    val rebuilt = Similarity.refinedEdges(spark, dir)
+      .filter(col("src") > Similarity.vecDeltaThreshold(spark, dir))
+    coldGraphInsert(fresh(spark), dir, root, rebuilt)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_cold_incremental_dedup" -> coldIncrementalDedup,
+    "q205_cold_codebook_refresh" -> coldCodebookRefresh,
+    "q206_cold_postings_merge" -> coldPostingsMerge,
+    "q207_cold_graph_insert" -> coldGraphInsertQ
+  )
+
+  /** Each cold query emits the identical surface as its warm twin, so
+    * it shares the twin's full-rebuild oracle verbatim — the hash
+    * match is the from-disk-incremental == rebuild proof. */
+  val oracle: Map[String, String] = Map(
+    "q204_cold_incremental_dedup" -> Curation.incrementalDedupSql,
+    "q205_cold_codebook_refresh" -> Similarity.codebookRefreshSql,
+    "q206_cold_postings_merge" -> TextAnalysis.incrementalPostingsSql,
+    "q207_cold_graph_insert" -> Similarity.incrementalGraphInsertSql
+  )
+}

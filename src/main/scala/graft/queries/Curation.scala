@@ -263,8 +263,16 @@ object Curation {
     * fixture). */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val thr = deltaThreshold(spark, dir)
-    incrementalLabels(spark, dir)
+    dedupHistogramOf(incrementalLabels(spark, dir),
+      deltaThreshold(spark, dir))
+  }
+
+  /** The q191 output aggregation over any (doc_id, root) label set —
+    * factored so the cold-restart arm (q204) emits the IDENTICAL
+    * surface from disk-read artifacts and shares q191's oracle. */
+  private[queries] def dedupHistogramOf(labels: DataFrame,
+      thr: Long): DataFrame =
+    labels
       .withColumn("is_delta", (col("doc_id") > thr).cast("long"))
       .groupBy(col("root"))
       .agg(count(lit(1)).as("csize"), max(col("is_delta")).as("touched"))
@@ -272,7 +280,6 @@ object Curation {
       .agg(count(lit(1)).as("n_clusters"), sum(col("root")).as("sum_roots"),
         sum(col("touched")).as("n_touched"))
       .orderBy("csize")
-  }
 
   val incrementalDedupSql: String =
     s"""WITH RECURSIVE ${Dedup.duckVerifiedPairCtes},
@@ -305,14 +312,39 @@ object Curation {
     * restrict cleanly to a sub-corpus). The delta work is fresh per
     * call — it IS the measured increment. */
   private[graft] def incrementalLabels(
-      spark: SparkSession, dir: String): DataFrame = {
-    val thr = deltaThreshold(spark, dir)
-    val baseSigs = Dedup.minhashSigs(spark, dir)
-      .filter(col("doc_id") <= thr)
-    val baseLabels = memo(spark, dir, "cc_base_labels") {
+      spark: SparkSession, dir: String): DataFrame =
+    incrementalLabelsFrom(spark, dir,
+      baseSigsTable(spark, dir), baseCcLabels(spark, dir))
+
+  /** Yesterday's signature table, restricted to the base corpus —
+    * what yesterday's run over ids <= thr would have written (both
+    * the band equality join and the per-pair verification restrict
+    * cleanly to a sub-corpus). Exposed for the cold-restart publish
+    * (q204): this IS the artifact a daily pipeline persists. */
+  private[queries] def baseSigsTable(
+      spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSigs(spark, dir)
+      .filter(col("doc_id") <= deltaThreshold(spark, dir))
+
+  /** Yesterday's CC labels over the base corpus (non-singleton nodes
+    * only — singletons are their own label by [[repairedLabels]]'
+    * coalesce). Exposed for the cold-restart publish (q204). */
+  private[queries] def baseCcLabels(
+      spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "cc_base_labels") {
       connectedComponents(Dedup.minhashPairs(spark, dir)
-        .filter(col("ib") <= thr).select(col("ia"), col("ib")))
+        .filter(col("ib") <= deltaThreshold(spark, dir))
+        .select(col("ia"), col("ib")))
     }
+
+  /** Steps 1-4 of the q191 increment from EXPLICIT base artifacts —
+    * the seam the cold-restart proof (q204) runs through: a fresh
+    * session passes signature/label tables read back from the
+    * [[graft.io.ArtifactStore]], and nothing below this call touches
+    * a session memo. */
+  private[queries] def incrementalLabelsFrom(spark: SparkSession,
+      dir: String, baseSigs: DataFrame, baseLabels: DataFrame): DataFrame = {
+    val thr = deltaThreshold(spark, dir)
     // The delta signatures feed THREE plan branches (delta bands +
     // both verify sides) and are deliberately RECOMPUTED per branch —
     // both materialization alternatives measured WORSE at x64:

@@ -2521,12 +2521,31 @@ object Similarity {
   def incrementalGraphInsert(
       spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val thr = vecDeltaThreshold(spark, dir)
-    // yesterday's artifact: the refined graph over base vectors only
-    val baseRefined = memo(spark, dir, "nn_refined_base") {
+    graphInsertCompareFrom(spark, dir, baseRefinedGraph(spark, dir),
+      refinedEdges(spark, dir)
+        .filter(col("src") > vecDeltaThreshold(spark, dir)))
+  }
+
+  /** Yesterday's artifact: the refined graph over base vectors only —
+    * exposed for the cold-restart publish (q207). */
+  private[queries] def baseRefinedGraph(
+      spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "nn_refined_base") {
       refineFrom(spark, dir,
-        knnEdgesFrom(sigTable(spark, dir).filter(col("vec_id") <= thr)))
+        knnEdgesFrom(sigTable(spark, dir)
+          .filter(col("vec_id") <= vecDeltaThreshold(spark, dir))))
     }
+
+  /** The q198 body from EXPLICIT inputs — the cold-restart seam
+    * (q207): `baseRefined` is the disk-read artifact the fresh
+    * session walks (nothing below here touches a session memo for
+    * the INSERT side); `rebuilt` is the oracle's comparison bar (the
+    * full rebuild's delta-source edges), computed wherever it is
+    * already memoized — it is not an input the incremental path
+    * consumes, only the quality bar both engines restate. */
+  private[queries] def graphInsertCompareFrom(spark: SparkSession,
+      dir: String, baseRefined: DataFrame, rebuilt: DataFrame): DataFrame = {
+    val thr = vecDeltaThreshold(spark, dir)
     val baseVecs = vecs(spark, dir).filter(col("vec_id") <= thr)
       .select(col("vec_id"), col("v"), col("nrm"))
     val deltaQ = vecs(spark, dir).filter(col("vec_id") > thr)
@@ -2537,7 +2556,6 @@ object Similarity {
     val inserted = beamWalkOver(spark, baseVecs, deltaQ,
       baseRefined.select(col("src"), col("dst")), seeds, BeamHops, 3)
       .select(col("qid").as("src"), col("vec_id").as("dst"), col("cos"))
-    val rebuilt = refinedEdges(spark, dir).filter(col("src") > thr)
     def digest(df: DataFrame, side: String) = df
       .withColumn("h", expr(Exprs.hash60(
         "concat(cast(src as string), ':', cast(dst as string))")))
@@ -2847,7 +2865,7 @@ object Similarity {
   private val vecDeltaThresholds =
     scala.collection.concurrent.TrieMap.empty[(String, String), Long]
 
-  private def vecDeltaThreshold(spark: SparkSession, dir: String): Long =
+  private[queries] def vecDeltaThreshold(spark: SparkSession, dir: String): Long =
     vecDeltaThresholds.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir),
       vecs(spark, dir).agg(max(col("vec_id"))).head.getLong(0) * 7 / 8)
@@ -2884,13 +2902,30 @@ object Similarity {
     * costs [[IvfIters]] of them, which is the point. */
   def codebookRefresh(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
+    codebookRefreshFrom(spark, dir, baseCodebook(spark, dir))
+  }
+
+  /** Yesterday's artifact: the codebook trained on the hash-half of
+    * the base corpus alone — exposed for the cold-restart publish
+    * (q205). */
+  private[queries] def baseCodebook(
+      spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "ivf_codebook_base") {
+      lloydsTrain(vecs(spark, dir).filter(
+        col("vec_id") <= vecDeltaThreshold(spark, dir) &&
+          expr(s"${Exprs.hash60("cast(vec_id as string)")} % 2 = 0")), IvfK)
+    }
+
+  /** The q193 decision from an EXPLICIT codebook — the cold-restart
+    * seam (q205): a fresh session passes the codebook read back from
+    * the [[graft.io.ArtifactStore]]; the decision pass below touches
+    * no session memo. */
+  private[queries] def codebookRefreshFrom(spark: SparkSession,
+      dir: String, baseCb: DataFrame): DataFrame = {
     val thr = vecDeltaThreshold(spark, dir)
     val trainPred =
       expr(s"${Exprs.hash60("cast(vec_id as string)")} % 2 = 0")
     val e = vecs(spark, dir)
-    val baseCb = memo(spark, dir, "ivf_codebook_base") {
-      lloydsTrain(e.filter(col("vec_id") <= thr && trainPred), IvfK)
-    }
     val cb = baseCb.select(col("cell"), col("cv"),
       expr("sqrt(array_dot(cv, cv))").as("cn"))
     val assigned = e.join(broadcast(cb), expr("true"))

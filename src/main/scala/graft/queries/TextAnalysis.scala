@@ -1271,11 +1271,25 @@ object TextAnalysis {
     * merged == rebuilt proof, exactly the q191 pattern. */
   def incrementalPostings(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val thr = Curation.deltaThreshold(spark, dir)
-    // yesterday's artifact: the index over the base corpus
-    val basePost = memo(spark, dir, "postings_base") {
-      postingsOf(documents(spark, dir).filter(col("doc_id") <= thr))
+    incrementalPostingsFrom(spark, dir, basePostings(spark, dir))
+  }
+
+  /** Yesterday's artifact: the index over the base corpus — exposed
+    * for the cold-restart publish (q206). */
+  private[queries] def basePostings(
+      spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "postings_base") {
+      postingsOf(documents(spark, dir)
+        .filter(col("doc_id") <= Curation.deltaThreshold(spark, dir)))
     }
+
+  /** The q194 merge+digest from an EXPLICIT base index — the
+    * cold-restart seam (q206): a fresh session passes the postings
+    * read back from the [[graft.io.ArtifactStore]]; the delta
+    * tokenization and term-keyed merge below touch no session memo. */
+  private[queries] def incrementalPostingsFrom(spark: SparkSession,
+      dir: String, basePost: DataFrame): DataFrame = {
+    val thr = Curation.deltaThreshold(spark, dir)
     // today's work: tokenize the delta alone
     val deltaPost = postingsOf(
       documents(spark, dir).filter(col("doc_id") > thr))
