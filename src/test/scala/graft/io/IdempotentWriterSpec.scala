@@ -157,4 +157,87 @@ class IdempotentWriterSpec extends SparkSpec {
       .filter(to_date(col("ts")) === lit("2024-01-05").cast("date")).count()
     assert(n === expected && expected > 0)
   }
+
+  // -----------------------------------------------------------------
+  // Same-date writer races (round-10 verdict ask #2): the double-fired
+  // scheduler the reference's own retry policy invites
+  // (main.py:535-542 + 1533-1537) must leave exactly ONE winner's
+  // rows — never an interleaved mix — and clean scratch.
+  // -----------------------------------------------------------------
+
+  test("two same-fecha writers racing leave exactly one winner's rows " +
+      "and no lock/staging debris") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("race_wh").toString + "/t"
+    // Different row COUNTS per payload so even a count-level mix shows.
+    def payload(tag: String, n: Int) =
+      (1 to n).map(i => (i, "2024-01-01", tag))
+        .toDF("id", "fecha", "src")
+        .withColumn("fecha", col("fecha").cast("date"))
+    val a = payload("A", 3)
+    val b = payload("B", 5)
+    for (round <- 1 to 3) {
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def writer(df: org.apache.spark.sql.DataFrame) = new Thread(() => {
+        start.await()
+        try IdempotentWriter.overwritePartitions(df, path)
+        catch { case t: Throwable => errs.add(t) }
+      })
+      val (t1, t2) = (writer(a), writer(b))
+      t1.start(); t2.start(); start.countDown()
+      t1.join(120000); t2.join(120000)
+      assert(errs.isEmpty, s"round $round: ${errs.peek()}")
+      val got = spark.read.parquet(path)
+        .filter(col("fecha") === lit("2024-01-01").cast("date"))
+        .select(col("src")).collect().map(_.getString(0)).toSeq
+      val tags = got.distinct
+      assert(tags.size === 1,
+        s"round $round: interleaved mix of writers: $got")
+      val expectedN = if (tags.head == "A") 3 else 5
+      assert(got.size === expectedN,
+        s"round $round: winner ${tags.head} should own $expectedN rows, " +
+          s"got ${got.size}")
+      // clean scratch: no lease file, no temporary commit dirs
+      assert(!new java.io.File(path + ".lock").exists())
+      assert(!new java.io.File(path + "/_temporary").exists())
+    }
+  }
+
+  test("the writer lease admits one holder at a time and is re-entrant") {
+    val path = Files.createTempDirectory("lease_t").toString + "/t"
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 6).map(_ => new Thread(() =>
+      IdempotentWriter.withTableLease(spark, path) {
+        val now = inside.incrementAndGet()
+        maxSeen.updateAndGet(m => math.max(m, now))
+        Thread.sleep(30)
+        // re-entrant: nesting the same path must not deadlock
+        IdempotentWriter.withTableLease(spark, path) { () }
+        inside.decrementAndGet()
+        ()
+      }))
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(maxSeen.get() === 1, s"concurrent holders: ${maxSeen.get()}")
+    assert(!new java.io.File(path + ".lock").exists())
+  }
+
+  test("a dead writer's stale lease is broken; the breaker proceeds") {
+    val dir = Files.createTempDirectory("stale_lease").toString
+    val path = dir + "/t"
+    val lock = new java.io.File(path + ".lock")
+    java.nio.file.Files.write(lock.toPath, "999999@0".getBytes("UTF-8"))
+    assert(lock.setLastModified(System.currentTimeMillis() - 3600 * 1000))
+    var ran = false
+    IdempotentWriter.withTableLease(spark, path, leaseMs = 5000) {
+      ran = true
+    }
+    assert(ran)
+    assert(!lock.exists())
+    // no tombstone debris from the rename-based break either
+    val leftovers = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).map(_.getName).filter(_.contains("breaking"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
 }
