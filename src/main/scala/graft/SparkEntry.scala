@@ -27,6 +27,7 @@ object SparkEntry {
       "q23_bucketed_join",    // re-writes the bucketed layout per call
       "q35_idempotent_load",  // writes a scratch table per call
       "q36_csv_pipeline",     // driver-local CSV fixture probe
+      "q208_schema_drift",    // driver-local CSV fixture, metadata-only
       "q37_conducta_pipeline", // driver-local fixture + write
       "q38_estados_pipeline",  // driver-local fixture
       "q42_jdbc_roundtrip",    // embedded-Derby load per call

@@ -43,6 +43,67 @@ object Conform {
     }
     df.select(cols.toIndexedSeq: _*)
   }
+
+  /** One schema-drift finding. `column` is the conformed name the
+    * finding is about; source_* are absent for columns the source
+    * never had, target_type is absent for columns the target never
+    * wanted. */
+  final case class DriftRow(column: String, disposition: String,
+      source_column: Option[String], source_type: Option[String],
+      target_type: Option[String])
+
+  /** Schema-drift report — the EXPLICIT version of the reference's
+    * silent conformance (SURVEY §5's deviation policy; round-10
+    * verdict ask #3). `conformTo` faithfully mirrors main.py:1228-1233:
+    * missing target columns become NULL, unknown source columns are
+    * dropped, matched columns are cast — all silently, which is how a
+    * CRM UI change becomes a month of silent NULLs. This side-output
+    * names each deviation per run:
+    *
+    *   - `added_null`: target column with no source match (the
+    *     null-fill of main.py:1228-1230 made visible);
+    *   - `dropped`: source column (post normalize+rename) the target
+    *     does not want — including a duplicate that lost the
+    *     first-match tie-break — (the projection drop of
+    *     main.py:1233 made visible);
+    *   - `retyped`: matched column whose source type differs from the
+    *     target type (the cast that would silently null garbage).
+    *
+    * Pure schema metadata — no data is scanned and no job runs; the
+    * report is bounded by the column count. Matching logic is shared
+    * with [[conformTo]] by construction (same normalize→rename→
+    * first-match rule), so the report can never disagree with what
+    * the conformance actually did. */
+  def driftRows(target: StructType, renames: Map[String, String] = Map.empty)(
+      source: StructType): Seq[DriftRow] = {
+    val conformedName: Seq[(String, String)] = source.fields.toSeq.map { f =>
+      val n = Names.normalizeName(f.name)
+      f.name -> renames.getOrElse(n, n)
+    }
+    val chosen: Map[String, String] =
+      conformedName.groupBy(_._2).map { case (t, srcs) => t -> srcs.head._1 }
+    val targetByName = target.fields.map(f => f.name -> f).toMap
+    val added = target.fields.toSeq.collect {
+      case f if !chosen.contains(f.name) =>
+        DriftRow(f.name, "added_null", None, None, Some(f.dataType.sql))
+    }
+    val dropped = conformedName.collect {
+      case (orig, conf)
+          if !targetByName.contains(conf) || chosen(conf) != orig =>
+        DriftRow(conf, "dropped", Some(orig),
+          Some(source(orig).dataType.sql), None)
+    }
+    val retyped = conformedName.collect {
+      case (orig, conf)
+          if targetByName.contains(conf) && chosen(conf) == orig &&
+            source(orig).dataType != targetByName(conf).dataType =>
+        DriftRow(conf, "retyped", Some(orig),
+          Some(source(orig).dataType.sql),
+          Some(targetByName(conf).dataType.sql))
+    }
+    (added ++ dropped ++ retyped)
+      .sortBy(r => (r.disposition, r.column, r.source_column.getOrElse("")))
+  }
 }
 
 /** Fixed target schemas of the reference's two destination tables.

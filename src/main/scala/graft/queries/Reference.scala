@@ -366,6 +366,68 @@ object Reference {
       |ORDER BY id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q208 schema-drift report (conformance made LOUD — SURVEY §5)
+  // ---------------------------------------------------------------
+
+  /** q208: the schema-drift report for one arrival — the explicit
+    * version of the reference's silent conformance (main.py:1228-1233
+    * null-fills missing columns and drops unknown ones without a
+    * trace; SURVEY §5's deviation policy says make it visible). The
+    * fixture is a CRM export after a UI change: a NOVEL column
+    * (`Puntaje Extra`) the target never asked for, two renamed-by-map
+    * columns (`In`, `Tiempo Medio De Respuesta In`), and most of the
+    * conducta target absent. The report names every deviation —
+    * added_null / dropped / retyped — so the UI change surfaces as
+    * rows in a run report instead of a month of silent NULLs.
+    *
+    * Pure schema metadata ([[graft.conform.Conform.driftRows]]): no
+    * data scan, bounded by column count; the matching logic is the
+    * SAME normalize→rename→first-match rule `conformTo` applies, so
+    * report and conformance cannot disagree (spec-pinned). */
+  def schemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    import spark.implicits._
+    val csv =
+      "ID;Campaña;In;% In;Fecha;Puntaje Extra;Tiempo Medio De Respuesta In\n" +
+        "101;Ventas;25;95.5;15/01/2024;7;00:02:30\n" +
+        "102;Café;3;12.5;16/01/2024;9;0:45\n"
+    val path = writeFixture("graft_drift.csv", csv, "ISO-8859-1")
+    val src = CsvProbe.read(spark, path)
+    Conform.driftRows(graft.conform.Schemas.Conducta,
+      graft.conform.Schemas.ConductaRenames)(src.schema)
+      .toDF()
+      .orderBy("disposition", "column")
+  }
+
+  val schemaDriftSql: String =
+    """SELECT * FROM (VALUES
+      |  ('agente', 'added_null', NULL, NULL, 'STRING'),
+      |  ('in_atendidas', 'added_null', NULL, NULL, 'INT'),
+      |  ('in_rechazadas_ignoradas', 'added_null', NULL, NULL, 'INT'),
+      |  ('llamados_con_hold', 'added_null', NULL, NULL, 'INT'),
+      |  ('out_atendidas', 'added_null', NULL, NULL, 'INT'),
+      |  ('out_dialing', 'added_null', NULL, NULL, 'INT'),
+      |  ('out_rechazadas_ignoradas', 'added_null', NULL, NULL, 'INT'),
+      |  ('out_total', 'added_null', NULL, NULL, 'INT'),
+      |  ('pct_in_atendidas', 'added_null', NULL, NULL, 'DOUBLE'),
+      |  ('pct_in_rechazadas_ignoradas', 'added_null', NULL, NULL, 'DOUBLE'),
+      |  ('pct_llamados_con_hold', 'added_null', NULL, NULL, 'DOUBLE'),
+      |  ('pct_out', 'added_null', NULL, NULL, 'DOUBLE'),
+      |  ('pct_out_atendidas', 'added_null', NULL, NULL, 'DOUBLE'),
+      |  ('pct_out_dialing', 'added_null', NULL, NULL, 'DOUBLE'),
+      |  ('pct_out_rechazadas_ignoradas', 'added_null', NULL, NULL, 'DOUBLE'),
+      |  ('tiempo_medio_respuesta_out', 'added_null', NULL, NULL, 'DOUBLE'),
+      |  ('puntaje_extra', 'dropped', 'Puntaje Extra', 'STRING', NULL),
+      |  ('fecha', 'retyped', 'Fecha', 'STRING', 'DATE'),
+      |  ('id', 'retyped', 'ID', 'STRING', 'INT'),
+      |  ('in_total', 'retyped', 'In', 'STRING', 'INT'),
+      |  ('pct_in', 'retyped', '% In', 'STRING', 'DOUBLE'),
+      |  ('tiempo_medio_respuesta_in', 'retyped',
+      |   'Tiempo Medio De Respuesta In', 'STRING', 'DOUBLE'))
+      |  t("column", disposition, source_column, source_type, target_type)
+      |ORDER BY disposition, "column"""".stripMargin
+
+  // ---------------------------------------------------------------
   // q37/q38 full-width golden pipelines (reference main.py:1207-1308
   // end-to-end, every target column exercised)
   // ---------------------------------------------------------------
@@ -1471,7 +1533,8 @@ object Reference {
     "q105_merge_upsert" -> mergeUpsertQ,
     "q109_reconcile" -> reconcileQ,
     "q162_daily_run" -> dailyRunQ,
-    "q189_partition_pruned_read" -> partitionPrunedRead
+    "q189_partition_pruned_read" -> partitionPrunedRead,
+    "q208_schema_drift" -> schemaDrift
   )
 
   val oracle: Map[String, String] = Map(
@@ -1502,6 +1565,7 @@ object Reference {
     "q105_merge_upsert" -> mergeUpsertSql,
     "q109_reconcile" -> reconcileSql,
     "q162_daily_run" -> dailyRunSql,
-    "q189_partition_pruned_read" -> partitionPrunedReadSql
+    "q189_partition_pruned_read" -> partitionPrunedReadSql,
+    "q208_schema_drift" -> schemaDriftSql
   )
 }
