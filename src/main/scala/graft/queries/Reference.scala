@@ -321,6 +321,64 @@ object Reference {
       |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
       |GROUP BY 1, 2 ORDER BY 2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q209 catalog-backed BI read (the named-table surface BI tools use)
+  // ---------------------------------------------------------------
+
+  /** The fecha warehouse registered as a NAMED CATALOG TABLE, once
+    * per (application, dir) — README.md:113's stated purpose is
+    * BI-tool consumption, and BI tools query *named tables* through a
+    * metastore, not parquet paths. The table is EXTERNAL over the
+    * already-written warehouse (no second data copy): catalog
+    * createTable with the warehouse's own schema + recoverPartitions
+    * to load the fecha directories into the catalog, so partition
+    * pruning happens from CATALOG METADATA (CatalogFileIndex) — at
+    * 100 TB × 365 days the metastore serves the one-partition listing
+    * without touching storage for the other 364. The external catalog
+    * is shared across sessions of an application; the name embeds the
+    * data dir's md5 so two dirs never collide on one table. */
+  private val catalogTables = new graft.KeyedOnce[(String, String), String]
+
+  private[graft] def fechaCatalogTable(
+      spark: SparkSession, dir: String): String =
+    catalogTables((spark.sparkContext.applicationId, dir)) {
+      val wh = fechaWarehouse(spark, dir)
+      val name = "graft_fecha_wh_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      // DDL derived from the warehouse's OWN parquet schema (no
+      // hand-written column list to drift); partition column last,
+      // declared in PARTITIONED BY — the catalog owns the partition
+      // metadata from here on
+      val s = spark.read.parquet(wh).schema
+      val dataCols = s.fields.filter(_.name != "fecha").map(_.toDDL)
+      val fechaCol = s("fecha").toDDL
+      spark.sql(
+        s"""CREATE TABLE `$name` (${(dataCols :+ fechaCol).mkString(", ")})
+           |USING parquet PARTITIONED BY (fecha) LOCATION '$wh'""".stripMargin)
+      // load the fecha=... directories into the catalog's partition
+      // metadata (what MSCK REPAIR TABLE does)
+      spark.catalog.recoverPartitions(name)
+      name
+    }
+
+  /** q209: q189's single-date BI read re-proven through the CATALOG
+    * path — `spark.table(name)` with the hot predicate
+    * (main.py:1535's `WHERE CAST(fecha AS DATE) = ?`). ReferenceSpec
+    * asserts the plan prunes to ONE catalog partition; the oracle
+    * checks the values (same SQL as q189 — the read surface changed,
+    * the answer must not). */
+  def catalogPrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    spark.table(fechaCatalogTable(spark, dir))
+      .filter(col("fecha") === lit("2024-01-05").cast("date"))
+      .groupBy(col("fecha"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** S1+S4+P*+X*+F2 full micro-pipeline: a latin-1, `;`-separated CSV
     * with accented/messy headers → probe → conform → coerce → drop
     * null keys. The oracle pins the exact expected rows (VALUES). */
@@ -1534,7 +1592,8 @@ object Reference {
     "q109_reconcile" -> reconcileQ,
     "q162_daily_run" -> dailyRunQ,
     "q189_partition_pruned_read" -> partitionPrunedRead,
-    "q208_schema_drift" -> schemaDrift
+    "q208_schema_drift" -> schemaDrift,
+    "q209_catalog_pruned_read" -> catalogPrunedRead
   )
 
   val oracle: Map[String, String] = Map(
@@ -1566,6 +1625,9 @@ object Reference {
     "q109_reconcile" -> reconcileSql,
     "q162_daily_run" -> dailyRunSql,
     "q189_partition_pruned_read" -> partitionPrunedReadSql,
-    "q208_schema_drift" -> schemaDriftSql
+    "q208_schema_drift" -> schemaDriftSql,
+    // same values as q189: the read surface changed (named catalog
+    // table), the answer must not
+    "q209_catalog_pruned_read" -> partitionPrunedReadSql
   )
 }
