@@ -68,7 +68,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    // A query that crashed on exactly one of its two passes is not a
+    // A query that crashed on SOME but not all of its sweeps is not a
     // clean success — surface it instead of hiding behind the min.
     val flaky = results.collect { case (k, _, _, true) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")

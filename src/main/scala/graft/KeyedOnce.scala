@@ -17,7 +17,14 @@ package graft
   * re-entrant use of the same map from inside a body.
   */
 final class KeyedOnce[K, V] {
-  private final class Cell(body: () => V) { lazy val value: V = body() }
+  private final class Cell(body: () => V) {
+    // the thunk is nulled once evaluated: a retained `body` field
+    // would pin the builder closure's whole captured scope for the
+    // application lifetime — the TrieMap this class replaced stored
+    // only the computed value (reviewer find, round 11)
+    private[this] var thunk: () => V = body
+    lazy val value: V = { val v = thunk(); thunk = null; v }
+  }
   private val cells = new java.util.concurrent.ConcurrentHashMap[K, Cell]()
 
   def apply(key: K)(body: => V): V =

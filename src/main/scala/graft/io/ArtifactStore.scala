@@ -69,18 +69,28 @@ object ArtifactStore {
   /** Publish `df` as the next version of artifact `name`. Returns the
     * committed manifest. The row count is taken from the parquet as
     * WRITTEN (a metadata-only scan), not from re-executing `df`'s
-    * plan — what readers will see is what the manifest attests. */
+    * plan — what readers will see is what the manifest attests.
+    *
+    * Publishers of one artifact are serialized by the writer lease
+    * (reviewer find, round 11): without it, two processes could both
+    * compute `next = N` and race mode("overwrite") writes into the
+    * SAME v&lt;N&gt;/data directory — the exclusive manifest create would
+    * then attest one writer's count over the other writer's (possibly
+    * torn) files. Readers need no lease: they only see manifest-
+    * committed versions, and a committed version is never rewritten. */
   def publish(df: DataFrame, root: String, name: String): Manifest = {
     val spark = df.sparkSession
-    val next = versions(spark, root, name).maxOption.getOrElse(0) + 1
-    val dataDir = s"$root/$name/v$next/data"
-    df.write.mode("overwrite").parquet(dataDir)
-    val rows = spark.read.parquet(dataDir).count()
-    val m = Manifest(name, next, rows, df.schema.toDDL)
-    val mp = manifestPath(root, name, next)
-    val out = fsOf(spark, mp).create(mp, false) // exclusive: one committer
-    try out.write(manifestJson(m).getBytes("UTF-8")) finally out.close()
-    m
+    IdempotentWriter.withTableLease(spark, s"$root/$name") {
+      val next = versions(spark, root, name).maxOption.getOrElse(0) + 1
+      val dataDir = s"$root/$name/v$next/data"
+      df.write.mode("overwrite").parquet(dataDir)
+      val rows = spark.read.parquet(dataDir).count()
+      val m = Manifest(name, next, rows, df.schema.toDDL)
+      val mp = manifestPath(root, name, next)
+      val out = fsOf(spark, mp).create(mp, false) // exclusive: one committer
+      try out.write(manifestJson(m).getBytes("UTF-8")) finally out.close()
+      m
+    }
   }
 
   /** Read the newest committed version of `name`, verifying the

@@ -41,16 +41,26 @@ object IdempotentWriter {
   //     mergeUpsert's internal overwritePartitions calls nest);
   //   - cross-process: a `<path>.lock` sibling file created with
   //     FileSystem.create(overwrite = false) — atomic-exclusive on
-  //     HDFS-compatible filesystems. A lock older than the lease
-  //     window is a dead writer's orphan: it is broken by RENAME to a
-  //     nonce'd name (atomic — only one breaker wins) and the renamed
-  //     file's own age re-verified before deletion, so a FRESH lock
-  //     that slid into the race window is restored, not destroyed.
+  //     HDFS-compatible filesystems — holding the owner's random
+  //     token. A heartbeat refreshes the held lock's mtime every
+  //     leaseMs/3, so a LIVE writer's lock never looks stale no
+  //     matter how long the staging+commit runs. A lock whose mtime
+  //     is older than the lease window is therefore a dead writer's
+  //     orphan; breaking it is serialized through a second exclusive
+  //     file (`<path>.lock.break`): only a break-lock holder ever
+  //     deletes a main lock, and acquirers only create when the main
+  //     lock is ABSENT — so between the breaker's re-stat (still
+  //     stale) and its delete, no fresh lock can appear under its
+  //     hand (the rename-and-restore scheme this replaces had exactly
+  //     that hole — reviewer find, round 11). Release deletes the
+  //     main lock only if it still carries OUR token, so a writer
+  //     that lost its lease can never delete the new holder's lock.
   //
   // Both runs complete, serialized; the table ends as exactly the
   // LAST writer's rows — winner-takes-all, never an interleaved mix.
-  // The lease window must exceed a single load's duration; writers
-  // hold it across the whole staging+commit, and release in finally.
+  // A contender whose wait exceeds 2x the lease window fails loudly
+  // (IllegalStateException) rather than breaking a live, heartbeating
+  // holder.
 
   private val localLocks = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.locks.ReentrantLock]()
@@ -72,58 +82,110 @@ object IdempotentWriter {
     try {
       val lockP = new org.apache.hadoop.fs.Path(path + ".lock")
       val fs = lockP.getFileSystem(spark.sessionState.newHadoopConf())
-      acquireLease(fs, lockP, leaseMs)
+      val token = java.util.UUID.randomUUID().toString
+      acquireLease(fs, lockP, leaseMs, token)
+      // renewal heartbeat: refresh the held lock's mtime so a long
+      // write never crosses the staleness horizon mid-commit
+      val timer = new java.util.Timer("graft-lease-heartbeat", true)
+      timer.scheduleAtFixedRate(new java.util.TimerTask {
+        override def run(): Unit =
+          try fs.setTimes(lockP, System.currentTimeMillis(), -1)
+          catch { case _: Throwable => () }
+      }, leaseMs / 3, leaseMs / 3)
       heldLeases.get().add(path)
       try body
       finally {
         heldLeases.get().remove(path)
-        try { fs.delete(lockP, false); () }
-        catch { case _: java.io.IOException => () }
+        timer.cancel()
+        // delete only OUR lock: if the lease was somehow lost and
+        // re-granted, the new holder's token differs and their lock
+        // survives us
+        try {
+          if (readToken(fs, lockP).contains(token)) { fs.delete(lockP, false); () }
+        } catch { case _: java.io.IOException => () }
       }
     } finally local.unlock()
   }
 
-  private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
-      lockP: org.apache.hadoop.fs.Path, leaseMs: Long): Unit = {
-    val deadline = System.currentTimeMillis() + leaseMs
-    var acquired = false
-    while (!acquired) {
+  private def readToken(fs: org.apache.hadoop.fs.FileSystem,
+      lockP: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fs.open(lockP)
       try {
-        val out = fs.create(lockP, false) // atomic-exclusive create
-        try out.write(
-          s"${ProcessHandle.current().pid()}@${System.currentTimeMillis()}"
-            .getBytes("UTF-8"))
-        finally out.close()
-        acquired = true
-      } catch {
-        case _: java.io.IOException =>
-          // held by someone: stale ⇒ break by rename+verify; fresh ⇒ wait
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        if (n <= 0) None else Some(new String(buf, 0, n, "UTF-8"))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
+      lockP: org.apache.hadoop.fs.Path, leaseMs: Long,
+      token: String): Unit = {
+    val deadline = System.currentTimeMillis() + 2 * leaseMs
+    while (true) {
+      // exclusive create; a failure to WRITE the token after a
+      // successful create is our own debris — remove it and rethrow,
+      // never loop treating our half-written lock as a foreign holder
+      val created =
+        try Some(fs.create(lockP, false))
+        catch { case _: java.io.IOException => None }
+      created match {
+        case Some(out) =>
+          try { out.write(token.getBytes("UTF-8")); out.close(); return }
+          catch {
+            case t: Throwable =>
+              try out.close() catch { case _: Throwable => () }
+              try fs.delete(lockP, false) catch { case _: Throwable => () }
+              throw t
+          }
+        case None =>
           val st =
             try Option(fs.getFileStatus(lockP))
             catch { case _: java.io.IOException => None }
           val stale = st.exists(
             _.getModificationTime < System.currentTimeMillis() - leaseMs)
-          if (stale) {
-            val tomb = new org.apache.hadoop.fs.Path(
-              lockP.toString + s".breaking.${java.util.UUID.randomUUID()}")
-            if (fs.rename(lockP, tomb)) {
-              // re-verify AGE on the renamed file: if a fresh lock slid
-              // in between the status check and the rename, restore it
-              val t =
-                try Option(fs.getFileStatus(tomb))
-                catch { case _: java.io.IOException => None }
-              if (t.exists(_.getModificationTime >=
-                  System.currentTimeMillis() - leaseMs)) {
-                fs.rename(tomb, lockP); ()
-              } else { fs.delete(tomb, false); () }
-            }
-          } else {
+          if (stale) tryBreakStale(fs, lockP, leaseMs)
+          else if (st.isDefined) {
             if (System.currentTimeMillis() > deadline)
               throw new IllegalStateException(
-                s"writer lease on $lockP not acquired within ${leaseMs} ms")
+                s"writer lease on $lockP not acquired within ${2 * leaseMs} ms")
             Thread.sleep(50)
-          }
+          } // st == None: lock vanished between create and stat — retry
       }
+    }
+  }
+
+  /** Break a stale main lock under the breaker lock. Only a breaker
+    * holding `<lock>.break` may delete the main lock, and acquirers
+    * create only when the main lock is absent — so the file a breaker
+    * re-stats as stale IS the file it deletes; a fresh lock cannot
+    * slide under its hand. A crashed breaker's own orphan break-lock
+    * is itself removed once stale. */
+  private def tryBreakStale(fs: org.apache.hadoop.fs.FileSystem,
+      lockP: org.apache.hadoop.fs.Path, leaseMs: Long): Unit = {
+    val breakP = new org.apache.hadoop.fs.Path(lockP.toString + ".break")
+    val bs =
+      try Option(fs.getFileStatus(breakP))
+      catch { case _: java.io.IOException => None }
+    if (bs.exists(_.getModificationTime <
+        System.currentTimeMillis() - leaseMs))
+      try { fs.delete(breakP, false); () }
+      catch { case _: java.io.IOException => () }
+    val got =
+      try { fs.create(breakP, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!got) return // another breaker is active; go back to waiting
+    try {
+      val st =
+        try Option(fs.getFileStatus(lockP))
+        catch { case _: java.io.IOException => None }
+      if (st.exists(_.getModificationTime <
+          System.currentTimeMillis() - leaseMs))
+        try { fs.delete(lockP, false); () }
+        catch { case _: java.io.IOException => () }
+    } finally {
+      try { fs.delete(breakP, false); () }
+      catch { case _: java.io.IOException => () }
     }
   }
 

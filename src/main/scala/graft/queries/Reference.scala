@@ -304,7 +304,13 @@ object Reference {
     * == 1); the oracle checks the values. */
   private[graft] def dailyEventsRead(
       spark: SparkSession, warehouse: String, date: String): DataFrame =
-    spark.read.parquet(warehouse)
+    dailyEventsAgg(spark.read.parquet(warehouse), date)
+
+  /** The single-date BI aggregation, shared by the path read (q189)
+    * and the catalog read (q209) so the two surfaces can never drift
+    * — they answer to the same oracle hash. */
+  private def dailyEventsAgg(warehouse: DataFrame, date: String): DataFrame =
+    warehouse
       .filter(col("fecha") === lit(date).cast("date"))
       .groupBy(col("fecha"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
@@ -372,11 +378,7 @@ object Reference {
     * the answer must not). */
   def catalogPrunedRead(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    spark.table(fechaCatalogTable(spark, dir))
-      .filter(col("fecha") === lit("2024-01-05").cast("date"))
-      .groupBy(col("fecha"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
-      .orderBy("event_type")
+    dailyEventsAgg(spark.table(fechaCatalogTable(spark, dir)), "2024-01-05")
   }
 
   /** S1+S4+P*+X*+F2 full micro-pipeline: a latin-1, `;`-separated CSV

@@ -77,11 +77,16 @@ object Tables {
     // Why session-global is SAFE (round-10 verdict ask #5): the
     // inferred filter could buy real pruning only when the exploded
     // array is a bare STORED column (then `size(col) > 0` is a
-    // pushable scan filter); every generator in the registry explodes
-    // a COMPUTED expression, an invariant RegistryPlanLintSpec now
-    // machine-checks per round over every analyzed plan — a future
-    // stored-array explode fails the lint with instructions to scope
-    // this conf per-query instead of riding the blanket.
+    // pushable scan filter); every generator in every plan the
+    // optimizer sees at execution explodes a COMPUTED expression, an
+    // invariant RegistryPlanLintSpec machine-checks per round over
+    // every registered analyzed plan — a future stored-array explode
+    // fails the lint with instructions to scope this conf per-query.
+    // Outside the lint's reach (documented there): generators inside
+    // construction-time-checkpointed subplans, where no optimizer
+    // decision survives to execution anyway; the one known instance
+    // (the cold/streamed dedup arms' stored-sig explode) is
+    // pruning-vacuous — fixed-width non-empty signature arrays.
     spark.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     // Deployable state-store arm: SPARK_GRAFT_STATESTORE=rocksdb runs

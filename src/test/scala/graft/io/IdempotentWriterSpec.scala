@@ -268,9 +268,29 @@ class IdempotentWriterSpec extends SparkSpec {
     }
     assert(ran)
     assert(!lock.exists())
-    // no tombstone debris from the rename-based break either
+    // no break-lock debris either
     val leftovers = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty).map(_.getName).filter(_.contains("breaking"))
+      .getOrElse(Array.empty).map(_.getName).filter(_.contains("break"))
     assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
+  test("release deletes only the holder's OWN lock: a foreign token " +
+      "survives a stranger's release path") {
+    val dir = Files.createTempDirectory("own_lease").toString
+    val path = dir + "/t"
+    // acquire and, while held, replace the lock with a foreign one
+    // (simulating a lost-and-regranted lease); our release must leave
+    // the foreign lock standing
+    IdempotentWriter.withTableLease(spark, path, leaseMs = 60000) {
+      val lock = new java.io.File(path + ".lock")
+      assert(lock.exists())
+      java.nio.file.Files.write(lock.toPath,
+        "someone-elses-token".getBytes("UTF-8"))
+    }
+    val lock = new java.io.File(path + ".lock")
+    assert(lock.exists(), "foreign lock was deleted by a non-owner release")
+    assert(new String(java.nio.file.Files.readAllBytes(lock.toPath),
+      "UTF-8") === "someone-elses-token")
+    java.nio.file.Files.delete(lock.toPath)
   }
 }
