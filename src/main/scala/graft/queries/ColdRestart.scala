@@ -99,7 +99,7 @@ object ColdRestart {
     * driver process reuses one session across its queries. */
   private val freshSessions = new graft.KeyedOnce[String, SparkSession]
 
-  private def fresh(spark: SparkSession): SparkSession =
+  private[queries] def fresh(spark: SparkSession): SparkSession =
     freshSessions(spark.sparkContext.applicationId) {
       val s = spark.newSession()
       prep(s)

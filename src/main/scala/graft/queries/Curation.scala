@@ -677,7 +677,18 @@ object Curation {
     *      before any re-append would land (rows_out = terms whose
     *      lists shrink, the re-delivery blast radius);
     *   8. check_layout      — q203's OPTIMIZE-cadence decision
-    *      (rows_out = the 0/1 recluster flag).
+    *      (rows_out = the 0/1 recluster flag);
+    *   9. publish_store     — the day-boundary hand-off: the five base
+    *      artifacts published to the versioned manifest-committed
+    *      [[graft.io.ArtifactStore]] (rows_out = the sum of the five
+    *      manifests' ATTESTED row counts — the oracle re-derives each
+    *      artifact's size from its family's own CTEs, so a publish
+    *      that wrote the wrong rows breaks the hash);
+    *  10. cold_handoff      — tomorrow's first read, today: a FRESH
+    *      session re-runs the q191 dedup repair from the just-
+    *      published store alone (rows_out = delta-touched clusters,
+    *      the same number phase 2 produced warm — the oracle states
+    *      it twice, so warm == cold == rebuild at the run grain).
     *
     * The oracle re-derives every phase's number from the FAMILY'S OWN
     * oracle SQL embedded as derived subqueries (DuckDB scopes each
@@ -732,6 +743,21 @@ object Curation {
       ((), Relational.zorderMaintenance(spark, dir)
         .agg(max(col("recluster"))).head.getLong(0))
     }
+    val store = audit.phase[String]("handoff", "publish_store") {
+      val root = ColdRestart.publishedStore(spark, dir)
+      val attested = Seq(ColdRestart.SigArtifact, ColdRestart.LabelArtifact,
+        ColdRestart.CodebookArtifact, ColdRestart.PostingsArtifact,
+        ColdRestart.GraphArtifact).map { n =>
+        val v = graft.io.ArtifactStore.latestVersion(spark, root, n)
+          .getOrElse(throw new IllegalStateException(s"$n not committed"))
+        graft.io.ArtifactStore.readManifest(spark, root, n, v).rows
+      }.sum
+      (root, attested)
+    }
+    audit.phase[Unit]("handoff", "cold_handoff") {
+      ((), ColdRestart.coldDedup(ColdRestart.fresh(spark), dir, store)
+        .agg(coalesce(sum(col("n_touched")), lit(0L))).head.getLong(0))
+    }
     audit.write(spark, auditTbl)
     spark.read.parquet(auditTbl)
       .select(col("seq"), col("dataset"), col("phase"), col("rows_out"),
@@ -783,7 +809,18 @@ object Curation {
        |UNION ALL
        |SELECT 8, 'arrival', 'check_layout',
        |  (SELECT CAST(max(recluster) AS BIGINT)
-       |   FROM (${Relational.zorderMaintenanceSql})), 'ok')
+       |   FROM (${Relational.zorderMaintenanceSql})), 'ok'
+       |UNION ALL
+       |SELECT 9, 'handoff', 'publish_store',
+       |  (SELECT (${Dedup.baseSigCountSql})
+       |        + (${Dedup.baseLabelCountSql})
+       |        + (${Similarity.baseCodebookCountSql})
+       |        + (${TextAnalysis.basePostingsCountSql})
+       |        + (${Similarity.baseGraphCountSql})), 'ok'
+       |UNION ALL
+       |SELECT 10, 'handoff', 'cold_handoff',
+       |  (SELECT CAST(sum(n_touched) AS BIGINT)
+       |   FROM ($incrementalDedupSql)), 'ok')
        |ORDER BY seq""".stripMargin
 
   // ---------------------------------------------------------------

@@ -288,6 +288,24 @@ object Dedup {
        |    FROM cand)
        |  WHERE inter / (sa + sb - inter) >= 0.5)""".stripMargin
 
+  /** Artifact-size scalars for q197's publish_store oracle: the rows
+    * the published base signature table and base CC-label table must
+    * attest, derived from the same CTEs the dedup oracles use (so the
+    * composition cannot drift from the operators). */
+  private[queries] lazy val baseSigCountSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) FROM (
+       |WITH $duckMinhashSigCtes
+       |SELECT s.doc_id FROM sig s,
+       |  (SELECT max(doc_id) * 7 // 8 AS thr FROM documents) t
+       |WHERE s.doc_id <= t.thr)""".stripMargin
+
+  private[queries] lazy val baseLabelCountSql: String =
+    s"""SELECT CAST(count(DISTINCT n) AS BIGINT) FROM (
+       |WITH $duckVerifiedPairCtes,
+       |t AS (SELECT max(doc_id) * 7 // 8 AS thr FROM documents),
+       |bp AS (SELECT ia, ib FROM pairs, t WHERE ib <= thr)
+       |SELECT ia AS n FROM bp UNION SELECT ib FROM bp)""".stripMargin
+
   // ---------------------------------------------------------------
   // q164 LSH banding tuning curve
   // ---------------------------------------------------------------

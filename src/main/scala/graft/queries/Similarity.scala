@@ -2604,6 +2604,28 @@ object Similarity {
        |    FROM rsB)
        |  WHERE rn <= 3)""".stripMargin
 
+  /** Artifact-size scalars for q197's publish_store oracle: rows the
+    * published base codebook (trained cells) and base refined graph
+    * (edges) must attest, from the same CTEs the q193/q198 oracles
+    * use. */
+  private[queries] lazy val baseCodebookCountSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) FROM (
+       |WITH nv AS ($duckVecs),
+       |thrv AS (SELECT max(vec_id) * 7 // 8 AS thr FROM nv),
+       |n AS (SELECT nv.* FROM nv, thrv WHERE vec_id <= thr
+       |      AND ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+       |          % 2 = 0),
+       |$duckKmeansCtes
+       |SELECT cell FROM c$IvfIters)""".stripMargin
+
+  private[queries] lazy val baseGraphCountSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) FROM (
+       |WITH nv AS ($duckVecs),
+       |thrv AS (SELECT max(vec_id) * 7 // 8 AS thr FROM nv),
+       |nb AS (SELECT nv.* FROM nv, thrv WHERE vec_id <= thr),
+       |$duckBaseChain
+       |SELECT src FROM reB)""".stripMargin
+
   lazy val incrementalGraphInsertSql: String = {
     val hops = (1 to BeamHops).map { h =>
       s"""g$h AS (

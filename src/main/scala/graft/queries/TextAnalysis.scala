@@ -1330,6 +1330,18 @@ object TextAnalysis {
        |  CAST(sum(is_new) AS BIGINT) AS n_new_terms
        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Artifact-size scalar for q197's publish_store oracle: the rows
+    * (distinct terms) the published base index must attest. */
+  private[queries] lazy val basePostingsCountSql: String =
+    """SELECT CAST(count(DISTINCT w) AS BIGINT) FROM (
+      |  SELECT doc_id, tok AS w
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |        FROM documents)
+      |  WHERE tok <> '') tw,
+      |  (SELECT max(doc_id) * 7 // 8 AS thr FROM documents) t
+      |WHERE tw.doc_id <= t.thr""".stripMargin
+
   // ---------------------------------------------------------------
   // q201 postings retraction (delete-side incremental maintenance)
   // ---------------------------------------------------------------
