@@ -117,6 +117,41 @@ object ArtifactStore {
     (df, m)
   }
 
+  /** Retention: delete all but the newest `keep` COMMITTED versions,
+    * plus every uncommitted (manifest-less) version directory OLDER
+    * than the newest committed one — crash debris by definition, since
+    * versions are monotone and a publish in flight is always the
+    * newest directory. Never touches the newest committed version.
+    * With keep >= 2 a reader that resolved `latestVersion` just before
+    * a publish still has one full publish cycle to finish its scan —
+    * the same grace the q200 label snapshots rely on. Runs under the
+    * per-artifact writer lease so it cannot race a publish computing
+    * its next version number. Returns the deleted version numbers. */
+  def prune(spark: SparkSession, root: String, name: String,
+      keep: Int = 2): Seq[Int] = {
+    require(keep >= 1, "retention must keep at least the newest version")
+    IdempotentWriter.withTableLease(spark, s"$root/$name") {
+      val all = versions(spark, root, name).sorted(Ordering.Int.reverse)
+      val committed = all.filter(v =>
+        fsOf(spark, manifestPath(root, name, v))
+          .exists(manifestPath(root, name, v)))
+      committed.headOption match {
+        case None => Seq.empty // nothing committed: nothing is debris yet
+        case Some(newestCommitted) =>
+          val keepSet = committed.take(keep).toSet
+          val victims = all.filter(v =>
+            !keepSet.contains(v) &&
+              (committed.contains(v) || v < newestCommitted))
+          victims.foreach { v =>
+            val p = new org.apache.hadoop.fs.Path(s"$root/$name/v$v")
+            try { fsOf(spark, p).delete(p, true); () }
+            catch { case _: java.io.IOException => () }
+          }
+          victims
+      }
+    }
+  }
+
   def readManifest(spark: SparkSession, root: String, name: String,
       v: Int): Manifest = {
     val mp = manifestPath(root, name, v)

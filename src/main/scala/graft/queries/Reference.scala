@@ -348,27 +348,40 @@ object Reference {
   private[graft] def fechaCatalogTable(
       spark: SparkSession, dir: String): String =
     catalogTables((spark.sparkContext.applicationId, dir)) {
-      val wh = fechaWarehouse(spark, dir)
       val name = "graft_fecha_wh_" +
         java.security.MessageDigest.getInstance("MD5")
           .digest(dir.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(16)
-      spark.sql(s"DROP TABLE IF EXISTS `$name`")
-      // DDL derived from the warehouse's OWN parquet schema (no
-      // hand-written column list to drift); partition column last,
-      // declared in PARTITIONED BY — the catalog owns the partition
-      // metadata from here on
-      val s = spark.read.parquet(wh).schema
-      val dataCols = s.fields.filter(_.name != "fecha").map(_.toDDL)
-      val fechaCol = s("fecha").toDDL
-      spark.sql(
-        s"""CREATE TABLE `$name` (${(dataCols :+ fechaCol).mkString(", ")})
-           |USING parquet PARTITIONED BY (fecha) LOCATION '$wh'""".stripMargin)
-      // load the fecha=... directories into the catalog's partition
-      // metadata (what MSCK REPAIR TABLE does)
-      spark.catalog.recoverPartitions(name)
+      registerFechaTable(spark, fechaWarehouse(spark, dir), name)
       name
     }
+
+  /** Register `wh` (a fecha-partitioned parquet warehouse) as the
+    * named EXTERNAL catalog table `name`. Factored from
+    * [[fechaCatalogTable]] so the spec can exercise the operational
+    * contract on a scratch warehouse: after a NEW fecha lands (the
+    * daily load), the catalog's partition metadata is refreshed with
+    * `spark.catalog.recoverPartitions` — the MSCK step of the daily
+    * cadence; until then the catalog intentionally serves yesterday's
+    * partition list (metastore reads never re-list storage — that is
+    * the point of the catalog path at 100 TB). */
+  private[graft] def registerFechaTable(
+      spark: SparkSession, wh: String, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    // DDL derived from the warehouse's OWN parquet schema (no
+    // hand-written column list to drift); partition column last,
+    // declared in PARTITIONED BY — the catalog owns the partition
+    // metadata from here on
+    val s = spark.read.parquet(wh).schema
+    val dataCols = s.fields.filter(_.name != "fecha").map(_.toDDL)
+    val fechaCol = s("fecha").toDDL
+    spark.sql(
+      s"""CREATE TABLE `$name` (${(dataCols :+ fechaCol).mkString(", ")})
+         |USING parquet PARTITIONED BY (fecha) LOCATION '$wh'""".stripMargin)
+    // load the fecha=... directories into the catalog's partition
+    // metadata (what MSCK REPAIR TABLE does)
+    spark.catalog.recoverPartitions(name)
+  }
 
   /** q209: q189's single-date BI read re-proven through the CATALOG
     * path — `spark.table(name)` with the hot predicate

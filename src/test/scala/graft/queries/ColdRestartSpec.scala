@@ -59,6 +59,37 @@ class ColdRestartSpec extends SparkSpec {
     } finally hadoopDelete(root)
   }
 
+  test("ArtifactStore: prune keeps the newest K committed versions, " +
+      "removes older ones and crash debris, never the serving version") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_prune_spec").toString
+    try {
+      for (i <- 1 to 4)
+        ArtifactStore.publish(
+          (1 to i).map(j => (j.toLong, "x")).toDF("id", "s"), root, "t")
+      // crash debris: an uncommitted v-dir OLDER than the newest commit
+      Seq((0L, "junk")).toDF("id", "s").write.parquet(s"$root/t/v2b_ignored")
+      Seq((0L, "junk")).toDF("id", "s").write.parquet(s"$root/t/v3/extra")
+      val deleted = ArtifactStore.prune(spark, root, "t", keep = 2)
+      assert(deleted.sorted === Seq(1, 2), s"deleted $deleted")
+      // the serving version is untouched and still row-count-verified
+      val (df, m) = ArtifactStore.readWithManifest(spark, root, "t")
+      assert(m.version === 4 && df.count() === 4)
+      // v3 (second-newest committed) survives as the reader-grace copy
+      assert(ArtifactStore.readManifest(spark, root, "t", 3).rows === 3)
+      // an in-flight publish (uncommitted, NEWER than the newest
+      // commit) must survive pruning — even an aggressive keep=1
+      Seq((9L, "wip")).toDF("id", "s").write.parquet(s"$root/t/v5/data")
+      assert(ArtifactStore.prune(spark, root, "t", keep = 1) === Seq(3))
+      assert(new java.io.File(s"$root/t/v5/data").exists())
+      // and the next publish supersedes it cleanly
+      val v6 = ArtifactStore.publish(
+        Seq((6L, "y")).toDF("id", "s"), root, "t")
+      assert(v6.version === 6)
+    } finally hadoopDelete(root)
+  }
+
   test("ArtifactStore: manifest JSON roundtrips quotes and backslashes " +
       "in the schema DDL") {
     val m = Manifest("n", 7, 42L, """c STRUCT<`a "q"`: STRING, b: BIGINT>""")
