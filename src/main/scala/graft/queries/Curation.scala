@@ -462,6 +462,32 @@ object Curation {
           "left_anti")
       else deltaSigs
     unseenSigs.write.mode("append").parquet(sigDir.toString)
+    // Snapshot retention (the ArtifactStore.prune policy applied to
+    // the streamed store): one snapshot lands per arrival and would
+    // otherwise accumulate forever. Keep the newest TWO committed
+    // snapshots — the serving one plus a reader-grace copy (a reader
+    // that resolved latestLabels just before this batch still has one
+    // full arrival cycle to finish); the version counter stays
+    // monotone because `next` derives from the newest survivor.
+    committedLabelSnapshots(store).dropRight(2).foreach { p =>
+      deleteDir(spark, p.toString)
+    }
+  }
+
+  /** Committed (marker-carrying) labels_v&lt;n&gt; snapshots, oldest
+    * first. */
+  private def committedLabelSnapshots(
+      store: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    if (!java.nio.file.Files.exists(store)) return Seq.empty
+    val it = java.nio.file.Files.list(store)
+    try {
+      scala.jdk.CollectionConverters.IteratorHasAsScala(it.iterator())
+        .asScala
+        .filter(_.getFileName.toString.startsWith("labels_v"))
+        .filter(p => java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+        .toSeq
+        .sortBy(_.getFileName.toString.stripPrefix("labels_v").toInt)
+    } finally it.close()
   }
 
   /** Newest COMMITTED labels_v&lt;n&gt; snapshot under the q200 store, if
@@ -472,19 +498,8 @@ object Curation {
     * the dead number and mode("overwrite") clears the debris).
     * Driver-side directory listing, bounded by the batch count. */
   private[graft] def latestLabels(
-      store: java.nio.file.Path): Option[java.nio.file.Path] = {
-    if (!java.nio.file.Files.exists(store)) return None
-    val it = java.nio.file.Files.list(store)
-    try {
-      scala.jdk.CollectionConverters.IteratorHasAsScala(it.iterator())
-        .asScala
-        .filter(_.getFileName.toString.startsWith("labels_v"))
-        .filter(p => java.nio.file.Files.exists(p.resolve("_SUCCESS")))
-        .toSeq
-        .sortBy(_.getFileName.toString.stripPrefix("labels_v").toInt)
-        .lastOption
-    } finally it.close()
-  }
+      store: java.nio.file.Path): Option[java.nio.file.Path] =
+    committedLabelSnapshots(store).lastOption
 
   // ---------------------------------------------------------------
   // q195 arrival keeper decisions (the q191 labels SERVED)
@@ -748,6 +763,9 @@ object Curation {
       val attested = Seq(ColdRestart.SigArtifact, ColdRestart.LabelArtifact,
         ColdRestart.CodebookArtifact, ColdRestart.PostingsArtifact,
         ColdRestart.GraphArtifact).map { n =>
+        // the daily cadence maintains retention as it publishes:
+        // newest two committed versions survive (serving + grace)
+        graft.io.ArtifactStore.prune(spark, root, n, keep = 2)
         val v = graft.io.ArtifactStore.latestVersion(spark, root, n)
           .getOrElse(throw new IllegalStateException(s"$n not committed"))
         graft.io.ArtifactStore.readManifest(spark, root, n, v).rows
