@@ -693,12 +693,13 @@ object Curation {
     *      lists shrink, the re-delivery blast radius);
     *   8. check_layout      — q203's OPTIMIZE-cadence decision
     *      (rows_out = the 0/1 recluster flag);
-    *   9. publish_store     — the day-boundary hand-off: the five base
-    *      artifacts published to the versioned manifest-committed
-    *      [[graft.io.ArtifactStore]] (rows_out = the sum of the five
-    *      manifests' ATTESTED row counts — the oracle re-derives each
-    *      artifact's size from its family's own CTEs, so a publish
-    *      that wrote the wrong rows breaks the hash);
+    *   9. publish_store     — the day-boundary hand-off: the seven
+    *      base artifacts published to the versioned manifest-committed
+    *      [[graft.io.ArtifactStore]] with retention maintained
+    *      (rows_out = the sum of the manifests' ATTESTED row counts —
+    *      the oracle re-derives each artifact's size from its
+    *      family's own CTEs, so a publish that wrote the wrong rows
+    *      breaks the hash);
     *  10. cold_handoff      — tomorrow's first read, today: a FRESH
     *      session re-runs the q191 dedup repair from the just-
     *      published store alone (rows_out = delta-touched clusters,
@@ -760,9 +761,7 @@ object Curation {
     }
     val store = audit.phase[String]("handoff", "publish_store") {
       val root = ColdRestart.publishedStore(spark, dir)
-      val attested = Seq(ColdRestart.SigArtifact, ColdRestart.LabelArtifact,
-        ColdRestart.CodebookArtifact, ColdRestart.PostingsArtifact,
-        ColdRestart.GraphArtifact).map { n =>
+      val attested = ColdRestart.AllArtifacts.map { n =>
         // the daily cadence maintains retention as it publishes:
         // newest two committed versions survive (serving + grace)
         graft.io.ArtifactStore.prune(spark, root, n, keep = 2)
@@ -834,7 +833,9 @@ object Curation {
        |        + (${Dedup.baseLabelCountSql})
        |        + (${Similarity.baseCodebookCountSql})
        |        + (${TextAnalysis.basePostingsCountSql})
-       |        + (${Similarity.baseGraphCountSql})), 'ok'
+       |        + (${Similarity.baseGraphCountSql})
+       |        + (${TextAnalysis.baseBm25ScalarsCountSql})
+       |        + (${TextAnalysis.baseBm25HitsCountSql})), 'ok'
        |UNION ALL
        |SELECT 10, 'handoff', 'cold_handoff',
        |  (SELECT CAST(sum(n_touched) AS BIGINT)

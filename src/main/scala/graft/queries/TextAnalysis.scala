@@ -1589,39 +1589,66 @@ object TextAnalysis {
     * recompute (the measured q191 negative result, BENCH_NOTES). */
   def incrementalBm25(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    import spark.implicits._
-    val thr = Curation.deltaThreshold(spark, dir)
-    val qTerms = SearchQueries.flatMap { case (_, a, b) => Seq(a, b) }
-      .distinct
-    def toked(pred: Column) = documents(spark, dir).filter(pred)
+    incrementalBm25From(spark, dir,
+      baseBm25Scalars(spark, dir), baseBm25Hits(spark, dir))
+  }
+
+  private def bm25QTerms: Seq[String] =
+    SearchQueries.flatMap { case (_, a, b) => Seq(a, b) }.distinct
+
+  private def bm25Toked(spark: SparkSession, dir: String,
+      pred: Column): DataFrame =
+    documents(spark, dir).filter(pred)
       .withColumn("toks",
         filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= ""))
-    def scalarsOf(d: DataFrame) = d.agg(
-      count(lit(1)).as("n_docs"),
-      coalesce(sum(size(col("toks"))), lit(0L)).cast("long").as("sum_dl"),
-      coalesce(sum(when(size(col("toks")) > 0, 1L).otherwise(0L)),
-        lit(0L)).as("n_ne"))
-    def hitsOf(d: DataFrame) = d
-      .select(col("doc_id"), size(col("toks")).as("dl"),
-        explode(col("toks")).as("w"))
-      .filter(col("w").isin(qTerms: _*))
-      .groupBy(col("doc_id"), col("dl"), col("w"))
-      .agg(count(lit(1)).as("tf"))
-    // yesterday's artifacts, memoized (= read from yesterday's index)
-    val baseScalars = memo(spark, dir, "bm25_scalars_base") {
-      scalarsOf(toked(col("doc_id") <= thr))
+
+  private def bm25ScalarsOf(d: DataFrame): DataFrame = d.agg(
+    count(lit(1)).as("n_docs"),
+    coalesce(sum(size(col("toks"))), lit(0L)).cast("long").as("sum_dl"),
+    coalesce(sum(when(size(col("toks")) > 0, 1L).otherwise(0L)),
+      lit(0L)).as("n_ne"))
+
+  private def bm25HitsOf(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), size(col("toks")).as("dl"),
+      explode(col("toks")).as("w"))
+    .filter(col("w").isin(bm25QTerms: _*))
+    .groupBy(col("doc_id"), col("dl"), col("w"))
+    .agg(count(lit(1)).as("tf"))
+
+  /** Yesterday's ranking-stat artifacts (corpus scalars + probe-term
+    * tf-postings over the base corpus) — exposed for the cold-restart
+    * publish (q210). */
+  private[queries] def baseBm25Scalars(
+      spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "bm25_scalars_base") {
+      bm25ScalarsOf(bm25Toked(spark, dir,
+        col("doc_id") <= Curation.deltaThreshold(spark, dir)))
     }
-    val baseHits = memo(spark, dir, "bm25_hits_base") {
-      hitsOf(toked(col("doc_id") <= thr))
+
+  private[queries] def baseBm25Hits(
+      spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "bm25_hits_base") {
+      bm25HitsOf(bm25Toked(spark, dir,
+        col("doc_id") <= Curation.deltaThreshold(spark, dir)))
     }
+
+  /** The q199 merge+rank from EXPLICIT base artifacts — the
+    * cold-restart seam (q210): a fresh session passes the scalar and
+    * tf-postings tables read back from the [[graft.io.ArtifactStore]];
+    * the delta tokenization and exact integer merges below touch no
+    * session memo. */
+  private[queries] def incrementalBm25From(spark: SparkSession,
+      dir: String, baseScalars: DataFrame, baseHits: DataFrame): DataFrame = {
+    import spark.implicits._
+    val thr = Curation.deltaThreshold(spark, dir)
     // today's work: tokenize the DELTA alone
-    val deltaToked = toked(col("doc_id") > thr)
-    val deltaHits = hitsOf(deltaToked)
+    val deltaToked = bm25Toked(spark, dir, col("doc_id") > thr)
+    val deltaHits = bm25HitsOf(deltaToked)
     // exact integer merges
     val mergedScalars = baseScalars
       .select(col("n_docs").as("nb"), col("sum_dl").as("sb"),
         col("n_ne").as("eb"))
-      .crossJoin(broadcast(scalarsOf(deltaToked)
+      .crossJoin(broadcast(bm25ScalarsOf(deltaToked)
         .select(col("n_docs").as("nd"), col("sum_dl").as("sd"),
           col("n_ne").as("ed"))))
       .select((col("nb") + col("nd")).as("n_total"),
@@ -1638,6 +1665,28 @@ object TextAnalysis {
     val mergedHits = baseHits.unionByName(deltaHits)
       .join(broadcast(qs), "w")
     bm25Rank(mergedHits, mergedDf, mergedScalars)
+  }
+
+  /** Artifact-size scalars for q197's publish_store oracle: the rows
+    * the published BM25 stat artifacts must attest. The scalar table
+    * is ONE row by construction (a global aggregate); the tf-postings
+    * row count is the distinct (doc, dl, term) groups over base docs
+    * restricted to the probe terms. */
+  private[queries] lazy val baseBm25ScalarsCountSql: String =
+    "SELECT CAST(1 AS BIGINT)"
+
+  private[queries] lazy val baseBm25HitsCountSql: String = {
+    val terms = bm25QTerms.map(t => s"'$t'").mkString(", ")
+    s"""SELECT CAST(count(*) AS BIGINT) FROM (
+       |  SELECT doc_id, dl, w FROM (
+       |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS w FROM (
+       |      SELECT doc_id,
+       |        list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                    t -> t <> '') AS toks
+       |      FROM documents,
+       |        (SELECT max(doc_id) * 7 // 8 AS thr FROM documents) t
+       |      WHERE doc_id <= thr))
+       |  WHERE w IN ($terms) GROUP BY 1, 2, 3)""".stripMargin
   }
 
   val bm25Sql: String = {

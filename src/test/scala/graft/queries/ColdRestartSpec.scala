@@ -138,11 +138,8 @@ class ColdRestartSpec extends SparkSpec {
       })
       assert(!proc.isAlive) // the publisher JVM is DEAD before any read
 
-      // ---- all five artifacts committed, with attested row counts ----
-      val names = Seq(ColdRestart.SigArtifact, ColdRestart.LabelArtifact,
-        ColdRestart.CodebookArtifact, ColdRestart.PostingsArtifact,
-        ColdRestart.GraphArtifact)
-      for (n <- names) {
+      // ---- all seven artifacts committed, with attested row counts ----
+      for (n <- ColdRestart.AllArtifacts) {
         val (adf, am) = ArtifactStore.readWithManifest(spark, root, n)
         assert(am.version === 1 && am.rows > 0, s"$n: $am")
         assert(adf.count() === am.rows)
@@ -162,6 +159,8 @@ class ColdRestartSpec extends SparkSpec {
         .filter(col("src") > Similarity.vecDeltaThreshold(spark, dir))
       assert(rows(ColdRestart.coldGraphInsert(spark, dir, root, rebuilt)) ===
         rows(Similarity.incrementalGraphInsert(spark, dir)))
+      assert(rows(ColdRestart.coldBm25(spark, dir, root)) ===
+        rows(TextAnalysis.incrementalBm25(spark, dir)))
 
       // and label-for-label: the cold dedup repair equals the full
       // rebuild (the q191 equality surface, now across a process
