@@ -1424,6 +1424,20 @@ object Reference {
           val n = df.count()
           ((df, n), n)
         }
+        // the schema-drift report (q208's operator) as a per-dataset
+        // run phase: a CRM UI change surfaces HERE, as audit rows on
+        // the day it happens, instead of a month of silent NULLs
+        // (SURVEY §5's deviation policy; rows_out = deviations found —
+        // pure schema metadata, no job)
+        audit.phase[Unit](name, "drift") {
+          val (target, renames) = route match {
+            case "conducta" => (graft.conform.Schemas.Conducta,
+              graft.conform.Schemas.ConductaRenames)
+            case _ => (graft.conform.Schemas.Estados,
+              Map.empty[String, String])
+          }
+          ((), Conform.driftRows(target, renames)(raw.schema).size.toLong)
+        }
         val (t, nT) =
           audit.phase[(DataFrame, Long)](name, "transform", Some(nRaw)) {
             val out = route match {
@@ -1456,18 +1470,27 @@ object Reference {
     trail.unionByName(summary).orderBy("seq")
   }
 
+  /** Drift rows_out are PRINCIPLED, not observed: conducta's fixture
+    * carries 20 of the 22 target columns (2 added_null: the
+    * llamados_con_hold pair, absent from the CRM export) and every
+    * matched non-string target retypes from the CSV's strings (20
+    * matched − agente − campana = 18) → 20 deviations; estados
+    * carries all 32 (0 added) and retypes the 29 non-string targets
+    * (32 − intervalo − agente − campana) → 29. */
   val dailyRunSql: String =
     """SELECT * FROM (VALUES
       |  (CAST(1 AS INTEGER), 'tbl_conducta_diaria.csv', 'extract',
       |   CAST(NULL AS BIGINT), CAST(5 AS BIGINT), 'ok'),
-      |  (2, 'tbl_conducta_diaria.csv', 'transform', 5, 3, 'ok'),
-      |  (3, 'tbl_conducta_diaria.csv', 'load', 3, 3, 'ok'),
-      |  (4, 'tbl_conducta_diaria.csv', 'partitions', NULL, 3, 'ok'),
-      |  (5, 'tbl_estados_operativos.csv', 'extract', NULL, 3, 'ok'),
-      |  (6, 'tbl_estados_operativos.csv', 'transform', 3, 2, 'ok'),
-      |  (7, 'tbl_estados_operativos.csv', 'load', 2, 2, 'ok'),
-      |  (8, 'tbl_estados_operativos.csv', 'partitions', NULL, 2, 'ok'),
-      |  (9, 'zz_operativo_roto.csv', 'extract', NULL, NULL, 'error'),
+      |  (2, 'tbl_conducta_diaria.csv', 'drift', NULL, 20, 'ok'),
+      |  (3, 'tbl_conducta_diaria.csv', 'transform', 5, 3, 'ok'),
+      |  (4, 'tbl_conducta_diaria.csv', 'load', 3, 3, 'ok'),
+      |  (5, 'tbl_conducta_diaria.csv', 'partitions', NULL, 3, 'ok'),
+      |  (6, 'tbl_estados_operativos.csv', 'extract', NULL, 3, 'ok'),
+      |  (7, 'tbl_estados_operativos.csv', 'drift', NULL, 29, 'ok'),
+      |  (8, 'tbl_estados_operativos.csv', 'transform', 3, 2, 'ok'),
+      |  (9, 'tbl_estados_operativos.csv', 'load', 2, 2, 'ok'),
+      |  (10, 'tbl_estados_operativos.csv', 'partitions', NULL, 2, 'ok'),
+      |  (11, 'zz_operativo_roto.csv', 'extract', NULL, NULL, 'error'),
       |  (100, '__run__', 'summary', 2, 1, 'ok'))
       |  t(seq, dataset, phase, rows_in, rows_out, outcome)
       |ORDER BY seq""".stripMargin
