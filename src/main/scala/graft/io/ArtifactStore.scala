@@ -142,12 +142,15 @@ object ArtifactStore {
           val victims = all.filter(v =>
             !keepSet.contains(v) &&
               (committed.contains(v) || v < newestCommitted))
-          victims.foreach { v =>
+          // report only versions ACTUALLY deleted: a swallowed
+          // transient failure must not let a caller conclude
+          // retention succeeded (reviewer find, round 11) — the
+          // survivor is simply re-offered to the next prune
+          victims.filter { v =>
             val p = new org.apache.hadoop.fs.Path(s"$root/$name/v$v")
-            try { fsOf(spark, p).delete(p, true); () }
-            catch { case _: java.io.IOException => () }
+            try fsOf(spark, p).delete(p, true)
+            catch { case _: java.io.IOException => false }
           }
-          victims
       }
     }
   }

@@ -55,8 +55,8 @@ object ColdRestart {
     SigArtifact, LabelArtifact, CodebookArtifact, PostingsArtifact,
     GraphArtifact, Bm25ScalarsArtifact, Bm25HitsArtifact)
 
-  /** Publish all five base artifacts to `root` from `spark` (the warm
-    * session whose memoized builders define them). Exposed for
+  /** Publish all seven base artifacts to `root` from `spark` (the
+    * warm session whose memoized builders define them). Exposed for
     * [[graft.ColdPublish]] — the separate-JVM publisher the spec's
     * process-boundary proof runs. */
   private[graft] def publishAll(spark: SparkSession, dir: String,

@@ -195,13 +195,15 @@ class IdempotentWriterSpec extends SparkSpec {
       "invisible until recoverPartitions (the MSCK step), then serves " +
       "and prunes") {
     import spark.implicits._
-    val wh = Files.createTempDirectory("cat_refresh").toString + "/wh"
+    val whRoot = Files.createTempDirectory("cat_refresh").toString
+    val wh = whRoot + "/wh"
     def day(d: String, n: Int) =
       (1 to n).map(i => (i.toLong, d, i * 1.0)).toDF("event_id", "fecha", "value")
         .withColumn("fecha", col("fecha").cast("date"))
     IdempotentWriter.overwritePartitions(day("2024-01-01", 3), wh,
       addLoadDate = false)
     val name = "graft_cat_refresh_spec"
+    try {
     graft.queries.Reference.registerFechaTable(spark, wh, name)
     assert(spark.sql(s"SHOW PARTITIONS `$name`").count() === 1)
     // the daily load lands a NEW date
@@ -228,7 +230,15 @@ class IdempotentWriterSpec extends SparkSpec {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }.head
     assert(scan.selectedPartitions.partitionCount === 1)
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    } finally {
+      // cleanup must run even on assertion failure: a leftover table
+      // in the SHARED session catalog (pointing at a deleted tmp dir)
+      // would poison every later catalog-touching test (reviewer
+      // find, round 11)
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      val p = new org.apache.hadoop.fs.Path(whRoot)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
   }
 
   // -----------------------------------------------------------------

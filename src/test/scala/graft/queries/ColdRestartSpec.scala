@@ -8,9 +8,9 @@ import graft.io.ArtifactStore
 /** Cold-artifact restart proof (round-10 verdict, top ask).
   *
   * The strong half is the PROCESS boundary: a SEPARATE JVM
-  * ([[graft.ColdPublish]]) builds and publishes the five base
+  * ([[graft.ColdPublish]]) builds and publishes the seven base
   * artifacts and EXITS — only then does this (different) session read
-  * them back and run the four delta paths. Nothing the publisher
+  * them back and run the five delta paths. Nothing the publisher
   * session held in memory (memos, cached plans, broadcast state) can
   * leak across; the artifacts survive on storage alone, exactly the
   * reference's one-process-per-day contract (main.py:201-209).
@@ -68,11 +68,18 @@ class ColdRestartSpec extends SparkSpec {
       for (i <- 1 to 4)
         ArtifactStore.publish(
           (1 to i).map(j => (j.toLong, "x")).toDF("id", "s"), root, "t")
-      // crash debris: an uncommitted v-dir OLDER than the newest commit
+      // REAL crash debris: an uncommitted version dir (parses as v0)
+      // older than the newest commit — must be deleted by the debris
+      // clause even though it was never committed
+      Seq((0L, "junk")).toDF("id", "s").write.parquet(s"$root/t/v0/data")
+      // a non-version directory name is outside the store's namespace
+      // and must be ignored entirely
       Seq((0L, "junk")).toDF("id", "s").write.parquet(s"$root/t/v2b_ignored")
       Seq((0L, "junk")).toDF("id", "s").write.parquet(s"$root/t/v3/extra")
       val deleted = ArtifactStore.prune(spark, root, "t", keep = 2)
-      assert(deleted.sorted === Seq(1, 2), s"deleted $deleted")
+      assert(deleted.sorted === Seq(0, 1, 2), s"deleted $deleted")
+      assert(!new java.io.File(s"$root/t/v0").exists())
+      assert(new java.io.File(s"$root/t/v2b_ignored").exists())
       // the serving version is untouched and still row-count-verified
       val (df, m) = ArtifactStore.readWithManifest(spark, root, "t")
       assert(m.version === 4 && df.count() === 4)
@@ -100,7 +107,7 @@ class ColdRestartSpec extends SparkSpec {
   }
 
   test("fresh-JVM cold restart: a separate publisher process writes the " +
-      "five artifacts, exits, and the four delta paths read them cold " +
+      "seven artifacts, exits, and the five delta paths read them cold " +
       "and equal their warm twins") {
     val dir = "/root/testdata/sf0.001"
     val root = java.nio.file.Files
