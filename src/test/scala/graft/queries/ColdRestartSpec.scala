@@ -106,6 +106,39 @@ class ColdRestartSpec extends SparkSpec {
     assert(ArtifactStore.parseManifest(json) === m)
   }
 
+  /** Launch a ColdPublish JVM against (dir, root); returns the
+    * process handle (caller waits). */
+  private def launchPublisher(dir: String, root: String): Process = {
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ opens ++ Seq(
+      "-Xmx3g", "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.ColdPublish", dir, root)).toIndexedSeq
+    val log = java.nio.file.Files
+      .createTempFile("graft_coldpub", ".log").toFile
+    new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(log)
+      .start()
+  }
+
+  private def awaitPublisher(proc: Process, what: String): Unit = {
+    val done = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+    assert(done && proc.exitValue() === 0,
+      s"$what failed (exit ${if (done) proc.exitValue() else "timeout"})")
+  }
+
   test("fresh-JVM cold restart: a separate publisher process writes the " +
       "seven artifacts, exits, and the five delta paths read them cold " +
       "and equal their warm twins") {
@@ -115,34 +148,8 @@ class ColdRestartSpec extends SparkSpec {
     hadoopDelete(root) // publisher owns creation
     try {
       // ---- the "yesterday" process: publish and DIE ----
-      val javaBin = java.nio.file.Paths
-        .get(System.getProperty("java.home"), "bin", "java").toString
-      val opens = Seq(
-        "java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio",
-        "java.base/java.util", "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic",
-        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-        "java.base/sun.security.action", "java.base/sun.util.calendar"
-      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-      val cmd = (Seq(javaBin) ++ opens ++ Seq(
-        "-Xmx3g", "-Dspark.ui.enabled=false",
-        "-Dspark.sql.session.timeZone=UTC",
-        "-cp", System.getProperty("java.class.path"),
-        "graft.ColdPublish", dir, root)).toIndexedSeq
-      val log = java.nio.file.Files
-        .createTempFile("graft_coldpub", ".log").toFile
-      val proc = new ProcessBuilder(cmd: _*)
-        .redirectErrorStream(true)
-        .redirectOutput(log)
-        .start()
-      val done = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
-      assert(done && proc.exitValue() === 0, {
-        val tail = scala.io.Source.fromFile(log).getLines().toSeq
-          .takeRight(30).mkString("\n")
-        s"publisher failed (exit ${if (done) proc.exitValue() else "timeout"}):\n$tail"
-      })
+      val proc = launchPublisher(dir, root)
+      awaitPublisher(proc, "publisher")
       assert(!proc.isAlive) // the publisher JVM is DEAD before any read
 
       // ---- all seven artifacts committed, with attested row counts ----
@@ -184,6 +191,44 @@ class ColdRestartSpec extends SparkSpec {
         .filter(col("i.root") =!= col("f.root") ||
           col("i.root").isNull || col("f.root").isNull)
       assert(diff.count() === 0)
+    } finally hadoopDelete(root)
+  }
+
+  test("two publisher PROCESSES racing on one store serialize per " +
+      "artifact: both commit, versions are monotone, every manifest " +
+      "attests data that is actually there, no lock debris") {
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_coldpub_race").toString
+    hadoopDelete(root)
+    try {
+      // two full publish runs from two JVMs, launched together — the
+      // cross-process arm of the writer lease the in-JVM race specs
+      // cannot exercise (IdempotentWriterSpec covers threads; this
+      // covers the double-fired SCHEDULER case, two driver processes)
+      val p1 = launchPublisher(dir, root)
+      val p2 = launchPublisher(dir, root)
+      awaitPublisher(p1, "publisher 1")
+      awaitPublisher(p2, "publisher 2")
+      for (n <- ColdRestart.AllArtifacts) {
+        // both publishes committed, serialized into versions 1 and 2
+        assert(ArtifactStore.latestVersion(spark, root, n) === Some(2), n)
+        for (v <- 1 to 2) {
+          val m = ArtifactStore.readManifest(spark, root, n, v)
+          val got = spark.read.parquet(s"$root/$n/v$v/data").count()
+          assert(got === m.rows,
+            s"$n v$v: manifest attests ${m.rows}, data has $got — " +
+              "a racing writer tore this version")
+        }
+        // deterministic builders ⇒ both runs published identical rows
+        assert(ArtifactStore.readManifest(spark, root, n, 1).rows ===
+          ArtifactStore.readManifest(spark, root, n, 2).rows, n)
+      }
+      // the leases released cleanly: no .lock / .break debris
+      val debris = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty).map(_.getName)
+        .filter(f => f.contains(".lock") || f.contains(".break"))
+      assert(debris.isEmpty, debris.mkString(","))
     } finally hadoopDelete(root)
   }
 }
