@@ -2377,7 +2377,18 @@ object Relational {
   def zorderWriteRead(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val (lin, zo) = zorderWritten(spark, dir)
-    Seq(("linear", lin), ("zorder", zo)).map { case (label, path) =>
+    layoutRoundtrip(spark, Seq(("linear", lin), ("zorder", zo)))
+  }
+
+  /** The q192 physical-roundtrip measurement over any labeled layout
+    * set: both relative range probes against each written table,
+    * aggregated — layout-independent VALUES (the oracle's half; the
+    * pruning each layout buys is the specs' scan-metric half). Shared
+    * by q192 and q211 so the two physical-layout operators cannot
+    * drift in what they prove. */
+  private def layoutRoundtrip(spark: SparkSession,
+      layouts: Seq[(String, String)]): DataFrame =
+    layouts.map { case (label, path) =>
       val t = spark.read.parquet(path)
       val mx = t.agg(max(col("ok")).as("okm"), max(col("pk")).as("pkm"))
       Seq("ok_range", "pk_range").map { q =>
@@ -2395,7 +2406,6 @@ object Relational {
             col("n_match"), col("sum_ok"), col("sum_pk"))
       }.reduce(_ unionByName _)
     }.reduce(_ unionByName _).orderBy("layout", "query")
-  }
 
   val zorderWriteReadSql: String =
     """WITH li AS (
@@ -2568,6 +2578,94 @@ object Relational {
        |    THEN 1 ELSE 0 END AS BIGINT) AS recluster
        |FROM p2, bwv, dwv ORDER BY scope""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q211 layout OPTIMIZE executed (the rewrite q203's decision gates)
+  // ---------------------------------------------------------------
+
+  /** Appended and optimized layouts physically written once per
+    * (application, dir): `appended` is the degraded state q203
+    * decides on (base rows range-partitioned by their z bucket into
+    * [[ZFiles]] files, plus the delta appended as [[ZDeltaFiles]]
+    * arrival-ordered files — each spanning nearly the full pk
+    * domain); `optimized` is the OPTIMIZE executed — every row
+    * rewritten by z into the same total file budget. KeyedOnce for
+    * the same racing-writer reason as [[zorderWritten]]. */
+  private val zoptWrites =
+    new graft.KeyedOnce[(String, String), (String, String)]
+
+  private[graft] def zoptWritten(
+      spark: SparkSession, dir: String): (String, String) =
+    zoptWrites((spark.sparkContext.applicationId, dir)) {
+      val base = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"),
+          s"graft_zopt_${spark.sparkContext.applicationId}_" +
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(dir.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.take(16))
+        .toString
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      Reference.registerScratchCleanup(base)
+      val b = zorderBuckets(spark, dir).localCheckpoint(false)
+      val thr = b.agg(max(col("ok"))).head.getLong(0) * 7 / 8 // 1-row
+      val appended = s"$base/appended"
+      val optimized = s"$base/optimized"
+      b.filter(col("ok") <= thr)
+        .repartitionByRange(ZFiles, col("zorder_f"))
+        .select(col("ok"), col("pk")).write.parquet(appended)
+      b.filter(col("ok") > thr)
+        .repartitionByRange(ZDeltaFiles, col("ok"))
+        .select(col("ok"), col("pk")).write.mode("append").parquet(appended)
+      b.repartitionByRange(ZFiles + ZDeltaFiles, col("zorder_f"))
+        .select(col("ok"), col("pk")).write.parquet(optimized)
+      (appended, optimized)
+    }
+
+  /** q211: the OPTIMIZE q203's `recluster` flag gates, EXECUTED — the
+    * action half the decision operator deliberately left to the
+    * maintenance cadence. The appended table (yesterday's z-order +
+    * today's arrival-ordered delta files, the physically-proven
+    * degraded state) is rewritten in full by z into the same file
+    * budget; both physical tables then answer the two relative range
+    * probes. The oracle proves the rewrite LOST NOTHING — identical
+    * layout-independent aggregates from lineitem for both labels —
+    * and the spec proves it BOUGHT what it gates: the optimized pk
+    * scan's post-row-group-skip rows drop back to a strict fraction
+    * of the appended scan's ([[graft.ZorderProbe]] mechanics, the
+    * q192 discipline). At 100 TB this pair is the whole OPTIMIZE
+    * contract: values invariant, IO restored, cost = one full
+    * rewrite — which is exactly why q203's decision, not a timer,
+    * should gate it. */
+  def layoutOptimize(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val (app, opt) = zoptWritten(spark, dir)
+    layoutRoundtrip(spark, Seq(("appended", app), ("optimized", opt)))
+  }
+
+  val layoutOptimizeSql: String =
+    """WITH li AS (
+      |  SELECT CAST(l_orderkey AS BIGINT) AS ok,
+      |         CAST(l_partkey AS BIGINT) AS pk
+      |  FROM lineitem),
+      |mx AS (SELECT max(ok) AS okm, max(pk) AS pkm FROM li),
+      |q AS (
+      |  SELECT 'ok_range' AS query, okm // 3 AS lo,
+      |         okm // 3 + okm // 10 AS hi, 'ok' AS dim FROM mx
+      |  UNION ALL
+      |  SELECT 'pk_range', pkm // 4, pkm // 4 + pkm // 10, 'pk' FROM mx),
+      |m AS (
+      |  SELECT q.query, count(*) AS n_match,
+      |    CAST(sum(ok) AS BIGINT) AS sum_ok,
+      |    CAST(sum(pk) AS BIGINT) AS sum_pk
+      |  FROM li JOIN q
+      |    ON (CASE WHEN q.dim = 'ok' THEN li.ok ELSE li.pk END)
+      |       BETWEEN q.lo AND q.hi
+      |  GROUP BY 1)
+      |SELECT l.layout, m.query, m.n_match, m.sum_ok, m.sum_pk
+      |FROM m CROSS JOIN (VALUES ('appended'), ('optimized')) l(layout)
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_events_daily" -> eventsDaily,
@@ -2595,6 +2693,7 @@ object Relational {
     "q190_decimal_pricing" -> decimalPricing,
     "q192_zorder_write_read" -> zorderWriteRead,
     "q203_zorder_maintenance" -> zorderMaintenance,
+    "q211_layout_optimize" -> layoutOptimize,
     "q23_bucketed_join" -> bucketedJoin,
     "q24_salted_join" -> saltedJoin,
     "q163_auto_skew_join" -> autoSkewJoin,
@@ -2650,6 +2749,7 @@ object Relational {
     "q190_decimal_pricing" -> decimalPricingSql,
     "q192_zorder_write_read" -> zorderWriteReadSql,
     "q203_zorder_maintenance" -> zorderMaintenanceSql,
+    "q211_layout_optimize" -> layoutOptimizeSql,
     "q23_bucketed_join" -> joinFactsSql, // same answer via bucketed layout
     "q24_salted_join" -> saltedJoinSql,
     "q163_auto_skew_join" -> autoSkewJoinSql,

@@ -81,6 +81,37 @@ class ZorderWriteSpec extends SparkSpec {
     assert(matchA >= matchB)
   }
 
+  test("q211: executing the OPTIMIZE restores the pruning the appended " +
+      "delta surrendered — physically, and without changing any answer") {
+    val dir = "/root/testdata/sf0.001"
+    Tables.prep(spark)
+    val (app, opt) = Relational.zoptWritten(spark, dir)
+    val (scanApp, matchApp, _, totalApp) =
+      graft.ZorderProbe.measure(spark, app, "pk")
+    val (scanOpt, matchOpt, _, totalOpt) =
+      graft.ZorderProbe.measure(spark, opt, "pk")
+    // the rewrite lost nothing: same table, same probe answer
+    assert(totalApp === totalOpt && totalApp > 0)
+    assert(matchApp === matchOpt)
+    // premise-linked restoration bar: the appended layout's excess is
+    // the delta's rows (its arrival-ordered files prune nothing — the
+    // q203-premise test above measures exactly that); the OPTIMIZE
+    // must reclaim at least half of that delta-attributable scan. A
+    // fixed ratio bar would mis-scale: at sf0.001 the delta is only
+    // 1/8 of a small table, so total-scan ratios stay modest even
+    // when the reclaim is near-complete.
+    val b = Relational.zorderBuckets(spark, dir)
+    import org.apache.spark.sql.functions.{col, max}
+    val thr = b.agg(max(col("ok"))).head.getLong(0) * 7 / 8
+    val deltaRows = b.filter(col("ok") > thr).count()
+    assert(deltaRows > 0)
+    assert(scanApp - scanOpt >= deltaRows / 2,
+      s"optimize reclaimed ${scanApp - scanOpt} of ~$deltaRows " +
+        s"delta-surrendered rows (appended $scanApp, optimized $scanOpt)")
+    // the optimized layout prunes, full stop (never a full-table read)
+    assert(scanOpt < totalOpt)
+  }
+
   test("q203: a pk-clustered delta keeps the layout; a scattered delta " +
       "fires the recluster decision") {
     import spark.implicits._
