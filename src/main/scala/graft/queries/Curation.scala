@@ -704,7 +704,10 @@ object Curation {
     *      session re-runs the q191 dedup repair from the just-
     *      published store alone (rows_out = delta-touched clusters,
     *      the same number phase 2 produced warm — the oracle states
-    *      it twice, so warm == cold == rebuild at the run grain).
+    *      it twice, so warm == cold == rebuild at the run grain);
+    *  11. optimize_layout   — phase 8's decision DRIVES q211's
+    *      action: a fired recluster flag executes the full z-rewrite
+    *      (rows_out = rows rewritten; 0 when the layout is kept).
     *
     * The oracle re-derives every phase's number from the FAMILY'S OWN
     * oracle SQL embedded as derived subqueries (DuckDB scopes each
@@ -755,9 +758,10 @@ object Curation {
       ((), TextAnalysis.postingsRetraction(spark, dir)
         .agg(coalesce(sum(col("n_shrunk")), lit(0L))).head.getLong(0))
     }
-    audit.phase[Unit]("arrival", "check_layout") {
-      ((), Relational.zorderMaintenance(spark, dir)
-        .agg(max(col("recluster"))).head.getLong(0))
+    val reclusterFired = audit.phase[Long]("arrival", "check_layout") {
+      val f = Relational.zorderMaintenance(spark, dir)
+        .agg(max(col("recluster"))).head.getLong(0)
+      (f, f)
     }
     val store = audit.phase[String]("handoff", "publish_store") {
       val root = ColdRestart.publishedStore(spark, dir)
@@ -774,6 +778,15 @@ object Curation {
     audit.phase[Unit]("handoff", "cold_handoff") {
       ((), ColdRestart.coldDedup(ColdRestart.fresh(spark), dir, store)
         .agg(coalesce(sum(col("n_touched")), lit(0L))).head.getLong(0))
+    }
+    audit.phase[Unit]("maintenance", "optimize_layout") {
+      // the decision DRIVES the action: only a fired recluster flag
+      // pays the full rewrite (q211); rows_out = rows rewritten (the
+      // whole table when fired, 0 when the layout is kept)
+      ((), if (reclusterFired == 1L) {
+        val (_, opt) = Relational.zoptWritten(spark, dir)
+        spark.read.parquet(opt).count()
+      } else 0L)
     }
     audit.write(spark, auditTbl)
     spark.read.parquet(auditTbl)
@@ -839,7 +852,12 @@ object Curation {
        |UNION ALL
        |SELECT 10, 'handoff', 'cold_handoff',
        |  (SELECT CAST(sum(n_touched) AS BIGINT)
-       |   FROM ($incrementalDedupSql)), 'ok')
+       |   FROM ($incrementalDedupSql)), 'ok'
+       |UNION ALL
+       |SELECT 11, 'maintenance', 'optimize_layout',
+       |  (SELECT CASE WHEN (SELECT max(recluster)
+       |       FROM (${Relational.zorderMaintenanceSql})) = 1
+       |     THEN (SELECT count(*) FROM lineitem) ELSE 0 END), 'ok')
        |ORDER BY seq""".stripMargin
 
   // ---------------------------------------------------------------
