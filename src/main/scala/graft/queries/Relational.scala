@@ -740,13 +740,23 @@ object Relational {
     * oracle-checkable output is the exact distinct count plus a
     * boolean asserting the estimate landed within 5% (2.5x the
     * requested rsd) — the driver's hash compare then verifies the
-    * bound itself, not just row shape. */
+    * bound itself, not just row shape.
+    *
+    * Plan shape: dedup `(flag, key)` FIRST, then sketch+count the
+    * distinct set. HLL register updates are idempotent, so the sketch
+    * over the deduped set is bit-identical to the sketch over the raw
+    * multiset — but mixing `countDistinct` with the sketch in ONE agg
+    * makes Catalyst run the partial sketch at the per-key grain (a
+    * 408-register buffer PER (flag, orderkey) group through the
+    * shuffle — measured 2.9 s vs 0.4 s at sf0.1). After the dedup the
+    * sketch exists only per (flag, partition): ~32x|flags| buffers. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey")).distinct()
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+        count(lit(1)).as("exact_orders"))
       .select(col("l_returnflag"), col("exact_orders"),
         (abs(col("approx_orders") - col("exact_orders")) <=
           col("exact_orders") * 0.05).as("approx_within_5pct"))
