@@ -779,21 +779,106 @@ object Relational {
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val buckets = 8
+    // appId-scoped names: the warehouse dir is shared across
+    // processes, and two concurrent runs rewriting one table name
+    // would race on its location (see bucketedWritten)
+    val tag = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val (on, ln) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
     graft.io.BucketedLayout.writeBucketed(
       orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
-      "graft_orders_b", "o_orderkey", buckets)
+      on, "o_orderkey", buckets)
     graft.io.BucketedLayout.writeBucketed(
       lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-      "graft_lineitem_b", "l_orderkey", buckets)
-    val o = spark.table("graft_orders_b")
-    val l = spark.table("graft_lineitem_b")
+      ln, "l_orderkey", buckets)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    Seq(on, ln).foreach { t =>
+      Reference.registerScratchCleanup(new org.apache.hadoop.fs.Path(
+        wh, t.toLowerCase).toUri.getPath)
+    }
+    val o = spark.table(on)
+    val l = spark.table(ln)
     o.join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
         // AVG digest, matching q07 (see joinFacts): the bucketed read
         // sums in a different order, and a raw-SUM digest flips its
         // 4th decimal at sf0.1.
+        round(avg(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("avg_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------
+  // q212 catalog bucketed read (the amortized co-located BI join)
+  // ---------------------------------------------------------------
+
+  /** Both fact tables written bucketed+sorted by the join key into
+    * NAMED catalog tables, once per (application, dir) — the
+    * amortized layout q23 rewrites per invocation. Table names embed
+    * the application id and the data dir's md5: the warehouse
+    * directory (./spark-warehouse) is SHARED across processes, and
+    * two concurrent runs writing one table name would race on its
+    * location — the same hazard the applicationId-scoped Derby dir
+    * fixed for the JDBC sink. Locations are registered for the
+    * shutdown sweep so the shared warehouse does not accumulate
+    * per-run layouts. */
+  private val bucketedTables =
+    new graft.KeyedOnce[(String, String), (String, String)]
+
+  private[graft] def bucketedWritten(
+      spark: SparkSession, dir: String): (String, String) =
+    bucketedTables((spark.sparkContext.applicationId, dir)) {
+      val tag = spark.sparkContext.applicationId
+        .replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+      val ot = s"graft_orders_cb_$tag"
+      val lt = s"graft_lineitem_cb_$tag"
+      graft.io.BucketedLayout.writeBucketed(
+        orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        ot, "o_orderkey", 8)
+      graft.io.BucketedLayout.writeBucketed(
+        lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount")),
+        lt, "l_orderkey", 8)
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      Seq(ot, lt).foreach { t =>
+        Reference.registerScratchCleanup(new org.apache.hadoop.fs.Path(
+          wh, t.toLowerCase).toUri.getPath)
+      }
+      (ot, lt)
+    }
+
+  /** q212: the bucketed layout read the way a BI session reads it —
+    * through CATALOG NAMES alone, in a session that did none of the
+    * layout work. [[bucketedWritten]] persists both fact tables
+    * bucketed+sorted by the join key once per (application, dir);
+    * this query joins them from the FRESH session ([[ColdRestart
+    * .fresh]]: empty table memo — catalog metadata is all it has).
+    * The metastore's bucket spec is what lets Catalyst plan the
+    * fact-fact SortMergeJoin with NO exchange on either side, and a
+    * point predicate prune to 1 of 8 buckets before any file opens
+    * (both pinned in RelationalSpec). Same answer as q07 — the read
+    * surface changed, the answer must not. At 100 TB this is the
+    * point of paying the bucketed write once: every later session's
+    * recurring join drops its dominant shuffle on catalog metadata
+    * alone, which is why it IS benchable while q23 (which re-writes
+    * the layout per invocation by construction) is not. */
+  def bucketedCatalogRead(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val (ot, lt) = bucketedWritten(spark, dir)
+    val s = ColdRestart.fresh(spark)
+    val o = s.table(ot)
+    val l = s.table(lt)
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        // AVG digest, matching q07/q23: the bucketed read sums in a
+        // different order and a raw-SUM digest flips its 4th decimal.
         round(avg(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
           .as("avg_revenue"),
         count(lit(1)).as("n_items"))
@@ -2704,6 +2789,7 @@ object Relational {
     "q192_zorder_write_read" -> zorderWriteRead,
     "q203_zorder_maintenance" -> zorderMaintenance,
     "q211_layout_optimize" -> layoutOptimize,
+    "q212_bucketed_catalog_read" -> bucketedCatalogRead,
     "q23_bucketed_join" -> bucketedJoin,
     "q24_salted_join" -> saltedJoin,
     "q163_auto_skew_join" -> autoSkewJoin,
@@ -2760,6 +2846,7 @@ object Relational {
     "q192_zorder_write_read" -> zorderWriteReadSql,
     "q203_zorder_maintenance" -> zorderMaintenanceSql,
     "q211_layout_optimize" -> layoutOptimizeSql,
+    "q212_bucketed_catalog_read" -> joinFactsSql, // same answer via catalog
     "q23_bucketed_join" -> joinFactsSql, // same answer via bucketed layout
     "q24_salted_join" -> saltedJoinSql,
     "q163_auto_skew_join" -> autoSkewJoinSql,

@@ -33,6 +33,44 @@ class RelationalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q212: a fresh session plans the bucketed SMJ shuffle-free and " +
+      "bucket-prunes a point lookup from catalog metadata alone") {
+    Tables.prep(spark)
+    val (ot, lt) = Relational.bucketedWritten(spark, dir)
+    // the reading session did none of the layout work — catalog
+    // metadata (the bucket spec) is all it has
+    val s = ColdRestart.fresh(spark)
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val o = s.table(ot)
+      val l = s.table(lt)
+      val joined = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      joined.collect() // force execution so AQE finalizes the plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"catalog bucketed join must not shuffle:\n$plan")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // a point predicate on the bucket key opens 1 of 8 buckets —
+    // pruned from the catalog's bucket spec before any file opens.
+    // DisableUnnecessaryBucketedScan turns the bucketed scan off for
+    // a bare filter (no join/agg wants the partitioning) and with it
+    // forfeits the pruning — scope it off to pin the pruning fact.
+    val prevAuto =
+      s.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try {
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
+      val probe = s.table(lt).filter(col("l_orderkey") === lit(1L))
+      probe.collect()
+      val pplan = probe.queryExecution.executedPlan.toString
+      assert(pplan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"point lookup must prune to one bucket:\n$pplan")
+    } finally s.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+  }
+
   test("q93 injects a runtime bloom filter that prunes the fact side pre-shuffle") {
     Tables.prep(spark)
     val scoped = Map(
