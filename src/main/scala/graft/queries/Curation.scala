@@ -337,6 +337,81 @@ object Curation {
         .select(col("ia"), col("ib")))
     }
 
+  // ---------------------------------------------------------------
+  // q213 label blast radius (the pre-publish audit of an increment)
+  // ---------------------------------------------------------------
+
+  /** The diff grain of [[labelBlastRadius]], over any (today, base)
+    * label pair — factored so the bridge-fixture spec feeds
+    * hand-built frames. `today` is (doc_id, root) for the full
+    * corpus; `base` is (node, label) for yesterday's non-singleton
+    * nodes (singletons are their own label, same coalesce convention
+    * as [[repairedLabels]]). */
+  private[queries] def blastRadiusOf(today: DataFrame, base: DataFrame,
+      thr: Long): DataFrame =
+    today
+      .join(base.select(col("node").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .withColumn("base_root", coalesce(col("label"), col("doc_id")))
+      .withColumn("change_class",
+        when(col("doc_id") > thr, lit("new"))
+          .when(col("root") =!= col("base_root"), lit("moved"))
+          .otherwise(lit("stable")))
+      .groupBy(col("change_class"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("root")).as("n_clusters"),
+        sum(col("doc_id")).as("sum_docs"))
+      .orderBy("change_class")
+
+  /** q213: the blast radius of today's increment — the audit an
+    * operator reads BEFORE publishing the new label snapshot. Every
+    * doc is classified against yesterday's labels: `new` (a delta
+    * doc), `moved` (a base doc whose component root changed — only a
+    * delta pair BRIDGING two base components can cause this, since a
+    * delta doc joining a cluster never lowers its min-id root), or
+    * `stable`. A pathological delta (a boilerplate flood collapsing
+    * clusters) shows up here as a `moved` spike — the signal to hold
+    * the publish — while a normal day reads as new-only. Cost: one
+    * join of today's labels against the base label artifact plus the
+    * increment itself — never a rebuild. The oracle recomputes BOTH
+    * snapshots from scratch (full-corpus CC and base-corpus CC as two
+    * recursive CTEs) and diffs them — a hash match proves the
+    * incremental diff equals the ground-truth diff of the two
+    * corpus states. The one-pair-bridges-two-clusters case is
+    * spec-pinned on an engineered fixture. */
+  def labelBlastRadius(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    blastRadiusOf(incrementalLabels(spark, dir),
+      baseCcLabels(spark, dir), deltaThreshold(spark, dir))
+  }
+
+  val labelBlastRadiusSql: String =
+    s"""WITH RECURSIVE ${Dedup.duckVerifiedPairCtes},
+       |mx AS (SELECT max(doc_id) * 7 // 8 AS thr FROM documents),
+       |e AS (SELECT ia AS u, ib AS v FROM pairs
+       |      UNION SELECT ib, ia FROM pairs),
+       |reach(n, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.n),
+       |lab AS (SELECT n AS node, min(r) AS root FROM reach GROUP BY 1),
+       |bp AS (SELECT ia, ib FROM pairs, mx WHERE ib <= thr),
+       |be AS (SELECT ia AS u, ib AS v FROM bp UNION SELECT ib, ia FROM bp),
+       |breach(n, r) AS (
+       |  SELECT doc_id, doc_id FROM documents, mx WHERE doc_id <= thr
+       |  UNION
+       |  SELECT be.u, breach.r FROM be JOIN breach ON be.v = breach.n),
+       |blab AS (SELECT n AS node, min(r) AS broot FROM breach GROUP BY 1),
+       |cls AS (SELECT l.node, l.root,
+       |          CASE WHEN l.node > mx.thr THEN 'new'
+       |               WHEN l.root <> b.broot THEN 'moved'
+       |               ELSE 'stable' END AS change_class
+       |        FROM lab l LEFT JOIN blab b ON l.node = b.node, mx)
+       |SELECT change_class, count(*) AS n_docs,
+       |  count(DISTINCT root) AS n_clusters,
+       |  CAST(sum(node) AS BIGINT) AS sum_docs
+       |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Steps 1-4 of the q191 increment from EXPLICIT base artifacts —
     * the seam the cold-restart proof (q204) runs through: a fresh
     * session passes signature/label tables read back from the
@@ -2497,6 +2572,7 @@ object Curation {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_dedup_clusters" -> dedupClusters,
     "q191_incremental_dedup" -> incrementalDedup,
+    "q213_label_blast_radius" -> labelBlastRadius,
     "q195_arrival_decisions" -> arrivalDecisions,
     "q196_retraction_repair" -> retractionRepair,
     "q197_incremental_daily" -> incrementalDaily,
@@ -2526,6 +2602,7 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "q88_dedup_clusters" -> dedupClustersSql,
     "q191_incremental_dedup" -> incrementalDedupSql,
+    "q213_label_blast_radius" -> labelBlastRadiusSql,
     "q195_arrival_decisions" -> arrivalDecisionsSql,
     "q196_retraction_repair" -> retractionRepairSql,
     "q197_incremental_daily" -> incrementalDailySql,

@@ -650,6 +650,30 @@ class CurationSpec extends SparkSpec {
       8L -> 8L, 9L -> 8L))
   }
 
+  test("q213 blast radius: a delta pair bridging two base clusters " +
+      "moves exactly the absorbed cluster's docs, nothing else") {
+    import spark.implicits._
+    // base (thr = 6): clusters {1,2} root 1 and {5,6} root 5; delta
+    // doc 9 bridges them → 5 and 6 MOVE to root 1; 9 is new; 1,2 stay
+    val today = Seq((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L), (9L, 1L))
+      .toDF("doc_id", "root")
+    val base = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("node", "label")
+    val out = Curation.blastRadiusOf(today, base, 6L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(
+      "moved" -> ((2L, 1L, 11L)),   // docs 5,6 — one destination root
+      "new" -> ((1L, 1L, 9L)),      // doc 9
+      "stable" -> ((2L, 1L, 3L))))  // docs 1,2 under their old root
+    // a base SINGLETON absent from the label artifact is stable, not
+    // moved (the coalesce convention): same fixture plus lone doc 4
+    val today2 = today.unionByName(Seq((4L, 4L)).toDF("doc_id", "root"))
+    val out2 = Curation.blastRadiusOf(today2, base, 6L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2("stable") === 3L)
+  }
+
   test("q191 label repair CHAINS: two successive delta repairs equal " +
       "one full CC over all pairs (the daily-cadence property)") {
     import spark.implicits._
