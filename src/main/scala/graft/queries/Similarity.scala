@@ -521,12 +521,12 @@ object Similarity {
 
   /** Seed CTE with the codebook size as an arbitrary SQL scalar
     * expression — lets q132's oracle compute K ~ sqrt(N) in SQL. */
-  private def duckSeedRowsExpr(kExpr: String): String =
+  private def duckSeedRowsExpr(kExpr: String, src: String = "n"): String =
     s"""SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cell, v
        |  FROM (SELECT vec_id, v,
        |          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
        |            AS hk
-       |        FROM n)
+       |        FROM $src)
        |  QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= $kExpr""".stripMargin
 
   /** DuckDB mirror of [[kmeansCodebook]]: seed CTE + one (assign,
@@ -535,25 +535,32 @@ object Similarity {
   private def duckKmeansCtes: String = duckKmeansCtesExpr(IvfK.toString)
 
   /** The kmeans CTE chain with the codebook size as a SQL scalar
-    * expression (see [[duckSeedRowsExpr]]). */
-  private def duckKmeansCtesExpr(kExpr: String): String = {
+    * expression (see [[duckSeedRowsExpr]]). `src` names the training
+    * CTE and `pfx` prefixes every chain CTE name, so one oracle can
+    * train two codebooks on different inputs (q214 trains base and
+    * refreshed side by side) without name collisions. */
+  private def duckKmeansCtesExpr(kExpr: String, src: String = "n",
+      pfx: String = ""): String = {
     val seed =
-      s"""c0 AS (
-         |  SELECT cell, v AS cv FROM (${duckSeedRowsExpr(kExpr)}))""".stripMargin
+      s"""${pfx}c0 AS (
+         |  SELECT cell, v AS cv
+         |  FROM (${duckSeedRowsExpr(kExpr, src)}))""".stripMargin
     val iters = (1 to IvfIters).map { t =>
-      s"""s$t AS (
+      s"""${pfx}s$t AS (
          |  SELECT cell, v,
          |    row_number() OVER (PARTITION BY vec_id
          |      ORDER BY ccos DESC, cell ASC) AS rc
-         |  FROM (SELECT n.vec_id, n.v, c.cell,
-         |          round(list_dot_product(c.cv, n.v)
-         |            / (sqrt(list_dot_product(c.cv, c.cv)) * n.nrm), 4) AS ccos
-         |        FROM n, c${t - 1} c)),
-         |c$t AS (
+         |  FROM (SELECT $src.vec_id, $src.v, c.cell,
+         |          round(list_dot_product(c.cv, $src.v)
+         |            / (sqrt(list_dot_product(c.cv, c.cv)) * $src.nrm), 4)
+         |            AS ccos
+         |        FROM $src, ${pfx}c${t - 1} c)),
+         |${pfx}c$t AS (
          |  SELECT cell, list(round(cx, 6) ORDER BY i) AS cv
          |  FROM (SELECT cell, i, avg(x) AS cx
          |        FROM (SELECT cell, i, v[i] AS x
-         |              FROM s$t, range(1, ${Dim + 1}) t(i) WHERE rc = 1)
+         |              FROM ${pfx}s$t, range(1, ${Dim + 1}) t(i)
+         |              WHERE rc = 1)
          |        GROUP BY 1, 2)
          |  GROUP BY 1)""".stripMargin
     }
@@ -3033,8 +3040,109 @@ object Similarity {
        |    THEN 1 ELSE 0 END AS BIGINT) AS refresh
        |FROM s, bm, dm ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q214 codebook refresh EXECUTED (the retrain q193's flag gates)
+  // ---------------------------------------------------------------
+
+  /** Today's retrained codebook: Lloyd's over the hash-half of the
+    * FULL corpus (base and delta train halves — a refresh trains on
+    * all data it has, under the same holdout rule q193 keeps its
+    * comparison fair with). Memoized like the base codebook; exposed
+    * as the artifact a fired refresh would publish. */
+  private[queries] def refreshedCodebook(
+      spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "ivf_codebook_refreshed") {
+      lloydsTrain(vecs(spark, dir).filter(
+        expr(s"${Exprs.hash60("cast(vec_id as string)")} % 2 = 0")), IvfK)
+    }
+
+  /** q214: the RETRAIN q193's refresh flag gates, executed — the
+    * action half of the codebook family, completing the
+    * decision→action symmetry the layout family got with q203→q211.
+    * Yesterday's base-only codebook and today's retrained one
+    * ([[refreshedCodebook]]) both quantize the FULL corpus; the
+    * output states per (codebook, scope) the count, mean quantization
+    * similarity, and cells used. The retrain costs [[IvfIters]]
+    * corpus scans — exactly what q193's one-scan decision exists to
+    * gate — and the before/after rows are the evidence a fired
+    * refresh restored what drift ate: the refreshed codebook's delta
+    * mean_qsim must not trail the base codebook's (spec-pinned; on
+    * the drift-free synthetic corpus the two are near-equal, which is
+    * itself q193's keep-verdict restated from the action side). The
+    * oracle trains BOTH codebooks from scratch (two kmeans CTE
+    * chains) and re-derives every stat. */
+  def codebookRefreshExecuted(
+      spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val thr = vecDeltaThreshold(spark, dir)
+    val trainPred =
+      expr(s"${Exprs.hash60("cast(vec_id as string)")} % 2 = 0")
+    val e = vecs(spark, dir)
+    Seq("base" -> baseCodebook(spark, dir),
+      "refreshed" -> refreshedCodebook(spark, dir)).map {
+      case (label, cbDf) =>
+        val cb = cbDf.select(col("cell"), col("cv"),
+          expr("sqrt(array_dot(cv, cv))").as("cn"))
+        e.join(broadcast(cb), expr("true"))
+          .withColumn("ccos", round(
+            expr("array_dot(cv, v)") / (col("cn") * col("nrm")), 4))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("cell"), col("ccos")),
+            struct(col("ccos"), -col("cell"))).as("m"))
+          .select(col("vec_id"), col("m.cell").as("cell"),
+            col("m.ccos").as("q"))
+          .withColumn("scope",
+            when(col("vec_id") > thr, "delta")
+              .when(trainPred, "base_train")
+              .otherwise("base_holdout"))
+          .groupBy(col("scope"))
+          .agg(count(lit(1)).as("n_vecs"),
+            round(avg(col("q")), 6).as("mean_qsim"),
+            countDistinct(col("cell")).as("cells_used"))
+          .withColumn("codebook", lit(label))
+    }.reduce(_ unionByName _)
+      .select(col("codebook"), col("scope"), col("n_vecs"),
+        col("mean_qsim"), col("cells_used"))
+      .orderBy("codebook", "scope")
+  }
+
+  val codebookRefreshExecutedSql: String = {
+    val h = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+    s"""WITH nv AS ($duckVecs),
+       |thrv AS (SELECT max(vec_id) * 7 // 8 AS thr FROM nv),
+       |n AS (SELECT nv.* FROM nv, thrv WHERE vec_id <= thr
+       |      AND $h % 2 = 0),
+       |${duckKmeansCtesExpr(IvfK.toString)},
+       |n2 AS (SELECT nv.* FROM nv WHERE $h % 2 = 0),
+       |${duckKmeansCtesExpr(IvfK.toString, "n2", "r")},
+       |cb AS (
+       |  SELECT 'base' AS codebook, cell, cv,
+       |    sqrt(list_dot_product(cv, cv)) AS cn FROM c$IvfIters
+       |  UNION ALL
+       |  SELECT 'refreshed', cell, cv,
+       |    sqrt(list_dot_product(cv, cv)) FROM rc$IvfIters),
+       |asg AS (
+       |  SELECT codebook, vec_id, cell, ccos,
+       |    CASE WHEN vec_id > thr THEN 'delta'
+       |         WHEN $h % 2 = 0 THEN 'base_train'
+       |         ELSE 'base_holdout' END AS scope
+       |  FROM (SELECT cb.codebook, nv.vec_id, cb.cell, thrv.thr,
+       |          round(list_dot_product(cb.cv, nv.v) / (cb.cn * nv.nrm), 4)
+       |            AS ccos,
+       |          row_number() OVER (PARTITION BY cb.codebook, nv.vec_id
+       |            ORDER BY round(list_dot_product(cb.cv, nv.v)
+       |              / (cb.cn * nv.nrm), 4) DESC, cb.cell ASC) AS rc
+       |        FROM nv, cb, thrv)
+       |  WHERE rc = 1)
+       |SELECT codebook, scope, count(*) AS n_vecs,
+       |  round(avg(ccos), 6) AS mean_qsim,
+       |  count(DISTINCT cell) AS cells_used
+       |FROM asg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q193_codebook_refresh" -> codebookRefresh,
+    "q214_codebook_refresh_executed" -> codebookRefreshExecuted,
     "q198_incremental_graph_insert" -> incrementalGraphInsert,
     "q202_graph_retraction" -> graphRetraction,
     "q60_cosine_topk" -> cosineTopK,
@@ -3065,6 +3173,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "q193_codebook_refresh" -> codebookRefreshSql,
+    "q214_codebook_refresh_executed" -> codebookRefreshExecutedSql,
     "q198_incremental_graph_insert" -> incrementalGraphInsertSql,
     "q202_graph_retraction" -> graphRetractionSql,
     "q60_cosine_topk" -> cosineTopKSql,

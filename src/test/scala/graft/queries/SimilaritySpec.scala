@@ -616,4 +616,26 @@ class SimilaritySpec extends SparkSpec {
     val delt = drifted("delta").getDouble(2)
     assert(delt < hold - 0.1, s"holdout=$hold delta=$delt")
   }
+
+  test("q214: the executed refresh RESTORES the drifted delta's " +
+      "quantization without costing the base corpus its own") {
+    def run(dir: String): Map[(String, String), Double] =
+      Similarity.all("q214_codebook_refresh_executed")(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val m = run(refreshCorpus(drift = true))
+    // the retrain saw the delta's train half: an axis the base
+    // codebook never trained a centroid for now has one
+    assert(m(("refreshed", "delta")) > m(("base", "delta")) + 0.1,
+      s"refresh must restore delta quantization: $m")
+    // and the base corpus keeps its quality under the new codebook
+    assert(m(("refreshed", "base_holdout")) >=
+      m(("base", "base_holdout")) - 0.02,
+      s"refresh must not degrade the base holdout: $m")
+    // in-distribution corpus: the action is value-neutral (q193's
+    // keep-verdict restated from the action side)
+    val keep = run(refreshCorpus(drift = false))
+    assert(math.abs(keep(("refreshed", "delta")) -
+      keep(("base", "delta"))) < 0.1, s"no-drift refresh ~ no-op: $keep")
+  }
 }
