@@ -105,6 +105,22 @@ object ArtifactStore {
     val v = latestVersion(spark, root, name).getOrElse(
       throw new IllegalStateException(
         s"no committed version of artifact '$name' under $root"))
+    readVersion(spark, root, name, v)
+  }
+
+  /** Read a SPECIFIC committed version — the time-travel read the
+    * snapshot-diff audit (q215) runs on yesterday's and today's
+    * label snapshots. Committed versions are never rewritten, so an
+    * explicit-version read is stable under concurrent publishes (and
+    * under prune, for the newest `keep`). Same manifest verification
+    * as the latest-read; an uncommitted or absent version fails
+    * loudly rather than serving torn data. */
+  def readVersion(spark: SparkSession, root: String, name: String,
+      version: Int): (DataFrame, Manifest) = {
+    val v = version
+    require(fsOf(spark, manifestPath(root, name, v))
+      .exists(manifestPath(root, name, v)),
+      s"version $v of artifact '$name' under $root is not committed")
     val m = readManifest(spark, root, name, v)
     val df = spark.read.parquet(s"$root/$name/v$v/data")
     val got = df.count()

@@ -412,6 +412,62 @@ object Curation {
        |  CAST(sum(node) AS BIGINT) AS sum_docs
        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q215 snapshot diff COLD (time-travel read of the label lineage)
+  // ---------------------------------------------------------------
+
+  private[queries] val SnapshotArtifact = "cc_labels_snapshots"
+
+  /** The label snapshot LINEAGE published once per (application,
+    * dir): v1 = yesterday's base labels, v2 = today's repaired labels
+    * — two committed versions of ONE artifact in the same store the
+    * cold family (q204-q207, q210) reads. A separate artifact name
+    * from [[graft.queries.ColdRestart.LabelArtifact]]: that one's
+    * LATEST must stay the base labels the cold delta paths consume. */
+  private val snapStores = new graft.KeyedOnce[(String, String), String]
+
+  private[queries] def labelSnapshotLineage(
+      spark: SparkSession, dir: String): String =
+    snapStores((spark.sparkContext.applicationId, dir)) {
+      val root = ColdRestart.publishedStore(spark, dir)
+      graft.io.ArtifactStore.publish(
+        baseCcLabels(spark, dir), root, SnapshotArtifact)
+      graft.io.ArtifactStore.publish(
+        incrementalLabels(spark, dir)
+          .select(col("doc_id").as("node"), col("root").as("label")),
+        root, SnapshotArtifact)
+      root
+    }
+
+  /** q215: q213's blast radius computed COLD, from the store's
+    * version lineage alone — the time-travel read. Yesterday's (v1)
+    * and today's (v2) label snapshots are read back by the fresh
+    * session via [[graft.io.ArtifactStore.readVersion]] (explicit
+    * versions, manifest-verified) and diffed; no label is recomputed.
+    * This is the audit as a NEXT-DAY ops job runs it: after the
+    * publish, anyone can ask "what did yesterday's increment move?"
+    * for the cost of two artifact reads and one join — at 100 TB the
+    * snapshots are label tables (doc_id, root), a few per mille of
+    * the corpus bytes, so the audit is artifact-IO-bounded no matter
+    * how big the corpus that produced them. Committed versions are
+    * never rewritten, so the diff is stable under concurrent
+    * publishes. Oracle = q213's verbatim — the surface changed (warm
+    * memos → versioned store), the answer must not. */
+  def snapshotDiffCold(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val root = labelSnapshotLineage(spark, dir)
+    val s = ColdRestart.fresh(spark)
+    val v = graft.io.ArtifactStore
+      .latestVersion(s, root, SnapshotArtifact).get
+    val (today, _) = graft.io.ArtifactStore
+      .readVersion(s, root, SnapshotArtifact, v)
+    val (base, _) = graft.io.ArtifactStore
+      .readVersion(s, root, SnapshotArtifact, v - 1)
+    blastRadiusOf(
+      today.select(col("node").as("doc_id"), col("label").as("root")),
+      base, deltaThreshold(s, dir))
+  }
+
   /** Steps 1-4 of the q191 increment from EXPLICIT base artifacts —
     * the seam the cold-restart proof (q204) runs through: a fresh
     * session passes signature/label tables read back from the
@@ -2573,6 +2629,7 @@ object Curation {
     "q88_dedup_clusters" -> dedupClusters,
     "q191_incremental_dedup" -> incrementalDedup,
     "q213_label_blast_radius" -> labelBlastRadius,
+    "q215_snapshot_diff_cold" -> snapshotDiffCold,
     "q195_arrival_decisions" -> arrivalDecisions,
     "q196_retraction_repair" -> retractionRepair,
     "q197_incremental_daily" -> incrementalDaily,
@@ -2603,6 +2660,9 @@ object Curation {
     "q88_dedup_clusters" -> dedupClustersSql,
     "q191_incremental_dedup" -> incrementalDedupSql,
     "q213_label_blast_radius" -> labelBlastRadiusSql,
+    // the surface changed (warm memos -> versioned store); the answer
+    // must not — q213's oracle verbatim
+    "q215_snapshot_diff_cold" -> labelBlastRadiusSql,
     "q195_arrival_decisions" -> arrivalDecisionsSql,
     "q196_retraction_repair" -> retractionRepairSql,
     "q197_incremental_daily" -> incrementalDailySql,

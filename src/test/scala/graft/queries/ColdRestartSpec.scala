@@ -59,6 +59,44 @@ class ColdRestartSpec extends SparkSpec {
     } finally hadoopDelete(root)
   }
 
+  test("ArtifactStore: readVersion time-travels to any committed " +
+      "version and refuses uncommitted ones") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_readver_spec").toString
+    try {
+      (1 to 3).foreach { i =>
+        ArtifactStore.publish(
+          (1 to i).map(j => (j.toLong, s"v$i")).toDF("id", "tag"),
+          root, "t")
+      }
+      // each committed version stays readable after later publishes —
+      // committed versions are never rewritten
+      (1 to 3).foreach { i =>
+        val (df, m) = ArtifactStore.readVersion(spark, root, "t", i)
+        assert(m.version === i && df.count() === i.toLong)
+        assert(df.select("tag").distinct().head.getString(0) === s"v$i")
+      }
+      // an uncommitted (manifest-less) version is refused, not served
+      Seq((9L, "junk")).toDF("id", "tag").write.parquet(s"$root/t/v4/data")
+      val err = intercept[IllegalArgumentException] {
+        ArtifactStore.readVersion(spark, root, "t", 4)
+      }
+      assert(err.getMessage.contains("not committed"))
+    } finally hadoopDelete(root)
+  }
+
+  test("q215 == q213: the cold versioned-store diff equals the warm " +
+      "memo diff row-for-row (the time-travel audit loses nothing)") {
+    val dir = "/root/testdata/sf0.001"
+    Tables.prep(spark)
+    val warm = Curation.all("q213_label_blast_radius")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val cold = Curation.all("q215_snapshot_diff_cold")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(warm === cold)
+  }
+
   test("ArtifactStore: prune keeps the newest K committed versions, " +
       "removes older ones and crash debris, never the serving version") {
     import spark.implicits._
