@@ -331,6 +331,39 @@ object StreamingQ {
       .orderBy("csize")
   }
 
+  /** q216: the inverted index maintained under STREAMING arrival —
+    * the postings row's streamed cell, completing what q194 (batch
+    * append), q201 (retraction), and q206 (cold restart) left: the
+    * index as a foreachBatch consumer maintains it. Each arriving
+    * file batch runs [[TextAnalysis.applyPostingsBatch]]: tokenize
+    * the batch alone, term-key merge against the newest committed
+    * store version, publish the merged index as the next
+    * manifest-committed version, prune to serving+grace. The merge is
+    * idempotent (a crash-replayed batch re-merges to bit-identical
+    * content) and order-insensitive (sort_array on merge), so stream
+    * == batch for ANY batching and any replay of the arrivals —
+    * StreamsSpec pins the multi-file and replay cases. Output is
+    * q127's df-bucketed content digest read from the final store
+    * version; oracle = q127's full-rebuild SQL verbatim. */
+  def streamPostingsMerge(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val store = Reference.newScratch("graft_postings_stream")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = Streams.documentsStream(spark, dir).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          TextAnalysis.applyPostingsBatch(spark, batch, store.toString)
+        }
+        .option("checkpointLocation", store.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    TextAnalysis.postingsDigestOf(graft.io.ArtifactStore.read(
+      spark, store.toString, TextAnalysis.StreamPostingsArtifact))
+  }
+
   /** q188: event-time-correct VERSIONED dimension enrichment — the
     * temporal upgrade of q71's stateless enrich: q71 joins every
     * event to the dimension's CURRENT row, which silently rewrites
@@ -805,6 +838,7 @@ object StreamingQ {
     "q96_stream_load" -> streamLoad,
     "q103_stream_dedup_corpus" -> streamDedupCorpus,
     "q200_stream_label_repair" -> streamLabelRepair,
+    "q216_stream_postings_merge" -> streamPostingsMerge,
     "q108_stream_ivf_index" -> streamIvfIndex,
     "q147_stream_scd2" -> streamScd2,
     "q153_stream_late_data" -> streamLateData
@@ -826,6 +860,9 @@ object StreamingQ {
     // q88's full-rebuild histogram IS the q200 oracle: hash match ==
     // stream-maintained labels equal the batch rebuild
     "q200_stream_label_repair" -> Curation.dedupClustersSql,
+    // q127's full-rebuild digest IS the q216 oracle: hash match ==
+    // stream == batch for the maintained index
+    "q216_stream_postings_merge" -> TextAnalysis.invertedIndexSql,
     "q108_stream_ivf_index" -> Similarity.ivfAssignDigestSql,
     "q147_stream_scd2" -> streamScd2Sql,
     "q153_stream_late_data" -> streamLateDataSql

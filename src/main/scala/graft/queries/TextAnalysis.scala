@@ -1219,16 +1219,7 @@ object TextAnalysis {
     * away. */
   def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    postings(spark, dir)
-      .withColumn("df", size(col("docs")))
-      .withColumn("bucket", floor(log2(col("df"))).cast("long"))
-      .withColumn("h", expr(Exprs.hash60(
-        "concat(w, ':', array_join(transform(docs, d -> cast(d as string)), ','))")))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_terms"),
-        sum(col("df")).cast("long").as("sum_postings"),
-        expr("bit_xor(h)").as("content_digest"))
-      .orderBy("bucket")
+    postingsDigestOf(postings(spark, dir))
   }
 
   val invertedIndexSql: String =
@@ -1329,6 +1320,60 @@ object TextAnalysis {
        |  bit_xor(h) AS content_digest,
        |  CAST(sum(is_new) AS BIGINT) AS n_new_terms
        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The foreachBatch body of the STREAMED postings arm (q216),
+    * exposed for the multi-file and crash-replay specs: tokenize the
+    * arriving batch alone, term-key full-outer merge against the
+    * newest committed store version, publish the merged index as the
+    * next version (manifest-committed — a crash between write and
+    * commit leaves the previous version serving), prune to the
+    * serving+grace pair. Unlike q194's batch merge, the streamed
+    * merge is `sort_array(array_distinct(concat(...)))`: a REPLAYED
+    * batch (crash after commit, before checkpoint advance) re-merges
+    * to bit-identical content instead of appending duplicate ids, and
+    * an out-of-order arrival cannot corrupt list order — the per-term
+    * re-sort this buys is bounded by document frequency, the same
+    * bound the build itself has. */
+  private[graft] val StreamPostingsArtifact = "postings_stream"
+
+  private[graft] def applyPostingsBatch(spark: SparkSession,
+      batch: DataFrame, root: String): Unit = {
+    import graft.io.ArtifactStore
+    val deltaPost = postingsOf(batch.select(col("doc_id"), col("text")))
+    val merged =
+      ArtifactStore.latestVersion(spark, root, StreamPostingsArtifact)
+        match {
+          case None => deltaPost
+          case Some(_) =>
+            val base = ArtifactStore
+              .read(spark, root, StreamPostingsArtifact)
+            base.select(col("w"), col("docs").as("bdocs"))
+              .join(deltaPost.select(col("w"), col("docs").as("ddocs")),
+                Seq("w"), "full")
+              .select(col("w"), expr(
+                """sort_array(array_distinct(concat(
+                  |  coalesce(bdocs, cast(array() as array<bigint>)),
+                  |  coalesce(ddocs, cast(array() as array<bigint>)))))"""
+                  .stripMargin).as("docs"))
+        }
+    ArtifactStore.publish(merged, root, StreamPostingsArtifact)
+    ArtifactStore.prune(spark, root, StreamPostingsArtifact, keep = 2)
+  }
+
+  /** q127's df-bucketed content digest over an arbitrary (w, docs)
+    * index — factored so the streamed arm (q216) emits the identical
+    * surface from its store-served index and shares q127's oracle. */
+  private[queries] def postingsDigestOf(index: DataFrame): DataFrame =
+    index
+      .withColumn("df", size(col("docs")))
+      .withColumn("bucket", floor(log2(col("df"))).cast("long"))
+      .withColumn("h", expr(Exprs.hash60(
+        "concat(w, ':', array_join(transform(docs, d -> cast(d as string)), ','))")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("df")).cast("long").as("sum_postings"),
+        expr("bit_xor(h)").as("content_digest"))
+      .orderBy("bucket")
 
   /** Artifact-size scalar for q197's publish_store oracle: the rows
     * (distinct terms) the published base index must attest. */

@@ -318,6 +318,83 @@ class StreamsSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("q216 streamed postings merge: cross-batch terms merge, the final " +
+      "index equals the one-batch build, and replays + out-of-order " +
+      "arrivals are bit-identical no-ops / sorted merges") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val scratch = java.nio.file.Files.createTempDirectory("q216_spec")
+    val arrivals = scratch.resolve("arrivals")
+    java.nio.file.Files.createDirectories(arrivals)
+    def docsDF(docs: Seq[(Long, String)]) =
+      docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def writeArrival(name: String, docs: Seq[(Long, String)]): Unit = {
+      val staging = scratch.resolve(s"staging_$name")
+      docsDF(docs).coalesce(1).write.mode("overwrite")
+        .parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging)
+      try {
+        val src = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(part.iterator()).asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        java.nio.file.Files.move(src, arrivals.resolve(s"$name.parquet"))
+      } finally part.close()
+    }
+    val store = scratch.resolve("store").toString
+    def runStream(): Unit = {
+      val q = spark.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(arrivals.toString)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.queries.TextAnalysis.applyPostingsBatch(spark, b, store)
+        }
+        .option("checkpointLocation", scratch.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def indexOf(root: String): Map[String, Seq[Long]] =
+      graft.io.ArtifactStore.read(spark, root,
+          graft.queries.TextAnalysis.StreamPostingsArtifact)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    graft.queries.Tables.prep(spark)
+    writeArrival("a1", Seq((1L, "a b"), (2L, "b c")))
+    runStream()
+    assert(indexOf(store) === Map("a" -> Seq(1L), "b" -> Seq(1L, 2L),
+      "c" -> Seq(2L)))
+    // arrival 2, same checkpoint: term b grows CROSS-batch, d is new
+    writeArrival("a2", Seq((3L, "b d")))
+    runStream()
+    val streamed = indexOf(store)
+    assert(streamed === Map("a" -> Seq(1L), "b" -> Seq(1L, 2L, 3L),
+      "c" -> Seq(2L), "d" -> Seq(3L)))
+    // any-batching law: equals the whole corpus applied as ONE batch
+    val fresh = scratch.resolve("fresh").toString
+    graft.queries.TextAnalysis.applyPostingsBatch(spark,
+      docsDF(Seq((1L, "a b"), (2L, "b c"), (3L, "b d"))), fresh)
+    assert(indexOf(fresh) === streamed)
+    // crash-replay: re-merging an already-merged batch is a
+    // bit-identical no-op (concat alone would append duplicate ids)
+    graft.queries.TextAnalysis.applyPostingsBatch(spark,
+      docsDF(Seq((3L, "b d"))), store)
+    assert(indexOf(store) === streamed, "batch replay must be a no-op")
+    // out-of-order arrival: a LOWER id landing late still merges into
+    // sorted position (sort_array on merge, not blind concat)
+    graft.queries.TextAnalysis.applyPostingsBatch(spark,
+      docsDF(Seq((0L, "b"))), store)
+    assert(indexOf(store)("b") === Seq(0L, 1L, 2L, 3L))
+    // retention rode along: one committed version per merge, pruned
+    // to serving+grace
+    assert(graft.io.ArtifactStore.latestVersion(spark, store,
+      graft.queries.TextAnalysis.StreamPostingsArtifact) === Some(4))
+  }
+
   test("q200 streamed label repair: cross-batch near-dups merge and the " +
       "final snapshot equals the single-batch build (any-batching law)") {
     import spark.implicits._
