@@ -48,6 +48,7 @@ object SparkEntry {
       "q162_daily_run",        // composed daily run: fixtures + audited writes per call
       "q197_incremental_daily", // composed incremental run: audited scratch writes per call
       "q200_stream_label_repair", // streamed store + versioned label snapshots per call
-      "q216_stream_postings_merge" // streamed store + versioned index per call
+      "q216_stream_postings_merge", // streamed store + versioned index per call
+      "q217_stream_bm25_merge" // streamed store + versioned stats per call
     )).sorted
 }

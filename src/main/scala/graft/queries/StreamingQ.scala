@@ -364,6 +364,37 @@ object StreamingQ {
       spark, store.toString, TextAnalysis.StreamPostingsArtifact))
   }
 
+  /** q217: BM25's ranking stats maintained under STREAMING arrival —
+    * the ranking-stats row's streamed cell (q199 batch merge, q210
+    * cold restart, this). Each arriving file batch publishes two
+    * DOC-KEYED artifacts ([[TextAnalysis.applyBm25Batch]]): per-doc
+    * lengths and per-(doc, term) probe tf rows, merged by
+    * dropDuplicates on their keys — replay-idempotent by
+    * construction, where q199's additive scalar merge would
+    * double-count a replayed batch (the reason the STREAMED arm
+    * stores the doc grain and derives scalars at read). Output is
+    * q129's ranking served from the final store versions through the
+    * shared [[TextAnalysis.bm25Rank]] tail; oracle = q129's
+    * full-rebuild SQL verbatim — stream == batch at the level a user
+    * sees, the ranks. */
+  def streamBm25Merge(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val store = Reference.newScratch("graft_bm25_stream")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = Streams.documentsStream(spark, dir).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          TextAnalysis.applyBm25Batch(spark, batch, store.toString)
+        }
+        .option("checkpointLocation", store.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    TextAnalysis.bm25FromStreamStore(spark, store.toString)
+  }
+
   /** q188: event-time-correct VERSIONED dimension enrichment — the
     * temporal upgrade of q71's stateless enrich: q71 joins every
     * event to the dimension's CURRENT row, which silently rewrites
@@ -839,6 +870,7 @@ object StreamingQ {
     "q103_stream_dedup_corpus" -> streamDedupCorpus,
     "q200_stream_label_repair" -> streamLabelRepair,
     "q216_stream_postings_merge" -> streamPostingsMerge,
+    "q217_stream_bm25_merge" -> streamBm25Merge,
     "q108_stream_ivf_index" -> streamIvfIndex,
     "q147_stream_scd2" -> streamScd2,
     "q153_stream_late_data" -> streamLateData
@@ -863,6 +895,9 @@ object StreamingQ {
     // q127's full-rebuild digest IS the q216 oracle: hash match ==
     // stream == batch for the maintained index
     "q216_stream_postings_merge" -> TextAnalysis.invertedIndexSql,
+    // q129's full-rebuild ranking IS the q217 oracle: stream == batch
+    // at the level a user sees, the ranks
+    "q217_stream_bm25_merge" -> TextAnalysis.bm25Sql,
     "q108_stream_ivf_index" -> Similarity.ivfAssignDigestSql,
     "q147_stream_scd2" -> streamScd2Sql,
     "q153_stream_late_data" -> streamLateDataSql

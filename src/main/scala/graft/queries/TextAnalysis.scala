@@ -1712,6 +1712,67 @@ object TextAnalysis {
     bm25Rank(mergedHits, mergedDf, mergedScalars)
   }
 
+  // ---------------------------------------------------------------
+  // q217 streamed BM25 stats (the ranking-stats row's streamed cell)
+  // ---------------------------------------------------------------
+
+  private[graft] val StreamDoclensArtifact = "bm25_doclens_stream"
+  private[graft] val StreamHitsArtifact = "bm25_hits_stream"
+
+  /** The foreachBatch body of the STREAMED BM25 arm (q217). The
+    * streamed artifacts are DOC-KEYED — per-doc lengths and per-(doc,
+    * term) probe tf rows — NOT the pre-aggregated scalars q199
+    * merges: additive scalar merges double-count a crash-replayed
+    * batch, while doc-keyed rows merge by dropDuplicates on their
+    * key, so a replay is bit-identical by construction (the q216
+    * idempotence discipline; the replayed rows are equal, so which
+    * duplicate survives is immaterial). Scalars derive at read time
+    * by ONE artifact-sized aggregate — the 100 TB trade is storing
+    * one row per doc (the corpus's own cardinality, same as the
+    * labels artifact) to make the stream replay-safe. */
+  private[graft] def applyBm25Batch(spark: SparkSession,
+      batch: DataFrame, root: String): Unit = {
+    import graft.io.ArtifactStore
+    val toked = batch.select(col("doc_id"), col("text"))
+      .withColumn("toks",
+        filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= ""))
+    val dls = toked.select(col("doc_id"), size(col("toks")).as("dl"))
+    val hits = bm25HitsOf(toked)
+    def mergePublish(name: String, delta: DataFrame,
+        keys: Seq[String]): Unit = {
+      val merged = ArtifactStore.latestVersion(spark, root, name) match {
+        case None => delta
+        case Some(_) => ArtifactStore.read(spark, root, name)
+          .unionByName(delta).dropDuplicates(keys)
+      }
+      ArtifactStore.publish(merged, root, name)
+      ArtifactStore.prune(spark, root, name, keep = 2)
+    }
+    mergePublish(StreamDoclensArtifact, dls, Seq("doc_id"))
+    mergePublish(StreamHitsArtifact, hits, Seq("doc_id", "w"))
+  }
+
+  /** The q129 ranking served from the STREAMED store artifacts —
+    * factored for q217 and its specs: scalars and df derive from the
+    * doc-keyed artifacts in one artifact-sized aggregate each, then
+    * the shared [[bm25Rank]] scoring tail runs unchanged. */
+  private[graft] def bm25FromStreamStore(spark: SparkSession,
+      root: String): DataFrame = {
+    import spark.implicits._
+    val dls = graft.io.ArtifactStore
+      .read(spark, root, StreamDoclensArtifact)
+    val hits = graft.io.ArtifactStore
+      .read(spark, root, StreamHitsArtifact)
+    val stats = dls.agg(count(lit(1)).as("n_total"),
+      (sum(col("dl")).cast("double") /
+        sum(when(col("dl") > 0, 1L).otherwise(0L))).as("avgdl"))
+    val dfTab = hits.select(col("w"), col("doc_id")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val qs = SearchQueries.flatMap { case (q, a, b) => Seq((q, a), (q, b)) }
+      .toDF("qid", "w")
+    bm25Rank(hits.join(broadcast(qs), "w"), dfTab, stats)
+  }
+
   /** Artifact-size scalars for q197's publish_store oracle: the rows
     * the published BM25 stat artifacts must attest. The scalar table
     * is ONE row by construction (a global aggregate); the tf-postings

@@ -395,6 +395,79 @@ class StreamsSpec extends SparkSpec {
       graft.queries.TextAnalysis.StreamPostingsArtifact) === Some(4))
   }
 
+  test("q217 streamed BM25 stats: the served ranking equals the " +
+      "one-batch build and a crash-replayed batch cannot double-count " +
+      "the doc-keyed artifacts") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val scratch = java.nio.file.Files.createTempDirectory("q217_spec")
+    val arrivals = scratch.resolve("arrivals")
+    java.nio.file.Files.createDirectories(arrivals)
+    def docsDF(docs: Seq[(Long, String)]) =
+      docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def writeArrival(name: String, docs: Seq[(Long, String)]): Unit = {
+      val staging = scratch.resolve(s"staging_$name")
+      docsDF(docs).coalesce(1).write.mode("overwrite")
+        .parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging)
+      try {
+        val src = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(part.iterator()).asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        java.nio.file.Files.move(src, arrivals.resolve(s"$name.parquet"))
+      } finally part.close()
+    }
+    val store = scratch.resolve("store").toString
+    def runStream(): Unit = {
+      val q = spark.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(arrivals.toString)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.queries.TextAnalysis.applyBm25Batch(spark, b, store)
+        }
+        .option("checkpointLocation", scratch.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def ranking(root: String): Seq[Seq[Any]] =
+      graft.queries.TextAnalysis.bm25FromStreamStore(spark, root)
+        .collect().toSeq.map(_.toSeq)
+    def nDocs(root: String): Long =
+      graft.io.ArtifactStore.read(spark, root,
+        graft.queries.TextAnalysis.StreamDoclensArtifact).count()
+    graft.queries.Tables.prep(spark)
+    // probe terms (q1 = join/hash, q3 = scan/filter): docs built so
+    // tf, dl, and df all differ across docs and batches
+    val d1 = Seq((1L, "join hash join scan other words here"),
+      (2L, "hash filter and some padding tokens"))
+    val d2 = Seq((3L, "join scan scan filter"), (4L, "nothing relevant"))
+    writeArrival("a1", d1)
+    runStream()
+    writeArrival("a2", d2)
+    runStream()
+    val streamed = ranking(store)
+    assert(streamed.nonEmpty && nDocs(store) === 4L)
+    // any-batching law: equals the whole corpus as ONE batch
+    val fresh = scratch.resolve("fresh").toString
+    graft.queries.TextAnalysis.applyBm25Batch(spark,
+      docsDF(d1 ++ d2), fresh)
+    assert(ranking(fresh) === streamed)
+    // crash-replay: re-merging batch 2 must not double-count — the
+    // doc-keyed artifacts dedup on their keys where an additive
+    // scalar merge would have inflated n_total to 6 and shifted
+    // every idf
+    graft.queries.TextAnalysis.applyBm25Batch(spark, docsDF(d2), store)
+    assert(nDocs(store) === 4L, "replay must not double-count docs")
+    assert(ranking(store) === streamed, "replay must not move the ranks")
+  }
+
   test("q200 streamed label repair: cross-batch near-dups merge and the " +
       "final snapshot equals the single-batch build (any-batching law)") {
     import spark.implicits._
