@@ -824,19 +824,22 @@ object Curation {
     *      lists shrink, the re-delivery blast radius);
     *   8. check_layout      — q203's OPTIMIZE-cadence decision
     *      (rows_out = the 0/1 recluster flag);
-    *   9. publish_store     — the day-boundary hand-off: the seven
+    *   9. audit_blast       — q213's pre-publish gate: rows_out =
+    *      BASE docs today's delta relabeled (a moved-spike is the
+    *      signal to hold the publish that follows);
+    *  10. publish_store     — the day-boundary hand-off: the seven
     *      base artifacts published to the versioned manifest-committed
     *      [[graft.io.ArtifactStore]] with retention maintained
     *      (rows_out = the sum of the manifests' ATTESTED row counts —
     *      the oracle re-derives each artifact's size from its
     *      family's own CTEs, so a publish that wrote the wrong rows
     *      breaks the hash);
-    *  10. cold_handoff      — tomorrow's first read, today: a FRESH
+    *  11. cold_handoff      — tomorrow's first read, today: a FRESH
     *      session re-runs the q191 dedup repair from the just-
     *      published store alone (rows_out = delta-touched clusters,
     *      the same number phase 2 produced warm — the oracle states
     *      it twice, so warm == cold == rebuild at the run grain);
-    *  11. optimize_layout   — phase 8's decision DRIVES q211's
+    *  12. optimize_layout   — phase 8's decision DRIVES q211's
     *      action: a fired recluster flag executes the full z-rewrite
     *      (rows_out = rows rewritten; 0 when the layout is kept).
     *
@@ -893,6 +896,15 @@ object Curation {
       val f = Relational.zorderMaintenance(spark, dir)
         .agg(max(col("recluster"))).head.getLong(0)
       (f, f)
+    }
+    audit.phase[Unit]("handoff", "audit_blast") {
+      // the pre-publish gate (q213): how many BASE docs did today's
+      // delta relabel? A moved-spike is the signal to HOLD the
+      // publish; cost = one join of the already-memoized labels
+      // against the base label artifact
+      ((), blastRadiusOf(labels, baseCcLabels(spark, dir), thr)
+        .filter(col("change_class") === "moved")
+        .agg(coalesce(sum(col("n_docs")), lit(0L))).head.getLong(0))
     }
     val store = audit.phase[String]("handoff", "publish_store") {
       val root = ColdRestart.publishedStore(spark, dir)
@@ -972,7 +984,12 @@ object Curation {
        |  (SELECT CAST(max(recluster) AS BIGINT)
        |   FROM (${Relational.zorderMaintenanceSql})), 'ok'
        |UNION ALL
-       |SELECT 9, 'handoff', 'publish_store',
+       |SELECT 9, 'handoff', 'audit_blast',
+       |  (SELECT CAST(coalesce(sum(CASE WHEN change_class = 'moved'
+       |       THEN n_docs ELSE 0 END), 0) AS BIGINT)
+       |   FROM ($labelBlastRadiusSql)), 'ok'
+       |UNION ALL
+       |SELECT 10, 'handoff', 'publish_store',
        |  (SELECT (${Dedup.baseSigCountSql})
        |        + (${Dedup.baseLabelCountSql})
        |        + (${Similarity.baseCodebookCountSql})
@@ -981,11 +998,11 @@ object Curation {
        |        + (${TextAnalysis.baseBm25ScalarsCountSql})
        |        + (${TextAnalysis.baseBm25HitsCountSql})), 'ok'
        |UNION ALL
-       |SELECT 10, 'handoff', 'cold_handoff',
+       |SELECT 11, 'handoff', 'cold_handoff',
        |  (SELECT CAST(sum(n_touched) AS BIGINT)
        |   FROM ($incrementalDedupSql)), 'ok'
        |UNION ALL
-       |SELECT 11, 'maintenance', 'optimize_layout',
+       |SELECT 12, 'maintenance', 'optimize_layout',
        |  (SELECT CASE WHEN (SELECT max(recluster)
        |       FROM (${Relational.zorderMaintenanceSql})) = 1
        |     THEN (SELECT count(*) FROM lineitem) ELSE 0 END), 'ok')
