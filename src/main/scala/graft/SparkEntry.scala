@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{ColdRestart, Curation, Dedup, MultimodalQ, Reference, Relational, Similarity, StreamingQ, Temporal, TextAnalysis}
+import graft.queries.{ColdRestart, Curation, Dedup, MultimodalQ, Reference, Relational, Similarity, StreamingQ, Temporal, TextAnalysis, WarehouseIvm}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -10,14 +10,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ Reference.all ++ TextAnalysis.all ++
       Dedup.all ++ Similarity.all ++ StreamingQ.all ++ MultimodalQ.all ++
-      Temporal.all ++ Curation.all ++ ColdRestart.all
+      Temporal.all ++ Curation.all ++ ColdRestart.all ++ WarehouseIvm.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Reference.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ StreamingQ.oracle ++
       MultimodalQ.oracle ++ Temporal.oracle ++ Curation.oracle ++
-      ColdRestart.oracle
+      ColdRestart.oracle ++ WarehouseIvm.oracle
   /** Queries timed by [[Bench]]: everything except side-effecting /
     * driver-local-fixture probes (q35 writes a temp table per call,
     * q36 writes+reads a local CSV fixture — valid correctness probes,

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Laws for the warehouse-side incremental maintenance (q218/q219):
+  * the daily-rollup append must only scan the appended fecha, and the
+  * per-user totals merge must be exact group algebra — corrections
+  * compose, inverses cancel, vanished users drop. */
+class WarehouseIvmSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q218: the delta side of the maintained rollup PARTITION-prunes " +
+      "the warehouse to exactly the appended fecha (refresh cost = one " +
+      "day's slice, never a corpus re-aggregation)") {
+    val df = WarehouseIvm.rollupIvmAppend(spark, dir)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // two parquet scans: the stored base artifact + the warehouse delta
+    val whScans = scans.filter(_.partitionFilters.nonEmpty)
+    assert(whScans.size === 1,
+      s"expected exactly one partition-filtered warehouse scan:\n$plan")
+    assert(whScans.head.selectedPartitions.partitionCount === 1,
+      s"selected ${whScans.head.selectedPartitions.partitionCount}")
+    // and the base side comes from the artifact store, not the warehouse
+    assert(scans.exists(s => s.partitionFilters.isEmpty &&
+      s.relation.location.rootPaths.exists(
+        _.toString.contains("graft_whstore"))), plan.toString)
+  }
+
+  test("q219 fixture: a corrected re-delivery propagates by retraction " +
+      "algebra — retracted rows subtract, added rows insert (full_outer " +
+      "direction), a fully-retracted user vanishes") {
+    import spark.implicits._
+    // base totals over a 3-user history
+    val base = Seq(
+      (1L, 3L, 30.0),  // keeps some rows of the slice
+      (2L, 2L, 20.0),  // ALL rows retracted -> must vanish
+      (3L, 1L, 5.0))   // untouched by the slice
+      .toDF("user_id", "n", "sum_raw")
+    // the slice as originally delivered
+    val oldSlice = Seq(
+      (1L, 10.0), (1L, 4.0), // user 1 delivered two rows that day
+      (2L, 12.0), (2L, 8.0)) // user 2's entire history was that day
+      .toDF("user_id", "value")
+    // the corrected re-delivery: user 1 keeps one row, user 2 drops
+    // out entirely, and a NEW user 9 appears in the corrected file
+    val newSlice = Seq((1L, 4.0), (9L, 2.5))
+      .toDF("user_id", "value")
+    val got = WarehouseIvm.applyTotalsDiff(base, oldSlice, newSlice)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 20.0), // 3-2+1 rows, 30-14+4
+      (3L, 1L, 5.0),  // untouched
+      (9L, 1L, 2.5))) // inserted by the correction
+  }
+
+  test("q219 randomized law: incremental totals == full rebuild for " +
+      "random histories and random corrections (3 seeds)") {
+    import spark.implicits._
+    for (seed <- Seq(11, 47, 93)) {
+      val rnd = new scala.util.Random(seed)
+      // 2-dp values keep the shared 4dp output rounding boundary-safe
+      def v() = rnd.nextInt(10000) / 100.0
+      val history = Seq.fill(200)(
+        (rnd.nextInt(20).toLong, rnd.nextInt(5), v()))
+        .toDF("user_id", "day", "value")
+      val slice = history.filter(col("day") === 0)
+        .select(col("user_id"), col("value"))
+      val keep = rnd.nextInt(9000) / 100.0
+      val corrected = slice.filter(col("value") < keep)
+        .unionByName(Seq((99L, v()), (98L, v()))
+          .toDF("user_id", "value")) // correction also ADDS rows
+      val base = history.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_raw"))
+      val incr = WarehouseIvm.applyTotalsDiff(base, slice, corrected)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val rebuilt = history.filter(col("day") =!= 0)
+        .select(col("user_id"), col("value"))
+        .unionByName(corrected)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(incr.toSeq === rebuilt.toSeq, s"seed $seed")
+    }
+  }
+
+  test("q219 inverse law: applying a correction and then its inverse " +
+      "returns the base totals (the ⊖ really is the group inverse)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val history = Seq.fill(120)(
+      (rnd.nextInt(12).toLong, rnd.nextInt(3), rnd.nextInt(10000) / 100.0))
+      .toDF("user_id", "day", "value")
+    val slice = history.filter(col("day") === 0)
+      .select(col("user_id"), col("value"))
+    val corrected = slice.filter(col("value") < 50.0)
+    val base = history.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_raw"))
+    val once = WarehouseIvm.applyTotalsDiff(base, slice, corrected)
+      .select(col("user_id"), col("n_events").as("n"),
+        col("sum_value").as("sum_raw"))
+    // inverse correction: old and new slices swap roles
+    val back = WarehouseIvm.applyTotalsDiff(once, corrected, slice)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = base
+      .select(col("user_id"), col("n"), round(col("sum_raw"), 4))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(back.toSeq === expected.toSeq)
+  }
+}
