@@ -17,22 +17,31 @@ object BucketedLayout {
   /** Write `df` into the session catalog bucketed+sorted by `key`.
     * Bucket count should match downstream parallelism (a multiple of
     * shuffle.partitions keeps all cores busy). Drops any previous
-    * table AND its warehouse location first — the default in-memory
+    * table AND its data location first — the default in-memory
     * catalog forgets tables across JVMs while their directories
-    * persist, which would otherwise fail the create. */
+    * persist, which would otherwise fail the create.
+    *
+    * `location` makes the table EXTERNAL at that path (the bucket
+    * spec lives in the catalog either way). Callers should prefer it
+    * over the managed default: the shared ./spark-warehouse is swept
+    * by NOTHING — a crashed run's managed layout (two full fact-table
+    * copies) leaks there forever, while a `graft_`-prefixed tmpdir
+    * location is covered by the orphan sweep + pid-liveness markers
+    * (reviewer find, r11). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit = {
+      buckets: Int, location: Option[String] = None): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val loc = location.map(new org.apache.hadoop.fs.Path(_)).getOrElse(
+      new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write
+    val w = df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
-      .saveAsTable(table)
+    location.fold(w)(l => w.option("path", l)).saveAsTable(table)
   }
 }

@@ -87,17 +87,7 @@ object ColdRestart {
   private[queries] def publishedStore(
       spark: SparkSession, dir: String): String =
     stores((spark.sparkContext.applicationId, dir)) {
-      val root = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft_artifacts_${spark.sparkContext.applicationId}_" +
-            java.security.MessageDigest.getInstance("MD5")
-              .digest(dir.getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString.take(16))
-        .toString
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.delete(p, true)
-      Reference.registerScratchCleanup(root)
+      val root = Reference.appScopedScratch(spark, "graft_artifacts", dir)
       publishAll(spark, dir, root)
       root
     }

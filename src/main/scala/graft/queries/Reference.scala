@@ -275,18 +275,7 @@ object Reference {
       spark: SparkSession, dir: String): String =
     fechaWarehouses(
       (spark.sparkContext.applicationId, dir)) {
-        // full md5 of the dir, not String.hashCode: a 32-bit collision
-        // between two data dirs in one session would silently serve
-        // one dir's warehouse for the other (reviewer find, r10)
-        val tmp = java.nio.file.Paths
-          .get(System.getProperty("java.io.tmpdir"),
-            s"graft_fecha_wh_${spark.sparkContext.applicationId}_" +
-              java.security.MessageDigest.getInstance("MD5")
-                .digest(dir.getBytes("UTF-8"))
-                .map("%02x".format(_)).mkString.take(16))
-          .toString
-        deleteRecursively(tmp)
-        registerScratchCleanup(tmp)
+        val tmp = appScopedScratch(spark, "graft_fecha_wh", dir)
         IdempotentWriter.overwritePartitions(
           events(spark, dir).select(
             to_date(col("ts")).as("fecha"), col("event_id"),
@@ -755,6 +744,35 @@ object Reference {
       try deleteRecursively(prev) catch { case _: Throwable => () }
     }
     dir
+  }
+
+  /** Fresh deterministic per-(application, data-dir) scratch root
+    * under tmpdir: `<prefix>_<appId>_<md5(dir).take(16)>`, deleted if
+    * present and registered for the shutdown sweep. Full md5 of the
+    * dir, never String.hashCode — a 32-bit collision between two data
+    * dirs in one session would silently serve one dir's artifact for
+    * the other (reviewer find, r10). Factored so the next
+    * path-discipline fix lands in ONE place instead of six parallel
+    * copies (reviewer find, r11); every session-scoped physical
+    * artifact (fecha warehouse, z-order layouts, artifact stores,
+    * bucketed-table locations) builds its root here. Callers that
+    * write-once must still guard the body with [[graft.KeyedOnce]] —
+    * this helper is deterministic, so racing threads would get the
+    * SAME path. */
+  private[graft] def appScopedScratch(spark: SparkSession,
+      prefix: String, dir: String): String = {
+    val root = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"),
+        s"${prefix}_${spark.sparkContext.applicationId}_" +
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(16))
+      .toString
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    registerScratchCleanup(root)
+    root
   }
 
   /** Name of the per-dir liveness marker: holds the owning JVM's pid.

@@ -755,8 +755,13 @@ object Relational {
     lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_orderkey")).distinct()
       .groupBy(col("l_returnflag"))
+      // count(col), not count(lit(1)): after the dedup a NULL key
+      // would survive as one (flag, NULL) row, and counting IT would
+      // diverge from the removed countDistinct / the oracle's
+      // count(DISTINCT ...), both of which skip NULLs (reviewer find,
+      // r11; latent — TPC-H keys are never null)
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        count(lit(1)).as("exact_orders"))
+        count(col("l_orderkey")).as("exact_orders"))
       .select(col("l_returnflag"), col("exact_orders"),
         (abs(col("approx_orders") - col("exact_orders")) <=
           col("exact_orders") * 0.05).as("approx_within_5pct"))
@@ -776,26 +781,33 @@ object Relational {
     * answer as q07; the layout write is the one-time cost that 100 TB
     * deployments amortize. Excluded from the timed bench set (it
     * re-writes the layout every invocation by construction). */
+  /** Monotone q23 invocation counter: each call writes layouts under
+    * UNIQUE table names + a fresh newScratch location, so two threads
+    * in one application (two data dirs in one verify run — the exact
+    * race KeyedOnce guards elsewhere) can never rewrite each other's
+    * live table (reviewer find, r11). Previous invocations' data dirs
+    * drain through the newScratch eviction chain; their (tiny,
+    * in-memory) catalog entries die with the JVM. */
+  private val bucketedJoinSeq =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val buckets = 8
-    // appId-scoped names: the warehouse dir is shared across
-    // processes, and two concurrent runs rewriting one table name
-    // would race on its location (see bucketedWritten)
-    val tag = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val scratch = Reference.newScratch("graft_b23_")
+    val tag = spark.sparkContext.applicationId
+      .replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      bucketedJoinSeq.incrementAndGet()
     val (on, ln) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
     graft.io.BucketedLayout.writeBucketed(
       orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
-      on, "o_orderkey", buckets)
+      on, "o_orderkey", buckets,
+      Some(scratch.resolve("orders").toString))
     graft.io.BucketedLayout.writeBucketed(
       lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-      ln, "l_orderkey", buckets)
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    Seq(on, ln).foreach { t =>
-      Reference.registerScratchCleanup(new org.apache.hadoop.fs.Path(
-        wh, t.toLowerCase).toUri.getPath)
-    }
+      ln, "l_orderkey", buckets,
+      Some(scratch.resolve("lineitem").toString))
     val o = spark.table(on)
     val l = spark.table(ln)
     o.join(l, o("o_orderkey") === l("l_orderkey"))
@@ -821,9 +833,10 @@ object Relational {
     * directory (./spark-warehouse) is SHARED across processes, and
     * two concurrent runs writing one table name would race on its
     * location — the same hazard the applicationId-scoped Derby dir
-    * fixed for the JDBC sink. Locations are registered for the
-    * shutdown sweep so the shared warehouse does not accumulate
-    * per-run layouts. */
+    * fixed for the JDBC sink. Data lives at EXTERNAL tmpdir locations
+    * covered by the orphan sweep + pid markers, so even a CRASHED
+    * run's layout is reclaimed (the shutdown hook alone cannot
+    * promise that, and nothing sweeps the shared warehouse dir). */
   private val bucketedTables =
     new graft.KeyedOnce[(String, String), (String, String)]
 
@@ -837,19 +850,19 @@ object Relational {
           .map("%02x".format(_)).mkString.take(12)
       val ot = s"graft_orders_cb_$tag"
       val lt = s"graft_lineitem_cb_$tag"
+      // EXTERNAL locations under the swept tmpdir prefix, not the
+      // shared ./spark-warehouse (which nothing sweeps — a crashed
+      // run's managed layout would leak two fact-table copies
+      // forever; reviewer find, r11)
+      val root = Reference.appScopedScratch(spark, "graft_bucketed", dir)
       graft.io.BucketedLayout.writeBucketed(
         orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
-        ot, "o_orderkey", 8)
+        ot, "o_orderkey", 8, Some(s"$root/orders"))
       graft.io.BucketedLayout.writeBucketed(
         lineitem(spark, dir)
           .select(col("l_orderkey"), col("l_extendedprice"),
             col("l_discount")),
-        lt, "l_orderkey", 8)
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      Seq(ot, lt).foreach { t =>
-        Reference.registerScratchCleanup(new org.apache.hadoop.fs.Path(
-          wh, t.toLowerCase).toUri.getPath)
-      }
+        lt, "l_orderkey", 8, Some(s"$root/lineitem"))
       (ot, lt)
     }
 
@@ -2424,25 +2437,11 @@ object Relational {
       spark: SparkSession, dir: String): (String, String) =
     zorderWrites(
       (spark.sparkContext.applicationId, dir)) {
-        // full md5 of the dir, not String.hashCode — see
-        // Reference.fechaWarehouse for the collision hazard
-        val base = java.nio.file.Paths
-          .get(System.getProperty("java.io.tmpdir"),
-            s"graft_zorder_${spark.sparkContext.applicationId}_" +
-              java.security.MessageDigest.getInstance("MD5")
-                .digest(dir.getBytes("UTF-8"))
-                .map("%02x".format(_)).mkString.take(16))
-          .toString
-        val p = new org.apache.hadoop.fs.Path(base)
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(p)) fs.delete(p, true)
-        fs.deleteOnExit(p) // scratch: removed when the session's FS closes
-        // ALSO registered with the scratch registry: the layout is a
-        // session-scoped write-once artifact, so without the
-        // touch-own-scratch heartbeat another session's 6-hour orphan
-        // sweep could delete it mid-session (reviewer find, r10
+        // session-scoped write-once artifact: registration keeps the
+        // touch-own-scratch heartbeat protecting it from other
+        // sessions' 6-hour orphan sweep (reviewer find, r10
         // continuation)
-        Reference.registerScratchCleanup(base)
+        val base = Reference.appScopedScratch(spark, "graft_zorder", dir)
         val buckets = zorderBuckets(spark, dir).persist()
         val lin = s"$base/linear"
         val zo = s"$base/zorder"
@@ -2691,17 +2690,7 @@ object Relational {
   private[graft] def zoptWritten(
       spark: SparkSession, dir: String): (String, String) =
     zoptWrites((spark.sparkContext.applicationId, dir)) {
-      val base = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft_zopt_${spark.sparkContext.applicationId}_" +
-            java.security.MessageDigest.getInstance("MD5")
-              .digest(dir.getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString.take(16))
-        .toString
-      val p = new org.apache.hadoop.fs.Path(base)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.delete(p, true)
-      Reference.registerScratchCleanup(base)
+      val base = Reference.appScopedScratch(spark, "graft_zopt", dir)
       val b = zorderBuckets(spark, dir).localCheckpoint(false)
       val thr = b.agg(max(col("ok"))).head.getLong(0) * 7 / 8 // 1-row
       val appended = s"$base/appended"

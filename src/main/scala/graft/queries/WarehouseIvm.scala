@@ -68,17 +68,7 @@ object WarehouseIvm {
 
   private[queries] def store(spark: SparkSession, dir: String): String =
     stores((spark.sparkContext.applicationId, dir)) {
-      val root = java.nio.file.Paths
-        .get(System.getProperty("java.io.tmpdir"),
-          s"graft_whstore_${spark.sparkContext.applicationId}_" +
-            java.security.MessageDigest.getInstance("MD5")
-              .digest(dir.getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString.take(16))
-        .toString
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.delete(p, true)
-      Reference.registerScratchCleanup(root)
+      val root = Reference.appScopedScratch(spark, "graft_whstore", dir)
       val wh = whRead(spark, dir)
       // q218's base: yesterday's rollup — the warehouse BEFORE today's
       // fecha landed (one-time artifact build, like baseSigsTable)

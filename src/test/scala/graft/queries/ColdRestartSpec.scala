@@ -145,8 +145,10 @@ class ColdRestartSpec extends SparkSpec {
   }
 
   /** Launch a ColdPublish JVM against (dir, root); returns the
-    * process handle (caller waits). */
-  private def launchPublisher(dir: String, root: String): Process = {
+    * process handle plus its log file so a failure can self-diagnose
+    * (caller waits via [[awaitPublisher]]). */
+  private def launchPublisher(
+      dir: String, root: String): (Process, java.io.File) = {
     val javaBin = java.nio.file.Paths
       .get(System.getProperty("java.home"), "bin", "java").toString
     val opens = Seq(
@@ -165,16 +167,26 @@ class ColdRestartSpec extends SparkSpec {
       "graft.ColdPublish", dir, root)).toIndexedSeq
     val log = java.nio.file.Files
       .createTempFile("graft_coldpub", ".log").toFile
-    new ProcessBuilder(cmd: _*)
+    (new ProcessBuilder(cmd: _*)
       .redirectErrorStream(true)
       .redirectOutput(log)
-      .start()
+      .start(), log)
   }
 
-  private def awaitPublisher(proc: Process, what: String): Unit = {
+  private def awaitPublisher(
+      p: (Process, java.io.File), what: String): Unit = {
+    val (proc, log) = p
     val done = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
-    assert(done && proc.exitValue() === 0,
-      s"$what failed (exit ${if (done) proc.exitValue() else "timeout"})")
+    if (!done || proc.exitValue() != 0) {
+      // surface the publisher's own stack trace, not just the exit
+      // code — the log is otherwise an unnamed temp file nobody reads
+      // (reviewer find, r11)
+      val tail = try scala.io.Source.fromFile(log, "UTF-8")
+        .getLines().toSeq.takeRight(30).mkString("\n")
+      catch { case _: Throwable => "<log unreadable>" }
+      fail(s"$what failed " +
+        s"(exit ${if (done) proc.exitValue() else "timeout"}):\n$tail")
+    }
   }
 
   test("fresh-JVM cold restart: a separate publisher process writes the " +
@@ -188,7 +200,7 @@ class ColdRestartSpec extends SparkSpec {
       // ---- the "yesterday" process: publish and DIE ----
       val proc = launchPublisher(dir, root)
       awaitPublisher(proc, "publisher")
-      assert(!proc.isAlive) // the publisher JVM is DEAD before any read
+      assert(!proc._1.isAlive) // the publisher JVM is DEAD before any read
 
       // ---- all seven artifacts committed, with attested row counts ----
       for (n <- ColdRestart.AllArtifacts) {

@@ -318,21 +318,31 @@ class StreamsSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass")
   }
 
-  test("q216 streamed postings merge: cross-batch terms merge, the final " +
-      "index equals the one-batch build, and replays + out-of-order " +
-      "arrivals are bit-identical no-ops / sorted merges") {
-    import spark.implicits._
-    import org.apache.spark.sql.types._
-    val docsSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val scratch = java.nio.file.Files.createTempDirectory("q216_spec")
-    val arrivals = scratch.resolve("arrivals")
+  /** Shared arrival-stream harness for the streamed-store tests
+    * (q216/q217): a scratch dir, single-file parquet arrivals (the
+    * production file-source shape — pathGlobFilter needs FLAT
+    * *.parquet files), and an AvailableNow file-source stream driving
+    * `applyBatch(batch, store)` per batch. One copy, so a fix to the
+    * arrival/checkpoint mechanics can never leave the two streamed
+    * merges exercising different shapes (reviewer find, r11). */
+  private class ArrivalFixture(prefix: String,
+      applyBatch: (org.apache.spark.sql.DataFrame, String) => Unit) {
+    val scratch = java.nio.file.Files.createTempDirectory(prefix)
+    private val arrivals = scratch.resolve("arrivals")
     java.nio.file.Files.createDirectories(arrivals)
-    def docsDF(docs: Seq[(Long, String)]) =
+    val store = scratch.resolve("store").toString
+    private val docsSchema = {
+      import org.apache.spark.sql.types._
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+    }
+    def docsDF(docs: Seq[(Long, String)]) = {
+      import spark.implicits._
       docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
         .toDF("doc_id", "text", "lang", "source", "n_chars")
+    }
     def writeArrival(name: String, docs: Seq[(Long, String)]): Unit = {
       val staging = scratch.resolve(s"staging_$name")
       docsDF(docs).coalesce(1).write.mode("overwrite")
@@ -345,20 +355,27 @@ class StreamsSpec extends SparkSpec {
         java.nio.file.Files.move(src, arrivals.resolve(s"$name.parquet"))
       } finally part.close()
     }
-    val store = scratch.resolve("store").toString
     def runStream(): Unit = {
       val q = spark.readStream.schema(docsSchema)
         .option("pathGlobFilter", "*.parquet")
         .parquet(arrivals.toString)
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          graft.queries.TextAnalysis.applyPostingsBatch(spark, b, store)
+          applyBatch(b, store)
         }
         .option("checkpointLocation", scratch.resolve("ckpt").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
+  }
+
+  test("q216 streamed postings merge: cross-batch terms merge, the final " +
+      "index equals the one-batch build, and replays + out-of-order " +
+      "arrivals are bit-identical no-ops / sorted merges") {
+    val fx = new ArrivalFixture("q216_spec",
+      (b, s) => graft.queries.TextAnalysis.applyPostingsBatch(spark, b, s))
+    import fx.{docsDF, runStream, store, writeArrival}
     def indexOf(root: String): Map[String, Seq[Long]] =
       graft.io.ArtifactStore.read(spark, root,
           graft.queries.TextAnalysis.StreamPostingsArtifact)
@@ -375,7 +392,7 @@ class StreamsSpec extends SparkSpec {
     assert(streamed === Map("a" -> Seq(1L), "b" -> Seq(1L, 2L, 3L),
       "c" -> Seq(2L), "d" -> Seq(3L)))
     // any-batching law: equals the whole corpus applied as ONE batch
-    val fresh = scratch.resolve("fresh").toString
+    val fresh = fx.scratch.resolve("fresh").toString
     graft.queries.TextAnalysis.applyPostingsBatch(spark,
       docsDF(Seq((1L, "a b"), (2L, "b c"), (3L, "b d"))), fresh)
     assert(indexOf(fresh) === streamed)
@@ -398,44 +415,9 @@ class StreamsSpec extends SparkSpec {
   test("q217 streamed BM25 stats: the served ranking equals the " +
       "one-batch build and a crash-replayed batch cannot double-count " +
       "the doc-keyed artifacts") {
-    import spark.implicits._
-    import org.apache.spark.sql.types._
-    val docsSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val scratch = java.nio.file.Files.createTempDirectory("q217_spec")
-    val arrivals = scratch.resolve("arrivals")
-    java.nio.file.Files.createDirectories(arrivals)
-    def docsDF(docs: Seq[(Long, String)]) =
-      docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
-        .toDF("doc_id", "text", "lang", "source", "n_chars")
-    def writeArrival(name: String, docs: Seq[(Long, String)]): Unit = {
-      val staging = scratch.resolve(s"staging_$name")
-      docsDF(docs).coalesce(1).write.mode("overwrite")
-        .parquet(staging.toString)
-      val part = java.nio.file.Files.list(staging)
-      try {
-        val src = scala.jdk.CollectionConverters
-          .IteratorHasAsScala(part.iterator()).asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        java.nio.file.Files.move(src, arrivals.resolve(s"$name.parquet"))
-      } finally part.close()
-    }
-    val store = scratch.resolve("store").toString
-    def runStream(): Unit = {
-      val q = spark.readStream.schema(docsSchema)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(arrivals.toString)
-        .writeStream
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          graft.queries.TextAnalysis.applyBm25Batch(spark, b, store)
-        }
-        .option("checkpointLocation", scratch.resolve("ckpt").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    val fx = new ArrivalFixture("q217_spec",
+      (b, s) => graft.queries.TextAnalysis.applyBm25Batch(spark, b, s))
+    import fx.{docsDF, runStream, store, writeArrival}
     def ranking(root: String): Seq[Seq[Any]] =
       graft.queries.TextAnalysis.bm25FromStreamStore(spark, root)
         .collect().toSeq.map(_.toSeq)
@@ -455,7 +437,7 @@ class StreamsSpec extends SparkSpec {
     val streamed = ranking(store)
     assert(streamed.nonEmpty && nDocs(store) === 4L)
     // any-batching law: equals the whole corpus as ONE batch
-    val fresh = scratch.resolve("fresh").toString
+    val fresh = fx.scratch.resolve("fresh").toString
     graft.queries.TextAnalysis.applyBm25Batch(spark,
       docsDF(d1 ++ d2), fresh)
     assert(ranking(fresh) === streamed)
