@@ -12,12 +12,17 @@ class RelationalSpec extends SparkSpec {
 
   test("bucketed layout join has no shuffle exchange on either side") {
     Tables.prep(spark)
+    // external tmp locations, like every production caller: a killed
+    // test run must not leak layouts into the unswept ./spark-warehouse
+    val loc = java.nio.file.Files.createTempDirectory("graft_spec_b")
     graft.io.BucketedLayout.writeBucketed(
       Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
-      "spec_orders_b", "o_orderkey", 4)
+      "spec_orders_b", "o_orderkey", 4,
+      Some(loc.resolve("orders").toString))
     graft.io.BucketedLayout.writeBucketed(
       Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity")),
-      "spec_lineitem_b", "l_orderkey", 4)
+      "spec_lineitem_b", "l_orderkey", 4,
+      Some(loc.resolve("lineitem").toString))
     val o = spark.table("spec_orders_b")
     val l = spark.table("spec_lineitem_b")
     // sf0.001 is small enough that broadcast would win; disable it so
