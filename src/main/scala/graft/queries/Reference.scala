@@ -1389,6 +1389,10 @@ object Reference {
     * download (binary garbage named like an operativo report — the
     * failure injection): its extract phase records outcome='error'
     * and the OTHER datasets still load (main.py:1154-1167 semantics).
+    * After the loads, the run's tail MAINTAINS the downstream BI
+    * rollup ([[WarehouseIvm.rollupIvmAppend]] — one pruned-slice
+    * refresh, never a corpus re-aggregation), mirroring the
+    * reference's load-then-serve cadence at the aggregate grain.
     * Output = the audit trail's deterministic columns plus a summary
     * row digesting the continue-on-failure outcome vector (2 ok /
     * 1 failed); the oracle pins every cell. */
@@ -1474,6 +1478,14 @@ object Reference {
           ((), spark.read.parquet(dest).select(col("fecha")).distinct().count())
         }
     }
+    // the daily cadence's tail (reference main.py:1581-1632 loads,
+    // then BI serves): the downstream daily rollup is MAINTAINED, not
+    // rebuilt — q218's incremental refresh as a run phase, rows_out =
+    // the maintained rollup's size (one row per live (fecha, type)
+    // grain, derived by the oracle from events itself)
+    audit.phase[Unit]("__run__", "maintain_rollup") {
+      ((), WarehouseIvm.rollupIvmAppend(spark, dir).count())
+    }
     audit.write(spark, auditTbl)
     val trail = spark.read.parquet(auditTbl)
       .select(col("seq"), col("dataset"), col("phase"), col("rows_in"),
@@ -1511,6 +1523,12 @@ object Reference {
       |  (11, 'zz_operativo_roto.csv', 'extract', NULL, NULL, 'error'),
       |  (100, '__run__', 'summary', 2, 1, 'ok'))
       |  t(seq, dataset, phase, rows_in, rows_out, outcome)
+      |UNION ALL
+      |SELECT CAST(12 AS INTEGER), '__run__', 'maintain_rollup',
+      |  CAST(NULL AS BIGINT),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM
+      |    (SELECT DISTINCT CAST(ts AS DATE) AS f, event_type
+      |     FROM events) g), 'ok'
       |ORDER BY seq""".stripMargin
 
   /** Keyed MERGE-upsert, driver-checked end to end: a base fact table
