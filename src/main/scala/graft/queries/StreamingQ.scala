@@ -395,6 +395,39 @@ object StreamingQ {
     TextAnalysis.bm25FromStreamStore(spark, store.toString)
   }
 
+  /** q220: the warehouse daily rollup maintained under STREAMING
+    * arrival — the warehouse-aggregate row's streamed cell (q218
+    * batch append, q219 reload retraction, this). Each arriving
+    * events file batch runs [[WarehouseIvm.applyRollupBatch]]:
+    * aggregate the slice alone, fecha-keyed REPLACE into the
+    * versioned ArtifactStore, publish as the next manifest-committed
+    * version with retention riding along. Replace-by-key makes a
+    * crash-replayed batch a content no-op and an out-of-order fecha
+    * land correctly (both spec-pinned in WarehouseIvmSpec), under the
+    * fecha-atomic arrival cadence the reference itself runs (one
+    * report file per day). Output is the q218 surface read from the
+    * final store version; oracle = q218's full re-aggregation
+    * verbatim — stream == batch == incremental for the served
+    * rollup. */
+  def streamRollupMaintain(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val store = Reference.newScratch("graft_rollup_stream")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = Streams.eventsStream(spark, dir).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          WarehouseIvm.applyRollupBatch(spark, batch, store.toString)
+        }
+        .option("checkpointLocation", store.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    WarehouseIvm.rollupOut(graft.io.ArtifactStore.read(
+      spark, store.toString, WarehouseIvm.StreamRollupArtifact))
+  }
+
   /** q188: event-time-correct VERSIONED dimension enrichment — the
     * temporal upgrade of q71's stateless enrich: q71 joins every
     * event to the dimension's CURRENT row, which silently rewrites
@@ -871,6 +904,7 @@ object StreamingQ {
     "q200_stream_label_repair" -> streamLabelRepair,
     "q216_stream_postings_merge" -> streamPostingsMerge,
     "q217_stream_bm25_merge" -> streamBm25Merge,
+    "q220_stream_rollup_maintain" -> streamRollupMaintain,
     "q108_stream_ivf_index" -> streamIvfIndex,
     "q147_stream_scd2" -> streamScd2,
     "q153_stream_late_data" -> streamLateData
@@ -898,6 +932,9 @@ object StreamingQ {
     // q129's full-rebuild ranking IS the q217 oracle: stream == batch
     // at the level a user sees, the ranks
     "q217_stream_bm25_merge" -> TextAnalysis.bm25Sql,
+    // q218's full re-aggregation IS the q220 oracle: the streamed
+    // fecha-keyed replace serves the same rollup the batch IVM does
+    "q220_stream_rollup_maintain" -> WarehouseIvm.rollupIvmAppendSql,
     "q108_stream_ivf_index" -> Similarity.ivfAssignDigestSql,
     "q147_stream_scd2" -> streamScd2Sql,
     "q153_stream_late_data" -> streamLateDataSql

@@ -95,6 +95,49 @@ class WarehouseIvmSpec extends SparkSpec {
     }
   }
 
+  test("q220 laws: the streamed rollup's fecha-keyed replace grows " +
+      "cross-batch, makes a crash replay a content no-op, lands an " +
+      "out-of-order fecha by key, and equals the one-batch build") {
+    import spark.implicits._
+    def batch(rows: (Int, String, Double)*) =
+      rows.toSeq.map { case (day, typ, v) =>
+        (java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), typ, v)
+      }.toDF("ts", "event_type", "value")
+    def content(root: String): Seq[(java.sql.Date, String, Long, Double)] =
+      WarehouseIvm.rollupOut(graft.io.ArtifactStore.read(spark, root,
+          WarehouseIvm.StreamRollupArtifact))
+        .collect().map(r => (r.getDate(0), r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSeq
+    val b1 = batch((1, "view", 1.5), (1, "view", 2.5), (2, "click", 4.0))
+    val b2 = batch((3, "view", 3.0))
+    val late = batch((1, "click", 9.0)) // fecha 1 RE-arrives, corrected
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_q220_spec").toString
+    WarehouseIvm.applyRollupBatch(spark, b1, store)
+    WarehouseIvm.applyRollupBatch(spark, b2, store)
+    val afterTwo = content(store)
+    assert(afterTwo.map(r => (r._1.toString, r._2, r._3, r._4)) === Seq(
+      ("2024-01-01", "view", 2L, 4.0), ("2024-01-02", "click", 1L, 4.0),
+      ("2024-01-03", "view", 1L, 3.0))) // cross-batch growth
+    // crash replay: re-delivering b2 must not change the content
+    WarehouseIvm.applyRollupBatch(spark, b2, store)
+    assert(content(store) === afterTwo, "replayed batch must be a no-op")
+    // out-of-order: fecha 1 re-arrives corrected — replaced by KEY
+    // (its old grain rows drop; an additive merge would keep both)
+    WarehouseIvm.applyRollupBatch(spark, late, store)
+    val afterLate = content(store)
+    assert(afterLate.map(r => (r._1.toString, r._2, r._3, r._4)) === Seq(
+      ("2024-01-01", "click", 1L, 9.0), ("2024-01-02", "click", 1L, 4.0),
+      ("2024-01-03", "view", 1L, 3.0)))
+    // any-fecha-batching law: the same arrivals as ONE batch build the
+    // same store content
+    val one = java.nio.file.Files
+      .createTempDirectory("graft_q220_one").toString
+    WarehouseIvm.applyRollupBatch(spark,
+      batch((1, "click", 9.0), (2, "click", 4.0), (3, "view", 3.0)), one)
+    assert(content(one) === afterLate)
+  }
+
   test("q219 inverse law: applying a correction and then its inverse " +
       "returns the base totals (the ⊖ really is the group inverse)") {
     import spark.implicits._
