@@ -72,10 +72,7 @@ object WarehouseIvm {
       val wh = whRead(spark, dir)
       // q218's base: yesterday's rollup — the warehouse BEFORE today's
       // fecha landed (one-time artifact build, like baseSigsTable)
-      ArtifactStore.publish(
-        wh.filter(!isDay)
-          .groupBy(col("fecha"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_raw")),
+      ArtifactStore.publish(grainAgg(wh.filter(!isDay)),
         root, RollupArtifact)
       // q219's base: lifetime totals over the warehouse AS DELIVERED —
       // including the bad rows the corrected re-run will retract
@@ -93,11 +90,17 @@ object WarehouseIvm {
     prep(spark)
     val root = store(spark, dir)
     val base = ArtifactStore.read(spark, root, RollupArtifact)
-    val delta = whRead(spark, dir).filter(isDay)
-      .groupBy(col("fecha"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_raw"))
-    rollupOut(base.unionByName(delta))
+    rollupOut(base.unionByName(grainAgg(whRead(spark, dir).filter(isDay))))
   }
+
+  /** The rollup grain every arm shares — one row per (fecha,
+    * event_type) with count + RAW sum: factored for the same
+    * no-drift reason as [[rollupOut]] (reviewer find, r11: the grain
+    * lived in three copies; a change missing one would silently
+    * desynchronize the streamed arm from the batch arms). */
+  private def grainAgg(rows: DataFrame): DataFrame =
+    rows.groupBy(col("fecha"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_raw"))
 
   /** Shared output surface for every rollup arm (q218 batch append,
     * q220 streamed): the maintained grain rows, 4dp-rounded at the
@@ -125,16 +128,20 @@ object WarehouseIvm {
     * (documented limit, spec-pinned for the cadence it serves). */
   private[graft] def applyRollupBatch(spark: SparkSession,
       batch: DataFrame, root: String): Unit = {
-    val slice = batch
-      .groupBy(to_date(col("ts")).as("fecha"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_raw"))
+    val slice = grainAgg(batch.select(to_date(col("ts")).as("fecha"),
+      col("event_type"), col("value")))
     val merged =
       ArtifactStore.latestVersion(spark, root, StreamRollupArtifact) match {
         case None => slice
         case Some(_) =>
+          // NULL-SAFE fecha match (<=>): a null-unsafe anti-join would
+          // never replace a stored NULL-fecha grain row, so a replayed
+          // batch carrying one would duplicate it — breaking the
+          // replay-no-op law exactly for the malformed-ts class
+          // (reviewer find, r11; latent on the harness corpus)
+          val sliceFechas = slice.select(col("fecha").as("sf")).distinct()
           ArtifactStore.read(spark, root, StreamRollupArtifact)
-            .join(slice.select(col("fecha")).distinct(),
-              Seq("fecha"), "left_anti")
+            .join(sliceFechas, col("fecha") <=> col("sf"), "left_anti")
             .unionByName(slice)
       }
     ArtifactStore.publish(merged, root, StreamRollupArtifact)

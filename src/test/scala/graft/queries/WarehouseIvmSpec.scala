@@ -136,6 +136,17 @@ class WarehouseIvmSpec extends SparkSpec {
     WarehouseIvm.applyRollupBatch(spark,
       batch((1, "click", 9.0), (2, "click", 4.0), (3, "view", 3.0)), one)
     assert(content(one) === afterLate)
+    // the replay-no-op law holds for the NULL-fecha grain too
+    // (malformed ts): the replace match is null-safe, so re-delivery
+    // cannot duplicate the NULL group
+    val nullTs = Seq((Option.empty[java.sql.Timestamp], "view", 1.0))
+      .toDF("ts", "event_type", "value")
+    WarehouseIvm.applyRollupBatch(spark, nullTs, store)
+    val withNull = content(store)
+    assert(withNull.count(_._1 == null) === 1)
+    WarehouseIvm.applyRollupBatch(spark, nullTs, store)
+    assert(content(store) === withNull,
+      "NULL-fecha replay must be a no-op")
   }
 
   test("q219 inverse law: applying a correction and then its inverse " +
