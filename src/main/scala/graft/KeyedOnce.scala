@@ -33,7 +33,15 @@ final class KeyedOnce[K, V] {
   /** Drop entries whose key matches (listener-driven eviction — the
     * [[graft.queries.Tables]] application-end cleanup). An entry mid-
     * initialization stays referenced by its in-flight caller, so
-    * removal never strands a running body. */
+    * removal never strands a running body.
+    *
+    * CONTRACT: terminal cleanup ONLY. Removing a key whose body may
+    * still be STARTED lets the next `apply` install a fresh Cell and
+    * run the side-effecting body a second time, concurrently with an
+    * in-flight first run — the exact delete+rewrite race this class
+    * exists to prevent (advisor find, round 11). The sole intended
+    * caller is an application-end listener, after which no body for a
+    * matching key can begin. */
   def removeKeys(p: K => Boolean): Unit = {
     cells.keySet().removeIf(k => p(k)); ()
   }

@@ -58,7 +58,14 @@ object WarehouseIvm {
   private def whRead(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(Reference.fechaWarehouse(s, dir))
 
-  private def isDay = col("fecha") === lit(Day).cast("date")
+  /** NULL-SAFE day predicate (<=>): a malformed-ts row has NULL fecha,
+    * and a null-unsafe `===` drops it from BOTH the base branch
+    * (!isDay is NULL) and the slice — while the rebuild oracles
+    * (GROUP BY CAST(ts AS DATE)) retain a NULL group. With <=>, NULL
+    * fecha is deterministically NOT the day: it lands in the base
+    * branch, exactly once, matching the oracle (advisor find, round
+    * 11; latent on the harness corpus, which has no malformed ts). */
+  private def isDay = col("fecha") <=> lit(Day).cast("date")
 
   /** Store root with both base artifacts, published exactly once per
     * (application, dir) from the warm session — [[graft.KeyedOnce]]
@@ -196,7 +203,7 @@ object WarehouseIvm {
   val userTotalsReloadSql: String =
     """WITH wh AS (
       |  SELECT user_id, value FROM events
-      |  WHERE CAST(ts AS DATE) <> DATE '2024-01-05'
+      |  WHERE CAST(ts AS DATE) IS DISTINCT FROM DATE '2024-01-05'
       |  UNION ALL
       |  SELECT user_id, value FROM events
       |  WHERE CAST(ts AS DATE) = DATE '2024-01-05'

@@ -324,6 +324,65 @@ class IdempotentWriterSpec extends SparkSpec {
     assert(leftovers.isEmpty, leftovers.mkString(","))
   }
 
+  test("a LIVE writer survives contention on a store where mtime never " +
+      "changes: staleness is content-version, not setTimes") {
+    val dir = Files.createTempDirectory("live_lease").toString
+    val path = dir + "/t"
+    val lock = java.nio.file.Paths.get(path + ".lock")
+    val ancient = System.currentTimeMillis() - 3600 * 1000
+    // a "live holder on S3A": content churns (heartbeat), but mtime is
+    // pinned ancient after every rewrite — the worst case of a store
+    // whose setTimes is a no-op and whose mtime is the original PUT
+    val seq = new java.util.concurrent.atomic.AtomicLong(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    java.nio.file.Files.write(lock, "foreign@0".getBytes("UTF-8"))
+    lock.toFile.setLastModified(ancient)
+    val beater = new Thread(() => {
+      while (!stop.get()) {
+        Thread.sleep(300)
+        java.nio.file.Files.write(lock,
+          s"foreign@${seq.incrementAndGet()}".getBytes("UTF-8"))
+        lock.toFile.setLastModified(ancient)
+      }
+    })
+    beater.start()
+    try {
+      // a contender must NOT break the churning lock: it times out at
+      // the 2x-lease deadline instead of acquiring
+      val err = intercept[IllegalStateException] {
+        IdempotentWriter.withTableLease(spark, path, leaseMs = 1200) { () }
+      }
+      assert(err.getMessage.contains("not acquired"))
+      assert(java.nio.file.Files.exists(lock),
+        "a live (content-churning) lock was broken")
+    } finally { stop.set(true); beater.join(5000) }
+    // the holder dies (content freezes): now the SAME contender path
+    // observes an unchanged lock for a full lease window and breaks it
+    var ran = false
+    IdempotentWriter.withTableLease(spark, path, leaseMs = 1200) {
+      ran = true
+    }
+    assert(ran)
+    assert(!java.nio.file.Files.exists(lock))
+  }
+
+  test("the heartbeat renews by content rewrite: a held lock's sequence " +
+      "advances while the body runs") {
+    val dir = Files.createTempDirectory("hb_lease").toString
+    val path = dir + "/t"
+    val lock = java.nio.file.Paths.get(path + ".lock")
+    var midSeq = -1L
+    IdempotentWriter.withTableLease(spark, path, leaseMs = 600) {
+      Thread.sleep(1500) // > 2 heartbeat periods (leaseMs / 3 = 200ms)
+      val content =
+        new String(java.nio.file.Files.readAllBytes(lock), "UTF-8")
+      midSeq = content.split("@")(1).toLong
+    }
+    assert(midSeq >= 1,
+      s"heartbeat never rewrote the lock content (seq $midSeq)")
+    assert(!java.nio.file.Files.exists(lock))
+  }
+
   test("release deletes only the holder's OWN lock: a foreign token " +
       "survives a stranger's release path") {
     val dir = Files.createTempDirectory("own_lease").toString

@@ -135,6 +135,50 @@ class ColdRestartSpec extends SparkSpec {
     } finally hadoopDelete(root)
   }
 
+  test("ArtifactStore: a retyped column fails the read loudly — the " +
+      "manifest verifies types, not just field names") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_retype_spec").toString
+    try {
+      ArtifactStore.publish(Seq((1L, 2L)).toDF("id", "n"), root, "t")
+      // republish the SAME field names with one column retyped
+      // BIGINT -> STRING, same row count — only a type check catches it
+      hadoopDelete(s"$root/t/v1/data")
+      Seq((1L, "2")).toDF("id", "n").write.parquet(s"$root/t/v1/data")
+      val err = intercept[IllegalArgumentException] {
+        ArtifactStore.read(spark, root, "t")
+      }
+      assert(err.getMessage.contains("types drifted"), err.getMessage)
+    } finally hadoopDelete(root)
+  }
+
+  test("ArtifactStore: a crash between manifest write and commit leaves " +
+      "only a temp file — readers skip the version, publish supersedes it") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tornman_spec").toString
+    try {
+      ArtifactStore.publish(Seq((1L, "a")).toDF("id", "s"), root, "t")
+      // simulate the advisor's crash window: data written, manifest
+      // JSON half-landed at a TEMP name, rename never ran
+      Seq((2L, "b")).toDF("id", "s").write.parquet(s"$root/t/v2/data")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/t/v2/MANIFEST.json.tmp-dead"),
+        """{"name":"t","ver""".getBytes("UTF-8"))
+      // the torn version is INVISIBLE: v1 still serves, reads parse fine
+      assert(ArtifactStore.latestVersion(spark, root, "t") === Some(1))
+      assert(ArtifactStore.read(spark, root, "t").count() === 1)
+      // the next publish supersedes the debris (v3), and once a newer
+      // commit exists, prune clears the torn directory entirely
+      assert(ArtifactStore.publish(
+        Seq((3L, "c")).toDF("id", "s"), root, "t").version === 3)
+      assert(ArtifactStore.prune(spark, root, "t", keep = 2)
+        .contains(2))
+      assert(!new java.io.File(s"$root/t/v2").exists())
+    } finally hadoopDelete(root)
+  }
+
   test("ArtifactStore: manifest JSON roundtrips quotes and backslashes " +
       "in the schema DDL") {
     val m = Manifest("n", 7, 42L, """c STRUCT<`a "q"`: STRING, b: BIGINT>""")
