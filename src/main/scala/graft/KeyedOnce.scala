@@ -45,4 +45,12 @@ final class KeyedOnce[K, V] {
   def removeKeys(p: K => Boolean): Unit = {
     cells.keySet().removeIf(k => p(k)); ()
   }
+
+  /** Snapshot of the installed keys (spec introspection — the
+    * cold-daily contract asserts a fresh session's memo domain stays
+    * empty). Includes keys whose body is still in flight. */
+  private[graft] def keys: Seq[K] = {
+    import scala.jdk.CollectionConverters._
+    cells.keySet().asScala.toSeq
+  }
 }

@@ -853,22 +853,71 @@ object Curation {
     * (writes a scratch audit table per call). */
   def incrementalDaily(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val thr = deltaThreshold(spark, dir)
-    // applicationId-scoped like every other scratch path this round:
-    // a fixed name lets two concurrent sessions (driver compare + a
-    // manual run) clobber each other's audit table mid-read
+    dailyRunWith(dir, DailyArms(
+      s = spark,
+      auditName = "q197",
+      labels = () =>
+        memo(spark, dir, "inc_labels")(incrementalLabels(spark, dir)),
+      mergePostings = () => TextAnalysis.incrementalPostings(spark, dir),
+      checkCodebook = () => Similarity.codebookRefresh(spark, dir),
+      mergeBm25 = () => TextAnalysis.incrementalBm25(spark, dir),
+      retractionDrill = () => TextAnalysis.postingsRetraction(spark, dir),
+      baseLabels = () => baseCcLabels(spark, dir),
+      publishStore = () => {
+        val root = ColdRestart.publishedStore(spark, dir)
+        val attested = ColdRestart.AllArtifacts.map { n =>
+          // the daily cadence maintains retention as it publishes:
+          // newest two committed versions survive (serving + grace)
+          graft.io.ArtifactStore.prune(spark, root, n, keep = 2)
+          val v = graft.io.ArtifactStore.latestVersion(spark, root, n)
+            .getOrElse(throw new IllegalStateException(s"$n not committed"))
+          graft.io.ArtifactStore.readManifest(spark, root, n, v).rows
+        }.sum
+        (root, attested)
+      }))
+  }
+
+  /** The per-phase inputs of the composed daily run — two
+    * instantiations of the same 12-phase body ([[dailyRunWith]]):
+    * WARM (q197: session-memoized builders, the base-artifact publish
+    * as the day-boundary hand-off) and COLD (q221,
+    * [[ColdRestart.coldDaily]]: a FRESH session whose only inputs
+    * below the raw tables are [[graft.io.ArtifactStore]] reads — the
+    * day-N process shape, round-11 verdict top ask). Both share
+    * [[incrementalDailySql]]: the twelve phase numbers equal the
+    * rebuild derivation only if every arm's path is exact, so the
+    * hash match proves warm == cold == rebuild at the run grain. */
+  private[queries] final case class DailyArms(
+      s: SparkSession,
+      auditName: String,
+      labels: () => DataFrame,
+      mergePostings: () => DataFrame,
+      checkCodebook: () => DataFrame,
+      mergeBm25: () => DataFrame,
+      retractionDrill: () => DataFrame,
+      baseLabels: () => DataFrame,
+      publishStore: () => (String, Long))
+
+  private[queries] def dailyRunWith(dir: String,
+      arms: DailyArms): DataFrame = {
+    val s = arms.s
+    val thr = deltaThreshold(s, dir)
+    // applicationId-scoped like every other scratch path, plus the
+    // arm's own name: the warm and cold runs of one application must
+    // not clobber each other's audit table mid-read
     val auditTbl = java.nio.file.Paths
       .get(System.getProperty("java.io.tmpdir"),
-        s"graft_inc_daily_audit_${spark.sparkContext.applicationId}")
+        s"graft_inc_daily_audit_${s.sparkContext.applicationId}_" +
+          arms.auditName)
       .toString
-    deleteDir(spark, auditTbl)
-    val audit = new graft.io.RunAudit("q197")
+    deleteDir(s, auditTbl)
+    val audit = new graft.io.RunAudit(arms.auditName)
     audit.phase[Unit]("arrival", "append_signatures") {
-      ((), Dedup.signaturesFresh(spark,
-        documents(spark, dir).filter(col("doc_id") > thr)).count())
+      ((), Dedup.signaturesFresh(s,
+        documents(s, dir).filter(col("doc_id") > thr)).count())
     }
     val labels = audit.phase[DataFrame]("arrival", "repair_labels") {
-      val l = memo(spark, dir, "inc_labels")(incrementalLabels(spark, dir))
+      val l = arms.labels()
       (l, l.filter(col("doc_id") > thr).select(col("root"))
         .distinct().count())
     }
@@ -877,49 +926,40 @@ object Curation {
         col("root") === col("doc_id")).count())
     }
     audit.phase[Unit]("arrival", "merge_postings") {
-      ((), TextAnalysis.incrementalPostings(spark, dir)
+      ((), arms.mergePostings()
         .agg(coalesce(sum(col("n_new_terms")), lit(0L))).head.getLong(0))
     }
     audit.phase[Unit]("arrival", "check_codebook") {
-      ((), Similarity.codebookRefresh(spark, dir)
+      ((), arms.checkCodebook()
         .agg(max(col("refresh"))).head.getLong(0))
     }
     audit.phase[Unit]("arrival", "merge_bm25_stats") {
-      ((), TextAnalysis.incrementalBm25(spark, dir)
+      ((), arms.mergeBm25()
         .filter(col("doc_id") > thr).count())
     }
     audit.phase[Unit]("arrival", "retraction_drill") {
-      ((), TextAnalysis.postingsRetraction(spark, dir)
+      ((), arms.retractionDrill()
         .agg(coalesce(sum(col("n_shrunk")), lit(0L))).head.getLong(0))
     }
     val reclusterFired = audit.phase[Long]("arrival", "check_layout") {
-      val f = Relational.zorderMaintenance(spark, dir)
+      val f = Relational.zorderMaintenance(s, dir)
         .agg(max(col("recluster"))).head.getLong(0)
       (f, f)
     }
     audit.phase[Unit]("handoff", "audit_blast") {
       // the pre-publish gate (q213): how many BASE docs did today's
       // delta relabel? A moved-spike is the signal to HOLD the
-      // publish; cost = one join of the already-memoized labels
+      // publish; cost = one join of the already-materialized labels
       // against the base label artifact
-      ((), blastRadiusOf(labels, baseCcLabels(spark, dir), thr)
+      ((), blastRadiusOf(labels, arms.baseLabels(), thr)
         .filter(col("change_class") === "moved")
         .agg(coalesce(sum(col("n_docs")), lit(0L))).head.getLong(0))
     }
     val store = audit.phase[String]("handoff", "publish_store") {
-      val root = ColdRestart.publishedStore(spark, dir)
-      val attested = ColdRestart.AllArtifacts.map { n =>
-        // the daily cadence maintains retention as it publishes:
-        // newest two committed versions survive (serving + grace)
-        graft.io.ArtifactStore.prune(spark, root, n, keep = 2)
-        val v = graft.io.ArtifactStore.latestVersion(spark, root, n)
-          .getOrElse(throw new IllegalStateException(s"$n not committed"))
-        graft.io.ArtifactStore.readManifest(spark, root, n, v).rows
-      }.sum
-      (root, attested)
+      arms.publishStore()
     }
     audit.phase[Unit]("handoff", "cold_handoff") {
-      ((), ColdRestart.coldDedup(ColdRestart.fresh(spark), dir, store)
+      ((), ColdRestart.coldDedup(ColdRestart.fresh(s), dir, store)
         .agg(coalesce(sum(col("n_touched")), lit(0L))).head.getLong(0))
     }
     audit.phase[Unit]("maintenance", "optimize_layout") {
@@ -927,12 +967,12 @@ object Curation {
       // pays the full rewrite (q211); rows_out = rows rewritten (the
       // whole table when fired, 0 when the layout is kept)
       ((), if (reclusterFired == 1L) {
-        val (_, opt) = Relational.zoptWritten(spark, dir)
-        spark.read.parquet(opt).count()
+        val (_, opt) = Relational.zoptWritten(s, dir)
+        s.read.parquet(opt).count()
       } else 0L)
     }
-    audit.write(spark, auditTbl)
-    spark.read.parquet(auditTbl)
+    audit.write(s, auditTbl)
+    s.read.parquet(auditTbl)
       .select(col("seq"), col("dataset"), col("phase"), col("rows_out"),
         col("outcome"))
       .orderBy("seq")

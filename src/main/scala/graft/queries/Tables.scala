@@ -39,6 +39,13 @@ object Tables {
       })
   }
 
+  /** The memo keys a given SESSION owns (spec introspection): the
+    * q221 cold-daily contract is "no memo below the store hand-off",
+    * machine-checked as this list staying EMPTY for the fresh session
+    * across the whole composed run. */
+  private[graft] def memoKeysFor(spark: SparkSession): Seq[String] =
+    tableMemo.keys.collect { case (s, _, k) if s eq spark => k }
+
   private[queries] def memo(spark: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = {
     ensureCleanup(spark)

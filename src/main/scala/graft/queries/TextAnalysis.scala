@@ -1427,7 +1427,14 @@ object TextAnalysis {
   def postingsRetraction(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val thr = Curation.deltaThreshold(spark, dir)
-    retractedPostings(spark, dir, thr)
+    retractionSummary(retractedPostings(spark, dir, thr))
+  }
+
+  /** The q201 output surface over any (w, retained docs, dfull)
+    * frame — factored so the cold arm's store-reconstituted index
+    * answers the identical digest. */
+  private def retractionSummary(retr: DataFrame): DataFrame =
+    retr
       .withColumn("shrunk",
         (size(col("docs")) < col("dfull")).cast("long"))
       .withColumn("df", size(col("docs")))
@@ -1440,6 +1447,31 @@ object TextAnalysis {
         expr("bit_xor(h)").as("content_digest"),
         sum(col("shrunk")).as("n_shrunk"))
       .orderBy("bucket")
+
+  /** The retraction drill with the base index read COLD (the q221
+    * composed daily run's phase 7): the full index is reconstituted
+    * as base ⊕ delta first — ids are monotone, so concat of the base
+    * list and the delta list IS the full sorted list (the q194 merge
+    * law) — and the delta range is then retracted per list. Same
+    * output surface and oracle as [[postingsRetraction]], which
+    * filters the warm memoized full index instead; cost is index ⊕
+    * delta sized either way. */
+  private[queries] def postingsRetractionFrom(spark: SparkSession,
+      dir: String, basePost: DataFrame): DataFrame = {
+    val thr = Curation.deltaThreshold(spark, dir)
+    val deltaPost = postingsOf(
+      documents(spark, dir).filter(col("doc_id") > thr))
+    val full = basePost.select(col("w"), col("docs").as("bdocs"))
+      .join(deltaPost.select(col("w"), col("docs").as("ddocs")),
+        Seq("w"), "full")
+      .select(col("w"),
+        expr("""concat(coalesce(bdocs, cast(array() as array<bigint>)),
+                       coalesce(ddocs, cast(array() as array<bigint>)))""")
+          .as("docs"))
+    retractionSummary(full
+      .withColumn("dfull", size(col("docs")))
+      .withColumn("docs", expr(s"filter(docs, d -> d <= ${thr}L)"))
+      .filter(size(col("docs")) > 0))
   }
 
   /** Independent BASE-ONLY rebuild (not a filter of the full index):

@@ -288,6 +288,42 @@ class ColdRestartSpec extends SparkSpec {
     } finally hadoopDelete(root)
   }
 
+  test("q221 == q197: the composed daily run COLD — fresh session, " +
+      "store-only inputs (memo domain stays EMPTY), store ownership " +
+      "republished as next versions with the attested rows") {
+    val dir = "/root/testdata/sf0.001"
+    Tables.prep(spark)
+    val warm = Curation.all("q197_incremental_daily")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val root = ColdRestart.publishedStore(spark, dir)
+    val before = ColdRestart.AllArtifacts.map { n =>
+      n -> ArtifactStore.latestVersion(spark, root, n).get
+    }.toMap
+    val cold = ColdRestart.coldDaily(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // the twelve-phase summary is identical warm and cold (both also
+    // answer the rebuild oracle in the driver gate)
+    assert(cold === warm)
+    // the cold contract, machine-checked: the fresh session ran the
+    // whole composed pipeline WITHOUT memoizing anything — its only
+    // inputs below the raw tables were ArtifactStore reads
+    val s = ColdRestart.fresh(spark)
+    assert(s ne spark)
+    assert(Tables.memoKeysFor(s).isEmpty,
+      s"fresh session memoized: ${Tables.memoKeysFor(s).mkString(",")}")
+    // ...and the warm run DID memoize, so the probe has teeth
+    assert(Tables.memoKeysFor(spark).nonEmpty)
+    // phase 10 transferred store ownership: every artifact advanced to
+    // a next version written by the cold process, row-identical to the
+    // version it read (which retention keeps as the grace copy)
+    for (n <- ColdRestart.AllArtifacts) {
+      val after = ArtifactStore.latestVersion(spark, root, n).get
+      assert(after > before(n), s"$n: version did not advance")
+      assert(ArtifactStore.readManifest(spark, root, n, after).rows ===
+        ArtifactStore.readManifest(spark, root, n, before(n)).rows, n)
+    }
+  }
+
   test("two publisher PROCESSES racing on one store serialize per " +
       "artifact: both commit, versions are monotone, every manifest " +
       "attests data that is actually there, no lock debris") {
