@@ -79,6 +79,52 @@ object ColdRestart {
         Bm25HitsArtifact))
   }
 
+  // -----------------------------------------------------------------
+  // Three-process chained restart (round-11 verdict ask #2): JVM A
+  // publishes day 1's index and DIES; JVM B reads A's version from the
+  // store, merges day 2's slice, publishes v2, DIES; JVM C merges day
+  // 3's slice — and must equal the one-shot rebuild. This is exactly
+  // where a version-threading bug would hide (latestVersion/publish
+  // across processes, `next = max+1`), and no single-JVM law spec can
+  // reach it.
+  // -----------------------------------------------------------------
+
+  private[graft] val ChainArtifact = "postings_chain"
+
+  /** The chain's day boundaries: day 1 = ids ≤ 6/8·max, day 2 =
+    * (6/8, 7/8], day 3 = the q191-convention delta (> 7/8). */
+  private[graft] def chainThresholds(spark: SparkSession,
+      dir: String): (Long, Long) = {
+    val t2 = Curation.deltaThreshold(spark, dir) // max * 7/8
+    (t2 / 7 * 6, t2)
+  }
+
+  /** One "day" of the chained proof: step 1 publishes the index over
+    * day 1's slice; steps 2 and 3 read the LATEST COMMITTED version —
+    * written by a process that is already dead — merge their day's
+    * slice ([[TextAnalysis.mergedPostingsIndex]]: monotone ids, concat
+    * stays sorted), and publish the next version. */
+  private[graft] def chainPublish(spark: SparkSession, dir: String,
+      root: String, step: Int): ArtifactStore.Manifest = {
+    prep(spark)
+    val (t1, t2) = chainThresholds(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val idx = step match {
+      case 1 => TextAnalysis.postingsIndexOf(docs.filter(col("doc_id") <= t1))
+      case 2 => TextAnalysis.mergedPostingsIndex(
+        ArtifactStore.read(spark, root, ChainArtifact),
+        docs.filter(col("doc_id") > t1 && col("doc_id") <= t2))
+        .select(col("w"), col("docs"))
+      case 3 => TextAnalysis.mergedPostingsIndex(
+        ArtifactStore.read(spark, root, ChainArtifact),
+        docs.filter(col("doc_id") > t2))
+        .select(col("w"), col("docs"))
+      case other => throw new IllegalArgumentException(
+        s"chain step must be 1..3, got $other")
+    }
+    ArtifactStore.publish(idx, root, ChainArtifact)
+  }
+
   /** Store root, published exactly once per (application, dir) —
     * [[graft.KeyedOnce]] so racing first callers cannot both run the
     * delete+publish against the same deterministic path. */

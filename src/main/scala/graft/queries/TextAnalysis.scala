@@ -1278,20 +1278,34 @@ object TextAnalysis {
     * cold-restart seam (q206): a fresh session passes the postings
     * read back from the [[graft.io.ArtifactStore]]; the delta
     * tokenization and term-keyed merge below touch no session memo. */
-  private[queries] def incrementalPostingsFrom(spark: SparkSession,
-      dir: String, basePost: DataFrame): DataFrame = {
-    val thr = Curation.deltaThreshold(spark, dir)
-    // today's work: tokenize the delta alone
-    val deltaPost = postingsOf(
-      documents(spark, dir).filter(col("doc_id") > thr))
-    val merged = basePost.select(col("w"), col("docs").as("bdocs"))
-      .join(deltaPost.select(col("w"), col("docs").as("ddocs")),
+  /** The (w, docs, is_new) index merge every postings-append arm
+    * shares: base index ⊕ postings of `deltaDocs` — ids are monotone,
+    * so concat of the base list and the delta list IS the full sorted
+    * list. Factored for the three-process chained-restart proof
+    * (ColdRestartSpec), whose each "day" publishes exactly this merge
+    * over the previous process's published version. */
+  private[queries] def mergedPostingsIndex(basePost: DataFrame,
+      deltaDocs: DataFrame): DataFrame =
+    basePost.select(col("w"), col("docs").as("bdocs"))
+      .join(postingsOf(deltaDocs).select(col("w"), col("docs").as("ddocs")),
         Seq("w"), "full")
       .select(col("w"),
         expr("""concat(coalesce(bdocs, cast(array() as array<bigint>)),
                        coalesce(ddocs, cast(array() as array<bigint>)))""")
           .as("docs"),
         col("bdocs").isNull.cast("long").as("is_new"))
+
+  /** The one-shot index build over a document set, as the (w, docs)
+    * surface — exposed for the chained-restart proof's rebuild bar. */
+  private[queries] def postingsIndexOf(docs: DataFrame): DataFrame =
+    postingsOf(docs)
+
+  private[queries] def incrementalPostingsFrom(spark: SparkSession,
+      dir: String, basePost: DataFrame): DataFrame = {
+    val thr = Curation.deltaThreshold(spark, dir)
+    // today's work: tokenize the delta alone
+    val merged = mergedPostingsIndex(basePost,
+      documents(spark, dir).filter(col("doc_id") > thr))
     merged
       .withColumn("df", size(col("docs")))
       .withColumn("bucket", floor(log2(col("df"))).cast("long"))

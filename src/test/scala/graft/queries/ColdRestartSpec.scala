@@ -192,7 +192,8 @@ class ColdRestartSpec extends SparkSpec {
     * process handle plus its log file so a failure can self-diagnose
     * (caller waits via [[awaitPublisher]]). */
   private def launchPublisher(
-      dir: String, root: String): (Process, java.io.File) = {
+      dir: String, root: String,
+      extraArgs: Seq[String] = Nil): (Process, java.io.File) = {
     val javaBin = java.nio.file.Paths
       .get(System.getProperty("java.home"), "bin", "java").toString
     val opens = Seq(
@@ -208,7 +209,7 @@ class ColdRestartSpec extends SparkSpec {
       "-Xmx3g", "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"),
-      "graft.ColdPublish", dir, root)).toIndexedSeq
+      "graft.ColdPublish", dir, root) ++ extraArgs).toIndexedSeq
     val log = java.nio.file.Files
       .createTempFile("graft_coldpub", ".log").toFile
     (new ProcessBuilder(cmd: _*)
@@ -285,6 +286,54 @@ class ColdRestartSpec extends SparkSpec {
         .filter(col("i.root") =!= col("f.root") ||
           col("i.root").isNull || col("f.root").isNull)
       assert(diff.count() === 0)
+    } finally hadoopDelete(root)
+  }
+
+  test("three-day chained restart: three JVMs each publish one day's " +
+      "increment through the store and DIE; day 3's index equals the " +
+      "one-shot rebuild list-for-list") {
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chain_spec").toString
+    hadoopDelete(root)
+    try {
+      // day 1 and day 2: separate JVMs, strictly sequential, each dead
+      // before the next starts — state survives on storage alone
+      val p1 = launchPublisher(dir, root, Seq("1"))
+      awaitPublisher(p1, "chain day 1")
+      assert(!p1._1.isAlive)
+      val p2 = launchPublisher(dir, root, Seq("2"))
+      awaitPublisher(p2, "chain day 2")
+      assert(!p2._1.isAlive)
+      // day 3: THIS process (the third JVM of the chain)
+      Tables.prep(spark)
+      val m3 = ColdRestart.chainPublish(spark, dir, root, 3)
+      assert(m3.version === 3,
+        s"version threading broke across processes: got v${m3.version}")
+      // every day's version is committed and still readable
+      for (v <- 1 to 3)
+        assert(ArtifactStore.readVersion(spark, root,
+          ColdRestart.ChainArtifact, v)._2.version === v)
+      // the chained index == the one-shot rebuild, list-for-list
+      val chained = ArtifactStore.read(spark, root,
+        ColdRestart.ChainArtifact)
+      val rebuilt = TextAnalysis.postingsIndexOf(
+        Tables.documents(spark, dir))
+      val diff = chained.as("c")
+        .join(rebuilt.as("r"), Seq("w"), "full")
+        .filter(col("c.docs").isNull || col("r.docs").isNull ||
+          col("c.docs") =!= col("r.docs"))
+      assert(diff.count() === 0,
+        "chained increments diverged from the rebuild")
+      // and the increments were real: each day's stored index carries
+      // strictly more posting mass (the harness vocabulary saturates
+      // early, so TERM counts stay flat — the lists grow)
+      val mass = (1 to 3).map(v =>
+        ArtifactStore.readVersion(spark, root,
+          ColdRestart.ChainArtifact, v)._1
+          .agg(sum(size(col("docs")))).head.getLong(0))
+      assert(mass(0) < mass(1) && mass(1) < mass(2),
+        s"chain posting mass did not grow: $mass")
     } finally hadoopDelete(root)
   }
 
