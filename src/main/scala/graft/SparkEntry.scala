@@ -51,6 +51,7 @@ object SparkEntry {
       "q200_stream_label_repair", // streamed store + versioned label snapshots per call
       "q216_stream_postings_merge", // streamed store + versioned index per call
       "q217_stream_bm25_merge", // streamed store + versioned stats per call
-      "q220_stream_rollup_maintain" // streamed store + versioned rollup per call
+      "q220_stream_rollup_maintain", // streamed store + versioned rollup per call
+      "q222_stream_rollup_additive" // streamed store + versioned rollup per call
     )).sorted
 }

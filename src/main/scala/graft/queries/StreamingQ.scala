@@ -428,6 +428,39 @@ object StreamingQ {
       spark, store.toString, WarehouseIvm.StreamRollupArtifact))
   }
 
+  /** q222: the ADDITIVE streamed rollup — the general-arrival-cadence
+    * arm of q220 (round-11 verdict ask #5). q220's fecha-keyed replace
+    * assumes fecha-atomic arrival files (one report per day, the
+    * reference's own cadence); a crawl-scale feed splits one fecha
+    * across many files, so each batch carries a PARTIAL slice and the
+    * merge must be ⊕ with a batch-id high-water mark for replay
+    * dedup ([[WarehouseIvm.applyRollupBatchAdditive]], laws
+    * spec-pinned: split-fecha == one-batch, replay no-op, any order).
+    * Output is the q218 surface read from the final store version;
+    * oracle = q218's full re-aggregation verbatim — so the additive
+    * stream, the replace stream, and the batch IVM all serve the same
+    * rollup. */
+  def streamRollupAdditive(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val store = Reference.newScratch("graft_rollup_addstream")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = Streams.eventsStream(spark, dir).writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            WarehouseIvm.applyRollupBatchAdditive(
+              spark, batch, id, store.toString)
+        }
+        .option("checkpointLocation", store.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    WarehouseIvm.rollupOut(graft.io.ArtifactStore.read(
+      spark, store.toString, WarehouseIvm.AdditiveRollupArtifact))
+  }
+
   /** q188: event-time-correct VERSIONED dimension enrichment — the
     * temporal upgrade of q71's stateless enrich: q71 joins every
     * event to the dimension's CURRENT row, which silently rewrites
@@ -905,6 +938,7 @@ object StreamingQ {
     "q216_stream_postings_merge" -> streamPostingsMerge,
     "q217_stream_bm25_merge" -> streamBm25Merge,
     "q220_stream_rollup_maintain" -> streamRollupMaintain,
+    "q222_stream_rollup_additive" -> streamRollupAdditive,
     "q108_stream_ivf_index" -> streamIvfIndex,
     "q147_stream_scd2" -> streamScd2,
     "q153_stream_late_data" -> streamLateData
@@ -935,6 +969,9 @@ object StreamingQ {
     // q218's full re-aggregation IS the q220 oracle: the streamed
     // fecha-keyed replace serves the same rollup the batch IVM does
     "q220_stream_rollup_maintain" -> WarehouseIvm.rollupIvmAppendSql,
+    // ...and of the q222 additive arm: same serve surface, general
+    // (split-fecha) arrival cadence
+    "q222_stream_rollup_additive" -> WarehouseIvm.rollupIvmAppendSql,
     "q108_stream_ivf_index" -> Similarity.ivfAssignDigestSql,
     "q147_stream_scd2" -> streamScd2Sql,
     "q153_stream_late_data" -> streamLateDataSql

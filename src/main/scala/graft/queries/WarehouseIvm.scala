@@ -155,6 +155,51 @@ object WarehouseIvm {
     ArtifactStore.prune(spark, root, StreamRollupArtifact, keep = 2)
   }
 
+  private[graft] val AdditiveRollupArtifact = "daily_rollup_additive"
+
+  /** The foreachBatch body of the ADDITIVE streamed rollup arm (q222)
+    * — the general-cadence cell [[applyRollupBatch]]'s fecha-keyed
+    * replace deliberately does not serve: a crawl-scale feed delivers
+    * ONE fecha across MANY arrival files, so a batch carries a PARTIAL
+    * slice and replacing by key would drop the fecha's earlier
+    * contributions. Here the merge is ⊕ — the base grain rows and the
+    * batch's slice aggregate re-grouped by (fecha, event_type), which
+    * is commutative/associative (any batching, any order) and handles
+    * the NULL-fecha grain for free (GROUP BY keeps NULL as a group,
+    * matching the oracle). Replay protection therefore cannot be
+    * content idempotence (adding twice double-counts); it is a
+    * BATCH-ID HIGH-WATER MARK carried in the artifact: foreachBatch
+    * re-delivers a crashed batch with its ORIGINAL id, ids are
+    * strictly increasing within a checkpoint lineage, so
+    * `batchId <= hwm` means this batch's contribution is already in
+    * the serving version — skip, exactly-once by construction. The
+    * 1-row hwm collect is provably bounded. All laws spec-pinned in
+    * WarehouseIvmSpec, including a fecha split across three arrival
+    * files equaling the one-batch build. */
+  private[graft] def applyRollupBatchAdditive(spark: SparkSession,
+      batch: DataFrame, batchId: Long, root: String): Unit = {
+    val slice = grainAgg(batch.select(to_date(col("ts")).as("fecha"),
+      col("event_type"), col("value")))
+    val merged =
+      ArtifactStore.latestVersion(spark, root, AdditiveRollupArtifact) match {
+        case None => slice
+        case Some(v) =>
+          val (base, _) = ArtifactStore.readVersion(
+            spark, root, AdditiveRollupArtifact, v)
+          val hwmRow = base.agg(max(col("hwm"))).head
+          val hwm = if (hwmRow.isNullAt(0)) -1L else hwmRow.getLong(0)
+          if (batchId <= hwm) return // replayed batch: already merged
+          base.select(col("fecha"), col("event_type"), col("n"),
+              col("sum_raw"))
+            .unionByName(slice)
+            .groupBy(col("fecha"), col("event_type"))
+            .agg(sum(col("n")).as("n"), sum(col("sum_raw")).as("sum_raw"))
+      }
+    ArtifactStore.publish(merged.withColumn("hwm", lit(batchId)),
+      root, AdditiveRollupArtifact)
+    ArtifactStore.prune(spark, root, AdditiveRollupArtifact, keep = 2)
+  }
+
   val rollupIvmAppendSql: String =
     """SELECT CAST(ts AS DATE) AS fecha, event_type, count(*) AS n,
       |  round(sum(value), 4) AS sum_value

@@ -149,6 +149,67 @@ class WarehouseIvmSpec extends SparkSpec {
       "NULL-fecha replay must be a no-op")
   }
 
+  test("q222 laws: the ADDITIVE streamed rollup accumulates a fecha " +
+      "split across three arrival files to the one-batch build, skips " +
+      "replayed batch ids, is order-insensitive, and keeps the " +
+      "NULL-fecha grain exact") {
+    import spark.implicits._
+    def batch(rows: (Option[Int], String, Double)*) =
+      rows.toSeq.map { case (day, typ, v) =>
+        (day.map(d => java.sql.Timestamp.valueOf(
+          f"2024-01-$d%02d 10:00:00")).orNull, typ, v)
+      }.toDF("ts", "event_type", "value")
+    def content(root: String): Seq[(String, String, Long, Double)] =
+      WarehouseIvm.rollupOut(graft.io.ArtifactStore.read(spark, root,
+          WarehouseIvm.AdditiveRollupArtifact))
+        .collect().map(r => (String.valueOf(r.getDate(0)), r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSeq
+    // ONE fecha split across three arrival files — q220's replace arm
+    // would keep only the last file's contribution; ⊕ accumulates
+    val f1 = batch((Some(1), "view", 1.5), (Some(1), "click", 2.0))
+    val f2 = batch((Some(1), "view", 2.5), (None, "view", 7.0))
+    val f3 = batch((Some(1), "view", 4.0), (Some(2), "click", 9.0))
+    val split = java.nio.file.Files
+      .createTempDirectory("graft_q222_split").toString
+    WarehouseIvm.applyRollupBatchAdditive(spark, f1, 0L, split)
+    WarehouseIvm.applyRollupBatchAdditive(spark, f2, 1L, split)
+    WarehouseIvm.applyRollupBatchAdditive(spark, f3, 2L, split)
+    val afterSplit = content(split)
+    // == the one-batch build of the same rows
+    val one = java.nio.file.Files
+      .createTempDirectory("graft_q222_one").toString
+    WarehouseIvm.applyRollupBatchAdditive(spark,
+      f1.unionByName(f2).unionByName(f3), 0L, one)
+    assert(afterSplit === content(one),
+      "split-fecha arrival diverged from the one-batch build")
+    // Spark ORDER BY ASC is NULLS FIRST: the malformed-ts grain leads
+    assert(afterSplit === Seq(
+      ("null", "view", 1L, 7.0),
+      ("2024-01-01", "click", 1L, 2.0), ("2024-01-01", "view", 3L, 8.0),
+      ("2024-01-02", "click", 1L, 9.0)))
+    // crash replay: batches re-deliver with their ORIGINAL ids — both
+    // a mid-stream id and the newest id must be exact no-ops (an
+    // additive re-merge would double-count; the hwm skips it),
+    // including the NULL-fecha contribution in f2
+    WarehouseIvm.applyRollupBatchAdditive(spark, f2, 1L, split)
+    WarehouseIvm.applyRollupBatchAdditive(spark, f3, 2L, split)
+    assert(content(split) === afterSplit, "replayed batch double-counted")
+    // order-insensitivity: the same files as (f3, f1, f2) build the
+    // same content — ⊕ is commutative/associative
+    val perm = java.nio.file.Files
+      .createTempDirectory("graft_q222_perm").toString
+    WarehouseIvm.applyRollupBatchAdditive(spark, f3, 0L, perm)
+    WarehouseIvm.applyRollupBatchAdditive(spark, f1, 1L, perm)
+    WarehouseIvm.applyRollupBatchAdditive(spark, f2, 2L, perm)
+    assert(content(perm) === afterSplit,
+      "arrival order changed the served rollup")
+    // a genuinely NEW batch id with new rows still lands after replays
+    WarehouseIvm.applyRollupBatchAdditive(spark,
+      batch((Some(2), "click", 1.0)), 3L, split)
+    assert(content(split).find(r => r._1 == "2024-01-02")
+      .exists(r => r._3 == 2L && r._4 == 10.0))
+  }
+
   test("q219 inverse law: applying a correction and then its inverse " +
       "returns the base totals (the ⊖ really is the group inverse)") {
     import spark.implicits._
