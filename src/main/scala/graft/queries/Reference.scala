@@ -341,20 +341,42 @@ object Reference {
         java.security.MessageDigest.getInstance("MD5")
           .digest(dir.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(16)
-      registerFechaTable(spark, fechaWarehouse(spark, dir), name)
+      registerFechaTableAt(spark, fechaWarehouse(spark, dir), name)
       name
     }
 
+  /** PUBLIC entry point — register this engine's fecha warehouse for
+    * `dir` under a STABLE, caller-chosen catalog name: the name a BI
+    * tool binds to (README.md:113 — the reference's `t_diario_*`
+    * consumers). The md5-suffixed [[fechaCatalogTable]] names are
+    * right for test isolation, but a dashboard binds ONCE to a stable
+    * name; this is that binding.
+    *
+    * OWNERSHIP: the caller owns the name — exactly one pipeline
+    * should register a given name, re-running this at deploy time
+    * (registration DROPs and re-creates the EXTERNAL table over the
+    * warehouse path: metadata only, the data is never touched, and
+    * in-flight readers of the old definition keep their resolved file
+    * listing). REFRESH: after each daily load lands a new fecha
+    * directory, run `spark.catalog.recoverPartitions(name)` — the
+    * MSCK step of the daily cadence; until then the catalog
+    * intentionally serves yesterday's partition list (metastore reads
+    * never re-list storage — that is the point of the catalog path at
+    * 100 TB x 365 partitions). Returns `name` for chaining. */
+  def registerFechaTable(spark: SparkSession, dir: String,
+      name: String): String = {
+    prep(spark)
+    registerFechaTableAt(spark, fechaWarehouse(spark, dir), name)
+    name
+  }
+
   /** Register `wh` (a fecha-partitioned parquet warehouse) as the
     * named EXTERNAL catalog table `name`. Factored from
-    * [[fechaCatalogTable]] so the spec can exercise the operational
-    * contract on a scratch warehouse: after a NEW fecha lands (the
-    * daily load), the catalog's partition metadata is refreshed with
-    * `spark.catalog.recoverPartitions` — the MSCK step of the daily
-    * cadence; until then the catalog intentionally serves yesterday's
-    * partition list (metastore reads never re-list storage — that is
-    * the point of the catalog path at 100 TB). */
-  private[graft] def registerFechaTable(
+    * [[fechaCatalogTable]] / [[registerFechaTable]] so the spec can
+    * exercise the operational contract on a scratch warehouse (see
+    * the public entry's scaladoc for the ownership + MSCK-refresh
+    * contract). */
+  private[graft] def registerFechaTableAt(
       spark: SparkSession, wh: String, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     // DDL derived from the warehouse's OWN parquet schema (no

@@ -191,6 +191,39 @@ class IdempotentWriterSpec extends SparkSpec {
     assert(n === expected && expected > 0)
   }
 
+  test("registerFechaTable: a BI tool binds to a STABLE caller-chosen " +
+      "name — serves, prunes from catalog metadata, and re-registering " +
+      "at deploy time is idempotent") {
+    val dir = "/root/testdata/sf0.001"
+    val name = "t_diario_events_spec" // the stable dashboard binding
+    try {
+      assert(graft.queries.Reference
+        .registerFechaTable(spark, dir, name) === name)
+      val read = spark.table(name)
+        .filter(col("fecha") === lit("2024-01-05").cast("date"))
+      val expected = graft.queries.Tables.events(spark, dir)
+        .filter(to_date(col("ts")) === lit("2024-01-05").cast("date"))
+        .count()
+      assert(read.count() === expected && expected > 0)
+      // the stable name prunes exactly like the isolation-named table
+      val plan = read.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scan = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      assert(scan.selectedPartitions.partitionCount === 1,
+        s"selected ${scan.selectedPartitions.partitionCount} partitions")
+      // deploy-time re-registration: same name, same answer, no error
+      graft.queries.Reference.registerFechaTable(spark, dir, name)
+      assert(spark.table(name)
+        .filter(col("fecha") === lit("2024-01-05").cast("date"))
+        .count() === expected)
+    } finally spark.sql(s"DROP TABLE IF EXISTS `$name`")
+  }
+
   test("daily cadence on the catalog table: a newly landed fecha is " +
       "invisible until recoverPartitions (the MSCK step), then serves " +
       "and prunes") {
@@ -204,7 +237,7 @@ class IdempotentWriterSpec extends SparkSpec {
       addLoadDate = false)
     val name = "graft_cat_refresh_spec"
     try {
-    graft.queries.Reference.registerFechaTable(spark, wh, name)
+    graft.queries.Reference.registerFechaTableAt(spark, wh, name)
     assert(spark.sql(s"SHOW PARTITIONS `$name`").count() === 1)
     // the daily load lands a NEW date
     IdempotentWriter.overwritePartitions(day("2024-01-02", 5), wh,
