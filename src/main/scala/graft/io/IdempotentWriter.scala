@@ -65,6 +65,17 @@ object IdempotentWriter {
   //     carries OUR token, so a writer that lost its lease can never
   //     delete the new holder's lock.
   //
+  //     DOCUMENTED GAP (classic S3A): create(overwrite = false) there
+  //     is a HEAD-then-PUT, not atomic — two acquirers can slip the
+  //     window. Renewal and staleness (the round-11 gap) are now
+  //     portable, but EXCLUSIVE ACQUISITION on plain S3A needs the
+  //     store's conditional PUT (If-None-Match, exposed by recent
+  //     Hadoop S3A through createFile().must("fs.s3a.create.conditional"))
+  //     or an external lock service; deployments there should front
+  //     this lease with one of those. HDFS, ABFS, the GCS connector,
+  //     and file:// (via O_EXCL below) all provide the atomic create
+  //     this code assumes.
+  //
   // Both runs complete, serialized; the table ends as exactly the
   // LAST writer's rows — winner-takes-all, never an interleaved mix.
   // A contender whose wait exceeds 2x the lease window fails loudly
