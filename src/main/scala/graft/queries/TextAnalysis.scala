@@ -1473,16 +1473,10 @@ object TextAnalysis {
   private[queries] def postingsRetractionFrom(spark: SparkSession,
       dir: String, basePost: DataFrame): DataFrame = {
     val thr = Curation.deltaThreshold(spark, dir)
-    val deltaPost = postingsOf(
+    val full = mergedPostingsIndex(basePost,
       documents(spark, dir).filter(col("doc_id") > thr))
-    val full = basePost.select(col("w"), col("docs").as("bdocs"))
-      .join(deltaPost.select(col("w"), col("docs").as("ddocs")),
-        Seq("w"), "full")
-      .select(col("w"),
-        expr("""concat(coalesce(bdocs, cast(array() as array<bigint>)),
-                       coalesce(ddocs, cast(array() as array<bigint>)))""")
-          .as("docs"))
     retractionSummary(full
+      .select(col("w"), col("docs"))
       .withColumn("dfull", size(col("docs")))
       .withColumn("docs", expr(s"filter(docs, d -> d <= ${thr}L)"))
       .filter(size(col("docs")) > 0))

@@ -362,20 +362,22 @@ class IdempotentWriterSpec extends SparkSpec {
     val dir = Files.createTempDirectory("live_lease").toString
     val path = dir + "/t"
     val lock = java.nio.file.Paths.get(path + ".lock")
+    val renew = java.nio.file.Paths.get(path + ".lock.renew")
     val ancient = System.currentTimeMillis() - 3600 * 1000
-    // a "live holder on S3A": content churns (heartbeat), but mtime is
-    // pinned ancient after every rewrite — the worst case of a store
-    // whose setTimes is a no-op and whose mtime is the original PUT
+    // a "live holder on S3A": the renew sidecar churns (heartbeat),
+    // the immutable main lock and both mtimes stay frozen — the worst
+    // case of a store whose setTimes is a no-op and whose mtime is
+    // the original PUT
     val seq = new java.util.concurrent.atomic.AtomicLong(0)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-    java.nio.file.Files.write(lock, "foreign@0".getBytes("UTF-8"))
+    java.nio.file.Files.write(lock, "foreign".getBytes("UTF-8"))
     lock.toFile.setLastModified(ancient)
     val beater = new Thread(() => {
       while (!stop.get()) {
         Thread.sleep(300)
-        java.nio.file.Files.write(lock,
+        java.nio.file.Files.write(renew,
           s"foreign@${seq.incrementAndGet()}".getBytes("UTF-8"))
-        lock.toFile.setLastModified(ancient)
+        renew.toFile.setLastModified(ancient)
       }
     })
     beater.start()
@@ -399,20 +401,51 @@ class IdempotentWriterSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(lock))
   }
 
-  test("the heartbeat renews by content rewrite: a held lock's sequence " +
-      "advances while the body runs") {
+  test("the heartbeat renews by content rewrite: the renew sidecar's " +
+      "sequence advances while the body runs, the main lock stays " +
+      "immutable, and both are cleaned on release") {
     val dir = Files.createTempDirectory("hb_lease").toString
     val path = dir + "/t"
     val lock = java.nio.file.Paths.get(path + ".lock")
+    val renew = java.nio.file.Paths.get(path + ".lock.renew")
     var midSeq = -1L
+    var lockAtStart = ""
+    var lockAtEnd = ""
     IdempotentWriter.withTableLease(spark, path, leaseMs = 600) {
+      lockAtStart =
+        new String(java.nio.file.Files.readAllBytes(lock), "UTF-8")
       Thread.sleep(1500) // > 2 heartbeat periods (leaseMs / 3 = 200ms)
       val content =
-        new String(java.nio.file.Files.readAllBytes(lock), "UTF-8")
+        new String(java.nio.file.Files.readAllBytes(renew), "UTF-8")
       midSeq = content.split("@")(1).toLong
+      assert(content.startsWith(lockAtStart)) // renew carries our token
+      lockAtEnd =
+        new String(java.nio.file.Files.readAllBytes(lock), "UTF-8")
     }
     assert(midSeq >= 1,
-      s"heartbeat never rewrote the lock content (seq $midSeq)")
+      s"heartbeat never rewrote the renew sidecar (seq $midSeq)")
+    // the MAIN lock is immutable under renewal — a heartbeat can never
+    // clobber a post-break holder's lock (reviewer find, round 12)
+    assert(lockAtEnd === lockAtStart)
+    assert(!java.nio.file.Files.exists(lock))
+    assert(!java.nio.file.Files.exists(renew))
+  }
+
+  test("zero-byte crash debris is still breakable: an unreadable main " +
+      "lock observes as a sentinel, never an unbreakable blind spot") {
+    // the crash window: a holder died between exclusive create and
+    // token write (or a .crc sidecar was lost) — the lock EXISTS but
+    // readToken yields nothing; mapping that to 'reset the clock'
+    // would make the orphan permanent (reviewer find, round 12)
+    val dir = Files.createTempDirectory("torn_lock").toString
+    val path = dir + "/t"
+    val lock = java.nio.file.Paths.get(path + ".lock")
+    java.nio.file.Files.write(lock, Array.emptyByteArray)
+    var ran = false
+    IdempotentWriter.withTableLease(spark, path, leaseMs = 1200) {
+      ran = true
+    }
+    assert(ran)
     assert(!java.nio.file.Files.exists(lock))
   }
 

@@ -37,6 +37,18 @@ src = next(sql for sql in oracle.values()
            if MARKER in sql and "cand AS (" in sql)
 prefix = src[:src.index("cand AS (")].rstrip().rstrip(",")
 
+import re
+
+# the signature WIDTH comes from the same extracted SQL as the sig
+# definition itself ("[... FOR s IN range(K)]"), so a future K change
+# cannot silently shrink the superset and turn the gate's hash
+# mismatches into wrong-oracle noise
+m = re.search(r"FOR s IN range\((\d+)\)", prefix)
+if not m:
+    sys.exit("build_cand1: could not find the signature width "
+             "('FOR s IN range(K)') in the extracted sig CTE")
+k = int(m.group(1))
+
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
@@ -44,7 +56,7 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
                 f"read_parquet('{sfdir}/{t}.parquet')")
 con.execute(f"""COPY ({prefix},
   bexp AS (SELECT doc_id, t.range AS band, sig[t.range] AS mh
-           FROM sig, range(1, 9) t)
+           FROM sig, range(1, {k + 1}) t)
   SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
   FROM bexp x JOIN bexp y
     ON x.band = y.band AND x.mh = y.mh AND x.doc_id < y.doc_id)
