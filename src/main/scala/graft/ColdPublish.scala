@@ -10,10 +10,12 @@ import org.apache.spark.sql.SparkSession
   * reads them back cold.
   *
   * Usage: `ColdPublish <sfDir> <storeRoot>` (full base publish), or
-  * `ColdPublish <sfDir> <storeRoot> <chainStep>` — one "day" of the
-  * three-process chained-restart proof: read the previous (dead)
-  * process's published index version, merge this day's slice, publish
-  * the next version, exit. */
+  * `ColdPublish <sfDir> <storeRoot> <chainStep> [rollup]` — one "day"
+  * of a three-process chained-restart proof: read the previous (dead)
+  * process's published version, merge this day's slice, publish the
+  * next version, exit. Default chains the postings index (q194's
+  * sorted-concat merge); `rollup` chains the additive warehouse
+  * rollup (q222's ⊕ merge + batch-id high-water mark). */
 object ColdPublish {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -26,7 +28,11 @@ object ColdPublish {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.length >= 3) {
+    if (args.length >= 4 && args(3) == "rollup") {
+      graft.queries.ColdRestart.chainRollupPublish(
+        spark, dir, root, args(2).toInt)
+      println(s"published rollup chain step ${args(2)}")
+    } else if (args.length >= 3) {
       val m = graft.queries.ColdRestart.chainPublish(
         spark, dir, root, args(2).toInt)
       println(s"published ${m.name} v${m.version} rows=${m.rows}")

@@ -125,6 +125,26 @@ object ColdRestart {
     ArtifactStore.publish(idx, root, ChainArtifact)
   }
 
+  /** One "day" of the chained ADDITIVE-ROLLUP proof — the q222 arm's
+    * ⊕ merge + batch-id high-water mark exercised at PROCESS
+    * granularity: each step is a separate JVM that reads the previous
+    * (dead) process's published rollup, merges ITS third of every
+    * fecha (`user_id % 3` — fechas deliberately SPLIT across all
+    * three processes, the arrival cadence q220's replace arm cannot
+    * serve), and publishes the next version with hwm = step. A
+    * re-delivered step (same batch id from a FOURTH process — the
+    * crash-replay-after-restart case) must be a content no-op via the
+    * high-water mark that survives on storage. */
+  private[graft] def chainRollupPublish(spark: SparkSession, dir: String,
+      root: String, step: Int): Unit = {
+    prep(spark)
+    require(step >= 1 && step <= 3, s"rollup chain step must be 1..3: $step")
+    val slice = Tables.events(spark, dir)
+      .filter(col("user_id") % 3 === (step - 1))
+      .select(col("ts"), col("event_type"), col("value"))
+    WarehouseIvm.applyRollupBatchAdditive(spark, slice, step - 1L, root)
+  }
+
   /** Store root, published exactly once per (application, dir) —
     * [[graft.KeyedOnce]] so racing first callers cannot both run the
     * delete+publish against the same deterministic path. */

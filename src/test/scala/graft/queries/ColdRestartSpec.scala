@@ -337,6 +337,51 @@ class ColdRestartSpec extends SparkSpec {
     } finally hadoopDelete(root)
   }
 
+  test("three-process chained ADDITIVE rollup: every fecha split " +
+      "across three JVMs accumulates to the one-shot rebuild, and a " +
+      "FOURTH process replaying a finished step is a content no-op — " +
+      "the high-water mark survives on storage") {
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_rollup_chain").toString
+    hadoopDelete(root)
+    try {
+      for (s <- 1 to 3) {
+        val p = launchPublisher(dir, root, Seq(s.toString, "rollup"))
+        awaitPublisher(p, s"rollup chain day $s")
+        assert(!p._1.isAlive)
+      }
+      Tables.prep(spark)
+      def served: Seq[Seq[Any]] =
+        WarehouseIvm.rollupOut(ArtifactStore.read(spark, root,
+            WarehouseIvm.AdditiveRollupArtifact))
+          .collect().map(_.toSeq).toSeq
+      val afterChain = served
+      val expected = WarehouseIvm.rollupOut(
+        Tables.events(spark, dir)
+          .select(to_date(col("ts")).as("fecha"), col("event_type"),
+            col("value"))
+          .groupBy(col("fecha"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_raw")))
+        .collect().map(_.toSeq).toSeq
+      assert(afterChain === expected,
+        "three-process ⊕ chain diverged from the one-shot rebuild")
+      // crash-replay ACROSS a process restart: a fourth JVM
+      // re-delivers step 2 (same batch id); the artifact's hwm — state
+      // that lives on storage, not in any session — must make it a
+      // no-op, publishing nothing
+      val vBefore = ArtifactStore.latestVersion(spark, root,
+        WarehouseIvm.AdditiveRollupArtifact)
+      val replay = launchPublisher(dir, root, Seq("2", "rollup"))
+      awaitPublisher(replay, "rollup chain replay of day 2")
+      assert(ArtifactStore.latestVersion(spark, root,
+        WarehouseIvm.AdditiveRollupArtifact) === vBefore,
+        "a replayed step published a new version")
+      assert(served === afterChain,
+        "a replayed step changed the served rollup")
+    } finally hadoopDelete(root)
+  }
+
   test("q221 == q197: the composed daily run COLD — fresh session, " +
       "store-only inputs (memo domain stays EMPTY), store ownership " +
       "republished as next versions with the attested rows") {
