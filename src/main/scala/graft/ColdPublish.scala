@@ -15,7 +15,12 @@ import org.apache.spark.sql.SparkSession
   * process's published version, merge this day's slice, publish the
   * next version, exit. Default chains the postings index (q194's
   * sorted-concat merge); `rollup` chains the additive warehouse
-  * rollup (q222's ⊕ merge + batch-id high-water mark). */
+  * rollup (q222's ⊕ merge + batch-id high-water mark). BOTH chain
+  * arms are replay-safe: an operator re-running a finished step gets
+  * a content no-op — the rollup via its on-storage batch-id
+  * high-water mark, the postings chain via version threading
+  * (version == step; an already-committed step returns its manifest
+  * untouched). */
 object ColdPublish {
   def main(args: Array[String]): Unit = {
     val dir = args(0)

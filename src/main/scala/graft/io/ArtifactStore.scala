@@ -102,6 +102,14 @@ object ArtifactStore {
       try {
         val out = fs.create(tmp, false)
         try out.write(manifestJson(m).getBytes("UTF-8")) finally out.close()
+        // COMMIT FENCE (advisor find, round 12): a publisher paused past
+        // the lease window can have its lock broken and re-granted — the
+        // new holder would compute the same `next` and both would target
+        // v<next>. Re-verify lease ownership immediately before the
+        // manifest rename, so a fenced-out publisher aborts its commit
+        // instead of attesting rows the other writer may be tearing.
+        // (Residual one-FS-op window documented at verifyHeldLease.)
+        IdempotentWriter.verifyHeldLease(spark, s"$root/$name")
         // exists-guard before rename: RawLocalFileSystem.rename REPLACES
         // an existing destination (POSIX semantics), and a committed
         // manifest must never be rewritten. Publishers are serialized by

@@ -97,17 +97,20 @@ object IdempotentWriter {
   private val localLocks = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.locks.ReentrantLock]()
 
-  /** Table paths whose file lease THIS thread already holds — the
-    * re-entrancy set (mergeUpsert → overwritePartitions nests). */
+  /** Table paths whose file lease THIS thread already holds, mapped
+    * to the holder token in the lock file — the re-entrancy map
+    * (mergeUpsert → overwritePartitions nests), and the token source
+    * for [[verifyHeldLease]]'s commit-point fence. */
   private val heldLeases = ThreadLocal.withInitial[
-    java.util.HashSet[String]](() => new java.util.HashSet[String]())
+    java.util.HashMap[String, String]](
+    () => new java.util.HashMap[String, String]())
 
   private[graft] val DefaultLeaseMs: Long = 10L * 60 * 1000
 
   private[graft] def withTableLease[T](
       spark: org.apache.spark.sql.SparkSession, path: String,
       leaseMs: Long = DefaultLeaseMs)(body: => T): T = {
-    if (heldLeases.get().contains(path)) return body // re-entrant hold
+    if (heldLeases.get().containsKey(path)) return body // re-entrant hold
     val local = localLocks.computeIfAbsent(path,
       _ => new java.util.concurrent.locks.ReentrantLock())
     local.lock()
@@ -151,7 +154,7 @@ object IdempotentWriter {
                   s"lock will look stale after ${leaseMs} ms")
           }
       }, leaseMs / 3, leaseMs / 3)
-      heldLeases.get().add(path)
+      heldLeases.get().put(path, token)
       try body
       finally {
         heldLeases.get().remove(path)
@@ -171,6 +174,34 @@ object IdempotentWriter {
         } catch { case _: java.io.IOException => () }
       }
     } finally local.unlock()
+  }
+
+  /** Commit-point fence (advisor find, round 12): re-verify that the
+    * lock on `path` still carries THIS thread's token, immediately
+    * before an irreversible commit step (e.g. the ArtifactStore
+    * manifest rename). A holder paused past the lease window (GC, a
+    * stalled heartbeat) can have its lock legitimately broken and
+    * re-granted; without the fence its body would keep writing
+    * concurrently with the new holder — the heartbeat's ownership
+    * probe only WARNS. The fence turns that into a loud abort before
+    * the commit lands. Residual window, documented: between this
+    * check and the commit itself the lease can still be broken — the
+    * fence shrinks the race from "the whole body" to "one FS op",
+    * the same best-effort any lease-without-storage-transactions can
+    * give (full closure needs the commit to be a conditional PUT /
+    * rename-if-token, a storage-level primitive). */
+  private[graft] def verifyHeldLease(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val token = Option(heldLeases.get().get(path)).getOrElse(
+      throw new IllegalStateException(
+        s"commit fence: this thread holds no lease on $path"))
+    val lockP = new org.apache.hadoop.fs.Path(path + ".lock")
+    val fs = lockP.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!readToken(fs, lockP).contains(token))
+      throw new IllegalStateException(
+        s"commit fence: lease on $path was lost (lock no longer " +
+          "carries our token) — aborting before the commit point; " +
+          "another writer may hold the lease now")
   }
 
   /** The (main, renew) content pair a contender watches for staleness:

@@ -107,20 +107,35 @@ object ColdRestart {
   private[graft] def chainPublish(spark: SparkSession, dir: String,
       root: String, step: Int): ArtifactStore.Manifest = {
     prep(spark)
+    require(step >= 1 && step <= 3, s"chain step must be 1..3, got $step")
+    // Replay guard (advisor find, round 12): each step publishes
+    // exactly one version, so version == step. A replayed step whose
+    // version is already committed re-merging its slice would
+    // DUPLICATE doc ids in the concat-merged lists (the one arm of
+    // the ColdPublish CLI where replay was silent corruption, not a
+    // no-op like the rollup's hwm). Version threading IS the step
+    // high-water mark here: an already-applied step returns the
+    // committed manifest untouched, and each merge reads its
+    // predecessor's EXACT version (not "latest"), so a replay racing
+    // a later step can never fold a newer index into itself.
+    val latest = ArtifactStore.latestVersion(spark, root, ChainArtifact)
+    if (latest.exists(_ >= step))
+      return ArtifactStore.readManifest(spark, root, ChainArtifact, step)
+    require(latest == (if (step == 1) None else Some(step - 1)),
+      s"chain step $step needs predecessor version ${step - 1} " +
+        s"committed; store has $latest")
     val (t1, t2) = chainThresholds(spark, dir)
     val docs = Tables.documents(spark, dir)
+    def prev: DataFrame =
+      ArtifactStore.readVersion(spark, root, ChainArtifact, step - 1)._1
     val idx = step match {
       case 1 => TextAnalysis.postingsIndexOf(docs.filter(col("doc_id") <= t1))
-      case 2 => TextAnalysis.mergedPostingsIndex(
-        ArtifactStore.read(spark, root, ChainArtifact),
+      case 2 => TextAnalysis.mergedPostingsIndex(prev,
         docs.filter(col("doc_id") > t1 && col("doc_id") <= t2))
         .select(col("w"), col("docs"))
-      case 3 => TextAnalysis.mergedPostingsIndex(
-        ArtifactStore.read(spark, root, ChainArtifact),
+      case 3 => TextAnalysis.mergedPostingsIndex(prev,
         docs.filter(col("doc_id") > t2))
         .select(col("w"), col("docs"))
-      case other => throw new IllegalArgumentException(
-        s"chain step must be 1..3, got $other")
     }
     ArtifactStore.publish(idx, root, ChainArtifact)
   }

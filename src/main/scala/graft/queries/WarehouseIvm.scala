@@ -200,10 +200,16 @@ object WarehouseIvm {
     ArtifactStore.prune(spark, root, AdditiveRollupArtifact, keep = 2)
   }
 
+  // NULLS FIRST pinned on the oracle side: Spark's orderBy ASC is
+  // NULLS FIRST while DuckDB's default is NULLS LAST, so a
+  // malformed-ts row (NULL fecha) would hash-mismatch on ROW ORDER
+  // despite identical content (advisor find, round 12; latent on the
+  // harness corpus, which has no malformed ts).
   val rollupIvmAppendSql: String =
     """SELECT CAST(ts AS DATE) AS fecha, event_type, count(*) AS n,
       |  round(sum(value), 4) AS sum_value
-      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      |FROM events GROUP BY 1, 2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
 
   /** The ⊕/⊖ merge both q219 surfaces share: apply a ±1-weighted
     * slice diff to stored per-user totals. Factored for the spec's
@@ -255,7 +261,7 @@ object WarehouseIvm {
       |    AND event_type <> 'error')
       |SELECT user_id, count(*) AS n_events,
       |  round(sum(value), 4) AS sum_value
-      |FROM wh GROUP BY 1 ORDER BY 1""".stripMargin
+      |FROM wh GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q218_rollup_ivm_append" -> rollupIvmAppend,

@@ -449,6 +449,41 @@ class IdempotentWriterSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(lock))
   }
 
+  test("commit fence: a holder whose lease was broken and re-granted " +
+      "aborts at the commit point instead of publishing over the new " +
+      "holder") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("fence_spec").toString
+    val path = s"$root/t"
+    // inside a held lease the fence passes; after a simulated
+    // break + re-grant (the lock's token replaced) it throws — and an
+    // ArtifactStore.publish riding the re-entrant hold aborts BEFORE
+    // the manifest rename, leaving no committed version behind
+    IdempotentWriter.withTableLease(spark, path, leaseMs = 60000) {
+      IdempotentWriter.verifyHeldLease(spark, path) // our token: passes
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path + ".lock"),
+        "new-holders-token".getBytes("UTF-8"))
+      val err = intercept[IllegalStateException] {
+        IdempotentWriter.verifyHeldLease(spark, path)
+      }
+      assert(err.getMessage.contains("lease on"), err.getMessage)
+      val pubErr = intercept[IllegalStateException] {
+        graft.io.ArtifactStore.publish(
+          Seq((1L, "a")).toDF("id", "s"), root, "t")
+      }
+      assert(pubErr.getMessage.contains("commit fence"), pubErr.getMessage)
+    }
+    // the fenced-out publish left data debris at most — NOTHING
+    // committed: readers still see no version of the artifact
+    assert(graft.io.ArtifactStore.latestVersion(spark, root, "t") === None)
+    // outside any hold, the fence refuses rather than silently passing
+    intercept[IllegalStateException] {
+      IdempotentWriter.verifyHeldLease(spark, path)
+    }
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path + ".lock"))
+  }
+
   test("release deletes only the holder's OWN lock: a foreign token " +
       "survives a stranger's release path") {
     val dir = Files.createTempDirectory("own_lease").toString

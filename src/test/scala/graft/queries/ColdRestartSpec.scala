@@ -334,6 +334,20 @@ class ColdRestartSpec extends SparkSpec {
           .agg(sum(size(col("docs")))).head.getLong(0))
       assert(mass(0) < mass(1) && mass(1) < mass(2),
         s"chain posting mass did not grow: $mass")
+      // replay safety (advisor find, r12): a FOURTH process re-running
+      // finished step 2 must be a content no-op — without the version-
+      // threading guard the concat merge would DUPLICATE doc ids in
+      // every re-merged list and publish the corruption as v4
+      val replay = launchPublisher(dir, root, Seq("2"))
+      awaitPublisher(replay, "postings chain replay of day 2")
+      assert(ArtifactStore.latestVersion(spark, root,
+        ColdRestart.ChainArtifact) === Some(3),
+        "a replayed chain step published a new version")
+      assert(ArtifactStore.read(spark, root, ColdRestart.ChainArtifact)
+        .as("c").join(rebuilt.as("r"), Seq("w"), "full")
+        .filter(col("c.docs").isNull || col("r.docs").isNull ||
+          col("c.docs") =!= col("r.docs")).count() === 0,
+        "a replayed chain step changed the served index")
     } finally hadoopDelete(root)
   }
 

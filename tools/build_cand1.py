@@ -33,9 +33,27 @@ import sys
 oracle_json, sfdir, out = sys.argv[1], sys.argv[2], sys.argv[3]
 oracle = json.load(open(oracle_json))
 MARKER = "FROM sig a JOIN sig b ON a.doc_id < b.doc_id"
-src = next(sql for sql in oracle.values()
-           if MARKER in sql and "cand AS (" in sql)
-prefix = src[:src.index("cand AS (")].rstrip().rstrip(",")
+srcs = {name: sql for name, sql in oracle.items()
+        if MARKER in sql and "cand AS (" in sql}
+if not srcs:
+    sys.exit("build_cand1: no marker-bearing oracle found")
+# Every marker-bearing oracle is rewritten against the SAME cand1
+# superset, so they must all define the SAME signature (width, seed,
+# shingle rule). If one family member's sig CTE ever drifts, its
+# rewritten oracle would silently compute over the wrong candidate
+# set and the sweep would report a false BAD that reads as an engine
+# bug (advisor find, round 12) — assert identity up front instead.
+prefixes = {name: sql[:sql.index("cand AS (")].rstrip().rstrip(",")
+            for name, sql in srcs.items()}
+if len(set(prefixes.values())) != 1:
+    by_prefix = {}
+    for name, p in prefixes.items():
+        by_prefix.setdefault(p, []).append(name)
+    sys.exit("build_cand1: marker-bearing oracles disagree on the sig "
+             "CTE prefix — one cand1 cannot serve them all. Groups: "
+             + "; ".join(sorted(",".join(sorted(g))
+                                for g in by_prefix.values())))
+prefix = next(iter(prefixes.values()))
 
 import re
 
