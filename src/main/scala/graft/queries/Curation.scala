@@ -865,13 +865,19 @@ object Curation {
       baseLabels = () => baseCcLabels(spark, dir),
       publishStore = () => {
         val root = ColdRestart.publishedStore(spark, dir)
+        // attest through the SNAPSHOT's version vector (the day's
+        // commit point, written last by publishAll), not per-artifact
+        // latestVersion — the same torn-set discipline the cold arms
+        // enforce on their reads
+        val snap = graft.io.ArtifactStore.latestSnapshot(spark, root)
+          .getOrElse(throw new IllegalStateException(
+            s"no committed snapshot under $root"))
         val attested = ColdRestart.AllArtifacts.map { n =>
           // the daily cadence maintains retention as it publishes:
           // newest two committed versions survive (serving + grace)
           graft.io.ArtifactStore.prune(spark, root, n, keep = 2)
-          val v = graft.io.ArtifactStore.latestVersion(spark, root, n)
-            .getOrElse(throw new IllegalStateException(s"$n not committed"))
-          graft.io.ArtifactStore.readManifest(spark, root, n, v).rows
+          graft.io.ArtifactStore.readManifest(spark, root, n,
+            snap.artifacts(n)).rows
         }.sum
         (root, attested)
       }))

@@ -188,6 +188,85 @@ class ColdRestartSpec extends SparkSpec {
     assert(ArtifactStore.parseManifest(json) === m)
   }
 
+  test("snapshot-committed day boundary: a publish that dies between " +
+      "artifact k and k+1 leaves snapshot readers serving the previous " +
+      "COMPLETE consistent set — never a mixed day") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap_spec").toString
+    try {
+      // day 1: two artifacts + the snapshot as the LAST act
+      val a1 = ArtifactStore.publish(Seq((1L, "d1")).toDF("id", "tag"),
+        root, "labels")
+      val b1 = ArtifactStore.publish(Seq((1L, "d1"), (2L, "d1"))
+        .toDF("id", "tag"), root, "postings")
+      ArtifactStore.publishSnapshot(spark, root,
+        Map("labels" -> a1.version, "postings" -> b1.version))
+      // day 2 CRASHES between the artifacts: labels v2 commits, the
+      // postings republish and the snapshot never run
+      ArtifactStore.publish(Seq((1L, "d2")).toDF("id", "tag"),
+        root, "labels")
+      // per-artifact latestVersion now SERVES THE TEAR (labels v2 +
+      // postings v1 — the exact mixed day the verdict names) ...
+      assert(ArtifactStore.latestVersion(spark, root, "labels") === Some(2))
+      assert(ArtifactStore.latestVersion(spark, root, "postings") === Some(1))
+      // ... but a snapshot-resolving reader cannot see it: day N+1
+      // reads day 1's complete set, both artifacts from the same day
+      val snap = ArtifactStore.latestSnapshot(spark, root).get
+      assert(snap.version === 1)
+      for (n <- Seq("labels", "postings")) {
+        val (df, m) = ArtifactStore.readAt(spark, root, n, snap)
+        assert(m.version === 1, s"$n resolved to v${m.version}")
+        assert(df.select("tag").distinct().head.getString(0) === "d1")
+      }
+      // day 2 retried to completion: artifacts first, snapshot last
+      val a2 = ArtifactStore.publish(Seq((1L, "d2r")).toDF("id", "tag"),
+        root, "labels") // v3
+      val b2 = ArtifactStore.publish(Seq((1L, "d2r")).toDF("id", "tag"),
+        root, "postings") // v2
+      ArtifactStore.publishSnapshot(spark, root,
+        Map("labels" -> a2.version, "postings" -> b2.version))
+      val snap2 = ArtifactStore.latestSnapshot(spark, root).get
+      assert(snap2.version === 2)
+      assert(ArtifactStore.readAt(spark, root, "labels", snap2)._2.version
+        === 3)
+      assert(ArtifactStore.readAt(spark, root, "postings", snap2)._2.version
+        === 2)
+      // a snapshot refuses to pin an uncommitted version — it must
+      // never promise a version a reader cannot resolve
+      val err = intercept[IllegalArgumentException] {
+        ArtifactStore.publishSnapshot(spark, root,
+          Map("labels" -> 99, "postings" -> 2))
+      }
+      assert(err.getMessage.contains("uncommitted"), err.getMessage)
+      // ...and readAt refuses an artifact the snapshot does not cover
+      val miss = intercept[IllegalStateException] {
+        ArtifactStore.readAt(spark, root, "codebook", snap2)
+      }
+      assert(miss.getMessage.contains("does not pin"), miss.getMessage)
+      // a torn snapshot write (crash between create and rename) is
+      // invisible: temp names never match the committed pattern
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/_snapshot/v3.json.tmp-dead"),
+        """{"version":3,"arti""".getBytes("UTF-8"))
+      assert(ArtifactStore.latestSnapshot(spark, root).get.version === 2)
+      // snapshot retention keeps the newest K
+      ArtifactStore.publishSnapshot(spark, root,
+        Map("labels" -> 3, "postings" -> 2)) // v3
+      assert(ArtifactStore.pruneSnapshots(spark, root, keep = 2) === Seq(1))
+      assert(ArtifactStore.latestSnapshot(spark, root).get.version === 3)
+      assert(ArtifactStore.readSnapshot(spark, root, 2).version === 2)
+    } finally hadoopDelete(root)
+  }
+
+  test("snapshot JSON roundtrips the version vector") {
+    val s = ArtifactStore.Snapshot(12,
+      Map("cc_labels_base" -> 3, "postings_base" -> 7, "bm25_hits" -> 1))
+    val json = """{"version":12,"artifacts":{"bm25_hits":1,""" +
+      """"cc_labels_base":3,"postings_base":7}}"""
+    assert(ArtifactStore.parseSnapshot(json) === s)
+  }
+
   /** Launch a ColdPublish JVM against (dir, root); returns the
     * process handle plus its log file so a failure can self-diagnose
     * (caller waits via [[awaitPublisher]]). */
@@ -430,6 +509,15 @@ class ColdRestartSpec extends SparkSpec {
       assert(ArtifactStore.readManifest(spark, root, n, after).rows ===
         ArtifactStore.readManifest(spark, root, n, before(n)).rows, n)
     }
+    // ...and committed the day via the SNAPSHOT, as its LAST act: the
+    // newest snapshot pins exactly the republished versions, so day
+    // N+1's snapshot-resolving reads get the cold process's complete
+    // set (round-12 verdict, top ask)
+    val snapAfter = ArtifactStore.latestSnapshot(spark, root).get
+    for (n <- ColdRestart.AllArtifacts)
+      assert(snapAfter.artifacts(n) ===
+        ArtifactStore.latestVersion(spark, root, n).get,
+        s"$n: snapshot does not pin the republished version")
   }
 
   test("two publisher PROCESSES racing on one store serialize per " +
