@@ -15,12 +15,15 @@ import org.apache.spark.sql.SparkSession
   * process's published version, merge this day's slice, publish the
   * next version, exit. Default chains the postings index (q194's
   * sorted-concat merge); `rollup` chains the additive warehouse
-  * rollup (q222's ⊕ merge + batch-id high-water mark). BOTH chain
+  * rollup (q222's ⊕ merge + batch-id high-water mark); `labels`
+  * chains the CC label artifact (sigs + labels committed together by
+  * a per-step snapshot — the bridge-contraction merge). ALL chain
   * arms are replay-safe: an operator re-running a finished step gets
   * a content no-op — the rollup via its on-storage batch-id
   * high-water mark, the postings chain via version threading
   * (version == step; an already-committed step returns its manifest
-  * untouched). */
+  * untouched), the label chain via snapshot threading (snapshot
+  * version == step). */
 object ColdPublish {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -37,6 +40,10 @@ object ColdPublish {
       graft.queries.ColdRestart.chainRollupPublish(
         spark, dir, root, args(2).toInt)
       println(s"published rollup chain step ${args(2)}")
+    } else if (args.length >= 4 && args(3) == "labels") {
+      graft.queries.ColdRestart.chainLabelPublish(
+        spark, dir, root, args(2).toInt)
+      println(s"published label chain step ${args(2)}")
     } else if (args.length >= 3) {
       val m = graft.queries.ColdRestart.chainPublish(
         spark, dir, root, args(2).toInt)

@@ -181,6 +181,83 @@ object ColdRestart {
     WarehouseIvm.applyRollupBatchAdditive(spark, slice, step - 1L, root)
   }
 
+  private[graft] val ChainSigsArtifact = "sigs_chain"
+  private[graft] val ChainLabelsArtifact = "labels_chain"
+
+  /** One "day" of the chained LABEL proof — the HARD merge algebra of
+    * the three chains (round-12 verdict, missing #3): the postings
+    * chain merges by monotone concat and the rollup by abelian ⊕ —
+    * algebras where chained == rebuild is near-definitional — but CC
+    * labels merge by BRIDGE CONTRACTION: a delta pair can fuse
+    * components born on DIFFERENT days, so the equality is least
+    * obvious exactly here. Each step is a separate JVM that:
+    *
+    *   1. resolves the previous (dead) process's signature table +
+    *      labels through the step's SNAPSHOT — two artifacts that
+    *      must come from the SAME day (the version-vector commit the
+    *      single-artifact postings/rollup chains don't need);
+    *   2. signs ITS day's slice fresh ([[Dedup.signaturesFresh]]),
+    *      collides it against base ∪ delta ([[Curation.collideVerify]]
+    *      — every candidate has ≥ 1 delta endpoint, delta-bounded);
+    *   3. repairs the labels by contracted CC
+    *      ([[Curation.repairedLabels]] — base components enter as
+    *      super-nodes, so a cross-day bridge relabels both sides with
+    *      the global min);
+    *   4. publishes sigs + labels, then the snapshot LAST — the
+    *      step's commit point.
+    *
+    * Day 1 is the same code against an EMPTY base (contraction
+    * degenerates to identity). Replay-safe by snapshot threading
+    * (snapshot version == step): a replayed finished step returns
+    * without publishing; a step retried after a crash BETWEEN the two
+    * artifact publishes re-runs whole — its orphan versions were
+    * never pinned by any snapshot, so no reader ever saw them. */
+  private[graft] def chainLabelPublish(spark: SparkSession, dir: String,
+      root: String, step: Int): Unit = {
+    prep(spark)
+    require(step >= 1 && step <= 3, s"label chain step must be 1..3: $step")
+    val snap = ArtifactStore.latestSnapshot(spark, root)
+    if (snap.exists(_.version >= step)) return // replayed finished step
+    require(snap.map(_.version) == (if (step == 1) None else Some(step - 1)),
+      s"label chain step $step needs snapshot ${step - 1} committed; " +
+        s"found ${snap.map(_.version)}")
+    val (t1, t2) = chainThresholds(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val slice = step match {
+      case 1 => col("doc_id") <= t1
+      case 2 => col("doc_id") > t1 && col("doc_id") <= t2
+      case 3 => col("doc_id") > t2
+    }
+    val corpusSoFar =
+      if (step == 1) docs.filter(col("doc_id") <= t1)
+      else if (step == 2) docs.filter(col("doc_id") <= t2)
+      else docs
+    val (baseSigs, baseLabels) = snap match {
+      case None => (
+        // day 1: empty base with the right schemas — the generic
+        // step body then IS the base build
+        Dedup.signaturesFresh(spark, docs.limit(0)),
+        docs.select(col("doc_id").as("node"), col("doc_id").as("label"))
+          .limit(0))
+      case Some(sn) => (
+        ArtifactStore.readAt(spark, root, ChainSigsArtifact, sn)._1,
+        ArtifactStore.readAt(spark, root, ChainLabelsArtifact, sn)._1)
+    }
+    val deltaSigs = Dedup.signaturesFresh(spark, docs.filter(slice))
+    val allSigs = baseSigs.unionByName(deltaSigs)
+    val newPairs = Curation.collideVerify(deltaSigs, allSigs)
+    val newLabels = Curation
+      .repairedLabels(corpusSoFar.select(col("doc_id")), baseLabels,
+        newPairs)
+      .select(col("doc_id").as("node"), col("root").as("label"))
+    val mSigs = ArtifactStore.publish(allSigs, root, ChainSigsArtifact)
+    val mLabels = ArtifactStore.publish(newLabels, root, ChainLabelsArtifact)
+    ArtifactStore.publishSnapshot(spark, root, Map(
+      ChainSigsArtifact -> mSigs.version,
+      ChainLabelsArtifact -> mLabels.version))
+    ()
+  }
+
   /** Store root, published exactly once per (application, dir) —
     * [[graft.KeyedOnce]] so racing first callers cannot both run the
     * delete+publish against the same deterministic path. */

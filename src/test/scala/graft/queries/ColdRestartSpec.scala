@@ -430,6 +430,118 @@ class ColdRestartSpec extends SparkSpec {
     } finally hadoopDelete(root)
   }
 
+  test("three-day chained LABEL restart: the bridge-contraction merge " +
+      "across three JVMs equals the one-shot rebuild label-for-label, " +
+      "and a FOURTH process replaying a finished step is a no-op") {
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_label_chain").toString
+    hadoopDelete(root)
+    try {
+      // days 1 and 2: separate JVMs, each dead before the next starts
+      for (s <- 1 to 2) {
+        val p = launchPublisher(dir, root, Seq(s.toString, "labels"))
+        awaitPublisher(p, s"label chain day $s")
+        assert(!p._1.isAlive)
+      }
+      // day 3: THIS process (the third JVM of the chain)
+      Tables.prep(spark)
+      ColdRestart.chainLabelPublish(spark, dir, root, 3)
+      // snapshot threading across processes: one snapshot per day
+      val snap3 = ArtifactStore.latestSnapshot(spark, root).get
+      assert(snap3.version === 3,
+        s"snapshot threading broke across processes: v${snap3.version}")
+      // the chained labels == the one-shot rebuild, label-for-label
+      val chained = ArtifactStore.readAt(spark, root,
+        ColdRestart.ChainLabelsArtifact, snap3)._1
+        .select(col("node").as("doc_id"), col("label").as("root"))
+      val full = Tables.documents(spark, dir).select(col("doc_id"))
+        .join(Curation.dupClusterLabels(spark, dir)
+          .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("root"))
+      val diff = chained.as("c").join(full.as("f"), Seq("doc_id"), "full")
+        .filter(col("c.root") =!= col("f.root") ||
+          col("c.root").isNull || col("f.root").isNull)
+      assert(diff.count() === 0,
+        "chained label increments diverged from the rebuild")
+      // a FOURTH process replaying finished step 2: snapshot
+      // threading makes it a no-op — nothing new published
+      val replay = launchPublisher(dir, root, Seq("2", "labels"))
+      awaitPublisher(replay, "label chain replay of day 2")
+      assert(ArtifactStore.latestSnapshot(spark, root).get.version === 3,
+        "a replayed label step advanced the snapshot")
+      assert(ArtifactStore.latestVersion(spark, root,
+        ColdRestart.ChainLabelsArtifact) === Some(3),
+        "a replayed label step published a new version")
+    } finally hadoopDelete(root)
+  }
+
+  test("label chain bridge fixture: a day-3 document fusing a day-1 " +
+      "cluster with a day-2 cluster relabels BOTH with the global min " +
+      "— and the chained result equals the rebuild") {
+    import spark.implicits._
+    // Engineered corpus (max id 8 → day 1 = ids ≤ 6, day 2 = {7},
+    // day 3 = {8}): texts A = "P X" and B = "P Y" share the 6-token
+    // prefix P, so J(A,B) = 4/16 = 0.25 (< 0.5: never merged
+    // directly) while doc 8 = "A B" contains both, J(8,A) = J(8,B) =
+    // 10/18 ≈ 0.56 (≥ 0.5). Day 1 clusters {1,2} (identical A) and
+    // leaves 3 (B) a singleton; day 2's doc 7 (B) merges {3,7}; day
+    // 3's doc 8 BRIDGES the day-1 component {1,2} and the day-2
+    // component {3,7} — the cross-day contraction case the postings
+    // and rollup chains cannot reach.
+    val pfx = "p1 p2 p3 p4 p5 p6"
+    val textA = s"$pfx x1 x2 x3 x4 x5 x6"
+    val textB = s"$pfx y1 y2 y3 y4 y5 y6"
+    val docs = Seq(
+      (1L, textA), (2L, textA), (3L, textB),
+      (4L, "f41 f42 f43 f44 f45"), (5L, "f51 f52 f53 f54 f55"),
+      (6L, "f61 f62 f63 f64 f65"), (7L, textB),
+      (8L, s"$textA $textB"))
+      .map { case (id, t) => (id, t, "en", "fixture", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fixDir = java.nio.file.Files
+      .createTempDirectory("graft_label_fix").toString
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_label_fix_store").toString
+    hadoopDelete(root)
+    try {
+      docs.coalesce(1).write.mode("overwrite")
+        .parquet(s"$fixDir/documents.parquet")
+      Tables.prep(spark)
+      for (s <- 1 to 3)
+        ColdRestart.chainLabelPublish(spark, fixDir, root, s)
+      val snap = ArtifactStore.latestSnapshot(spark, root).get
+      assert(snap.version === 3)
+      val labels = ArtifactStore.readAt(spark, root,
+        ColdRestart.ChainLabelsArtifact, snap)._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the bridge fused {1,2} ∪ {3,7} ∪ {8} under the global min
+      for (id <- Seq(1L, 2L, 3L, 7L, 8L))
+        assert(labels(id) === 1L, s"doc $id not relabeled to 1: $labels")
+      // fillers stayed singletons
+      for (id <- Seq(4L, 5L, 6L))
+        assert(labels(id) === id, s"doc $id moved: $labels")
+      // day 2's intermediate state really had TWO components (the
+      // bridge happened on day 3, not earlier)
+      val day2 = ArtifactStore.readAt(spark, root,
+        ColdRestart.ChainLabelsArtifact,
+        ArtifactStore.readSnapshot(spark, root, 2))._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(day2(1L) === 1L && day2(2L) === 1L)
+      assert(day2(3L) === 3L && day2(7L) === 3L, day2.toString)
+      // and the chained result equals the one-shot rebuild on the
+      // fixture corpus
+      val rebuilt = Tables.documents(spark, fixDir).select(col("doc_id"))
+        .join(Curation.dupClusterLabels(spark, fixDir)
+          .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("root"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels === rebuilt)
+    } finally { hadoopDelete(root); hadoopDelete(fixDir) }
+  }
+
   test("three-process chained ADDITIVE rollup: every fecha split " +
       "across three JVMs accumulates to the one-shot rebuild, and a " +
       "FOURTH process replaying a finished step is a content no-op — " +
