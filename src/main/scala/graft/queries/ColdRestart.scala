@@ -178,7 +178,12 @@ object ColdRestart {
     val slice = Tables.events(spark, dir)
       .filter(col("user_id") % 3 === (step - 1))
       .select(col("ts"), col("event_type"), col("value"))
-    WarehouseIvm.applyRollupBatchAdditive(spark, slice, step - 1L, root)
+    // one lineage across all three JVMs: the chain IS one logical
+    // stream whose steps are its batch ids (the lineage guard must
+    // not fire between chained processes, only on a genuinely
+    // different id sequence)
+    WarehouseIvm.applyRollupBatchAdditive(spark, slice, step - 1L,
+      "rollup-chain", root)
   }
 
   private[graft] val ChainSigsArtifact = "sigs_chain"

@@ -449,8 +449,12 @@ object StreamingQ {
       val q = Streams.eventsStream(spark, dir).writeStream
         .foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            // lineage = the checkpoint location: batch ids are only
+            // monotone within it, and the artifact's replay guard
+            // must refuse ids from any other lineage
             WarehouseIvm.applyRollupBatchAdditive(
-              spark, batch, id, store.toString)
+              spark, batch, id, store.resolve("ckpt").toString,
+              store.toString)
         }
         .option("checkpointLocation", store.resolve("ckpt").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -272,7 +272,8 @@ class ColdRestartSpec extends SparkSpec {
     * (caller waits via [[awaitPublisher]]). */
   private def launchPublisher(
       dir: String, root: String,
-      extraArgs: Seq[String] = Nil): (Process, java.io.File) = {
+      extraArgs: Seq[String] = Nil,
+      mainClass: String = "graft.ColdPublish"): (Process, java.io.File) = {
     val javaBin = java.nio.file.Paths
       .get(System.getProperty("java.home"), "bin", "java").toString
     val opens = Seq(
@@ -288,7 +289,7 @@ class ColdRestartSpec extends SparkSpec {
       "-Xmx3g", "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"),
-      "graft.ColdPublish", dir, root) ++ extraArgs).toIndexedSeq
+      mainClass, dir, root) ++ extraArgs).toIndexedSeq
     val log = java.nio.file.Files
       .createTempFile("graft_coldpub", ".log").toFile
     (new ProcessBuilder(cmd: _*)
@@ -298,10 +299,11 @@ class ColdRestartSpec extends SparkSpec {
   }
 
   private def awaitPublisher(
-      p: (Process, java.io.File), what: String): Unit = {
+      p: (Process, java.io.File), what: String,
+      expectExit: Int = 0): Unit = {
     val (proc, log) = p
     val done = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
-    if (!done || proc.exitValue() != 0) {
+    if (!done || proc.exitValue() != expectExit) {
       // surface the publisher's own stack trace, not just the exit
       // code — the log is otherwise an unnamed temp file nobody reads
       // (reviewer find, r11)
@@ -585,6 +587,89 @@ class ColdRestartSpec extends SparkSpec {
       assert(served === afterChain,
         "a replayed step changed the served rollup")
     } finally hadoopDelete(root)
+  }
+
+  test("kill-and-resume streamed rollup: a JVM is HALTED inside " +
+      "foreachBatch after the artifact commit but before the streaming " +
+      "commit log; a new JVM resuming the same checkpoint re-delivers " +
+      "the batch as a no-op and the final rollup equals the " +
+      "uninterrupted run — and a NEW checkpoint lineage fails loudly") {
+    val dir = "/root/testdata/sf0.001"
+    Tables.prep(spark)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_killresume")
+    val arrival = base.resolve("arrival")
+    java.nio.file.Files.createDirectories(arrival)
+    val ckpt = base.resolve("ckpt").toString
+    val root = base.resolve("store").toString
+    def writeSlice(n: Int): Unit = {
+      // one FILE per slice (the file source's batch grain under
+      // maxFilesPerTrigger=1): write to scratch, move the part file in
+      val tmp = base.resolve(s"slice${n}_tmp").toString
+      Tables.events(spark, dir)
+        .filter(col("user_id") % 3 === (n - 1))
+        .select(col("ts"), col("event_type"), col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        arrival.resolve(s"slice$n.parquet"))
+    }
+    try {
+      writeSlice(1)
+      // run 1: crash (halt, not exit — no shutdown hooks) right after
+      // batch 0's artifact publish, BEFORE its streaming commit log
+      val p1 = launchPublisher(arrival.toString, ckpt,
+        Seq(root, "0"), "graft.StreamRollupRun")
+      awaitPublisher(p1, "stream rollup run 1 (crash arm)",
+        expectExit = 137)
+      assert(ArtifactStore.latestVersion(spark, root,
+        WarehouseIvm.AdditiveRollupArtifact) === Some(1),
+        "batch 0 did not commit its artifact before the crash")
+      // run 2: the rest of the feed lands; the SAME checkpoint resumes
+      writeSlice(2); writeSlice(3)
+      val p2 = launchPublisher(arrival.toString, ckpt,
+        Seq(root), "graft.StreamRollupRun")
+      awaitPublisher(p2, "stream rollup run 2 (resume)")
+      // the crashed batch WAS re-delivered (WAL replay) ...
+      val log2 = scala.io.Source.fromFile(p2._2, "UTF-8").getLines()
+        .filter(_.startsWith("committed batch")).toSeq
+      assert(log2.contains("committed batch 0"),
+        s"resume did not re-deliver the in-flight batch: $log2")
+      // ... as a content no-op: it published nothing (versions 2 and 3
+      // are the two NEW batches), and the served rollup equals the
+      // uninterrupted one-shot build over the whole feed
+      assert(ArtifactStore.latestVersion(spark, root,
+        WarehouseIvm.AdditiveRollupArtifact) === Some(3),
+        "the replayed batch published an extra version")
+      val served = WarehouseIvm.rollupOut(ArtifactStore.read(spark, root,
+          WarehouseIvm.AdditiveRollupArtifact))
+        .collect().map(_.toSeq).toSeq
+      val expected = WarehouseIvm.rollupOut(
+        Tables.events(spark, dir)
+          .select(to_date(col("ts")).as("fecha"), col("event_type"),
+            col("value"))
+          .groupBy(col("fecha"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_raw")))
+        .collect().map(_.toSeq).toSeq
+      assert(served === expected,
+        "kill-and-resume diverged from the uninterrupted run")
+      // run 3: a NEW checkpoint against the same artifact root — batch
+      // ids restart at 0, so without the lineage guard six real
+      // batches would be silently skipped; it must fail LOUDLY instead
+      val freshCkpt = base.resolve("ckpt2").toString
+      val p3 = launchPublisher(arrival.toString, freshCkpt,
+        Seq(root), "graft.StreamRollupRun")
+      val done = p3._1.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+      assert(done && p3._1.exitValue() != 0,
+        "a foreign checkpoint lineage was accepted")
+      val log3 = scala.io.Source.fromFile(p3._2, "UTF-8").mkString
+      assert(log3.contains("lineage"),
+        "the failure did not name the lineage guard")
+      // and the artifact is untouched by the refused lineage
+      assert(ArtifactStore.latestVersion(spark, root,
+        WarehouseIvm.AdditiveRollupArtifact) === Some(3))
+    } finally hadoopDelete(base.toString)
   }
 
   test("q221 == q197: the composed daily run COLD — fresh session, " +

@@ -171,15 +171,15 @@ class WarehouseIvmSpec extends SparkSpec {
     val f3 = batch((Some(1), "view", 4.0), (Some(2), "click", 9.0))
     val split = java.nio.file.Files
       .createTempDirectory("graft_q222_split").toString
-    WarehouseIvm.applyRollupBatchAdditive(spark, f1, 0L, split)
-    WarehouseIvm.applyRollupBatchAdditive(spark, f2, 1L, split)
-    WarehouseIvm.applyRollupBatchAdditive(spark, f3, 2L, split)
+    WarehouseIvm.applyRollupBatchAdditive(spark, f1, 0L, "L", split)
+    WarehouseIvm.applyRollupBatchAdditive(spark, f2, 1L, "L", split)
+    WarehouseIvm.applyRollupBatchAdditive(spark, f3, 2L, "L", split)
     val afterSplit = content(split)
     // == the one-batch build of the same rows
     val one = java.nio.file.Files
       .createTempDirectory("graft_q222_one").toString
     WarehouseIvm.applyRollupBatchAdditive(spark,
-      f1.unionByName(f2).unionByName(f3), 0L, one)
+      f1.unionByName(f2).unionByName(f3), 0L, "L", one)
     assert(afterSplit === content(one),
       "split-fecha arrival diverged from the one-batch build")
     // Spark ORDER BY ASC is NULLS FIRST: the malformed-ts grain leads
@@ -191,23 +191,35 @@ class WarehouseIvmSpec extends SparkSpec {
     // a mid-stream id and the newest id must be exact no-ops (an
     // additive re-merge would double-count; the hwm skips it),
     // including the NULL-fecha contribution in f2
-    WarehouseIvm.applyRollupBatchAdditive(spark, f2, 1L, split)
-    WarehouseIvm.applyRollupBatchAdditive(spark, f3, 2L, split)
+    WarehouseIvm.applyRollupBatchAdditive(spark, f2, 1L, "L", split)
+    WarehouseIvm.applyRollupBatchAdditive(spark, f3, 2L, "L", split)
     assert(content(split) === afterSplit, "replayed batch double-counted")
     // order-insensitivity: the same files as (f3, f1, f2) build the
     // same content — ⊕ is commutative/associative
     val perm = java.nio.file.Files
       .createTempDirectory("graft_q222_perm").toString
-    WarehouseIvm.applyRollupBatchAdditive(spark, f3, 0L, perm)
-    WarehouseIvm.applyRollupBatchAdditive(spark, f1, 1L, perm)
-    WarehouseIvm.applyRollupBatchAdditive(spark, f2, 2L, perm)
+    WarehouseIvm.applyRollupBatchAdditive(spark, f3, 0L, "L", perm)
+    WarehouseIvm.applyRollupBatchAdditive(spark, f1, 1L, "L", perm)
+    WarehouseIvm.applyRollupBatchAdditive(spark, f2, 2L, "L", perm)
     assert(content(perm) === afterSplit,
       "arrival order changed the served rollup")
     // a genuinely NEW batch id with new rows still lands after replays
     WarehouseIvm.applyRollupBatchAdditive(spark,
-      batch((Some(2), "click", 1.0)), 3L, split)
+      batch((Some(2), "click", 1.0)), 3L, "L", split)
     assert(content(split).find(r => r._1 == "2024-01-02")
       .exists(r => r._3 == 2L && r._4 == 10.0))
+    // LINEAGE GUARD: a stream restarted against a NEW checkpoint
+    // restarts ids at 0 — without the guard, batch 0 from the new
+    // lineage would be silently SKIPPED as a replay (hwm is 3). It
+    // must fail loudly instead, and change nothing.
+    val beforeGuard = content(split)
+    val err = intercept[IllegalStateException] {
+      WarehouseIvm.applyRollupBatchAdditive(spark,
+        batch((Some(3), "view", 5.0)), 0L, "A-DIFFERENT-CKPT", split)
+    }
+    assert(err.getMessage.contains("lineage"), err.getMessage)
+    assert(content(split) === beforeGuard,
+      "a foreign-lineage batch changed the artifact")
   }
 
   test("q219 inverse law: applying a correction and then its inverse " +
