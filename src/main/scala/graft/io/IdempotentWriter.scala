@@ -77,16 +77,20 @@ object IdempotentWriter {
   //     main lock only if it still carries OUR token, so a writer
   //     that lost its lease can never delete the new holder's lock.
   //
-  //     DOCUMENTED GAP (classic S3A): create(overwrite = false) there
-  //     is a HEAD-then-PUT, not atomic — two acquirers can slip the
-  //     window. Renewal and staleness (the round-11 gap) are now
-  //     portable, but EXCLUSIVE ACQUISITION on plain S3A needs the
-  //     store's conditional PUT (If-None-Match, exposed by recent
-  //     Hadoop S3A through createFile().must("fs.s3a.create.conditional"))
-  //     or an external lock service; deployments there should front
-  //     this lease with one of those. HDFS, ABFS, the GCS connector,
-  //     and file:// (via O_EXCL below) all provide the atomic create
-  //     this code assumes.
+  //     Classic-S3A acquisition (round-12 documented gap, now closed
+  //     behind a capability probe): plain create(overwrite = false)
+  //     there is a HEAD-then-PUT, not atomic — two acquirers can slip
+  //     the window. When the store advertises
+  //     `fs.s3a.create.conditional` (HADOOP-19256), exclusiveCreate
+  //     routes acquisition through the createFile builder with the
+  //     conditional-PUT requirement (If-None-Match — the STORE rejects
+  //     the second writer, no client-side window), proven by
+  //     ConditionalCreateSpec against a wrapper store whose plain
+  //     create deliberately races. Stores with neither an atomic
+  //     exclusive create nor a conditional PUT need an external lock
+  //     service in front of this lease. HDFS, ABFS, the GCS connector,
+  //     and file:// (via O_EXCL below) provide the atomic create
+  //     directly.
   //
   // Both runs complete, serialized; the table ends as exactly the
   // LAST writer's rows — winner-takes-all, never an interleaved mix.
@@ -235,17 +239,68 @@ object IdempotentWriter {
       } finally in.close()
     } catch { case _: java.io.IOException => None }
 
+  /** The path capability advertised by stores whose plain
+    * create(overwrite = false) is a non-atomic HEAD-then-PUT but which
+    * offer a CONDITIONAL PUT (If-None-Match) through the createFile
+    * builder — S3A since HADOOP-19256. Probed per path; when present,
+    * [[exclusiveCreate]] routes acquisition through the builder with
+    * this key as a MUST option, closing the documented round-12 gap
+    * (the one lease arm that was not object-store-portable). The
+    * exact builder option name tracks the hadoop-aws release being
+    * deployed; requiring the capability key itself is the contract
+    * our capability-probe seam and the spec's wrapper store pin. */
+  private[graft] val ConditionalCreateCapability =
+    "fs.s3a.create.conditional"
+
+  private def hasConditionalCreate(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    try fs.hasPathCapability(p, ConditionalCreateCapability)
+    catch { case _: Exception => false }
+
+  /** Exclusive create through the createFile BUILDER with the
+    * conditional-create requirement: the store itself rejects the
+    * write if the object already exists, atomically — no HEAD-then-PUT
+    * window. Condition failures surface as FileAlreadyExistsException
+    * at build() or, on stores that execute the PUT at close(), as an
+    * IOException there — disambiguated by what the path then holds:
+    * our bytes = we won; foreign bytes = we lost the conditional race;
+    * absent = our own write failure, rethrown. */
+  private def conditionalCreate(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Boolean =
+    try {
+      val out = fs.createFile(p).create().overwrite(false)
+        .must(ConditionalCreateCapability, true)
+        .build()
+      try { out.write(bytes); out.close(); true }
+      catch {
+        case t: Throwable =>
+          try out.close() catch { case _: Throwable => () }
+          readToken(fs, p) match {
+            case Some(found) if found == new String(bytes, "UTF-8") => true
+            case Some(_) => false // a foreign object won the condition
+            case None => if (fs.exists(p)) false else throw t
+          }
+      }
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+
   /** Atomic exclusive create of `p` carrying `bytes`; false iff the
     * path already exists. On file:// this MUST be java.nio CREATE_NEW
     * (O_EXCL): Hadoop's Raw/ChecksumFileSystem implements
     * create(overwrite = false) as a non-atomic exists-then-create — a
     * TOCTOU window two racing local JVMs can both slip through
     * (advisor find, round 11), and file:// is exactly where the
-    * two-process publisher race proof runs. Elsewhere the FileSystem's
-    * own exclusive create is the contract (atomic on HDFS). A failure
-    * to WRITE after a successful create is our own debris — removed
-    * and rethrown, never left to masquerade as a foreign holder. */
-  private def exclusiveCreate(fs: org.apache.hadoop.fs.FileSystem,
+    * two-process publisher race proof runs. On stores advertising
+    * [[ConditionalCreateCapability]] (classic S3A, where plain
+    * create(false) is a HEAD-then-PUT — the round-12 documented gap)
+    * acquisition routes through the conditional-PUT builder.
+    * Elsewhere the FileSystem's own exclusive create is the contract
+    * (atomic on HDFS, ABFS, the GCS connector). A failure to WRITE
+    * after a successful create is our own debris — removed and
+    * rethrown, never left to masquerade as a foreign holder. */
+  private[graft] def exclusiveCreate(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Boolean =
     if (fs.getScheme == "file") {
       val local = java.nio.file.Paths.get(p.toUri.getPath)
@@ -266,6 +321,8 @@ object IdempotentWriter {
           catch { case _: java.io.IOException => () }
           throw t
       }
+    } else if (hasConditionalCreate(fs, p)) {
+      conditionalCreate(fs, p, bytes)
     } else {
       val created =
         try Some(fs.create(p, false))

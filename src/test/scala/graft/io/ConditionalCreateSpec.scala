@@ -1,0 +1,167 @@
+package graft.io
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{FSDataOutputStream, FSDataOutputStreamBuilder,
+  Path, RawLocalFileSystem}
+
+import graft.SparkSpec
+
+/** A wrapper store modeling CLASSIC S3A's create semantics: plain
+  * create(overwrite = false) is a non-atomic HEAD-then-PUT — here the
+  * worst case, a stale HEAD that never sees the other writer, so two
+  * racing exclusive creates BOTH "succeed" and the second clobbers
+  * the first — while the path capability `fs.s3a.create.conditional`
+  * advertises a conditional-PUT arm through the createFile builder
+  * (HADOOP-19256) that the store honors atomically (If-None-Match,
+  * modeled by O_EXCL). The real hadoop-aws module is not on this
+  * classpath (zero-egress build), so this wrapper pins the PROTOCOL
+  * the lease relies on: probe the capability, route acquisition
+  * through the builder, fall back to plain create elsewhere. */
+class CondFs(conditionalEnabled: Boolean) extends RawLocalFileSystem {
+  def this() = this(true)
+
+  /** Which API each create took — the spec asserts routing. */
+  val plainCreates = new java.util.concurrent.atomic.AtomicInteger(0)
+  val conditionalCreates = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  override def getScheme: String = "condfs"
+  override def getUri: URI = URI.create("condfs:///")
+
+  // worst-case object store: the existence HEAD is stale/skipped, so
+  // an "exclusive" plain create never fails — it just PUTs. BOTH
+  // public overloads are overridden: RawLocalFileSystem routes
+  // FileSystem.create(Path, boolean) through the 6-arg variant
+  // directly, not through the permission one.
+  override def create(f: Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): FSDataOutputStream = {
+    plainCreates.incrementAndGet()
+    super.create(f, permission, true, bufferSize, replication, blockSize,
+      progress)
+  }
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): FSDataOutputStream = {
+    plainCreates.incrementAndGet()
+    super.create(f, true, bufferSize, replication, blockSize, progress)
+  }
+
+  override def hasPathCapability(p: Path, capability: String): Boolean =
+    if (capability == IdempotentWriter.ConditionalCreateCapability)
+      conditionalEnabled
+    else super.hasPathCapability(p, capability)
+
+  override def createFile(p: Path)
+      : FSDataOutputStreamBuilder[_ <: FSDataOutputStream, _] =
+    new CondFs.Builder(this, p)
+}
+
+object CondFs {
+  class Builder(fs: CondFs, p: Path)
+      extends FSDataOutputStreamBuilder[FSDataOutputStream, Builder](fs, p) {
+    override def getThisBuilder: Builder = this
+    override def build(): FSDataOutputStream = {
+      if (!getMandatoryKeys.contains(
+          IdempotentWriter.ConditionalCreateCapability))
+        throw new IllegalArgumentException(
+          "CondFs builder requires the conditional-create MUST key — " +
+            "a caller that forgot it would silently get the racy path")
+      fs.conditionalCreates.incrementAndGet()
+      // the store-side If-None-Match, modeled by O_EXCL: atomic
+      // reject-if-exists, no client-side window
+      val local = java.nio.file.Paths.get(getPath.toUri.getPath)
+      Option(local.getParent)
+        .foreach(java.nio.file.Files.createDirectories(_))
+      val out = java.nio.file.Files.newOutputStream(local,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      new FSDataOutputStream(out, null)
+    }
+  }
+}
+
+class ConditionalCreateSpec extends SparkSpec {
+
+  private def newFs(conditional: Boolean): CondFs = {
+    val fs = new CondFs(conditional)
+    fs.initialize(URI.create("condfs:///"),
+      spark.sessionState.newHadoopConf())
+    fs
+  }
+
+  private def tmpLock(): Path = new Path("condfs://" +
+    java.nio.file.Files.createTempDirectory("condfs_spec").toString +
+    "/t.lock")
+
+  test("the race is REAL on the plain path: without the capability, " +
+      "two exclusive creates both succeed on this store (negative " +
+      "control — what classic S3A does without conditional PUT)") {
+    val fs = newFs(conditional = false)
+    val p = tmpLock()
+    assert(IdempotentWriter.exclusiveCreate(fs, p, "a".getBytes("UTF-8")))
+    // a correct store would refuse this second create; the stale-HEAD
+    // store accepts it and clobbers — the exact window the round-12
+    // verdict documented
+    assert(IdempotentWriter.exclusiveCreate(fs, p, "b".getBytes("UTF-8")),
+      "this store was supposed to model the non-atomic create race")
+    assert(fs.conditionalCreates.get() === 0)
+    assert(fs.plainCreates.get() >= 2)
+  }
+
+  test("with the capability advertised, acquisition routes through the " +
+      "conditional builder and the second creator is rejected — the " +
+      "store closes the window the plain path leaves open") {
+    val fs = newFs(conditional = true)
+    val p = tmpLock()
+    assert(IdempotentWriter.exclusiveCreate(fs, p, "a".getBytes("UTF-8")))
+    assert(!IdempotentWriter.exclusiveCreate(fs, p, "b".getBytes("UTF-8")),
+      "the conditional create admitted a second writer")
+    // routing proof: both attempts used the builder, never plain create
+    assert(fs.conditionalCreates.get() === 2)
+    assert(fs.plainCreates.get() === 0)
+    // and the winner's token is what the lock holds
+    val in = fs.open(p)
+    val buf = new Array[Byte](8)
+    val n = in.read(buf)
+    in.close()
+    assert(new String(buf, 0, n, "UTF-8") === "a")
+  }
+
+  test("the full lease serializes two concurrent holders on the " +
+      "conditional store end-to-end (scheme registered through the " +
+      "Hadoop conf, as a deployment would)") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.condfs.impl", classOf[CondFs].getName)
+    hc.set("fs.condfs.impl.disable.cache", "true")
+    try {
+      val dir = java.nio.file.Files
+        .createTempDirectory("condfs_lease").toString
+      val path = s"condfs://$dir/t"
+      val order = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
+      val t1 = new Thread(() =>
+        IdempotentWriter.withTableLease(spark, path, leaseMs = 60000) {
+          order.add("a-in"); Thread.sleep(300); order.add("a-out"); ()
+        })
+      val t2 = new Thread(() =>
+        IdempotentWriter.withTableLease(spark, path, leaseMs = 60000) {
+          order.add("b-in"); Thread.sleep(300); order.add("b-out"); ()
+        })
+      t1.start(); t2.start(); t1.join(60000); t2.join(60000)
+      val seq = order.toArray.map(_.toString).toSeq
+      assert(seq.size === 4, seq.toString)
+      // holders never interleave: each -in is followed by its own -out
+      assert(seq.grouped(2).forall(g =>
+        g(0).dropRight(3) == g(1).dropRight(4)), seq.toString)
+      // clean release: no lock debris
+      assert(!new java.io.File(s"$dir/t.lock").exists())
+    } finally {
+      hc.unset("fs.condfs.impl")
+      hc.unset("fs.condfs.impl.disable.cache")
+    }
+  }
+}
