@@ -377,13 +377,19 @@ object Reference {
     * the public entry's scaladoc for the ownership + MSCK-refresh
     * contract). */
   private[graft] def registerFechaTableAt(
-      spark: SparkSession, wh: String, name: String): Unit = {
+      spark: SparkSession, wh: String, name: String,
+      explicitSchema: Option[StructType] = None): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     // DDL derived from the warehouse's OWN parquet schema (no
     // hand-written column list to drift); partition column last,
     // declared in PARTITIONED BY — the catalog owns the partition
-    // metadata from here on
-    val s = spark.read.parquet(wh).schema
+    // metadata from here on. A SCHEMA-EVOLVED table passes its schema
+    // EXPLICITLY (q223): once partitions carry different vintages,
+    // sampling one parquet footer is nondeterministic about the new
+    // column — the catalog DDL is the authority, and files lacking a
+    // declared column serve typed NULLs (the add-column evolution
+    // contract).
+    val s = explicitSchema.getOrElse(spark.read.parquet(wh).schema)
     val dataCols = s.fields.filter(_.name != "fecha").map(_.toDDL)
     val fechaCol = s("fecha").toDDL
     spark.sql(
@@ -404,6 +410,107 @@ object Reference {
     prep(spark)
     dailyEventsAgg(spark.table(fechaCatalogTable(spark, dir)), "2024-01-05")
   }
+
+  // ---------------------------------------------------------------
+  // q223 schema evolution across a fecha boundary (round-12 ask #6)
+  // ---------------------------------------------------------------
+
+  private[graft] val EvolutionDay = "2024-01-05"
+
+  /** The warehouse schema BEFORE and AFTER the evolution day: the new
+    * fecha's arrival carries a `channel` column history never had.
+    * The evolved target appends it LAST among the data columns — the
+    * add-column discipline that keeps old files readable. */
+  private[graft] val PreEvolutionTarget = StructType(Seq(
+    StructField("fecha", DateType), StructField("event_id", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+  private[graft] val EvolvedTarget =
+    StructType(PreEvolutionTarget.fields :+
+      StructField("channel", StringType))
+
+  /** The evolved fecha warehouse + its stable catalog name, built once
+    * per (application, dir): the full schema-evolution cell the
+    * round-12 verdict asked for, end-to-end —
+    *
+    *   1. HISTORY: every fecha except [[EvolutionDay]] lands under the
+    *      PRE-evolution schema (the files on disk genuinely lack the
+    *      new column, as 364 days of history would);
+    *   2. ARRIVAL: the evolution day's file carries `channel`;
+    *      [[graft.conform.Conform.conformTo]] pins it to the EVOLVED
+    *      target (order + types), and the dynamic partition overwrite
+    *      lands exactly that fecha directory;
+    *   3. RE-REGISTRATION: the catalog table is re-registered under
+    *      the SAME stable name with the evolved schema — a METADATA-
+    *      ONLY operation. History is never rewritten: the parquet
+    *      reader fills the missing column with NULL per file, which
+    *      is exactly `conformTo`'s typed-NULL rule applied at read
+    *      time instead of write time — the only shape that survives
+    *      100 TB × 365 days (rewriting history to add a column does
+    *      not);
+    *   4. BI READ: `spark.table(name)` serves BOTH vintages in one
+    *      scan — history rows with NULL channel, the new day's rows
+    *      with values.
+    *
+    * The initial (pre-evolution) registration and the re-registration
+    * both run here so the query exercises the upgrade path a live
+    * deployment takes; ReferenceSpec pins the intermediate states. */
+  private val evolvedWarehouses = new graft.KeyedOnce[(String, String),
+    (String, String)]
+
+  private[graft] def evolvedWarehouse(spark: SparkSession,
+      dir: String): (String, String) =
+    evolvedWarehouses((spark.sparkContext.applicationId, dir)) {
+      val wh = appScopedScratch(spark, "graft_evo_wh", dir)
+      val name = "graft_evo_wh_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+      val base = events(spark, dir).select(
+        to_date(col("ts")).as("fecha"), col("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+      val isDay = col("fecha") <=> lit(EvolutionDay).cast("date")
+      // 1. history under the pre-evolution schema
+      IdempotentWriter.overwritePartitions(
+        Conform.conformTo(PreEvolutionTarget)(base.filter(!isDay)),
+        wh, addLoadDate = false)
+      // ...and the BI binding a dashboard made months ago
+      registerFechaTableAt(spark, wh, name)
+      // 2. the evolution day arrives WITH the new column (its value
+      // deterministic from the row, so the oracle can restate it)
+      val arrival = base.filter(isDay)
+        .withColumn("channel", concat(col("event_type"), lit("_ch")))
+      IdempotentWriter.overwritePartitions(
+        Conform.conformTo(EvolvedTarget)(arrival), wh,
+        addLoadDate = false)
+      // 3. re-register the SAME name with the evolved schema —
+      // metadata only; the old files are not touched
+      registerFechaTableAt(spark, wh, name, Some(EvolvedTarget))
+      (wh, name)
+    }
+
+  /** q223: the BI read over the evolved catalog table — one scan
+    * serving both vintages. Per fecha: row count, distinct channels
+    * (0 for history via NULL-fill, the arrival's 5 on the evolution
+    * day), value sum. Oracle = the same derivation from raw events
+    * with the channel rule restated. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val (_, name) = evolvedWarehouse(spark, dir)
+    spark.table(name)
+      .groupBy(col("fecha"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("channel")).as("n_channels"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("fecha")
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT CAST(ts AS DATE) AS fecha, count(*) AS n,
+      |  CAST(count(DISTINCT CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+      |    THEN event_type || '_ch' END) AS BIGINT) AS n_channels,
+      |  round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
 
   /** S1+S4+P*+X*+F2 full micro-pipeline: a latin-1, `;`-separated CSV
     * with accented/messy headers → probe → conform → coerce → drop
@@ -1689,7 +1796,8 @@ object Reference {
     "q162_daily_run" -> dailyRunQ,
     "q189_partition_pruned_read" -> partitionPrunedRead,
     "q208_schema_drift" -> schemaDrift,
-    "q209_catalog_pruned_read" -> catalogPrunedRead
+    "q209_catalog_pruned_read" -> catalogPrunedRead,
+    "q223_schema_evolution" -> schemaEvolution
   )
 
   val oracle: Map[String, String] = Map(
@@ -1724,6 +1832,7 @@ object Reference {
     "q208_schema_drift" -> schemaDriftSql,
     // same values as q189: the read surface changed (named catalog
     // table), the answer must not
-    "q209_catalog_pruned_read" -> partitionPrunedReadSql
+    "q209_catalog_pruned_read" -> partitionPrunedReadSql,
+    "q223_schema_evolution" -> schemaEvolutionSql
   )
 }

@@ -274,6 +274,69 @@ class IdempotentWriterSpec extends SparkSpec {
     }
   }
 
+  test("q223 re-registration path: the evolved catalog DDL serves " +
+      "history files (no channel column on disk) with typed NULLs and " +
+      "the new fecha with values — metadata-only evolution, history " +
+      "never rewritten, pruning intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val whRoot = Files.createTempDirectory("evo_spec").toString
+    val wh = whRoot + "/wh"
+    val name = "graft_evo_respec"
+    try {
+      // history lands under the OLD schema
+      IdempotentWriter.overwritePartitions(
+        Seq((1L, "2024-01-01", 2.0), (2L, "2024-01-01", 3.0))
+          .toDF("event_id", "fecha", "value")
+          .withColumn("fecha", col("fecha").cast("date")),
+        wh, addLoadDate = false)
+      graft.queries.Reference.registerFechaTableAt(spark, wh, name)
+      // the pre-evolution binding has no channel column
+      assert(!spark.table(name).schema.fieldNames.contains("channel"))
+      val historyFiles = new java.io.File(s"$wh/fecha=2024-01-01")
+        .listFiles().map(f => f.getName -> f.lastModified()).toSet
+      // the evolution day arrives WITH the column
+      IdempotentWriter.overwritePartitions(
+        Seq((3L, "2024-01-02", 5.0, "web"), (4L, "2024-01-02", 7.0, "app"))
+          .toDF("event_id", "fecha", "value", "channel")
+          .withColumn("fecha", col("fecha").cast("date")),
+        wh, addLoadDate = false)
+      // re-register the SAME name with the EXPLICIT evolved schema
+      val evolved = StructType(Seq(
+        StructField("event_id", LongType), StructField("value", DoubleType),
+        StructField("channel", StringType), StructField("fecha", DateType)))
+      graft.queries.Reference.registerFechaTableAt(spark, wh, name,
+        Some(evolved))
+      val t = spark.table(name)
+      assert(t.schema.fieldNames.contains("channel"))
+      // history serves typed NULLs; the new day serves values — one scan
+      val rows = t.select(col("event_id"), col("channel"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getString(1))).toMap
+      assert(rows === Map(1L -> null, 2L -> null,
+        3L -> "web", 4L -> "app"), rows.toString)
+      // metadata-only: the history files were NOT rewritten
+      assert(new java.io.File(s"$wh/fecha=2024-01-01")
+        .listFiles().map(f => f.getName -> f.lastModified()).toSet
+        === historyFiles, "history was rewritten by the evolution")
+      // and the evolved binding still partition-prunes
+      val read = t.filter(col("fecha") === lit("2024-01-01").cast("date"))
+      val plan = read.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scan = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      assert(scan.selectedPartitions.partitionCount === 1)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      val p = new org.apache.hadoop.fs.Path(whRoot)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   // -----------------------------------------------------------------
   // Same-date writer races (round-10 verdict ask #2): the double-fired
   // scheduler the reference's own retry policy invites
