@@ -180,7 +180,13 @@ object ArtifactStore {
     * plus every uncommitted (manifest-less) version directory OLDER
     * than the newest committed one — crash debris by definition, since
     * versions are monotone and a publish in flight is always the
-    * newest directory. Never touches the newest committed version.
+    * newest directory. Never touches the newest committed version,
+    * and NEVER a version PINNED by one of the newest `keep` snapshots
+    * at the root (reviewer find, round 13): count-based retention
+    * alone could delete the version the still-latest snapshot pins —
+    * a crash-retry that publishes twice before its snapshot commits
+    * would otherwise wedge every snapshot-resolving reader with no
+    * recovery path, the exact tear the snapshot exists to prevent.
     * With keep >= 2 a reader that resolved `latestVersion` just before
     * a publish still has one full publish cycle to finish its scan —
     * the same grace the q200 label snapshots rely on. Runs under the
@@ -194,10 +200,13 @@ object ArtifactStore {
       val committed = all.filter(v =>
         fsOf(spark, manifestPath(root, name, v))
           .exists(manifestPath(root, name, v)))
+      val pinned = snapshotVersions(spark, root).take(keep)
+        .flatMap(sv => readSnapshot(spark, root, sv).artifacts.get(name))
+        .toSet
       committed.headOption match {
         case None => Seq.empty // nothing committed: nothing is debris yet
         case Some(newestCommitted) =>
-          val keepSet = committed.take(keep).toSet
+          val keepSet = committed.take(keep).toSet ++ pinned
           val victims = all.filter(v =>
             !keepSet.contains(v) &&
               (committed.contains(v) || v < newestCommitted))
@@ -269,19 +278,21 @@ object ArtifactStore {
     snapshotVersions(spark, root).headOption
       .map(readSnapshot(spark, root, _))
 
-  def readSnapshot(spark: SparkSession, root: String, v: Int): Snapshot = {
-    val sp = snapPath(root, v)
-    val fs = fsOf(spark, sp)
-    val in = fs.open(sp)
-    val txt =
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](8192)
-        var n = in.read(tmp)
-        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        new String(buf.toByteArray, "UTF-8")
-      } finally in.close()
-    parseSnapshot(txt)
+  def readSnapshot(spark: SparkSession, root: String, v: Int): Snapshot =
+    parseSnapshot(readUtf8(spark, snapPath(root, v)))
+
+  /** Slurp a small UTF-8 metadata file (manifest / snapshot) — one
+    * copy of the read-fully loop for both. */
+  private def readUtf8(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fsOf(spark, p).open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = in.read(tmp)
+      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
   }
 
   /** Publish the next snapshot pinning `artifacts` (name → committed
@@ -375,20 +386,8 @@ object ArtifactStore {
   }
 
   def readManifest(spark: SparkSession, root: String, name: String,
-      v: Int): Manifest = {
-    val mp = manifestPath(root, name, v)
-    val fs = fsOf(spark, mp)
-    val in = fs.open(mp)
-    val txt =
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](8192)
-        var n = in.read(tmp)
-        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        new String(buf.toByteArray, "UTF-8")
-      } finally in.close()
-    parseManifest(txt)
-  }
+      v: Int): Manifest =
+    parseManifest(readUtf8(spark, manifestPath(root, name, v)))
 
   // Hand-rolled JSON (no deps policy): four known fields, the only
   // string values being the artifact name (path-safe by construction)

@@ -275,10 +275,21 @@ object IdempotentWriter {
       catch {
         case t: Throwable =>
           try out.close() catch { case _: Throwable => () }
+          val ours = new String(bytes, "UTF-8")
           readToken(fs, p) match {
-            case Some(found) if found == new String(bytes, "UTF-8") => true
-            case Some(_) => false // a foreign object won the condition
-            case None => if (fs.exists(p)) false else throw t
+            case Some(found) if found == ours => true // our PUT landed
+            case Some(found) if !ours.startsWith(found) =>
+              false // a foreign object won the condition
+            case _ =>
+              // empty/prefix content is OUR half-written debris (the
+              // build succeeded, so the object is ours): remove and
+              // rethrow — the same own-debris contract as the other
+              // arms; reporting it as a foreign holder would make
+              // every contender wait out a full lease window for a
+              // file we could delete ourselves (reviewer find, r13)
+              try { fs.delete(p, false); () }
+              catch { case _: java.io.IOException => () }
+              throw t
           }
       }
     } catch {

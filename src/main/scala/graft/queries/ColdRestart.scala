@@ -87,18 +87,21 @@ object ColdRestart {
     manifests
   }
 
-  /** Resolve an artifact through the NEWEST SNAPSHOT — the only read
-    * path the cold arms use: per-artifact `latestVersion` can serve a
-    * mixed day if a multi-artifact publish crashed midway; the
-    * snapshot can't, because it commits last. */
-  private[graft] def snapRead(s: SparkSession, root: String,
-      name: String): DataFrame = {
-    val snap = ArtifactStore.latestSnapshot(s, root).getOrElse(
+  /** Resolve the NEWEST SNAPSHOT — the only read path the cold arms
+    * use: per-artifact `latestVersion` can serve a mixed day if a
+    * multi-artifact publish crashed midway; the snapshot can't,
+    * because it commits last. Resolved ONCE per query invocation and
+    * passed to every readAt (reviewer find, round 13): re-resolving
+    * per artifact would reopen the cross-artifact tear at a smaller
+    * window — a concurrent day-boundary publish committing its
+    * snapshot between two reads would hand one query sigs from day N
+    * and labels from day N+1. */
+  private[graft] def snapOf(s: SparkSession,
+      root: String): ArtifactStore.Snapshot =
+    ArtifactStore.latestSnapshot(s, root).getOrElse(
       throw new IllegalStateException(
         s"no committed snapshot under $root — the publisher never " +
           "reached its commit point; refusing a possibly-mixed read"))
-    ArtifactStore.readAt(s, root, name, snap)._1
-  }
 
   // -----------------------------------------------------------------
   // Three-process chained restart (round-11 verdict ask #2): JVM A
@@ -222,6 +225,18 @@ object ColdRestart {
     prep(spark)
     require(step >= 1 && step <= 3, s"label chain step must be 1..3: $step")
     val snap = ArtifactStore.latestSnapshot(spark, root)
+    // The chain treats the root's snapshot counter as its step marker,
+    // which is only sound on a DEDICATED root: a foreign snapshot
+    // (e.g. publishAll's seven-artifact one) would make a never-run
+    // step silently no-op while claiming success (reviewer find,
+    // round 13) — refuse it loudly instead.
+    snap.foreach { sn =>
+      require(sn.artifacts.contains(ChainLabelsArtifact),
+        s"label chain requires a DEDICATED store root: the newest " +
+          s"snapshot at $root (v${sn.version}) pins " +
+          s"${sn.artifacts.keys.toSeq.sorted.mkString(",")} — another " +
+          "publisher owns this root; use a fresh one for the chain")
+    }
     if (snap.exists(_.version >= step)) return // replayed finished step
     require(snap.map(_.version) == (if (step == 1) None else Some(step - 1)),
       s"label chain step $step needs snapshot ${step - 1} committed; " +
@@ -300,10 +315,11 @@ object ColdRestart {
   private[graft] def coldDedup(s: SparkSession, dir: String,
       root: String): DataFrame = {
     prep(s)
+    val snap = snapOf(s, root) // ONE snapshot for both artifacts
     Curation.dedupHistogramOf(
       Curation.incrementalLabelsFrom(s, dir,
-        snapRead(s, root, SigArtifact),
-        snapRead(s, root, LabelArtifact)
+        ArtifactStore.readAt(s, root, SigArtifact, snap)._1,
+        ArtifactStore.readAt(s, root, LabelArtifact, snap)._1
           .select(col("node"), col("label"))),
       Curation.deltaThreshold(s, dir))
   }
@@ -312,29 +328,31 @@ object ColdRestart {
       root: String): DataFrame = {
     prep(s)
     Similarity.codebookRefreshFrom(s, dir,
-      snapRead(s, root, CodebookArtifact))
+      ArtifactStore.readAt(s, root, CodebookArtifact, snapOf(s, root))._1)
   }
 
   private[graft] def coldPostings(s: SparkSession, dir: String,
       root: String): DataFrame = {
     prep(s)
     TextAnalysis.incrementalPostingsFrom(s, dir,
-      snapRead(s, root, PostingsArtifact))
+      ArtifactStore.readAt(s, root, PostingsArtifact, snapOf(s, root))._1)
   }
 
   private[graft] def coldGraphInsert(s: SparkSession, dir: String,
       root: String, rebuilt: DataFrame): DataFrame = {
     prep(s)
     Similarity.graphInsertCompareFrom(s, dir,
-      snapRead(s, root, GraphArtifact), rebuilt)
+      ArtifactStore.readAt(s, root, GraphArtifact, snapOf(s, root))._1,
+      rebuilt)
   }
 
   private[graft] def coldBm25(s: SparkSession, dir: String,
       root: String): DataFrame = {
     prep(s)
+    val snap = snapOf(s, root) // ONE snapshot for both stat artifacts
     TextAnalysis.incrementalBm25From(s, dir,
-      snapRead(s, root, Bm25ScalarsArtifact),
-      snapRead(s, root, Bm25HitsArtifact))
+      ArtifactStore.readAt(s, root, Bm25ScalarsArtifact, snap)._1,
+      ArtifactStore.readAt(s, root, Bm25HitsArtifact, snap)._1)
   }
 
   // -----------------------------------------------------------------

@@ -25,6 +25,11 @@ class CondFs(conditionalEnabled: Boolean) extends RawLocalFileSystem {
   val plainCreates = new java.util.concurrent.atomic.AtomicInteger(0)
   val conditionalCreates = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** When set, the conditional stream writes a 4-byte prefix then
+    * fails — the mid-write crash whose debris must be cleaned by the
+    * WRITER, not left to masquerade as a foreign holder. */
+  @volatile var failWrites: Boolean = false
+
   override def getScheme: String = "condfs"
   override def getUri: URI = URI.create("condfs:///")
 
@@ -76,9 +81,20 @@ object CondFs {
       val local = java.nio.file.Paths.get(getPath.toUri.getPath)
       Option(local.getParent)
         .foreach(java.nio.file.Files.createDirectories(_))
-      val out = java.nio.file.Files.newOutputStream(local,
+      val real = java.nio.file.Files.newOutputStream(local,
         java.nio.file.StandardOpenOption.CREATE_NEW,
         java.nio.file.StandardOpenOption.WRITE)
+      val out: java.io.OutputStream =
+        if (!fs.failWrites) real
+        else new java.io.OutputStream {
+          override def write(b: Int): Unit =
+            throw new java.io.IOException("simulated mid-write failure")
+          override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+            real.write(b, off, math.min(len, 4)); real.flush()
+            throw new java.io.IOException("simulated mid-write failure")
+          }
+          override def close(): Unit = real.close()
+        }
       new FSDataOutputStream(out, null)
     }
   }
@@ -129,6 +145,26 @@ class ConditionalCreateSpec extends SparkSpec {
     val n = in.read(buf)
     in.close()
     assert(new String(buf, 0, n, "UTF-8") === "a")
+  }
+
+  test("a mid-write failure on the conditional path is OWN debris: " +
+      "removed and rethrown, never reported as a foreign holder that " +
+      "every contender must wait a lease window to break") {
+    val fs = newFs(conditional = true)
+    val p = tmpLock()
+    fs.failWrites = true
+    val err = intercept[java.io.IOException] {
+      IdempotentWriter.exclusiveCreate(fs, p,
+        "aaaaaaaa-our-token".getBytes("UTF-8"))
+    }
+    assert(err.getMessage.contains("simulated"), err.getMessage)
+    // the half-written lock was cleaned up by the failing writer itself
+    assert(!fs.exists(p), "own debris left on the lock path")
+    // so a retry (or another contender) acquires IMMEDIATELY — no
+    // stale-break wait
+    fs.failWrites = false
+    assert(IdempotentWriter.exclusiveCreate(fs, p,
+      "bbbbbbbb-other".getBytes("UTF-8")))
   }
 
   test("the full lease serializes two concurrent holders on the " +

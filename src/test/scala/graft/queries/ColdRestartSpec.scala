@@ -259,6 +259,63 @@ class ColdRestartSpec extends SparkSpec {
     } finally hadoopDelete(root)
   }
 
+  test("prune never deletes a version pinned by the newest snapshots: " +
+      "a crash-retry that publishes twice before its snapshot commits " +
+      "cannot wedge snapshot readers (count-based retention alone would)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_prunepin_spec").toString
+    try {
+      ArtifactStore.publish(Seq((1L, "d1")).toDF("id", "tag"), root, "a")
+      ArtifactStore.publish(Seq((1L, "d1")).toDF("id", "tag"), root, "b")
+      ArtifactStore.publishSnapshot(spark, root, Map("a" -> 1, "b" -> 1))
+      // day 2 crashes after publishing a v2; the RETRY publishes a v3
+      // and crashes again before its snapshot — snapshot v1 is still
+      // the newest, pinning a v1
+      ArtifactStore.publish(Seq((1L, "d2")).toDF("id", "tag"), root, "a")
+      ArtifactStore.publish(Seq((1L, "d2r")).toDF("id", "tag"), root, "a")
+      // count-based keep=2 would keep {v3, v2} and delete the PINNED
+      // v1; the pin-aware prune must spare it
+      val deleted = ArtifactStore.prune(spark, root, "a", keep = 2)
+      assert(!deleted.contains(1), s"pruned the pinned version: $deleted")
+      // the snapshot reader still serves the complete day-1 set
+      val snap = ArtifactStore.latestSnapshot(spark, root).get
+      assert(ArtifactStore.readAt(spark, root, "a", snap)._2.version === 1)
+      // once the day COMMITS (snapshot v2 pinning a v3), v1 is no
+      // longer pinned by the newest keep=2 snapshots' window... but
+      // snapshot v1 still is (it IS one of the newest two), so v1
+      // survives until snapshot v1 itself ages out
+      ArtifactStore.publishSnapshot(spark, root, Map("a" -> 3, "b" -> 1))
+      assert(!ArtifactStore.prune(spark, root, "a", keep = 2).contains(1))
+      assert(ArtifactStore.readAt(spark, root, "a",
+        ArtifactStore.readSnapshot(spark, root, 1))._2.version === 1)
+      // a third day retires snapshot v1; v1's pin lapses and prune
+      // may finally collect it
+      ArtifactStore.publish(Seq((1L, "d3")).toDF("id", "tag"), root, "a")
+      ArtifactStore.publishSnapshot(spark, root, Map("a" -> 4, "b" -> 1))
+      assert(ArtifactStore.prune(spark, root, "a", keep = 2)
+        .contains(1))
+    } finally hadoopDelete(root)
+  }
+
+  test("the label chain refuses a root owned by another publisher: a " +
+      "foreign snapshot must fail loudly, never silently no-op a step") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chainguard_spec").toString
+    try {
+      ArtifactStore.publish(Seq((1L, "x")).toDF("id", "tag"),
+        root, "someone_elses")
+      ArtifactStore.publishSnapshot(spark, root, Map("someone_elses" -> 1))
+      Tables.prep(spark)
+      val err = intercept[IllegalArgumentException] {
+        ColdRestart.chainLabelPublish(spark, "/root/testdata/sf0.001",
+          root, 1)
+      }
+      assert(err.getMessage.contains("DEDICATED"), err.getMessage)
+    } finally hadoopDelete(root)
+  }
+
   test("snapshot JSON roundtrips the version vector") {
     val s = ArtifactStore.Snapshot(12,
       Map("cc_labels_base" -> 3, "postings_base" -> 7, "bm25_hits" -> 1))
