@@ -130,6 +130,70 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** FIRST COMMON ELEMENT of two SORTED DISTINCT long arrays (NULL if
+  * disjoint) — the merge-walk form of
+  * `array_min(filter(a, d -> array_contains(b, d)))`, which is
+  * O(|a|·|b|): every element of `a` linearly scans `b`. That
+  * composition is invisible at small SF and a wall at stress scale —
+  * q128's head-term posting lists grow 64× at x64, turning the
+  * 5-query search into ~10^10 comparisons (found by the round-13 x64
+  * sweep grinding exactly there). Same sorted-distinct input contract
+  * as [[SortedIntersectCount]] (the posting lists are sorted-distinct
+  * by construction); since both arrays are ascending, the first match
+  * of the merge walk IS the minimum of the intersection. Equality
+  * with the built-in composition is asserted in ArrayOpsSpec. */
+case class SortedIntersectMin(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    "sorted_intersect_min" // input contract: sorted distinct arrays
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else return xv
+    }
+    null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val found = ctx.freshName("found")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0; int $j = 0;
+         |boolean $found = false;
+         |while ($i < $n && $j < $m && !$found) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { ${ev.value} = $xv; $found = true; }
+         |}
+         |${ev.isNull} = !$found;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectMin =
+    copy(left = newLeft, right = newRight)
+}
+
 /** SimHash majority vote over an array of long hashes: bit b of the
   * result is set iff more than half the hashes have bit b set — one
   * pass with a counts array, replacing per-bit

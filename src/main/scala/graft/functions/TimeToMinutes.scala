@@ -116,6 +116,8 @@ object GraftFunctions {
     ensure("array_dot", exprs => ArrayDot(exprs(0), exprs(1)))
     ensure("sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)))
+    ensure("sorted_intersect_min",
+      exprs => SortedIntersectMin(exprs(0), exprs(1)))
     ensure("bit_majority", exprs => BitMajority(exprs.head))
     ensure("rolling_min_hash", exprs => RollingMinHash(exprs(0),
       exprs(1).eval(null).asInstanceOf[Int]))

@@ -1540,8 +1540,12 @@ object TextAnalysis {
     qs.join(p.select(col("w").as("ta"), col("docs").as("da")), Seq("ta"))
       .join(p.select(col("w").as("tb"), col("docs").as("db")), Seq("tb"))
       .withColumn("n_hits", expr("sorted_intersect_count(da, db)"))
-      .withColumn("min_hit", expr(
-        "array_min(filter(da, d -> array_contains(db, d)))"))
+      // merge-walk, NOT array_min(filter(da, d -> array_contains(db,
+      // d))): that composition is O(|da|·|db|) per query pair — a wall
+      // at x64 where head posting lists are 64x longer (the round-13
+      // x64 sweep ground to a halt exactly here); the sorted lists'
+      // first merge match IS the intersection minimum
+      .withColumn("min_hit", expr("sorted_intersect_min(da, db)"))
       .select(col("qid"), col("ta"), col("tb"),
         col("n_hits").cast("long").as("n_hits"), col("min_hit"))
       .orderBy("qid")

@@ -42,6 +42,30 @@ class ArrayOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
   }
 
+  test("sorted_intersect_min == array_min(filter(a, d -> " +
+      "array_contains(b, d))) on sorted sets, incl. the disjoint NULL") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT sorted_intersect_min(a, b) AS fast,
+        |       array_min(filter(a, d -> array_contains(b, d))) AS slow
+        |FROM (SELECT
+        |  array_sort(array_distinct(
+        |    transform(sequence(1, 40), i -> cast(i * (id + 2) % 37 AS BIGINT))))
+        |    AS a,
+        |  array_sort(array_distinct(
+        |    transform(sequence(1, 40),
+        |      i -> cast(i * (id + 5) % 41 + (id % 3) * 1000 AS BIGINT))))
+        |    AS b
+        |FROM range(60))""".stripMargin).collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0))
+      else assert(r.getLong(0) === r.getLong(1))
+    }
+    // the id%3 shift above makes some pairs fully disjoint — prove the
+    // NULL case was actually exercised
+    assert(rows.exists(_.isNullAt(0)) && rows.exists(!_.isNullAt(0)))
+  }
+
   test("empty and null inputs") {
     GraftFunctions.register(spark)
     val r = spark.sql(
