@@ -23,7 +23,12 @@ The `sh`/`sig` CTE prefix is extracted verbatim from the family's own
 oracle SQL, so the signature definition cannot drift from what the
 oracles state.
 
-Usage: build_cand1.py <oracle_sql.json> <sf_dir> <out.parquet>
+Usage: build_cand1.py <oracle_sql.json> <sf_dir> <out.parquet> [query]
+With no [query], every marker-bearing oracle must share one sig CTE
+prefix (the drift guard); with [query], that query's own prefix is
+used — the per-group mode oracle_check_scaled drives when the family
+legitimately splits into prefix groups (same sig definition, extra
+surrounding CTEs).
 Driver-side tooling only, like oracle_check.py.
 """
 import duckdb
@@ -45,15 +50,25 @@ if not srcs:
 # bug (advisor find, round 12) — assert identity up front instead.
 prefixes = {name: sql[:sql.index("cand AS (")].rstrip().rstrip(",")
             for name, sql in srcs.items()}
-if len(set(prefixes.values())) != 1:
+if len(sys.argv) > 4:
+    # per-group mode: build THIS query's candidate superset from its
+    # own prefix (oracle_check_scaled builds one cand1 per distinct
+    # prefix group and routes each query to its group's file)
+    qname = sys.argv[4]
+    if qname not in prefixes:
+        sys.exit(f"build_cand1: {qname} is not a marker-bearing oracle")
+    prefix = prefixes[qname]
+elif len(set(prefixes.values())) != 1:
     by_prefix = {}
     for name, p in prefixes.items():
         by_prefix.setdefault(p, []).append(name)
     sys.exit("build_cand1: marker-bearing oracles disagree on the sig "
-             "CTE prefix — one cand1 cannot serve them all. Groups: "
+             "CTE prefix — one cand1 cannot serve them all; pass a "
+             "query name to build per-group. Groups: "
              + "; ".join(sorted(",".join(sorted(g))
                                 for g in by_prefix.values())))
-prefix = next(iter(prefixes.values()))
+else:
+    prefix = next(iter(prefixes.values()))
 
 import re
 

@@ -36,28 +36,63 @@ oracle = json.load(open(os.path.join(src, "oracle_sql.json")))
 
 # ---- the all-pairs -> banded-equi-join restatement (one join source,
 # ---- predicates untouched; see module docstring) ----
+# The marker-bearing oracles may split into PREFIX GROUPS (same sig
+# definition, different surrounding CTEs — q197's composed preamble vs
+# q56's bare family form): one cand1 is built PER GROUP from that
+# group's own prefix, and each query is routed to its group's file, so
+# a genuinely drifted sig definition gets its own (correct) superset
+# instead of silently computing over another family's.
 MARKER = "FROM sig a JOIN sig b ON a.doc_id < b.doc_id"
-cand1 = None
-if any(MARKER in oracle.get(n, "") for n in names):
-    cand1 = os.path.abspath(src.rstrip("/") + "_cand1.parquet")
+cand1_for = {}  # query name -> cand1 parquet path (absent = all-pairs)
+marker_names = [n for n in names if MARKER in oracle.get(n, "")
+                and "cand AS (" in oracle.get(n, "")]
+groups = {}
+for n in marker_names:
+    sql = oracle[n]
+    groups.setdefault(
+        sql[:sql.index("cand AS (")].rstrip().rstrip(","), []).append(n)
+for gi, members in enumerate(sorted(groups.values())):
+    path = os.path.abspath(src.rstrip("/") + f"_cand1_{gi}.parquet")
     try:
         r = subprocess.run(
             ["python3", os.path.join(here, "build_cand1.py"),
-             os.path.join(src, "oracle_sql.json"), sf, cand1],
-            capture_output=True, text=True, timeout=900)
+             os.path.join(src, "oracle_sql.json"), sf, path, members[0]],
+            capture_output=True, text=True, timeout=1800)
         if r.returncode != 0:
-            print(f"cand1 build failed, falling back to all-pairs "
-                  f"oracles: {r.stderr[-300:]}", flush=True)
-            cand1 = None
+            print(f"cand1 group {gi} ({','.join(members)}) build failed, "
+                  f"falling back to all-pairs: {r.stderr[-300:]}",
+                  flush=True)
         else:
-            print(r.stdout.strip(), flush=True)
+            print(f"group {gi} ({','.join(members)}): "
+                  + r.stdout.strip(), flush=True)
+            for n in members:
+                cand1_for[n] = path
     except subprocess.TimeoutExpired:
-        print("cand1 build timed out, falling back to all-pairs oracles",
-              flush=True)
-        cand1 = None
+        print(f"cand1 group {gi} build timed out, falling back to "
+              "all-pairs for " + ",".join(members), flush=True)
+
+# COMPOSED oracles (q197/q221) embed a family oracle VERBATIM inside a
+# derived subquery, so their extracted "prefix" is the whole composed
+# head — not a standalone WITH chain build_cand1 can run. Drift-safe
+# fallback: route such a group to a BUILT group whose full prefix
+# appears verbatim inside the composed SQL (the embedding IS the proof
+# the sig definition is that group's).
+built = {p: cand1_for[ms[0]] for p, ms in groups.items()
+         if ms[0] in cand1_for}
+for prefix, members in groups.items():
+    if members[0] in cand1_for:
+        continue
+    for bp, path in built.items():
+        if bp and bp in oracle[members[0]]:
+            print("routing " + ",".join(members) +
+                  " to the embedded family's cand1", flush=True)
+            for n in members:
+                cand1_for[n] = path
+            break
 
 
-def rewritten(sql: str) -> str:
+def rewritten(name: str, sql: str) -> str:
+    cand1 = cand1_for.get(name)
     if cand1 is None or MARKER not in sql:
         return sql
     return sql.replace(
@@ -74,7 +109,7 @@ for n in names:
     os.symlink(os.path.abspath(os.path.join(src, n)),
                os.path.join(work, n))
     with open(os.path.join(work, "oracle_sql.json"), "w") as f:
-        json.dump({k: rewritten(v) for k, v in oracle.items()}, f)
+        json.dump({k: rewritten(k, v) for k, v in oracle.items()}, f)
     try:
         r = subprocess.run(
             ["python3", os.path.join(here, "oracle_check.py"), work, sf],
