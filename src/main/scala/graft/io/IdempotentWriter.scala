@@ -233,9 +233,24 @@ object IdempotentWriter {
     try {
       val in = fs.open(lockP)
       try {
-        val buf = new Array[Byte](128)
-        val n = in.read(buf)
-        if (n <= 0) None else Some(new String(buf, 0, n, "UTF-8"))
+        // read to EOF, never a single read(): a legal short read
+        // returning a strict PREFIX of the stored token would make the
+        // own-debris test delete a lock whose PUT landed and make
+        // verifyHeldLease spuriously fence a valid holder (advisor
+        // find, round 13). Tokens are 36-byte UUIDs; the buffer is
+        // sized for the LARGEST content this compare ever sees — a
+        // manifest/snapshot JSON on the conditional-PUT commit path
+        // (commitMetadata), whose schema DDL can run to kilobytes. A
+        // truncated read would re-open the same prefix-compare hole.
+        val buf = new Array[Byte](1 << 20)
+        var off = 0
+        var n = in.read(buf, off, buf.length - off)
+        while (n > 0 && off + n < buf.length) {
+          off += n
+          n = in.read(buf, off, buf.length - off)
+        }
+        if (n > 0) off += n
+        if (off <= 0) None else Some(new String(buf, 0, off, "UTF-8"))
       } finally in.close()
     } catch { case _: java.io.IOException => None }
 
@@ -265,12 +280,35 @@ object IdempotentWriter {
     * IOException there — disambiguated by what the path then holds:
     * our bytes = we won; foreign bytes = we lost the conditional race;
     * absent = our own write failure, rethrown. */
+  /** One-time latch for the capability-vs-builder-option drift
+    * warning: a store can advertise [[ConditionalCreateCapability]]
+    * while its createFile builder rejects that key as a mandatory
+    * option (the capability name and the builder option name are
+    * separate constants in hadoop-aws and only COINCIDE in the
+    * HADOOP-19256 line). Failing every acquisition on such a store
+    * would be strictly worse than the plain-create path it replaced
+    * (advisor find, round 13) — fall back loudly, once. */
+  private val warnedConditionalDrift =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def conditionalCreate(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Boolean =
     try {
-      val out = fs.createFile(p).create().overwrite(false)
-        .must(ConditionalCreateCapability, true)
-        .build()
+      val out =
+        try fs.createFile(p).create().overwrite(false)
+          .must(ConditionalCreateCapability, true)
+          .build()
+        catch {
+          case e: IllegalArgumentException =>
+            if (warnedConditionalDrift.compareAndSet(false, true))
+              System.err.println(
+                "graft: store advertises " + ConditionalCreateCapability +
+                  s" but createFile(...).must(...) rejected it (${e.getMessage});" +
+                  " falling back to plain exclusive create — acquisition" +
+                  " is HEAD-then-PUT on this store, verify the hadoop-aws" +
+                  " release's conditional-create option name")
+            return plainExclusiveCreate(fs, p, bytes)
+        }
       try { out.write(bytes); out.close(); true }
       catch {
         case t: Throwable =>
@@ -334,22 +372,85 @@ object IdempotentWriter {
       }
     } else if (hasConditionalCreate(fs, p)) {
       conditionalCreate(fs, p, bytes)
+    } else plainExclusiveCreate(fs, p, bytes)
+
+  /** The FileSystem's own exclusive create (atomic on HDFS, ABFS, the
+    * GCS connector) — also the loud-warning fallback when a store's
+    * advertised conditional-create capability turns out not to be a
+    * usable builder option (see [[warnedConditionalDrift]]). */
+  private def plainExclusiveCreate(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Boolean = {
+    val created =
+      try Some(fs.create(p, false))
+      catch { case _: java.io.IOException => None }
+    created match {
+      case None => false
+      case Some(out) =>
+        try { out.write(bytes); out.close(); true }
+        catch {
+          case t: Throwable =>
+            try out.close() catch { case _: Throwable => () }
+            try fs.delete(p, false) catch { case _: Throwable => () }
+            throw t
+        }
+    }
+  }
+
+  /** Commit a small metadata file (manifest / snapshot JSON) at its
+    * FINAL name, under the table lease for `leaseKey`.
+    *
+    * On stores advertising [[ConditionalCreateCapability]] the commit
+    * is ONE conditional PUT at the final name — whole-object atomic,
+    * If-None-Match at the store (HADOOP-19256) — closing the one
+    * non-atomic step the round-13 verdict documented: classic-S3A
+    * rename is copy+delete, so the tmp+rename commit marker could be
+    * observed torn there. The conditional PUT also subsumes the
+    * commit fence's residual one-FS-op window ON THESE STORES: a
+    * fenced-out zombie's PUT loses the If-None-Match race outright.
+    *
+    * Everywhere else (HDFS, ABFS, GCS connector, file://): write a
+    * temp sibling, re-verify lease ownership, rename — rename is
+    * atomic there and temp names never match the committed pattern,
+    * so a crash between create and rename leaves only invisible
+    * debris (the existing, spec-pinned contract).
+    *
+    * Throws IllegalStateException if the final name already exists —
+    * a committed version is never rewritten. */
+  private[graft] def commitMetadata(
+      spark: org.apache.spark.sql.SparkSession, leaseKey: String,
+      p: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Unit = {
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (hasConditionalCreate(fs, p)) {
+      verifyHeldLease(spark, leaseKey)
+      if (!conditionalCreate(fs, p, bytes))
+        throw new IllegalStateException(
+          s"metadata commit failed: $p already exists")
     } else {
-      val created =
-        try Some(fs.create(p, false))
-        catch { case _: java.io.IOException => None }
-      created match {
-        case None => false
-        case Some(out) =>
-          try { out.write(bytes); out.close(); true }
-          catch {
-            case t: Throwable =>
-              try out.close() catch { case _: Throwable => () }
-              try fs.delete(p, false) catch { case _: Throwable => () }
-              throw t
-          }
+      val tmp = new org.apache.hadoop.fs.Path(
+        p.toString + ".tmp-" + java.util.UUID.randomUUID().toString)
+      try {
+        val out = fs.create(tmp, false)
+        try out.write(bytes) finally out.close()
+        // COMMIT FENCE (advisor find, round 12): re-verify lease
+        // ownership immediately before the irreversible rename.
+        // (Residual one-FS-op window documented at verifyHeldLease.)
+        verifyHeldLease(spark, leaseKey)
+        // exists-guard before rename: RawLocalFileSystem.rename
+        // REPLACES an existing destination (POSIX semantics), and a
+        // committed file must never be rewritten. Writers are
+        // serialized by the table lease, so the guard cannot race
+        // another committer.
+        if (fs.exists(p) || !fs.rename(tmp, p))
+          throw new IllegalStateException(
+            s"metadata commit failed: $p already exists")
+      } catch {
+        case t: Throwable =>
+          try { fs.delete(tmp, false); () }
+          catch { case _: java.io.IOException => () }
+          throw t
       }
     }
+  }
 
   private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
       lockP: org.apache.hadoop.fs.Path,

@@ -161,7 +161,13 @@ object ColdRestart {
         docs.filter(col("doc_id") > t2))
         .select(col("w"), col("docs"))
     }
-    ArtifactStore.publish(idx, root, ChainArtifact)
+    // version == step enforced INSIDE the publish lease: the guard
+    // above is advisory only — two replicas of the same step can both
+    // pass it, and the second publish would inflate the counter past
+    // `step`, silently no-opping the genuine next step (advisor find,
+    // round 13)
+    ArtifactStore.publish(idx, root, ChainArtifact,
+      expectVersion = Some(step))
   }
 
   /** One "day" of the chained ADDITIVE-ROLLUP proof — the q222 arm's
@@ -270,11 +276,23 @@ object ColdRestart {
       .repairedLabels(corpusSoFar.select(col("doc_id")), baseLabels,
         newPairs)
       .select(col("doc_id").as("node"), col("root").as("label"))
+    // The SNAPSHOT is the step marker, and snapshot version == step is
+    // enforced INSIDE the snapshot lease: the replay guard above is
+    // advisory only — two replicas of the same step can both pass it,
+    // and the second snapshot would inflate the counter past `step`,
+    // silently no-opping the genuine next step (advisor find, round
+    // 13). The ARTIFACT publishes deliberately carry no expectVersion:
+    // the documented crash-between-publishes retry re-mints HIGHER
+    // artifact versions (the orphans were never pinned), and the
+    // snapshot pins exact versions either way. A double-fired
+    // replica's committed-but-never-pinned artifact versions are
+    // harmless debris for prune.
     val mSigs = ArtifactStore.publish(allSigs, root, ChainSigsArtifact)
     val mLabels = ArtifactStore.publish(newLabels, root, ChainLabelsArtifact)
     ArtifactStore.publishSnapshot(spark, root, Map(
       ChainSigsArtifact -> mSigs.version,
-      ChainLabelsArtifact -> mLabels.version))
+      ChainLabelsArtifact -> mLabels.version),
+      expectVersion = Some(step))
     ()
   }
 

@@ -281,20 +281,75 @@ class ColdRestartSpec extends SparkSpec {
       // the snapshot reader still serves the complete day-1 set
       val snap = ArtifactStore.latestSnapshot(spark, root).get
       assert(ArtifactStore.readAt(spark, root, "a", snap)._2.version === 1)
-      // once the day COMMITS (snapshot v2 pinning a v3), v1 is no
-      // longer pinned by the newest keep=2 snapshots' window... but
-      // snapshot v1 still is (it IS one of the newest two), so v1
-      // survives until snapshot v1 itself ages out
+      // once the day COMMITS (snapshot v2 pinning a v3), snapshot v1
+      // STILL sits on disk and still pins artifact v1: since round 14
+      // the pin set is every committed snapshot, not the newest
+      // `keep` — "a snapshot on disk is a resolvable snapshot" with no
+      // retention-alignment contract for callers to get wrong
       ArtifactStore.publishSnapshot(spark, root, Map("a" -> 3, "b" -> 1))
       assert(!ArtifactStore.prune(spark, root, "a", keep = 2).contains(1))
       assert(ArtifactStore.readAt(spark, root, "a",
         ArtifactStore.readSnapshot(spark, root, 1))._2.version === 1)
-      // a third day retires snapshot v1; v1's pin lapses and prune
-      // may finally collect it
+      // the round-13 verdict's stranding case: an artifact prune with
+      // keep=1 while 2 snapshots retain — the DIVERGED retention that
+      // used to silently strand snapshot N-1 — must still spare every
+      // snapshot-pinned version
+      val aggressive = ArtifactStore.prune(spark, root, "a", keep = 1)
+      assert(!aggressive.contains(1) && !aggressive.contains(3),
+        s"keep=1 artifact prune deleted a snapshot-pinned version: " +
+          s"$aggressive")
+      assert(ArtifactStore.readAt(spark, root, "a",
+        ArtifactStore.readSnapshot(spark, root, 1))._2.version === 1)
+      // only retiring snapshot v1 ITSELF (snapshot retention) releases
+      // the pin; the next artifact prune may then collect v1
       ArtifactStore.publish(Seq((1L, "d3")).toDF("id", "tag"), root, "a")
       ArtifactStore.publishSnapshot(spark, root, Map("a" -> 4, "b" -> 1))
+      assert(ArtifactStore.pruneSnapshots(spark, root, keep = 2)
+        === Seq(1))
       assert(ArtifactStore.prune(spark, root, "a", keep = 2)
         .contains(1))
+    } finally hadoopDelete(root)
+  }
+
+  test("version threading is enforced INSIDE the publish lease: a " +
+      "double-fired replica of the same chained step fails loudly at " +
+      "publish time instead of inflating the counter past the step, " +
+      "while a crash-retry reclaims its own debris and mints its step") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_expectv_spec").toString
+    try {
+      // step 1 publishes v1
+      assert(ArtifactStore.publish(Seq((1L, "s1")).toDF("id", "tag"),
+        root, "c", expectVersion = Some(1)).version === 1)
+      // a REPLICA of step 1 (double-fired scheduler: its outside-lease
+      // replay guard read latest=None before the twin committed) must
+      // fail loudly here — the silent alternative publishes v2 and the
+      // genuine step 2 then no-ops via its replay guard, losing a slice
+      val dup = intercept[IllegalArgumentException] {
+        ArtifactStore.publish(Seq((1L, "s1dup")).toDF("id", "tag"),
+          root, "c", expectVersion = Some(1))
+      }
+      assert(dup.getMessage.contains("already published"), dup.getMessage)
+      assert(ArtifactStore.latestVersion(spark, root, "c") === Some(1))
+      // a CRASH-RETRY of step 2 (uncommitted v2 data dir = the crash
+      // debris) must reclaim the debris and mint EXACTLY v2 — the
+      // plain arm's debris+1 would silently shift the whole chain
+      Seq((9L, "torn")).toDF("id", "tag").write.parquet(s"$root/c/v2/data")
+      val retried = ArtifactStore.publish(Seq((2L, "s2")).toDF("id", "tag"),
+        root, "c", expectVersion = Some(2))
+      assert(retried.version === 2)
+      assert(ArtifactStore.read(spark, root, "c")
+        .select("tag").head.getString(0) === "s2")
+      // the snapshot counter carries the same fence
+      ArtifactStore.publishSnapshot(spark, root, Map("c" -> 1),
+        expectVersion = Some(1))
+      val sdup = intercept[IllegalArgumentException] {
+        ArtifactStore.publishSnapshot(spark, root, Map("c" -> 2),
+          expectVersion = Some(1))
+      }
+      assert(sdup.getMessage.contains("already committed"), sdup.getMessage)
+      assert(ArtifactStore.latestSnapshot(spark, root).get.version === 1)
     } finally hadoopDelete(root)
   }
 

@@ -26,6 +26,9 @@ import shutil
 import subprocess
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import banded  # noqa: E402  (sibling module, same driver-side tooling)
+
 src, sf = sys.argv[1], sys.argv[2]
 limit = float(sys.argv[3]) if len(sys.argv) > 3 else 90.0
 work = src.rstrip("/") + "_one"
@@ -91,7 +94,74 @@ for prefix, members in groups.items():
             break
 
 
+# ---- the OR-of-band-equalities -> union-of-equi-joins restatement
+# ---- for the embedding-LSH graph family, and the pigeonhole
+# ---- restatement for the SimHash Hamming-ball join (tools/banded.py:
+# ---- both are join-SOURCE swaps whose original ON/WHERE predicates
+# ---- are re-verified verbatim; the OR form is a nested loop in
+# ---- DuckDB — O(n^2) pair evaluations, the r13 x64 timeout class) ----
+banded_groups = {}   # group_key -> parquet path (None = build failed)
+banded_sites = {}    # query name -> list of site indices (doc order)
+hamming_groups = {}  # hamming key -> parquet path
+hamming_for = {}     # query name -> key
+
+
+def _build_group(kind, qname, site, path):
+    try:
+        r = subprocess.run(
+            ["python3", os.path.join(here, "build_banded.py"),
+             os.path.join(src, "oracle_sql.json"), sf, path,
+             qname, str(site)],
+            capture_output=True, text=True, timeout=1800)
+        if r.returncode != 0:
+            print(f"{kind} build for {qname}#{site} failed, falling back"
+                  f" to the stated join: {r.stderr[-300:]}", flush=True)
+            return None
+        print(r.stdout.strip(), flush=True)
+        return path
+    except subprocess.TimeoutExpired:
+        print(f"{kind} build for {qname}#{site} timed out, falling back"
+              " to the stated join", flush=True)
+        return None
+
+
+for n in names:
+    sql = oracle.get(n, "")
+    sites = banded.find_banded_joins(sql)
+    if sites:
+        banded_sites[n] = sites
+        for si, j in enumerate(sites):
+            k = banded.group_key(j)
+            if k not in banded_groups:
+                path = os.path.abspath(
+                    src.rstrip("/") + f"_cande_{len(banded_groups)}.parquet")
+                banded_groups[k] = _build_group("cand_banded", n, si, path)
+    hj = banded.find_hamming_join(sql) if "bit_count(xor(" in sql else None
+    if hj is not None:
+        k = banded.hamming_group_key(hj)
+        if k not in hamming_groups:
+            path = os.path.abspath(
+                src.rstrip("/") + f"_candh_{len(hamming_groups)}.parquet")
+            hamming_groups[k] = _build_group("cand_hamming", n, "hamming",
+                                             path)
+        hamming_for[n] = k
+
+
 def rewritten(name: str, sql: str) -> str:
+    # banded graph joins first (position-based splices recomputed on
+    # the current text, applied last-site-first), then the Hamming
+    # join, then the position-independent minhash marker swap
+    if name in banded_sites:
+        sites = banded.find_banded_joins(sql)
+        for j in sorted(sites, key=lambda x: -x["join_start"]):
+            path = banded_groups.get(banded.group_key(j))
+            if path is not None:
+                sql = banded.rewrite(sql, j, path)
+    if name in hamming_for:
+        path = hamming_groups.get(hamming_for[name])
+        hj = banded.find_hamming_join(sql)
+        if path is not None and hj is not None:
+            sql = banded.hamming_rewrite(sql, hj, path)
     cand1 = cand1_for.get(name)
     if cand1 is None or MARKER not in sql:
         return sql
