@@ -172,6 +172,53 @@ def rewritten(name: str, sql: str) -> str:
         "JOIN sig b ON b.doc_id = c.ib")
 
 
+# ---- the transitive-closure -> union-find CC restatement (tools/
+# ---- ccsplice.py: the recursive reach CTE is Theta(E * cluster) per
+# ---- iteration — the r13 x64 CC-class timeouts; edges keep coming
+# ---- from the oracle's own SQL, labels from an independent
+# ---- union-find over them) ----
+import ccsplice  # noqa: E402
+
+cc_cache = {}  # edge_sql text -> labels parquet path (None = failed)
+final_sql = {}
+for n in names:
+    sql = rewritten(n, oracle.get(n, ""))
+    while True:
+        site = ccsplice.find_cc_site(sql)
+        if site is None:
+            break
+        m, edge_sql, domain_sql = site
+        key = edge_sql + "\x00" + domain_sql
+        if key not in cc_cache:
+            path = os.path.abspath(
+                src.rstrip("/") + f"_cclab_{len(cc_cache)}.parquet")
+            efile, dfile = path + ".edges.sql", path + ".domain.sql"
+            with open(efile, "w") as f:
+                f.write(edge_sql)
+            with open(dfile, "w") as f:
+                f.write(domain_sql)
+            try:
+                r = subprocess.run(
+                    ["python3", os.path.join(here, "build_cc_labels.py"),
+                     sf, path, efile, dfile],
+                    capture_output=True, text=True, timeout=2400)
+                if r.returncode != 0:
+                    print(f"cc_labels build for {n} failed, keeping the "
+                          f"stated recursion: {r.stderr[-300:]}", flush=True)
+                    cc_cache[key] = None
+                else:
+                    print(r.stdout.strip() + f"  (first user: {n})",
+                          flush=True)
+                    cc_cache[key] = path
+            except subprocess.TimeoutExpired:
+                print(f"cc_labels build for {n} timed out, keeping the "
+                      "stated recursion", flush=True)
+                cc_cache[key] = None
+        if cc_cache[key] is None:
+            break  # leave this and any later site as stated
+        sql = ccsplice.splice(sql, m, cc_cache[key])
+    final_sql[n] = sql
+
 ok, bad, timeout = [], [], []
 for n in names:
     shutil.rmtree(work, ignore_errors=True)
@@ -179,7 +226,8 @@ for n in names:
     os.symlink(os.path.abspath(os.path.join(src, n)),
                os.path.join(work, n))
     with open(os.path.join(work, "oracle_sql.json"), "w") as f:
-        json.dump({k: rewritten(k, v) for k, v in oracle.items()}, f)
+        json.dump({k: final_sql.get(k, rewritten(k, v))
+                   for k, v in oracle.items()}, f)
     try:
         r = subprocess.run(
             ["python3", os.path.join(here, "oracle_check.py"), work, sf],
