@@ -512,6 +512,161 @@ object Reference {
       |  round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q224-q226: the other three schema drifts a 365-day warehouse
+  // actually sees (round-13 verdict, missing #4) — each pinned
+  // end-to-end like q223: history on disk under the OLD shape, the
+  // evolution day's arrival under the NEW shape, conform/catalog
+  // absorbing the drift, one BI scan serving both vintages, and the
+  // oracle restating the drift rule from raw events.
+  // ---------------------------------------------------------------
+
+  /** Shared scaffold for the drift cells: history (every fecha except
+    * [[EvolutionDay]]) conformed to `historyTarget` and registered
+    * under a stable catalog name; the evolution day's slice reshaped
+    * by `arrivalShape` (the drift as the SOURCE produces it),
+    * conformed to `arrivalTarget` with `renames`, landed by dynamic
+    * partition overwrite; optionally the SAME name re-registered with
+    * `reRegisterSchema` (metadata only — q224's widening needs the
+    * catalog DDL to be the authority, exactly like q223's add-column;
+    * q225/q226 are ingest-side drifts and leave the catalog alone).
+    * Built once per (application, dir, tag) — [[graft.KeyedOnce]], the
+    * same discipline as every other deterministic-path builder. */
+  private val driftWarehouses =
+    new graft.KeyedOnce[(String, String, String), (String, String)]
+
+  private[graft] def driftWarehouse(spark: SparkSession, dir: String,
+      tag: String, historyTarget: StructType, arrivalTarget: StructType,
+      renames: Map[String, String], reRegisterSchema: Option[StructType])(
+      arrivalShape: DataFrame => DataFrame): (String, String) =
+    driftWarehouses((spark.sparkContext.applicationId, dir, tag)) {
+      val wh = appScopedScratch(spark, s"graft_${tag}_wh", dir)
+      val name = s"graft_${tag}_wh_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+      val base = events(spark, dir).select(
+        to_date(col("ts")).as("fecha"), col("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+      val isDay = col("fecha") <=> lit(EvolutionDay).cast("date")
+      IdempotentWriter.overwritePartitions(
+        Conform.conformTo(historyTarget)(base.filter(!isDay)),
+        wh, addLoadDate = false)
+      registerFechaTableAt(spark, wh, name)
+      IdempotentWriter.overwritePartitions(
+        Conform.conformTo(arrivalTarget, renames)(
+          arrivalShape(base.filter(isDay))),
+        wh, addLoadDate = false)
+      reRegisterSchema match {
+        case Some(s) => registerFechaTableAt(spark, wh, name, Some(s))
+        case None =>
+          // the ingest-side drifts change no catalog metadata — the
+          // new fecha still needs the daily MSCK step (the same
+          // refresh contract registerFechaTable documents)
+          spark.catalog.recoverPartitions(name)
+      }
+      (wh, name)
+    }
+
+  /** q224's before/after: `user_id` outgrows INT — history files
+    * genuinely store 32-bit ints; the evolved target widens the KEY
+    * COLUMN to LONG. */
+  private[graft] val PreWidenTarget = StructType(Seq(
+    StructField("fecha", DateType), StructField("event_id", LongType),
+    StructField("user_id", IntegerType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+  private[graft] val WidenedTarget = StructType(
+    PreWidenTarget.fields.map(f =>
+      if (f.name == "user_id") StructField("user_id", LongType) else f))
+
+  /** q224 type widening (int → long on a key column): history lands
+    * with `user_id` as INT32 parquet; the evolution day's ids exceed
+    * the int range (the drift's actual trigger — shifted by 2^32, so
+    * only a genuinely 64-bit pipeline can serve them), its file lands
+    * under the widened schema, and the SAME catalog name is
+    * re-registered with the widened DDL — metadata only. One scan
+    * serves both vintages: Spark's parquet reader performs the
+    * INT32 → INT64 widening promotion per file (probed on this Spark
+    * line), so history is never rewritten — the add-column argument
+    * of q223, applied to a type. Oracle restates the shift rule from
+    * raw events. */
+  def schemaWiden(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val (_, name) = driftWarehouse(spark, dir, "widen",
+      PreWidenTarget, WidenedTarget, Map.empty, Some(WidenedTarget))(
+      _.withColumn("user_id", col("user_id") + lit(4294967296L)))
+    spark.table(name)
+      .groupBy(col("fecha"))
+      .agg(count(lit(1)).as("n"), max(col("user_id")).as("max_user"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("fecha")
+  }
+
+  val schemaWidenSql: String =
+    """SELECT CAST(ts AS DATE) AS fecha, count(*) AS n,
+      |  CAST(max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+      |    THEN user_id + 4294967296 ELSE user_id END) AS BIGINT)
+      |    AS max_user,
+      |  round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
+
+  /** q225 column rename arriving mid-history (the reference's own
+    * `in` → `in_total` class, reference main.py:115/121): the SOURCE
+    * renames `value` to `valor_total` on the evolution day; conform's
+    * rename map folds it back to the stable warehouse name at ingest,
+    * so the warehouse schema, the catalog binding, and every
+    * downstream consumer are untouched. The oracle is the SAME
+    * derivation for every day — which is exactly the discriminating
+    * check: had the rename map been missed, conform's typed-NULL rule
+    * would have nulled the evolution day's values and the sum would
+    * mismatch loudly. */
+  def schemaRename(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val (_, name) = driftWarehouse(spark, dir, "rename",
+      PreEvolutionTarget, PreEvolutionTarget,
+      Map("valor_total" -> "value"), None)(
+      _.withColumnRenamed("value", "valor_total"))
+    spark.table(name)
+      .groupBy(col("fecha"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("fecha")
+  }
+
+  val schemaRenameSql: String =
+    """SELECT CAST(ts AS DATE) AS fecha, count(*) AS n,
+      |  round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
+
+  /** q226 drop-column: the SOURCE stops shipping `value` on the
+    * evolution day (a CRM export dropping a field — SURVEY §5's
+    * silent-NULL hazard). The warehouse target keeps the column:
+    * conform fills it as a typed NULL and the drift REPORT names the
+    * deviation (`added_null` — ReferenceSpec pins it), history keeps
+    * its real values, and the BI scan serves both vintages with the
+    * NULL-vs-value split visible per fecha. Oracle restates the drop
+    * rule from raw events. */
+  def schemaDropColumn(spark: SparkSession, dir: String): DataFrame = {
+    prep(spark)
+    val (_, name) = driftWarehouse(spark, dir, "dropcol",
+      PreEvolutionTarget, PreEvolutionTarget, Map.empty, None)(
+      _.drop("value"))
+    spark.table(name)
+      .groupBy(col("fecha"))
+      .agg(count(lit(1)).as("n"), count(col("value")).as("n_value"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("fecha")
+  }
+
+  val schemaDropColumnSql: String =
+    """SELECT fecha, count(*) AS n,
+      |  CAST(count(v) AS BIGINT) AS n_value, round(sum(v), 4) AS sum_value
+      |FROM (SELECT CAST(ts AS DATE) AS fecha,
+      |        CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05' THEN NULL
+      |             ELSE value END AS v
+      |      FROM events)
+      |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
+
   /** S1+S4+P*+X*+F2 full micro-pipeline: a latin-1, `;`-separated CSV
     * with accented/messy headers → probe → conform → coerce → drop
     * null keys. The oracle pins the exact expected rows (VALUES). */
@@ -1797,7 +1952,10 @@ object Reference {
     "q189_partition_pruned_read" -> partitionPrunedRead,
     "q208_schema_drift" -> schemaDrift,
     "q209_catalog_pruned_read" -> catalogPrunedRead,
-    "q223_schema_evolution" -> schemaEvolution
+    "q223_schema_evolution" -> schemaEvolution,
+    "q224_schema_widen" -> schemaWiden,
+    "q225_schema_rename" -> schemaRename,
+    "q226_schema_drop_column" -> schemaDropColumn
   )
 
   val oracle: Map[String, String] = Map(
@@ -1833,6 +1991,9 @@ object Reference {
     // same values as q189: the read surface changed (named catalog
     // table), the answer must not
     "q209_catalog_pruned_read" -> partitionPrunedReadSql,
-    "q223_schema_evolution" -> schemaEvolutionSql
+    "q223_schema_evolution" -> schemaEvolutionSql,
+    "q224_schema_widen" -> schemaWidenSql,
+    "q225_schema_rename" -> schemaRenameSql,
+    "q226_schema_drop_column" -> schemaDropColumnSql
   )
 }

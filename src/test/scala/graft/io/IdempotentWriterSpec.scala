@@ -337,6 +337,85 @@ class IdempotentWriterSpec extends SparkSpec {
     }
   }
 
+  test("q224/q225/q226 drift cells: history files genuinely carry the " +
+      "OLD shape on disk, the arrival lands the drift, and the catalog/" +
+      "conform layer absorbs it — widening is metadata-only, the rename " +
+      "folds to the stable name, the dropped column is a LOUD typed NULL") {
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    val R = graft.queries.Reference
+    val evoDir = "fecha=" + R.EvolutionDay
+
+    // --- q224 widen: history is INT32 parquet; the widened catalog
+    // serves 64-bit ids from the evolution day without rewriting it
+    R.schemaWiden(spark, dir).collect()
+    val (widenWh, widenName) = R.driftWarehouse(spark, dir, "widen",
+      R.PreWidenTarget, R.WidenedTarget, Map.empty,
+      Some(R.WidenedTarget))(identity)
+    val historyPart = new java.io.File(widenWh).listFiles()
+      .filter(f => f.getName.startsWith("fecha=") && f.getName != evoDir)
+      .head.toString
+    // the bytes on disk: a history file's footer says INT, the
+    // evolution day's says LONG — two vintages, one table
+    assert(spark.read.parquet(historyPart).schema("user_id").dataType
+      === IntegerType, "history was rewritten to the widened type")
+    assert(spark.read.parquet(s"$widenWh/$evoDir").schema("user_id")
+      .dataType === LongType)
+    assert(spark.table(widenName).schema("user_id").dataType === LongType)
+    // ...and the widened read really carries values no INT can hold
+    val maxId = spark.table(widenName)
+      .agg(org.apache.spark.sql.functions.max(col("user_id"))).head.getLong(0)
+    assert(maxId > 4294967296L, s"widened column topped out at $maxId")
+
+    // --- q225 rename: the evolution file on disk carries the STABLE
+    // name with REAL values (the rename map folded valor_total back)
+    R.schemaRename(spark, dir).collect()
+    val (renameWh, _) = R.driftWarehouse(spark, dir, "rename",
+      R.PreEvolutionTarget, R.PreEvolutionTarget,
+      Map("valor_total" -> "value"), None)(identity)
+    val evoRename = spark.read.parquet(s"$renameWh/$evoDir")
+    assert(evoRename.schema.fieldNames.contains("value") &&
+      !evoRename.schema.fieldNames.contains("valor_total"))
+    assert(evoRename.filter(col("value").isNotNull).count() > 0,
+      "the renamed column's data did not land")
+    // the drift report is what makes the miss LOUD: without the
+    // rename map this arrival reads as added_null + dropped
+    val arrivalSchema = StructType(Seq(
+      StructField("fecha", DateType), StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("valor_total", DoubleType)))
+    val withMap = graft.conform.Conform.driftRows(R.PreEvolutionTarget,
+      Map("valor_total" -> "value"))(arrivalSchema)
+    assert(!withMap.exists(_.disposition == "added_null"), withMap.toString)
+    val withoutMap = graft.conform.Conform.driftRows(
+      R.PreEvolutionTarget)(arrivalSchema)
+    assert(withoutMap.exists(r =>
+      r.disposition == "added_null" && r.column == "value"))
+    assert(withoutMap.exists(r =>
+      r.disposition == "dropped" && r.column == "valor_total"))
+
+    // --- q226 drop-column: the arrival's missing column is a typed
+    // NULL on disk for exactly the evolution day, and the drift report
+    // names it
+    R.schemaDropColumn(spark, dir).collect()
+    val (dropWh, _) = R.driftWarehouse(spark, dir, "dropcol",
+      R.PreEvolutionTarget, R.PreEvolutionTarget, Map.empty, None)(identity)
+    val evoDrop = spark.read.parquet(s"$dropWh/$evoDir")
+    assert(evoDrop.schema("value").dataType === DoubleType)
+    assert(evoDrop.filter(col("value").isNotNull).count() === 0,
+      "the dropped column landed values from nowhere")
+    // ...while history keeps its real values (same fecha dir name as
+    // the widen cell's sampled history partition)
+    val historyFecha = new java.io.File(historyPart).getName
+    assert(spark.read.parquet(s"$dropWh/$historyFecha")
+      .filter(col("value").isNotNull).count() > 0)
+    val dropDrift = graft.conform.Conform.driftRows(R.PreEvolutionTarget)(
+      StructType(R.PreEvolutionTarget.fields.filter(_.name != "value")))
+    assert(dropDrift.exists(r =>
+      r.disposition == "added_null" && r.column == "value"), dropDrift.toString)
+  }
+
   // -----------------------------------------------------------------
   // Same-date writer races (round-10 verdict ask #2): the double-fired
   // scheduler the reference's own retry policy invites
