@@ -45,6 +45,24 @@ oracle = json.load(open(os.path.join(src, "oracle_sql.json")))
 # group's own prefix, and each query is routed to its group's file, so
 # a genuinely drifted sig definition gets its own (correct) superset
 # instead of silently computing over another family's.
+# Build artifacts are CONTENT-ADDRESSED and cached across sweeps: the
+# path derives from (sf dir, the verbatim SQL the build extracts), so
+# a second sweep in the same round — the 90 s full-registry gate after
+# the 1800 s tail run, or a re-dump after an engine change that left
+# these oracles untouched — reuses every candidate/label parquet
+# instead of paying the build again. A drifted oracle changes the key
+# and rebuilds; a stale file can never serve a different derivation.
+import hashlib
+
+CACHE_DIR = "/tmp/graft_oracle_cache"
+os.makedirs(CACHE_DIR, exist_ok=True)
+
+
+def cache_path(kind, *key_parts):
+    h = hashlib.md5("\x00".join((sf,) + key_parts).encode()).hexdigest()
+    return os.path.join(CACHE_DIR, f"{kind}_{h[:16]}.parquet")
+
+
 MARKER = "FROM sig a JOIN sig b ON a.doc_id < b.doc_id"
 cand1_for = {}  # query name -> cand1 parquet path (absent = all-pairs)
 marker_names = [n for n in names if MARKER in oracle.get(n, "")
@@ -54,25 +72,37 @@ for n in marker_names:
     sql = oracle[n]
     groups.setdefault(
         sql[:sql.index("cand AS (")].rstrip().rstrip(","), []).append(n)
-for gi, members in enumerate(sorted(groups.values())):
-    path = os.path.abspath(src.rstrip("/") + f"_cand1_{gi}.parquet")
+for gi, (prefix_key, members) in enumerate(
+        sorted(groups.items(), key=lambda kv: kv[1])):
+    path = cache_path("cand1", prefix_key)
+    if os.path.exists(path):
+        print(f"group {gi} ({','.join(members)}): cand1 cached -> {path}",
+              flush=True)
+        for n in members:
+            cand1_for[n] = path
+        continue
+    tmp = f"{path}.tmp{os.getpid()}"
     try:
         r = subprocess.run(
             ["python3", os.path.join(here, "build_cand1.py"),
-             os.path.join(src, "oracle_sql.json"), sf, path, members[0]],
+             os.path.join(src, "oracle_sql.json"), sf, tmp, members[0]],
             capture_output=True, text=True, timeout=1800)
         if r.returncode != 0:
             print(f"cand1 group {gi} ({','.join(members)}) build failed, "
                   f"falling back to all-pairs: {r.stderr[-300:]}",
                   flush=True)
         else:
+            os.replace(tmp, path)
             print(f"group {gi} ({','.join(members)}): "
-                  + r.stdout.strip(), flush=True)
+                  + r.stdout.strip().replace(tmp, path), flush=True)
             for n in members:
                 cand1_for[n] = path
     except subprocess.TimeoutExpired:
         print(f"cand1 group {gi} build timed out, falling back to "
               "all-pairs for " + ",".join(members), flush=True)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 # COMPOSED oracles (q197/q221) embed a family oracle VERBATIM inside a
 # derived subquery, so their extracted "prefix" is the whole composed
@@ -107,22 +137,32 @@ hamming_for = {}     # query name -> key
 
 
 def _build_group(kind, qname, site, path):
+    # builds land at a temp name and RENAME in (a killed build must
+    # never leave a torn parquet a later sweep's cache hit trusts)
+    if os.path.exists(path):
+        print(f"{kind}[{qname}#{site}]: cached -> {path}", flush=True)
+        return path
+    tmp = f"{path}.tmp{os.getpid()}"
     try:
         r = subprocess.run(
             ["python3", os.path.join(here, "build_banded.py"),
-             os.path.join(src, "oracle_sql.json"), sf, path,
+             os.path.join(src, "oracle_sql.json"), sf, tmp,
              qname, str(site)],
             capture_output=True, text=True, timeout=1800)
         if r.returncode != 0:
             print(f"{kind} build for {qname}#{site} failed, falling back"
                   f" to the stated join: {r.stderr[-300:]}", flush=True)
             return None
-        print(r.stdout.strip(), flush=True)
+        os.replace(tmp, path)
+        print(r.stdout.strip().replace(tmp, path), flush=True)
         return path
     except subprocess.TimeoutExpired:
         print(f"{kind} build for {qname}#{site} timed out, falling back"
               " to the stated join", flush=True)
         return None
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 for n in names:
@@ -133,15 +173,13 @@ for n in names:
         for si, j in enumerate(sites):
             k = banded.group_key(j)
             if k not in banded_groups:
-                path = os.path.abspath(
-                    src.rstrip("/") + f"_cande_{len(banded_groups)}.parquet")
+                path = cache_path("cande", repr(k))
                 banded_groups[k] = _build_group("cand_banded", n, si, path)
     hj = banded.find_hamming_join(sql) if "bit_count(xor(" in sql else None
     if hj is not None:
         k = banded.hamming_group_key(hj)
         if k not in hamming_groups:
-            path = os.path.abspath(
-                src.rstrip("/") + f"_candh_{len(hamming_groups)}.parquet")
+            path = cache_path("candh", repr(k))
             hamming_groups[k] = _build_group("cand_hamming", n, "hamming",
                                              path)
         hamming_for[n] = k
@@ -190,30 +228,39 @@ for n in names:
         m, edge_sql, domain_sql = site
         key = edge_sql + "\x00" + domain_sql
         if key not in cc_cache:
-            path = os.path.abspath(
-                src.rstrip("/") + f"_cclab_{len(cc_cache)}.parquet")
+            path = cache_path("cclab", key)
             efile, dfile = path + ".edges.sql", path + ".domain.sql"
             with open(efile, "w") as f:
                 f.write(edge_sql)
             with open(dfile, "w") as f:
                 f.write(domain_sql)
-            try:
-                r = subprocess.run(
-                    ["python3", os.path.join(here, "build_cc_labels.py"),
-                     sf, path, efile, dfile],
-                    capture_output=True, text=True, timeout=2400)
-                if r.returncode != 0:
-                    print(f"cc_labels build for {n} failed, keeping the "
-                          f"stated recursion: {r.stderr[-300:]}", flush=True)
+            if os.path.exists(path):
+                print(f"cc_labels cached -> {path}  (user: {n})", flush=True)
+                cc_cache[key] = path
+            else:
+                tmp = f"{path}.tmp{os.getpid()}"
+                try:
+                    r = subprocess.run(
+                        ["python3", os.path.join(here, "build_cc_labels.py"),
+                         sf, tmp, efile, dfile],
+                        capture_output=True, text=True, timeout=2400)
+                    if r.returncode != 0:
+                        print(f"cc_labels build for {n} failed, keeping the "
+                              f"stated recursion: {r.stderr[-300:]}",
+                              flush=True)
+                        cc_cache[key] = None
+                    else:
+                        os.replace(tmp, path)
+                        print(r.stdout.strip().replace(tmp, path)
+                              + f"  (first user: {n})", flush=True)
+                        cc_cache[key] = path
+                except subprocess.TimeoutExpired:
+                    print(f"cc_labels build for {n} timed out, keeping the "
+                          "stated recursion", flush=True)
                     cc_cache[key] = None
-                else:
-                    print(r.stdout.strip() + f"  (first user: {n})",
-                          flush=True)
-                    cc_cache[key] = path
-            except subprocess.TimeoutExpired:
-                print(f"cc_labels build for {n} timed out, keeping the "
-                      "stated recursion", flush=True)
-                cc_cache[key] = None
+                finally:
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
         if cc_cache[key] is None:
             break  # leave this and any later site as stated
         sql = ccsplice.splice(sql, m, cc_cache[key])
