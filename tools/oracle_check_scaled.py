@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Per-query oracle check with a timeout — the stress-scale gate.
 
-Usage: python3 tools/oracle_check_scaled.py <verify_out> <sf_dir> [timeout_s]
+Usage: python3 tools/oracle_check_scaled.py <verify_out> <sf_dir> \
+           [timeout_s] [--jobs=N] [--dump-sql=PATH]
 
 Wraps tools/oracle_check.py one query at a time (a symlinked
 single-dump dir per query) so one intractable oracle cannot stall the
@@ -29,8 +30,21 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import banded  # noqa: E402  (sibling module, same driver-side tooling)
 
-src, sf = sys.argv[1], sys.argv[2]
-limit = float(sys.argv[3]) if len(sys.argv) > 3 else 90.0
+# --dump-sql=PATH: write the fully-rewritten oracle SQL map (after all
+# candidate/label builds) as JSON and exit WITHOUT sweeping — the input
+# to tools/restatement_check.py's stated-vs-restated equivalence gate.
+dump_sql = None
+jobs = 1
+argv = []
+for a in sys.argv[1:]:
+    if a.startswith("--dump-sql="):
+        dump_sql = a[len("--dump-sql="):]
+    elif a.startswith("--jobs="):
+        jobs = int(a[len("--jobs="):])
+    else:
+        argv.append(a)
+src, sf = argv[0], argv[1]
+limit = float(argv[2]) if len(argv) > 2 else 90.0
 work = src.rstrip("/") + "_one"
 names = sorted(d for d in os.listdir(src)
                if os.path.isdir(os.path.join(src, d)))
@@ -266,30 +280,53 @@ for n in names:
         sql = ccsplice.splice(sql, m, cc_cache[key])
     final_sql[n] = sql
 
-ok, bad, timeout = [], [], []
-for n in names:
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(work)
+if dump_sql is not None:
+    with open(dump_sql, "w") as f:
+        json.dump({n: final_sql.get(n, rewritten(n, v))
+                   for n, v in oracle.items()}, f)
+    rewritten_n = sum(1 for n, v in oracle.items()
+                      if final_sql.get(n, rewritten(n, v)) != v)
+    print(f"dumped {len(oracle)} oracle SQLs ({rewritten_n} rewritten) "
+          f"-> {dump_sql}", flush=True)
+    sys.exit(0)
+
+# Per-query checks are independent (each runs oracle_check.py over a
+# one-symlink dir); --jobs=N runs them in a thread pool of subprocess
+# launchers so the standing per-round gate costs wall-clock ~max, not
+# sum. DuckDB processes are independent; memory is the only coupling
+# (each loads one query's tables), so default stays 1 and the round
+# ritual picks N from free RAM.
+def check_one(n):
+    w = f"{work}_{n}"
+    shutil.rmtree(w, ignore_errors=True)
+    os.makedirs(w)
     os.symlink(os.path.abspath(os.path.join(src, n)),
-               os.path.join(work, n))
-    with open(os.path.join(work, "oracle_sql.json"), "w") as f:
-        json.dump({k: final_sql.get(k, rewritten(k, v))
-                   for k, v in oracle.items()}, f)
+               os.path.join(w, n))
+    with open(os.path.join(w, "oracle_sql.json"), "w") as f:
+        json.dump({n: final_sql.get(n, rewritten(n, oracle[n]))}
+                  if n in oracle else {}, f)
     try:
         r = subprocess.run(
-            ["python3", os.path.join(here, "oracle_check.py"), work, sf],
+            ["python3", os.path.join(here, "oracle_check.py"), w, sf],
             capture_output=True, text=True, timeout=limit)
         lines = [l for l in r.stdout.splitlines() if n in l]
         if any(l.startswith("OK") for l in lines):
-            ok.append(n)
-            print(f"OK   {n}", flush=True)
-        else:
-            bad.append(n)
-            print(f"BAD  {n}  {(lines or [r.stdout[-200:]])[0]}", flush=True)
+            return ("ok", n, "")
+        return ("bad", n, (lines or [r.stdout[-200:]])[0])
     except subprocess.TimeoutExpired:
-        timeout.append(n)
-        print(f"TIME {n}  (oracle exceeded {limit:.0f}s — see docstring)",
-              flush=True)
-shutil.rmtree(work, ignore_errors=True)
+        return ("timeout", n,
+                f"(oracle exceeded {limit:.0f}s — see docstring)")
+    finally:
+        shutil.rmtree(w, ignore_errors=True)
+
+
+from concurrent.futures import ThreadPoolExecutor  # noqa: E402
+
+ok, bad, timeout = [], [], []
+with ThreadPoolExecutor(max_workers=jobs) as pool:
+    for kind, n, msg in pool.map(check_one, names):
+        {"ok": ok, "bad": bad, "timeout": timeout}[kind].append(n)
+        tag = {"ok": "OK  ", "bad": "BAD ", "timeout": "TIME"}[kind]
+        print(f"{tag} {n}  {msg}".rstrip(), flush=True)
 print(json.dumps({"ok": len(ok), "bad": bad, "timeout": timeout}))
 sys.exit(1 if bad else 0)
