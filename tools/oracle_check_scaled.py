@@ -231,10 +231,89 @@ def rewritten(name: str, sql: str) -> str:
 # ---- union-find over them) ----
 import ccsplice  # noqa: E402
 
+# ---- the Jaccard-scored `pairs` memoization (tools/pairsplice.py:
+# ---- pure memoization, not restatement — the minhash family's ~20
+# ---- oracles and the CC edge extractions all re-evaluate the SAME
+# ---- verbatim scored-pairs kernel, ~30 min each over the 247M-pair
+# ---- superset at x64; it is evaluated ONCE per distinct prefix text
+# ---- by the same DuckDB engine and spliced back as a parquet read) --
+import pairsplice  # noqa: E402
+
+
+def walk_pairs_sites(sql):
+    pos, sites = 0, []
+    while True:
+        site = pairsplice.find_pairs_site(sql, pos)
+        if site is None:
+            return sites
+        if site[0] == "skip":
+            pos = site[1]
+            continue
+        _, w, close, build_sql, nxt = site
+        sites.append((w, close, build_sql))
+        pos = nxt
+
+
+rw_sql = {n: rewritten(n, oracle.get(n, "")) for n in names}
+pairs_builds = {}  # build_sql -> (path, first user)
+for n in names:
+    for w, close, bs in walk_pairs_sites(rw_sql[n]):
+        pairs_builds.setdefault(bs, (cache_path("ccpairs", bs), n))
+
+
+def _build_pairs_one(item):
+    bs, (path, user) = item
+    if os.path.exists(path):
+        print(f"pairs cached -> {path}  (user: {user})", flush=True)
+        return bs, path
+    tmp = f"{path}.tmp{os.getpid()}_{abs(hash(bs)) % 997}"
+    bfile = path + ".build.sql"
+    with open(bfile, "w") as f:
+        f.write(bs)
+    # distinct prefixes build concurrently; split the cores between
+    # them so k builds cost ~one build's wall time
+    thr = max(6, (os.cpu_count() or 8) // max(1, len(pairs_builds)))
+    try:
+        r = subprocess.run(
+            ["python3", os.path.join(here, "build_pairs.py"),
+             sf, tmp, bfile, str(thr)],
+            capture_output=True, text=True, timeout=5400)
+        if r.returncode != 0:
+            print(f"pairs build for {user} failed, keeping the stated "
+                  f"kernel: {r.stderr[-300:]}", flush=True)
+            return bs, None
+        os.replace(tmp, path)
+        print(r.stdout.strip().replace(tmp, path)
+              + f"  (first user: {user})", flush=True)
+        return bs, path
+    except subprocess.TimeoutExpired:
+        print(f"pairs build for {user} timed out, keeping the stated "
+              "kernel", flush=True)
+        return bs, None
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
+from concurrent.futures import ThreadPoolExecutor as _TPE  # noqa: E402
+
+pairs_cache = {}
+if pairs_builds:
+    with _TPE(max_workers=min(6, len(pairs_builds))) as pool:
+        for bs, path in pool.map(_build_pairs_one,
+                                 sorted(pairs_builds.items(),
+                                        key=lambda kv: kv[1][1])):
+            pairs_cache[bs] = path
+
 cc_cache = {}  # edge_sql text -> labels parquet path (None = failed)
 final_sql = {}
 for n in names:
-    sql = rewritten(n, oracle.get(n, ""))
+    sql = rw_sql[n]
+    # apply pairs splices last-site-first so earlier spans stay valid
+    for w, close, bs in sorted(walk_pairs_sites(sql), key=lambda s: -s[0]):
+        p = pairs_cache.get(bs)
+        if p is not None:
+            sql = pairsplice.splice(sql, w, close, p)
     while True:
         site = ccsplice.find_cc_site(sql)
         if site is None:
