@@ -35,19 +35,23 @@ import banded  # noqa: E402  (sibling module, same driver-side tooling)
 # to tools/restatement_check.py's stated-vs-restated equivalence gate.
 dump_sql = None
 jobs = 1
+only = None
 argv = []
 for a in sys.argv[1:]:
     if a.startswith("--dump-sql="):
         dump_sql = a[len("--dump-sql="):]
     elif a.startswith("--jobs="):
         jobs = int(a[len("--jobs="):])
+    elif a.startswith("--only="):
+        only = set(a[len("--only="):].split(","))
     else:
         argv.append(a)
 src, sf = argv[0], argv[1]
 limit = float(argv[2]) if len(argv) > 2 else 90.0
 work = src.rstrip("/") + "_one"
 names = sorted(d for d in os.listdir(src)
-               if os.path.isdir(os.path.join(src, d)))
+               if os.path.isdir(os.path.join(src, d))
+               and (only is None or d in only))
 here = os.path.dirname(os.path.abspath(__file__))
 oracle = json.load(open(os.path.join(src, "oracle_sql.json")))
 

@@ -1,0 +1,48 @@
+#!/bin/bash
+# Standing round-close verification ritual (run from /root/repo).
+#
+# Catches scale walls the round they are introduced (the r13 q128 class)
+# instead of the round after. Produces the numbers for the per-round
+# BENCH_NOTES rows: dual-SF registry green, restatement equivalence,
+# x8 + x64 stress-scale sweeps.
+#
+# Usage: tools/round_gate.sh [skip-dumps]
+#   skip-dumps — reuse existing /tmp/verify_* dumps (after an
+#   oracle-only change; any engine change needs fresh dumps).
+#
+# Wall-clock guide (32 cores): dumps ~2/10/60 min for sf0.001/sf0.01/
+# x64; sweeps are minutes once the content-addressed builds are cached
+# (first x64 build of the round is ~1 h, dominated by the 3 scored-
+# pairs prefixes over the 247M-pair superset).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+if [ "${1:-}" != "skip-dumps" ]; then
+  sbt -batch compile
+  python3 tools/make_stress.py /root/testdata/sf0.1 /tmp/stress_x8 8
+  python3 tools/make_stress.py /root/testdata/sf0.1 /tmp/stress_x64 64
+  SPARK_DRIVER_MEM=8g  SPARK_GRAFT_CPUS=8  ./run-class.sh graft.Verify /root/testdata/sf0.001 /tmp/verify_001
+  SPARK_DRIVER_MEM=24g SPARK_GRAFT_CPUS=16 ./run-class.sh graft.Verify /root/testdata/sf0.01  /tmp/verify_01
+  SPARK_DRIVER_MEM=80g SPARK_GRAFT_CPUS=28 ./run-class.sh graft.Verify /tmp/stress_x8         /tmp/verify_x8
+  SPARK_DRIVER_MEM=80g SPARK_GRAFT_CPUS=28 ./run-class.sh graft.Verify /tmp/stress_x64        /tmp/verify_x64
+fi
+
+echo "=== gate 1: full-registry oracle compare, sf0.001 + sf0.01 ==="
+python3 tools/oracle_check_scaled.py /tmp/verify_001 /root/testdata/sf0.001 90 --jobs=8
+python3 tools/oracle_check_scaled.py /tmp/verify_01  /root/testdata/sf0.01 300 --jobs=8
+
+echo "=== gate 2: stated-vs-restated equivalence (sweep tooling) ==="
+python3 tools/restatement_check.py /tmp/verify_001 /root/testdata/sf0.001
+
+echo "=== gate 3: x8 stress sweep ==="
+python3 tools/oracle_check_scaled.py /tmp/verify_x8 /tmp/stress_x8 300 --jobs=8
+
+echo "=== gate 4: x64 stress sweep (90 s leash, then long-leash tail) ==="
+python3 tools/oracle_check_scaled.py /tmp/verify_x64 /tmp/stress_x64 90 --jobs=8 \
+  | tee /tmp/x64_sweep.log || true
+TAIL=$(grep "^TIME" /tmp/x64_sweep.log | awk '{print $2}' | paste -sd, -)
+if [ -n "$TAIL" ]; then
+  echo "--- tail re-run (2400 s leash): $TAIL"
+  python3 tools/oracle_check_scaled.py /tmp/verify_x64 /tmp/stress_x64 2400 \
+    --jobs=4 "--only=$TAIL"
+fi
