@@ -3,6 +3,12 @@ import pandas as pd
 outdir = sys.argv[1]; sfdir = sys.argv[2]
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 con = duckdb.connect()
+# optional resource caps for stress-scale sweeps (unset = DuckDB
+# defaults, i.e. the driver-gate behavior is unchanged)
+if os.environ.get("DUCKDB_MEMORY_LIMIT"):
+    con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMORY_LIMIT']}'")
+if os.environ.get("DUCKDB_THREADS"):
+    con.execute(f"SET threads TO {int(os.environ['DUCKDB_THREADS'])}")
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 ok, bad = [], []

@@ -253,15 +253,15 @@ def walk_pairs_sites(sql):
         if site[0] == "skip":
             pos = site[1]
             continue
-        _, w, close, build_sql, nxt = site
-        sites.append((w, close, build_sql))
+        _, name, w, close, build_sql, nxt = site
+        sites.append((name, w, close, build_sql))
         pos = nxt
 
 
 rw_sql = {n: rewritten(n, oracle.get(n, "")) for n in names}
 pairs_builds = {}  # build_sql -> (path, first user)
 for n in names:
-    for w, close, bs in walk_pairs_sites(rw_sql[n]):
+    for name, w, close, bs in walk_pairs_sites(rw_sql[n]):
         pairs_builds.setdefault(bs, (cache_path("ccpairs", bs), n))
 
 
@@ -275,8 +275,10 @@ def _build_pairs_one(item):
     with open(bfile, "w") as f:
         f.write(bs)
     # distinct prefixes build concurrently; split the cores between
-    # them so k builds cost ~one build's wall time
-    thr = max(6, (os.cpu_count() or 8) // max(1, len(pairs_builds)))
+    # the builds that actually RUN (cached ones cost nothing)
+    uncached = sum(1 for _, (p, _) in pairs_builds.items()
+                   if not os.path.exists(p))
+    thr = max(6, (os.cpu_count() or 8) // max(1, uncached))
     try:
         r = subprocess.run(
             ["python3", os.path.join(here, "build_pairs.py"),
@@ -314,10 +316,11 @@ final_sql = {}
 for n in names:
     sql = rw_sql[n]
     # apply pairs splices last-site-first so earlier spans stay valid
-    for w, close, bs in sorted(walk_pairs_sites(sql), key=lambda s: -s[0]):
+    for name, w, close, bs in sorted(walk_pairs_sites(sql),
+                                     key=lambda s: -s[1]):
         p = pairs_cache.get(bs)
         if p is not None:
-            sql = pairsplice.splice(sql, w, close, p)
+            sql = pairsplice.splice(sql, name, w, close, p)
     while True:
         site = ccsplice.find_cc_site(sql)
         if site is None:
@@ -388,14 +391,24 @@ def check_one(n):
     with open(os.path.join(w, "oracle_sql.json"), "w") as f:
         json.dump({n: final_sql.get(n, rewritten(n, oracle[n]))}
                   if n in oracle else {}, f)
+    env = dict(os.environ)
+    # cap each DuckDB's memory so concurrent checks cannot OOM-kill
+    # each other (a killed oracle process is a feasibility failure,
+    # never an engine mismatch — classified "died", not "bad")
+    env.setdefault("DUCKDB_MEMORY_LIMIT", f"{max(8, 100 // jobs)}GB")
     try:
         r = subprocess.run(
             ["python3", os.path.join(here, "oracle_check.py"), w, sf],
-            capture_output=True, text=True, timeout=limit)
+            capture_output=True, text=True, timeout=limit, env=env)
         lines = [l for l in r.stdout.splitlines() if n in l]
         if any(l.startswith("OK") for l in lines):
             return ("ok", n, "")
-        return ("bad", n, (lines or [r.stdout[-200:]])[0])
+        if lines:
+            return ("bad", n, lines[0])
+        return ("died", n,
+                f"(oracle process exited rc={r.returncode} with no "
+                f"verdict — OOM-killed or DuckDB OOM; stderr: "
+                f"{r.stderr[-200:].strip()})")
     except subprocess.TimeoutExpired:
         return ("timeout", n,
                 f"(oracle exceeded {limit:.0f}s — see docstring)")
@@ -405,11 +418,14 @@ def check_one(n):
 
 from concurrent.futures import ThreadPoolExecutor  # noqa: E402
 
-ok, bad, timeout = [], [], []
+ok, bad, timeout, died = [], [], [], []
 with ThreadPoolExecutor(max_workers=jobs) as pool:
     for kind, n, msg in pool.map(check_one, names):
-        {"ok": ok, "bad": bad, "timeout": timeout}[kind].append(n)
-        tag = {"ok": "OK  ", "bad": "BAD ", "timeout": "TIME"}[kind]
+        {"ok": ok, "bad": bad, "timeout": timeout,
+         "died": died}[kind].append(n)
+        tag = {"ok": "OK  ", "bad": "BAD ", "timeout": "TIME",
+               "died": "DIED"}[kind]
         print(f"{tag} {n}  {msg}".rstrip(), flush=True)
-print(json.dumps({"ok": len(ok), "bad": bad, "timeout": timeout}))
+print(json.dumps({"ok": len(ok), "bad": bad, "timeout": timeout,
+                  "died": died}))
 sys.exit(1 if bad else 0)

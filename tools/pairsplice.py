@@ -29,7 +29,13 @@ Driver-side tooling only, like oracle_check.py.
 """
 import re
 
-PAIRS_RE = re.compile(r"\bpairs AS \(")
+# Two memoizable kernel shapes share the mechanics:
+# - `pairs AS (...)`: the minhash family's Jaccard-scored candidates
+# - `ed AS (...)`: the kNN-graph family's top-k edge set (cand join
+#   back to two vector sides + per-src window — tens of GB of join/
+#   sort spill at x64, re-derived by q138/q145/q152/q168/q177/q181/
+#   q198/q202/q207 and q102's beam arm)
+PAIRS_RE = re.compile(r"\b(pairs|ed) AS \(")
 
 
 def _close_paren(sql, open_idx):
@@ -46,11 +52,11 @@ def _close_paren(sql, open_idx):
 
 
 def find_pairs_site(sql, from_idx=0):
-    """First memoizable `pairs AS (...)` at/after from_idx, or None.
+    """First memoizable kernel CTE at/after from_idx, or None.
 
-    Returns ("site", start, close, build_sql, next_idx) where
-    sql[start:close+1] is the full `pairs AS (...)` CTE text and
-    build_sql is the runnable enclosing chain + SELECT * FROM pairs —
+    Returns ("site", name, start, close, build_sql, next_idx) where
+    sql[start:close+1] is the full `<name> AS (...)` CTE text and
+    build_sql is the runnable enclosing chain + SELECT * FROM <name> —
     or ("skip", next_idx) for sites with nothing expensive to memoize
     (no cand CTE in the enclosing prefix, e.g. an already-spliced
     site's parquet-read body).
@@ -58,6 +64,7 @@ def find_pairs_site(sql, from_idx=0):
     m = PAIRS_RE.search(sql, from_idx)
     if m is None:
         return None
+    name = m.group(1)
     close = _close_paren(sql, m.end() - 1)
     w = sql.rfind("WITH ", 0, m.start())
     nxt = m.end()
@@ -66,14 +73,14 @@ def find_pairs_site(sql, from_idx=0):
     prefix = sql[w:close + 1]
     if "cand AS (" not in prefix:
         return ("skip", nxt)
-    build_sql = prefix + "\nSELECT * FROM pairs"
-    return ("site", m.start(), close, build_sql, nxt)
+    build_sql = prefix + f"\nSELECT * FROM {name}"
+    return ("site", name, m.start(), close, build_sql, nxt)
 
 
-def splice(sql, start, close, parquet_path):
-    """Replace the pairs CTE's body with a parquet read; the rest of
+def splice(sql, name, start, close, parquet_path):
+    """Replace the kernel CTE's body with a parquet read; the rest of
     the WITH chain — including CTEs the splice leaves unreferenced —
     is untouched."""
     return (sql[:start]
-            + f"pairs AS (SELECT * FROM read_parquet('{parquet_path}'))"
+            + f"{name} AS (SELECT * FROM read_parquet('{parquet_path}'))"
             + sql[close + 1:])
