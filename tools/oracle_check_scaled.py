@@ -36,6 +36,7 @@ import banded  # noqa: E402  (sibling module, same driver-side tooling)
 dump_sql = None
 jobs = 1
 only = None
+memo_tail = False
 argv = []
 for a in sys.argv[1:]:
     if a.startswith("--dump-sql="):
@@ -44,6 +45,8 @@ for a in sys.argv[1:]:
         jobs = int(a[len("--jobs="):])
     elif a.startswith("--only="):
         only = set(a[len("--only="):].split(","))
+    elif a == "--memo-tail":
+        memo_tail = True
     else:
         argv.append(a)
 src, sf = argv[0], argv[1]
@@ -376,6 +379,66 @@ if dump_sql is not None:
           f"-> {dump_sql}", flush=True)
     sys.exit(0)
 
+# ---- --memo-tail: whole-oracle memoization for the long-leash tail
+# ---- re-run. For each query being checked, the FULLY-REWRITTEN oracle
+# ---- SQL (all kernel caches applied) is evaluated ONCE by DuckDB with
+# ---- a build-grade leash and full machine memory, materialized to a
+# ---- content-addressed parquet, and the per-query check then compares
+# ---- the engine dump against that parquet. Pure memoization, same
+# ---- trust base as running the SQL inline (same text, same engine,
+# ---- same input; the oracle side was never anything more than "what
+# ---- DuckDB computes for this SQL") — what it buys is the BUILD
+# ---- budget: one 90-min evaluation amortized across every future
+# ---- sweep of the round instead of re-paying it inside each check's
+# ---- leash, which is exactly the r13 x64 tail's failure mode (the
+# ---- oracle re-derivations exceed any per-check leash at 64x, while
+# ---- the engine side finishes in seconds). A build that STILL blows
+# ---- the build leash falls back to the stated SQL and the check
+# ---- records the honest TIMEOUT/DIED.
+whole_memo = {}  # name -> parquet path
+if memo_tail:
+    def _build_whole(n):
+        if n not in oracle:
+            return n, None
+        sql = final_sql.get(n, rewritten(n, oracle[n]))
+        path = cache_path("whole", sql)
+        if os.path.exists(path):
+            print(f"whole[{n}]: cached -> {path}", flush=True)
+            return n, path
+        tmp = f"{path}.tmp{os.getpid()}_{abs(hash(n)) % 997}"
+        bfile = path + f".{n}.sql"
+        with open(bfile, "w") as f:
+            f.write(sql)
+        thr = max(8, (os.cpu_count() or 8) // 2)
+        env = dict(os.environ)
+        env.setdefault("DUCKDB_MEMORY_LIMIT", "50GB")
+        try:
+            r = subprocess.run(
+                ["python3", os.path.join(here, "build_pairs.py"),
+                 sf, tmp, bfile, str(thr)],
+                capture_output=True, text=True, timeout=5400, env=env)
+            if r.returncode != 0:
+                print(f"whole[{n}]: build failed, checking the stated "
+                      f"SQL: {r.stderr[-300:]}", flush=True)
+                return n, None
+            os.replace(tmp, path)
+            print(f"whole[{n}]: "
+                  + r.stdout.strip().replace(tmp, path), flush=True)
+            return n, path
+        except subprocess.TimeoutExpired:
+            print(f"whole[{n}]: build exceeded 5400s, checking the "
+                  "stated SQL", flush=True)
+            return n, None
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+    with _TPE(max_workers=2) as pool:
+        for n, p in pool.map(_build_whole, names):
+            if p is not None:
+                whole_memo[n] = p
+
+
 # Per-query checks are independent (each runs oracle_check.py over a
 # one-symlink dir); --jobs=N runs them in a thread pool of subprocess
 # launchers so the standing per-round gate costs wall-clock ~max, not
@@ -389,8 +452,12 @@ def check_one(n):
     os.symlink(os.path.abspath(os.path.join(src, n)),
                os.path.join(w, n))
     with open(os.path.join(w, "oracle_sql.json"), "w") as f:
-        json.dump({n: final_sql.get(n, rewritten(n, oracle[n]))}
-                  if n in oracle else {}, f)
+        check_sql = (
+            f"SELECT * FROM read_parquet('{whole_memo[n]}')"
+            if n in whole_memo
+            else final_sql.get(n, rewritten(n, oracle[n]))
+            if n in oracle else None)
+        json.dump({n: check_sql} if check_sql is not None else {}, f)
     env = dict(os.environ)
     # cap each DuckDB's memory so concurrent checks cannot OOM-kill
     # each other (a killed oracle process is a feasibility failure,

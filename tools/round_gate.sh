@@ -42,7 +42,7 @@ python3 tools/oracle_check_scaled.py /tmp/verify_x64 /tmp/stress_x64 90 --jobs=8
   | tee /tmp/x64_sweep.log || true
 TAIL=$(grep "^TIME" /tmp/x64_sweep.log | awk '{print $2}' | paste -sd, -)
 if [ -n "$TAIL" ]; then
-  echo "--- tail re-run (2400 s leash): $TAIL"
+  echo "--- tail re-run (2400 s leash, whole-oracle memoization): $TAIL"
   python3 tools/oracle_check_scaled.py /tmp/verify_x64 /tmp/stress_x64 2400 \
-    --jobs=4 "--only=$TAIL"
+    --jobs=4 --memo-tail "--only=$TAIL"
 fi
