@@ -39,6 +39,37 @@ for name in sorted(os.listdir(outdir)):
     a, b = norm(s), norm(dd)
     if a.equals(b): ok.append((name, f"{len(s)} rows"))
     else:
+        # Knife-edge fallback: round(x, 6)+string-compare already
+        # tolerates ~1e-6 float drift EXCEPT when the true value sits
+        # exactly on a 6dp round-half boundary, where two engines'
+        # accumulation orders legitimately round opposite ways (seen
+        # at stress scale: an avg of 2000 4dp cosines landing exactly
+        # on .xxxxx95). Re-align rows on the non-float columns (stable
+        # under the knife edge, unlike the float sort keys) and accept
+        # ONLY if every float cell agrees within 1e-6 and every other
+        # cell is string-equal — strictly narrower than the rounding
+        # tolerance the comparator already grants off-boundary.
+        def tol_equal(sdf, ddf):
+            fcols = [c for c in sdf.columns if sdf[c].dtype.kind == 'f']
+            kcols = [c for c in sdf.columns if c not in fcols]
+            def snorm(df):
+                df = df.copy()
+                for c in kcols: df[c] = df[c].astype(str)
+                return df.sort_values(kcols or list(df.columns)) \
+                         .reset_index(drop=True)
+            x, y = snorm(sdf), snorm(ddf)
+            if not x[kcols].equals(y[kcols]): return False
+            for c in fcols:
+                dx = (x[c] - y[c]).abs()
+                if not ((dx <= 1e-6) | (x[c].isna() & y[c].isna())).all():
+                    return False
+            return True
+        try: tol = tol_equal(s, dd)
+        except Exception: tol = False
+        if tol:
+            ok.append((name, f"{len(s)} rows (float cells within 1e-6; "
+                             "6dp knife-edge)"))
+            continue
         diff = (a != b).any(axis=1)
         i = diff.idxmax()
         bad.append((name, f"value mismatch at sorted row {i}: spark={a.loc[i].tolist()} duck={b.loc[i].tolist()}"))
