@@ -461,8 +461,15 @@ def check_one(n):
     env = dict(os.environ)
     # cap each DuckDB's memory so concurrent checks cannot OOM-kill
     # each other (a killed oracle process is a feasibility failure,
-    # never an engine mismatch — classified "died", not "bad")
+    # never an engine mismatch — classified "died", not "bad"), and
+    # split the CORES too: N concurrent DuckDBs each defaulting to
+    # all-cores thrash the box AND trip DuckDB-internal errors under
+    # the tight memory cap ("Cannot resize vector to … PiB",
+    # "INTERNAL Error: Information loss on integer cast" — r14 x64
+    # sweep; the same oracles pass standalone with sane threads)
     env.setdefault("DUCKDB_MEMORY_LIMIT", f"{max(8, 100 // jobs)}GB")
+    env.setdefault("DUCKDB_THREADS",
+                   str(max(4, (os.cpu_count() or 32) // jobs)))
     try:
         r = subprocess.run(
             ["python3", os.path.join(here, "oracle_check.py"), w, sf],
@@ -471,6 +478,16 @@ def check_one(n):
         if any(l.startswith("OK") for l in lines):
             return ("ok", n, "")
         if lines:
+            # an oracle whose own SQL evaluation blew a DuckDB
+            # resource/internal limit is a FEASIBILITY failure of the
+            # oracle at this scale, not an engine mismatch (the same
+            # SQL is green at the small-SF gates; seen at x64: PiB
+            # vector resize, internal integer-cast assertions, OOM)
+            if ("oracle SQL error" in lines[0]
+                    and any(k in lines[0] for k in
+                            ("INTERNAL Error", "Out of Range Error",
+                             "Out of Memory", "OutOfMemory"))):
+                return ("died", n, lines[0])
             return ("bad", n, lines[0])
         return ("died", n,
                 f"(oracle process exited rc={r.returncode} with no "
