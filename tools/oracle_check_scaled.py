@@ -86,7 +86,14 @@ def cache_path(kind, *key_parts):
 
 MARKER = "FROM sig a JOIN sig b ON a.doc_id < b.doc_id"
 cand1_for = {}  # query name -> cand1 parquet path (absent = all-pairs)
-marker_names = [n for n in names if MARKER in oracle.get(n, "")
+# group over the FULL oracle map, never the --only subset: a composed
+# oracle (q197/q221) routes to the cand1 of the family whose prefix it
+# embeds VERBATIM, and that family is typically NOT in the tail being
+# re-run (it passed the 90 s pass) — grouping over `names` alone would
+# leave the composed group route-less and silently fall back to the
+# all-pairs join (r14 x64 tail find). Content-addressed caching makes
+# the extra groups free when the full sweep already built them.
+marker_names = [n for n in sorted(oracle) if MARKER in oracle.get(n, "")
                 and "cand AS (" in oracle.get(n, "")]
 groups = {}
 for n in marker_names:
@@ -433,7 +440,12 @@ if memo_tail:
             if os.path.exists(tmp):
                 os.remove(tmp)
 
-    with _TPE(max_workers=2) as pool:
+    # GRAFT_BUILD_WORKERS=1 serializes the whole-builds: two
+    # spill-heavy builds sharing the disk can exhaust temp space and
+    # corrupt each other's spill files (r14 x64: two ~45 GB spills on
+    # a 50 GB-free device)
+    workers = int(os.environ.get("GRAFT_BUILD_WORKERS", "2"))
+    with _TPE(max_workers=max(1, workers)) as pool:
         for n, p in pool.map(_build_whole, names):
             if p is not None:
                 whole_memo[n] = p
