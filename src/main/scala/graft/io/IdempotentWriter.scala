@@ -109,7 +109,15 @@ object IdempotentWriter {
     java.util.HashMap[String, String]](
     () => new java.util.HashMap[String, String]())
 
-  private[graft] val DefaultLeaseMs: Long = 10L * 60 * 1000
+  /** Writer-lease window. Deployment tunable via GRAFT_LEASE_MS: the
+    * right window is a function of the store's commit latency (a
+    * multi-minute S3A publish needs the full 10 min; a local soak
+    * proving lease-break interleavings wants seconds). Read once per
+    * JVM — every participant in a race must agree on the window, so
+    * it is process-wide, never per-call. */
+  private[graft] val DefaultLeaseMs: Long =
+    sys.env.get("GRAFT_LEASE_MS").map(_.toLong)
+      .getOrElse(10L * 60 * 1000)
 
   private[graft] def withTableLease[T](
       spark: org.apache.spark.sql.SparkSession, path: String,

@@ -100,8 +100,28 @@ for n in marker_names:
     sql = oracle[n]
     groups.setdefault(
         sql[:sql.index("cand AS (")].rstrip().rstrip(","), []).append(n)
+# BUILD only groups reachable from the names being checked: groups
+# with a checked member, plus groups whose full prefix is embedded
+# verbatim in a checked composed oracle (the routing fallback below
+# needs that family's cand1). Grouping still spans the FULL oracle map
+# (the r14 routing fix), but a cold-cache --only tail re-run must not
+# front cand1 builds (up to 1800 s each) for families it never checks.
+_names_set = set(names)
+_needed = {p for p, ms in groups.items()
+           if any(n in _names_set for n in ms)}
+for p in list(groups):
+    if p in _needed:
+        continue
+    if p and any(p in oracle.get(m, "")
+                 for np in _needed for m in groups[np]):
+        _needed.add(p)
+_skipped = [p for p in groups if p not in _needed]
+if _skipped:
+    print(f"cand1: skipping {len(_skipped)} group(s) unreachable from "
+          f"the {len(names)} checked name(s)", flush=True)
 for gi, (prefix_key, members) in enumerate(
-        sorted(groups.items(), key=lambda kv: kv[1])):
+        sorted(((p, ms) for p, ms in groups.items() if p in _needed),
+               key=lambda kv: kv[1])):
     path = cache_path("cand1", prefix_key)
     if os.path.exists(path):
         print(f"group {gi} ({','.join(members)}): cand1 cached -> {path}",
@@ -404,6 +424,9 @@ if dump_sql is not None:
 # ---- records the honest TIMEOUT/DIED.
 whole_memo = {}  # name -> parquet path
 if memo_tail:
+    import itertools
+    _tmp_seq = itertools.count()
+
     def _build_whole(n):
         if n not in oracle:
             return n, None
@@ -412,7 +435,9 @@ if memo_tail:
         if os.path.exists(path):
             print(f"whole[{n}]: cached -> {path}", flush=True)
             return n, path
-        tmp = f"{path}.tmp{os.getpid()}_{abs(hash(n)) % 997}"
+        # per-call unique suffix (pid + in-process counter): hash-mod
+        # suffixes collided when two names shared a cache path
+        tmp = f"{path}.tmp{os.getpid()}_{next(_tmp_seq)}"
         bfile = path + f".{n}.sql"
         with open(bfile, "w") as f:
             f.write(sql)
@@ -440,15 +465,29 @@ if memo_tail:
             if os.path.exists(tmp):
                 os.remove(tmp)
 
-    # GRAFT_BUILD_WORKERS=1 serializes the whole-builds: two
-    # spill-heavy builds sharing the disk can exhaust temp space and
-    # corrupt each other's spill files (r14 x64: two ~45 GB spills on
-    # a 50 GB-free device)
-    workers = int(os.environ.get("GRAFT_BUILD_WORKERS", "2"))
+    # GRAFT_BUILD_WORKERS defaults to 1 (serialize): two spill-heavy
+    # builds sharing the disk exhausted temp space and corrupted each
+    # other's spill files at r14 x64 (two ~45 GB spills on a 50 GB-free
+    # device). Opt into 2+ only when disk headroom is known.
+    workers = int(os.environ.get("GRAFT_BUILD_WORKERS", "1"))
+    # dedupe by cache path BEFORE fan-out: two query names with
+    # identical rewritten SQL share a content-addressed path, and two
+    # concurrent builds of the same path raced (loser's os.replace
+    # crashed the sweep; a torn parquet could be promoted). Build each
+    # distinct path once, then fan the result back out to all names.
+    by_path = {}
+    for n in names:
+        if n not in oracle:
+            continue
+        sql = final_sql.get(n, rewritten(n, oracle[n]))
+        by_path.setdefault(cache_path("whole", sql), []).append(n)
+    reps = [ns[0] for ns in by_path.values()]
     with _TPE(max_workers=max(1, workers)) as pool:
-        for n, p in pool.map(_build_whole, names):
+        for n, p in pool.map(_build_whole, reps):
             if p is not None:
-                whole_memo[n] = p
+                for alias in by_path[cache_path(
+                        "whole", final_sql.get(n, rewritten(n, oracle[n])))]:
+                    whole_memo[alias] = p
 
 
 # Per-query checks are independent (each runs oracle_check.py over a
@@ -491,14 +530,20 @@ def check_one(n):
             return ("ok", n, "")
         if lines:
             # an oracle whose own SQL evaluation blew a DuckDB
-            # resource/internal limit is a FEASIBILITY failure of the
-            # oracle at this scale, not an engine mismatch (the same
-            # SQL is green at the small-SF gates; seen at x64: PiB
-            # vector resize, internal integer-cast assertions, OOM)
+            # RESOURCE limit is a FEASIBILITY failure of the oracle at
+            # this scale, not an engine mismatch (the same SQL is green
+            # at the small-SF gates; seen at x64: PiB vector resize,
+            # OOM). Keywords are deliberately NARROW: "Out of Range
+            # Error" and generic "INTERNAL Error" stay BAD because that
+            # class includes genuine semantic divergence (DuckDB int
+            # overflow where Spark promotes to bigint) — those must
+            # fail the gate and demand triage, not pass as feasibility.
             if ("oracle SQL error" in lines[0]
                     and any(k in lines[0] for k in
-                            ("INTERNAL Error", "Out of Range Error",
-                             "Out of Memory", "OutOfMemory"))):
+                            ("Out of Memory", "OutOfMemory",
+                             "could not allocate",
+                             "Cannot resize vector",
+                             "failed to allocate"))):
                 return ("died", n, lines[0])
             return ("bad", n, lines[0])
         return ("died", n,
