@@ -109,6 +109,64 @@ class RegistryPlanLintSpec extends SparkSpec {
       s"plan-lint violations:\n${offenders.mkString("\n")}")
   }
 
+  /** Estimated logical size of a physical subtree: the nearest
+    * logicalLink's stats walking down from `p` (physical nodes above
+    * an Exchange usually carry no link of their own). None when no
+    * linked node exists anywhere below — rare, counts as unknown. */
+  private def linkedSize(p: org.apache.spark.sql.execution.SparkPlan)
+      : Option[BigInt] =
+    p.logicalLink.map(_.stats.sizeInBytes)
+      .orElse(p.children.view.flatMap(linkedSize).headOption)
+
+  test("no registered batch plan sort-merge-joins a side whose own " +
+      "stats say it is broadcastable (< 10 MB estimate)") {
+    // A deliberately-shuffled small side wastes a full sort+exchange
+    // of the BIG side too — the class the first four lints don't see
+    // (r14 verdict stretch ask). Scoped to SortMergeJoinExec only:
+    // the engine's shuffle-hash HINTS on band joins are a deliberate
+    // 100 TB posture (the "small" side there is only small at test
+    // SF) and must stay exempt. The 10 MB bar is Spark's own default
+    // autoBroadcastJoinThreshold: below it, Catalyst itself would
+    // have broadcast had the plan shape let it, so an SMJ surviving
+    // with a sub-threshold side means some construct (a repartition,
+    // a hint conflict, a stats cliff) is defeating the planner.
+    graft.queries.Tables.prep(spark)
+    val names = SparkEntry.benchQueries.filterNot(isStreaming)
+    val bar = BigInt(10L * 1024 * 1024)
+    val offenders = names.flatMap { name =>
+      val qe = SparkEntry.queries(name)(spark, dir).queryExecution
+      val physical = qe.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      physical.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          // Only sides Spark could LEGALLY broadcast for this join
+          // type count: BroadcastHashJoin supports inner (either
+          // side), left outer/semi/anti + existence (build RIGHT
+          // only), right outer (build LEFT only), and full outer not
+          // at all — flagging a non-broadcastable side would just
+          // demand the impossible.
+          import org.apache.spark.sql.catalyst.plans._
+          val broadcastable: Seq[org.apache.spark.sql.execution.SparkPlan] =
+            j.joinType match {
+              case Inner | Cross => Seq(j.left, j.right)
+              case LeftOuter | LeftSemi | LeftAnti => Seq(j.right)
+              case RightOuter => Seq(j.left)
+              case _: ExistenceJoin => Seq(j.right)
+              case _ => Seq.empty // FullOuter & co: SMJ is the only plan
+            }
+          broadcastable.flatMap(linkedSize).filter(_ < bar)
+            .map(sz => s"$name: ${j.joinType} SMJ side estimated at " +
+              s"$sz bytes (< 10 MB) — should broadcast or carry a " +
+              "documented hint")
+      }.flatten
+    }
+    assert(offenders.isEmpty,
+      s"small-side SMJ violations:\n${offenders.mkString("\n")}")
+  }
+
   /** Names of generator inputs that are bare STORED-column attributes
     * (attribute id traces to a LogicalRelation output, no recompute in
     * between) — the one shape where InferFiltersFromGenerate's
