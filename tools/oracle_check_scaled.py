@@ -427,6 +427,17 @@ if memo_tail:
     import itertools
     _tmp_seq = itertools.count()
 
+    # GRAFT_BUILD_WORKERS defaults to 1 (serialize): two spill-heavy
+    # builds sharing the disk exhausted temp space and corrupted each
+    # other's spill files at r14 x64 (two ~45 GB spills on a 50 GB-free
+    # device). Opt into 2+ only when disk headroom is known.
+    workers = int(os.environ.get("GRAFT_BUILD_WORKERS", "1"))
+    # memory cap per build scales with the worker count: the old flat
+    # 50GB (sized for 2 workers) forced a serialized single build to
+    # spill tens of GB it had RAM for — and the spill, not the compute,
+    # is what blew the disk on the r15 x64 tail (q132/q198).
+    _build_mem = f"{max(20, 100 // max(1, workers))}GB"
+
     def _build_whole(n):
         if n not in oracle:
             return n, None
@@ -443,7 +454,7 @@ if memo_tail:
             f.write(sql)
         thr = max(8, (os.cpu_count() or 8) // 2)
         env = dict(os.environ)
-        env.setdefault("DUCKDB_MEMORY_LIMIT", "50GB")
+        env.setdefault("DUCKDB_MEMORY_LIMIT", _build_mem)
         try:
             r = subprocess.run(
                 ["python3", os.path.join(here, "build_pairs.py"),
@@ -465,11 +476,6 @@ if memo_tail:
             if os.path.exists(tmp):
                 os.remove(tmp)
 
-    # GRAFT_BUILD_WORKERS defaults to 1 (serialize): two spill-heavy
-    # builds sharing the disk exhausted temp space and corrupted each
-    # other's spill files at r14 x64 (two ~45 GB spills on a 50 GB-free
-    # device). Opt into 2+ only when disk headroom is known.
-    workers = int(os.environ.get("GRAFT_BUILD_WORKERS", "1"))
     # dedupe by cache path BEFORE fan-out: two query names with
     # identical rewritten SQL share a content-addressed path, and two
     # concurrent builds of the same path raced (loser's os.replace
@@ -543,7 +549,8 @@ def check_one(n):
                             ("Out of Memory", "OutOfMemory",
                              "could not allocate",
                              "Cannot resize vector",
-                             "failed to allocate"))):
+                             "failed to allocate",
+                             "No space left on device"))):
                 return ("died", n, lines[0])
             return ("bad", n, lines[0])
         return ("died", n,
