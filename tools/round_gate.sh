@@ -27,6 +27,9 @@ if [ "${1:-}" != "skip-dumps" ]; then
   SPARK_DRIVER_MEM=80g SPARK_GRAFT_CPUS=28 ./run-class.sh graft.Verify /tmp/stress_x64        /tmp/verify_x64
 fi
 
+echo "=== gate 0: comparator unit tests ==="
+python3 tools/test_oracle_tools.py
+
 echo "=== gate 1: full-registry oracle compare, sf0.001 + sf0.01 ==="
 python3 tools/oracle_check_scaled.py /tmp/verify_001 /root/testdata/sf0.001 90 --jobs=8
 python3 tools/oracle_check_scaled.py /tmp/verify_01  /root/testdata/sf0.01 300 --jobs=8
