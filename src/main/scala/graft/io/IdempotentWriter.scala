@@ -115,9 +115,32 @@ object IdempotentWriter {
     * proving lease-break interleavings wants seconds). Read once per
     * JVM — every participant in a race must agree on the window, so
     * it is process-wide, never per-call. */
+  private[graft] val MinLeaseMs = 1000L
+
+  /** Parse + validate one GRAFT_LEASE_MS candidate. Factored out of
+    * the env read so the floor is unit-testable without forking a
+    * JVM per env value: a malformed value must fail LOUDLY at first
+    * use (not as an opaque ExceptionInInitializerError from a bare
+    * .toLong), and a tiny-but-parseable value must not silently arm
+    * near-instant lease breaking in production — sub-second windows
+    * also make the heartbeat period (leaseMs/3) degenerate. Soaks
+    * that genuinely want a shorter window pass leaseMs per-call. */
+  private[graft] def parseLeaseMs(raw: Option[String]): Long =
+    raw match {
+      case None => 10L * 60 * 1000
+      case Some(s) =>
+        val v = s.trim.toLongOption.getOrElse(throw new
+          IllegalArgumentException(
+            s"GRAFT_LEASE_MS must be a long (millis), got '$s'"))
+        if (v < MinLeaseMs) throw new IllegalArgumentException(
+          s"GRAFT_LEASE_MS=$v is below the $MinLeaseMs ms floor — " +
+            "a sub-second writer lease is never a production window " +
+            "(pass leaseMs per-call in tests instead)")
+        v
+    }
+
   private[graft] val DefaultLeaseMs: Long =
-    sys.env.get("GRAFT_LEASE_MS").map(_.toLong)
-      .getOrElse(10L * 60 * 1000)
+    parseLeaseMs(sys.env.get("GRAFT_LEASE_MS"))
 
   private[graft] def withTableLease[T](
       spark: org.apache.spark.sql.SparkSession, path: String,

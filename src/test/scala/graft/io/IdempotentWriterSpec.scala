@@ -16,6 +16,29 @@ class IdempotentWriterSpec extends SparkSpec {
     }
   }
 
+  test("GRAFT_LEASE_MS: floor + loud parse failure (r15 advisory)") {
+    // unset -> the 10 min default
+    assert(IdempotentWriter.parseLeaseMs(None) === 10L * 60 * 1000)
+    // a valid production-scale override passes through
+    assert(IdempotentWriter.parseLeaseMs(Some("2000")) === 2000L)
+    assert(IdempotentWriter.parseLeaseMs(Some(" 60000 ")) === 60000L)
+    // malformed -> IllegalArgumentException naming the var, never an
+    // opaque NumberFormatException-in-initializer
+    val bad = intercept[IllegalArgumentException] {
+      IdempotentWriter.parseLeaseMs(Some("ten minutes"))
+    }
+    assert(bad.getMessage.contains("GRAFT_LEASE_MS"))
+    // sub-floor values (including the heartbeat-degenerate <= 2 ms
+    // class: leaseMs/3 == 0 crashes Timer.scheduleAtFixedRate) are
+    // rejected rather than arming near-instant lease breaking
+    for (v <- Seq("0", "2", "999", "-5")) {
+      val e = intercept[IllegalArgumentException] {
+        IdempotentWriter.parseLeaseMs(Some(v))
+      }
+      assert(e.getMessage.contains("floor"))
+    }
+  }
+
   test("quarantine splits rows missing keys explicitly (F2)") {
     import spark.implicits._
     val df = Seq(

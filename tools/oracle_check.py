@@ -32,7 +32,18 @@ def tol_equal(sdf, ddf):
         df = df.copy()
         for c in kcols:
             df[c] = df[c].astype(str)
-        return df.sort_values(kcols).reset_index(drop=True)
+        # Secondary sort on the 6dp-ROUNDED floats (r15 advisory):
+        # with non-unique key columns, key-only sorting pairs
+        # duplicate-key rows in each engine's arbitrary output order,
+        # falsely rejecting legitimately-within-1e-6 frames. Rounding
+        # keeps the secondary keys stable off the knife edge; ON the
+        # knife edge a duplicate-key frame can still misalign and
+        # reject — the conservative direction, same as before.
+        order = list(kcols)
+        for c in fcols:
+            df["_r6_" + c] = df[c].round(6)
+            order.append("_r6_" + c)
+        return df.sort_values(order).reset_index(drop=True)
     x, y = snorm(sdf), snorm(ddf)
     if not x[kcols].equals(y[kcols]):
         return None

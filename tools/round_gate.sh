@@ -42,12 +42,31 @@ python3 tools/restatement_check.py /tmp/verify_001 /root/testdata/sf0.001
 # errors under the per-check memory/thread caps surface as BAD in the
 # wide pass — the long-leash memoized re-run (full memory, serialized
 # builds) is the triage the advisory asked for. A GENUINE mismatch
-# stays BAD in the tail too and fails the gate there (no `|| true` on
-# the tail lines).
+# stays BAD in the tail too and fails the gate there (no exit-masking
+# on the tail lines).
+#
+# The wide pass may exit nonzero on BADs (the tail re-runs them) but
+# it must have COMPLETED: the final JSON summary line proves full
+# coverage. 'Exited without a summary' — a Python crash, a missing
+# dump — fails the gate instead of silently passing with partial or
+# zero TIME/BAD/DIED lines (r15 advisory; the earlier bare `|| true`
+# swallowed exactly that).
+wide_sweep() {
+  local log=$1; shift
+  local rc=0
+  python3 tools/oracle_check_scaled.py "$@" | tee "$log" || rc=$?
+  if ! tail -n 1 "$log" | grep -q '^{"ok":'; then
+    echo "GATE FAIL: wide sweep crashed without a summary (rc=$rc)"
+    exit 1
+  fi
+}
+
 echo "=== gate 3: x8 stress sweep (300 s leash, then long-leash tail) ==="
-python3 tools/oracle_check_scaled.py /tmp/verify_x8 /tmp/stress_x8 300 --jobs=8 \
-  | tee /tmp/x8_sweep.log || true
-TAIL8=$(grep -E "^(TIME|BAD|DIED)" /tmp/x8_sweep.log | awk '{print $2}' | paste -sd, -)
+wide_sweep /tmp/x8_sweep.log /tmp/verify_x8 /tmp/stress_x8 300 --jobs=8
+# `|| true` INSIDE the substitution: on a fully-clean sweep grep exits
+# 1, which under `set -euo pipefail` would abort the whole ritual on
+# the success path (r15 advisory)
+TAIL8=$(grep -E "^(TIME|BAD|DIED)" /tmp/x8_sweep.log | awk '{print $2}' | paste -sd, - || true)
 if [ -n "$TAIL8" ]; then
   echo "--- x8 tail re-run (1200 s leash, whole-oracle memoization): $TAIL8"
   python3 tools/oracle_check_scaled.py /tmp/verify_x8 /tmp/stress_x8 1200 \
@@ -55,9 +74,8 @@ if [ -n "$TAIL8" ]; then
 fi
 
 echo "=== gate 4: x64 stress sweep (90 s leash, then long-leash tail) ==="
-python3 tools/oracle_check_scaled.py /tmp/verify_x64 /tmp/stress_x64 90 --jobs=8 \
-  | tee /tmp/x64_sweep.log || true
-TAIL=$(grep -E "^(TIME|BAD|DIED)" /tmp/x64_sweep.log | awk '{print $2}' | paste -sd, -)
+wide_sweep /tmp/x64_sweep.log /tmp/verify_x64 /tmp/stress_x64 90 --jobs=8
+TAIL=$(grep -E "^(TIME|BAD|DIED)" /tmp/x64_sweep.log | awk '{print $2}' | paste -sd, - || true)
 if [ -n "$TAIL" ]; then
   echo "--- tail re-run (2400 s leash, whole-oracle memoization): $TAIL"
   python3 tools/oracle_check_scaled.py /tmp/verify_x64 /tmp/stress_x64 2400 \

@@ -67,5 +67,23 @@ s = pd.DataFrame({"k": ["x", "y"], "v": [1.0, 2.0]})
 d = pd.DataFrame({"k": ["x", "z"], "v": [1.0, 2.0]})
 check("key misalignment rejected", tol_equal(s, d) is None)
 
-print(f"\n{7 - len(fails)}/7 pass")
+# 6. duplicate-key frames (r15 advisory): rows sharing the key column
+# pair by the 6dp-rounded float secondary sort, so a within-1e-6 frame
+# whose engines emit duplicate-key rows in opposite orders is accepted
+s = pd.DataFrame({"k": ["x", "x", "y"], "v": [1.0, 2.0, 3.0]})
+d = pd.DataFrame({"k": ["x", "x", "y"], "v": [2.0, 1.0, 3.0]})
+check("duplicate-key reorder accepted", tol_equal(s, d) is not None)
+
+# 6b. ...including sub-1e-6 drift on the duplicated rows
+s = pd.DataFrame({"k": ["x", "x"], "v": [1.00000001, 2.00000002]})
+d = pd.DataFrame({"k": ["x", "x"], "v": [2.0, 1.0]})
+r = tol_equal(s, d)
+check("duplicate-key drifted accepted", r is not None and r < 1e-6)
+
+# 6c. a real divergence hidden among duplicate keys must STAY rejected
+s = pd.DataFrame({"k": ["x", "x"], "v": [1.0, 2.0]})
+d = pd.DataFrame({"k": ["x", "x"], "v": [1.0, 2.5]})
+check("duplicate-key divergence rejected", tol_equal(s, d) is None)
+
+print(f"\n{10 - len(fails)}/10 pass")
 sys.exit(1 if fails else 0)
