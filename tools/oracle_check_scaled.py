@@ -233,10 +233,17 @@ for n in names:
         hamming_for[n] = k
 
 
+# ---- column-prune restatements (tools/colprune.py): the q132 IVF
+# ---- assignment stages and q58's per-pair list_intersect — pure
+# ---- text rewrites, set-preserving, equivalence-gated like the rest
+import colprune  # noqa: E402
+
+
 def rewritten(name: str, sql: str) -> str:
     # banded graph joins first (position-based splices recomputed on
     # the current text, applied last-site-first), then the Hamming
-    # join, then the position-independent minhash marker swap
+    # join, then the position-independent minhash marker swap and
+    # column-prune rewrites
     if name in banded_sites:
         sites = banded.find_banded_joins(sql)
         for j in sorted(sites, key=lambda x: -x["join_start"]):
@@ -248,6 +255,7 @@ def rewritten(name: str, sql: str) -> str:
         hj = banded.find_hamming_join(sql)
         if path is not None and hj is not None:
             sql = banded.hamming_rewrite(sql, hj, path)
+    sql = colprune.prune(sql)
     cand1 = cand1_for.get(name)
     if cand1 is None or MARKER not in sql:
         return sql
@@ -395,6 +403,50 @@ for n in names:
             break  # leave this and any later site as stated
         sql = ccsplice.splice(sql, m, cc_cache[key])
     final_sql[n] = sql
+
+# ---- the beam-walk per-hop frontier memoization (tools/hopsplice.py:
+# ---- q198/q207's shared insert oracle — the one-plan hop chain
+# ---- spilled >65 GB at x64 with the kernels already cached; each
+# ---- stage is megabytes when materialized hop by hop). Runs on the
+# ---- fully-spliced text so the reB build reuses the banded candidate
+# ---- parquet; builds are content-addressed and sequential (each hop
+# ---- reads the previous hop's parquet).
+import hopsplice  # noqa: E402
+
+
+def _materialize_hop(build_sql):
+    path = cache_path("hop", build_sql)
+    if os.path.exists(path):
+        print(f"hop: cached -> {path}", flush=True)
+        return path
+    tmp = f"{path}.tmp{os.getpid()}"
+    bfile = path + ".build.sql"
+    with open(bfile, "w") as f:
+        f.write(build_sql)
+    thr = max(8, (os.cpu_count() or 8) // 2)
+    try:
+        r = subprocess.run(
+            ["python3", os.path.join(here, "build_pairs.py"),
+             sf, tmp, bfile, str(thr)],
+            capture_output=True, text=True, timeout=3600)
+        if r.returncode != 0:
+            print("hop build failed, keeping the stated chain: "
+                  + r.stderr[-300:], flush=True)
+            return None
+        os.replace(tmp, path)
+        print("hop: " + r.stdout.strip().replace(tmp, path), flush=True)
+        return path
+    except subprocess.TimeoutExpired:
+        print("hop build timed out, keeping the stated chain", flush=True)
+        return None
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
+for n in names:
+    if hopsplice.find_chain(final_sql.get(n, "")) is not None:
+        final_sql[n] = hopsplice.apply(final_sql[n], _materialize_hop)
 
 if dump_sql is not None:
     with open(dump_sql, "w") as f:
