@@ -85,5 +85,87 @@ s = pd.DataFrame({"k": ["x", "x"], "v": [1.0, 2.0]})
 d = pd.DataFrame({"k": ["x", "x"], "v": [1.0, 2.5]})
 check("duplicate-key divergence rejected", tol_equal(s, d) is None)
 
-print(f"\n{10 - len(fails)}/10 pass")
+# ---- colprune (r16): guards and prefixed-variant generality ----
+import colprune  # noqa: E402
+
+# 7. the jaccard rewrite must NOT fire without list_distinct set
+# semantics (count(*) == len(list_intersect) needs dedup'd grams)
+no_distinct = colprune.JACCARD_STATED + "\nSELECT 1"
+check("jaccard guard: no list_distinct -> stated",
+      colprune.prune_jaccard(no_distinct) == no_distinct)
+
+# 7b. ...nor when an introduced CTE name already exists
+collide = ("WITH gp AS (SELECT 1), g AS (SELECT list_distinct([1]))\n"
+           + colprune.JACCARD_STATED)
+check("jaccard guard: name collision -> stated",
+      colprune.prune_jaccard(collide) == collide)
+
+# 8. the k-means stage prune handles the PREFIXED two-codebook variant
+# (q214 trains rs1 over n2 from rc0) and preserves the stated inner
+# scoring text verbatim
+pfx = """rs1 AS (
+  SELECT cell, v,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY ccos DESC, cell ASC) AS rc
+  FROM (SELECT n2.vec_id, n2.v, c.cell,
+          round(list_dot_product(c.cv, n2.v)
+            / (sqrt(list_dot_product(c.cv, c.cv)) * n2.nrm), 4)
+            AS ccos
+        FROM n2, rc0 c))"""
+out = colprune.prune_ivf(pfx)
+check("kmeans prune rewrites the prefixed variant",
+      "JOIN n2 ON n2.vec_id = w.vec_id" in out
+      and "FROM n2, rc0 c" in out and out != pfx)
+
+# ---- hopsplice (r16): chain detection, build threading, fallback ----
+import hopsplice  # noqa: E402
+
+HOP_SQL = """WITH nv AS (SELECT 1),
+nb AS (SELECT * FROM nv),
+reB AS (SELECT 1 AS src, 2 AS dst FROM nb),
+q AS (SELECT 3 AS qid),
+f0 AS (SELECT qid, 1 AS vec_id, 0.5 AS cos FROM q),
+g1 AS (
+  SELECT DISTINCT f.qid, reB.dst AS vec_id
+  FROM f0 f JOIN reB ON f.vec_id = reB.src),
+sc1 AS (SELECT qid, vec_id, 0.1 AS cos FROM g1),
+f1 AS (SELECT qid, vec_id, cos FROM (SELECT * FROM f0 UNION SELECT * FROM sc1)),
+vis AS (SELECT * FROM f0 UNION SELECT * FROM sc1)
+SELECT * FROM vis"""
+
+built = []
+
+
+def fake_mat(bs):
+    built.append(bs)
+    return f"/fake/p{len(built)}.parquet"
+
+
+spliced = hopsplice.apply(HOP_SQL, fake_mat)
+check("hop chain detected and spliced",
+      spliced != HOP_SQL
+      and "f0 AS (SELECT * FROM read_parquet('/fake/p2.parquet'))" in spliced
+      and "sc1 AS (SELECT * FROM read_parquet(" in spliced)
+# build order: reB, f0, sc1, f1 — each later build reads the earlier
+# stage's parquet, and the f1 build reads BOTH f0 and sc1
+check("hop builds thread their parquets",
+      len(built) == 4
+      and built[0].endswith("SELECT * FROM reB")
+      and "read_parquet('/fake/p1.parquet')" in built[1]
+      and "read_parquet('/fake/p2.parquet')" in built[2]
+      and "read_parquet('/fake/p3.parquet')" in built[3])
+# vis and the final SELECT keep their stated text
+check("hop splice leaves the consumer stated",
+      "vis AS (SELECT * FROM f0 UNION SELECT * FROM sc1)" in spliced)
+
+# 9b. a failed build falls back to the stated text, untouched
+check("hop build failure -> stated",
+      hopsplice.apply(HOP_SQL, lambda bs: None) == HOP_SQL)
+
+# 9c. no chain -> untouched (never misfires on ordinary oracles)
+plain = "WITH a AS (SELECT 1) SELECT * FROM a"
+check("no chain -> untouched",
+      hopsplice.apply(plain, fake_mat) == plain)
+
+print(f"\n{18 - len(fails)}/18 pass")
 sys.exit(1 if fails else 0)
