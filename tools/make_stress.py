@@ -25,7 +25,26 @@ MULTIPLIED = {"documents": "doc_id", "embeddings": "vec_id", "part": "p_partkey"
 if "--with-facts" in sys.argv:
     MULTIPLIED = dict(MULTIPLIED,
                       events="event_id", lineitem="l_orderkey")
+# --layout (r16): the warehouse-layout family's rung corpus. Multiply
+# ONLY orders + lineitem, shifting BOTH orderkeys by one SHARED stride
+# so referential integrity survives (copy k of a lineitem row joins
+# copy k of its order) — q212's bucketed orders-lineitem join then
+# scales honestly instead of probing an 8x orphan side. l_partkey is
+# left unshifted: the z-order probes (q192/q203/q211) range over
+# (ok, pk) VALUES, and 8x rows over the same pk domain is exactly the
+# densified-cluster case a recluster decision must price.
+if "--layout" in sys.argv:
+    MULTIPLIED = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
 con = duckdb.connect()
+shared_stride = None
+if "--layout" in sys.argv:
+    shared_stride = con.execute(
+        f"""SELECT greatest(
+              (SELECT max(o_orderkey) FROM
+                 read_parquet('{sf_dir}/orders.parquet')),
+              (SELECT max(l_orderkey) FROM
+                 read_parquet('{sf_dir}/lineitem.parquet'))) + 1"""
+    ).fetchone()[0]
 for f in sorted(os.listdir(sf_dir)):
     if not f.endswith(".parquet"):
         continue
@@ -41,12 +60,13 @@ for f in sorted(os.listdir(sf_dir)):
     proj = ", ".join(
         f"CAST({c} + k.range * s.stride AS BIGINT) AS {c}" if c == key else c
         for c in cols)
+    stride_src = (str(shared_stride) if shared_stride is not None
+                  else f"(SELECT max({key}) + 1 FROM read_parquet('{src}'))")
     con.execute(f"""
         COPY (
           SELECT {proj}
           FROM read_parquet('{src}'),
-               (SELECT max({key}) + 1 AS stride
-                FROM read_parquet('{src}')) s,
+               (SELECT {stride_src} AS stride) s,
                range({mult}) k
         ) TO '{dst}' (FORMAT PARQUET)""")
     n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
