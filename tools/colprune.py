@@ -15,20 +15,24 @@ x64 oracle walls (r15 diagnosis, BENCH_NOTES):
    tie-break and rc filter are verbatim.
 
 2. q58_ngram_jaccard's per-pair `list_intersect`. The stated scored
-   stage materializes both kB-sized trigram lists per candidate pair
-   (~247M pairs at x64). The restatement counts shared grams
-   relationally: explode grams once per doc into (doc_id, gram)
-   postings and count matches per candidate pair via a gram-keyed
-   equi-join — the classic unnest form. Equivalence: the gram lists
-   are `list_distinct(...)` sets (guarded below), so each shared gram
-   contributes exactly one joined row and count(*) == len(
-   list_intersect(...)); pairs with an empty intersection get 0 via
-   the LEFT JOIN + coalesce, exactly the stated len() == 0. The
-   size-ratio prune and Jaccard predicate keep their stated text,
-   evaluated on the same (na, nb, inter) triples. The intersection
-   join runs over DISTINCT candidate pairs, so the rewrite is
-   insensitive to (impossible-by-construction, but cheap to not
-   assume) duplicate candidates.
+   stage evaluates the intersect over every candidate pair (~247M at
+   x64, both kB-sized trigram lists in flight per pair — the r15
+   spill wall; a postings/unnest restatement is no better, because
+   Sum(|grams|) over 247M pairs is ~1e11 joined rows). The winning
+   observation: `len(list_intersect(a, b))` is a function of the two
+   LISTS, not the doc ids — and a stress corpus of exact siblings
+   (like any crawl with duplicates, which is the point of a dedup
+   operator) has far fewer DISTINCT gram lists than docs. So: group
+   docs by their exact grams list, map every doc to the minimal
+   representative doc with the identical list, evaluate the intersect
+   once per distinct (rep, rep) candidate pair, and join the scalar
+   back. Equivalence is unconditional: rep-mapping is 1:1 per doc
+   (grouped on exact list equality), ga.grams(rep(ia)) == ga.grams(ia)
+   verbatim, and lang/na/nb still come from the doc's OWN row. With
+   all-distinct docs it degrades to exactly the stated work — never
+   worse, and at x64 it turns 247M intersects into ~60k. The
+   size-ratio prune and Jaccard predicate keep their stated text over
+   the same (na, nb, inter) triples.
 
 Both are text rewrites only — no materialization — so the whole-
 oracle memoization tail picks them up unchanged. tools/
@@ -94,7 +98,17 @@ asg AS (SELECT rk.vec_id, n.v, n.nrm, rk.cell, rk.ccos
 
 
 def prune_ivf(sql):
-    """Apply both IVF column-prune rewrites (no-ops where absent)."""
+    """Apply both IVF column-prune rewrites — SCOPED to oracles whose
+    codebook is the dynamic sqrt(N)-sized one (q132's ~358 cells at
+    x64, the only chain whose assignment stages are actually a scale
+    wall). The fixed IvfK=16 chains (q108/q193/q197/q205/q214/q221 and
+    the ANN ladder) never needed the prune, and rewriting them only
+    invalidates their content-addressed whole-oracle builds — at x64
+    the composed-daily rebuild is hours of DuckDB the cache already
+    paid (the r16 q197 rebuild OOM'd where its cached r15 build was
+    fine). A no-op rewrite with a real cache cost is a net harm."""
+    if "ceil(sqrt(count(*)" not in sql:
+        return sql
     sql = KMEANS_RE.sub(_kmeans_repl, sql)
     return sql.replace(ASSIGN_STATED, ASSIGN_RESTATED)
 
@@ -112,36 +126,33 @@ JACCARD_STATED = """p AS (
    AND least(len(ga.grams), len(gb.grams)) * 2
        >= greatest(len(ga.grams), len(gb.grams)))"""
 
-JACCARD_RESTATED = """gsz AS (SELECT doc_id, lang, len(grams) AS n FROM g),
-pf AS (
-  SELECT cand.ia, cand.ib, ga.lang, ga.n AS na, gb.n AS nb
-  FROM cand JOIN gsz ga ON cand.ia = ga.doc_id
-            JOIN gsz gb ON cand.ib = gb.doc_id
-  WHERE ga.n > 0
-   AND least(ga.n, gb.n) * 2
-       >= greatest(ga.n, gb.n)),
-gp AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-ic AS (
-  SELECT pfd.ia, pfd.ib, count(*) AS inter
-  FROM (SELECT DISTINCT ia, ib FROM pf) pfd
-  JOIN gp pa ON pa.doc_id = pfd.ia
-  JOIN gp pb ON pb.doc_id = pfd.ib AND pb.gram = pa.gram
-  GROUP BY 1, 2),
-p AS (
-  SELECT pf.lang, coalesce(ic.inter, 0) * 1.0 AS inter, pf.na, pf.nb
-  FROM pf LEFT JOIN ic ON ic.ia = pf.ia AND ic.ib = pf.ib)"""
+JACCARD_RESTATED = """grep AS (SELECT min(doc_id) AS rep_id, grams
+        FROM g GROUP BY grams),
+rmap AS (SELECT g.doc_id, g.lang, len(g.grams) AS n, r.rep_id
+         FROM g JOIN grep r ON g.grams = r.grams),
+prp AS (SELECT DISTINCT ma.rep_id AS ra, mb.rep_id AS rb
+        FROM cand JOIN rmap ma ON cand.ia = ma.doc_id
+                  JOIN rmap mb ON cand.ib = mb.doc_id),
+icr AS (SELECT prp.ra, prp.rb,
+          len(list_intersect(ga.grams, gb.grams)) * 1.0 AS inter
+        FROM prp JOIN g ga ON prp.ra = ga.doc_id
+                 JOIN g gb ON prp.rb = gb.doc_id),
+p AS (SELECT ma.lang, icr.inter, ma.n AS na, mb.n AS nb
+      FROM cand JOIN rmap ma ON cand.ia = ma.doc_id
+                JOIN rmap mb ON cand.ib = mb.doc_id
+                JOIN icr ON icr.ra = ma.rep_id AND icr.rb = mb.rep_id
+      WHERE ma.n > 0
+       AND least(ma.n, mb.n) * 2
+       >= greatest(ma.n, mb.n))"""
 
 
 def prune_jaccard(sql):
-    """Apply the postings restatement. Guarded: only fires when the
-    stated block is present verbatim, the gram lists are built with
-    list_distinct (set semantics are what make count(*) == len(
-    list_intersect)), and none of the introduced CTE names collide."""
+    """Apply the representative-pair restatement. Guarded: only fires
+    when the stated block is present verbatim and none of the
+    introduced CTE names collide."""
     if JACCARD_STATED not in sql:
         return sql
-    if "list_distinct(" not in sql:
-        return sql
-    if re.search(r"\b(gsz|pf|gp|ic|pfd) AS \(", sql):
+    if re.search(r"\b(grep|rmap|prp|icr) AS \(", sql):
         return sql
     return sql.replace(JACCARD_STATED, JACCARD_RESTATED)
 

@@ -88,22 +88,25 @@ check("duplicate-key divergence rejected", tol_equal(s, d) is None)
 # ---- colprune (r16): guards and prefixed-variant generality ----
 import colprune  # noqa: E402
 
-# 7. the jaccard rewrite must NOT fire without list_distinct set
-# semantics (count(*) == len(list_intersect) needs dedup'd grams)
-no_distinct = colprune.JACCARD_STATED + "\nSELECT 1"
-check("jaccard guard: no list_distinct -> stated",
-      colprune.prune_jaccard(no_distinct) == no_distinct)
+# 7. the jaccard rewrite fires on the stated block and keeps the
+# size-ratio prune + per-doc lang/n semantics in the rewritten p
+fired = colprune.prune_jaccard("WITH x AS (SELECT 1),\n"
+                               + colprune.JACCARD_STATED + "\nSELECT 1")
+check("jaccard rep-pair rewrite fires",
+      "GROUP BY grams" in fired and "icr.ra = ma.rep_id" in fired
+      and "least(ma.n, mb.n) * 2" in fired)
 
-# 7b. ...nor when an introduced CTE name already exists
-collide = ("WITH gp AS (SELECT 1), g AS (SELECT list_distinct([1]))\n"
-           + colprune.JACCARD_STATED)
+# 7b. ...but NOT when an introduced CTE name already exists
+collide = ("WITH rmap AS (SELECT 1)\n" + colprune.JACCARD_STATED)
 check("jaccard guard: name collision -> stated",
       colprune.prune_jaccard(collide) == collide)
 
-# 8. the k-means stage prune handles the PREFIXED two-codebook variant
-# (q214 trains rs1 over n2 from rc0) and preserves the stated inner
-# scoring text verbatim
-pfx = """rs1 AS (
+# 8. the k-means stage prune handles the PREFIXED naming variant and
+# preserves the stated inner scoring text verbatim — but ONLY inside a
+# dynamic-k (sqrt-sized codebook) oracle; fixed-IvfK chains stay
+# stated so their content-addressed whole-oracle builds stay cached
+pfx = """c0 AS (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM n2),
+rs1 AS (
   SELECT cell, v,
     row_number() OVER (PARTITION BY vec_id
       ORDER BY ccos DESC, cell ASC) AS rc
@@ -116,6 +119,10 @@ out = colprune.prune_ivf(pfx)
 check("kmeans prune rewrites the prefixed variant",
       "JOIN n2 ON n2.vec_id = w.vec_id" in out
       and "FROM n2, rc0 c" in out and out != pfx)
+# 8b. the same stage WITHOUT the dynamic-k marker stays stated
+fixed_k = pfx.split("\n", 1)[1]
+check("fixed-IvfK chain stays stated (cache-preserving scope)",
+      colprune.prune_ivf(fixed_k) == fixed_k)
 
 # ---- hopsplice (r16): chain detection, build threading, fallback ----
 import hopsplice  # noqa: E402
@@ -167,5 +174,5 @@ plain = "WITH a AS (SELECT 1) SELECT * FROM a"
 check("no chain -> untouched",
       hopsplice.apply(plain, fake_mat) == plain)
 
-print(f"\n{18 - len(fails)}/18 pass")
+print(f"\n{19 - len(fails)}/19 pass")
 sys.exit(1 if fails else 0)
