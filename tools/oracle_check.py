@@ -8,8 +8,9 @@ import pandas as pd
 # legitimately round opposite ways (seen at stress scale: an avg of
 # 2000 4dp cosines landing exactly on .xxxxx95). Re-align rows on the
 # non-float columns (stable under the knife edge, unlike the float
-# sort keys) and accept ONLY if every float cell agrees within 1e-6
-# and every other cell is string-equal — strictly narrower than the
+# sort keys) and accept ONLY if every float cell agrees within
+# 1e-6 + 1e-9*|value| (atol + rtol — see the inline rationale) and
+# every other cell is string-equal — strictly narrower than the
 # rounding tolerance the comparator already grants off-boundary.
 # Returns the max observed float delta on acceptance, None on reject
 # (so the caller can log tolerance creep).
@@ -50,7 +51,20 @@ def tol_equal(sdf, ddf):
     maxd = 0.0
     for c in fcols:
         dx = (x[c] - y[c]).abs()
-        if not ((dx <= 1e-6) | (x[c].isna() & y[c].isna())).all():
+        # atol + rtol, numpy.isclose-style. The absolute 1e-6 term is
+        # the original knife-edge grant; the 1e-9 RELATIVE term exists
+        # for large-magnitude aggregates, where absolute 1e-6 demands
+        # more agreement than float64 summation can deliver: q58's x64
+        # sum of ~6e7 Jaccard addends is ~3.6e7, so 1e-6 absolute asks
+        # the two engines' different accumulation orders to agree to
+        # 13.5 significant digits (observed cross-engine noise: ~1e-4
+        # absolute = 3e-12 relative). rtol=1e-9 still requires 9
+        # significant digits — far below any real divergence (test 4's
+        # 1e-5-relative drift stays rejected) and above worst-case
+        # linear accumulation error n*eps only for n >~ 1e7 sums whose
+        # per-element error is already random-walk cancelled.
+        tol = 1e-6 + 1e-9 * y[c].abs()
+        if not ((dx <= tol) | (x[c].isna() & y[c].isna())).all():
             return None
         m = dx.max()
         if pd.notna(m):

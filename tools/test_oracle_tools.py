@@ -8,7 +8,9 @@ Covers the r14 verdict nit and the r14 advisory on tol_equal:
      numerically equal ('1.0' vs '1' was BAD under the strict comparator);
   3. the genuine 6dp round-half knife edge IS accepted and the max
      delta is reported;
-  4. a real value divergence (> 1e-6) is rejected;
+  4. a real value divergence (> 1e-6 + 1e-9*|v|) is rejected, while
+     large-magnitude summation-order noise within the relative term
+     is accepted (q58's x64 sum, r16);
   5. key-column misalignment is rejected.
 
 Driver-side tooling only, like oracle_check.py.
@@ -61,6 +63,18 @@ check("aligned NaNs accepted", tol_equal(s, d) is not None)
 s = pd.DataFrame({"k": ["x", "y"], "v": [0.262459, 1.0]})
 d = pd.DataFrame({"k": ["x", "y"], "v": [0.262482, 1.0]})
 check("1e-5 divergence rejected", tol_equal(s, d) is None)
+
+# 4b. large-magnitude summation-order noise (q58's x64 shape): a
+# 1e-4 absolute delta on a ~3.6e7 sum is 3e-12 RELATIVE — accept
+s = pd.DataFrame({"k": ["en"], "n": [60648096], "v": [36463655.0174]})
+d = pd.DataFrame({"k": ["en"], "n": [60648096], "v": [36463655.0173]})
+check("large-sum 3e-12-relative noise accepted", tol_equal(s, d) is not None)
+
+# 4c. ...but a relative drift beyond 1e-9 on the same magnitude is a
+# real divergence and must stay rejected (here 1.4e-7 relative)
+s = pd.DataFrame({"k": ["en"], "n": [60648096], "v": [36463655.0]})
+d = pd.DataFrame({"k": ["en"], "n": [60648096], "v": [36463660.0]})
+check("large-sum 1e-7-relative drift rejected", tol_equal(s, d) is None)
 
 # 5. key misalignment (different key multisets) -> reject
 s = pd.DataFrame({"k": ["x", "y"], "v": [1.0, 2.0]})
@@ -174,5 +188,5 @@ plain = "WITH a AS (SELECT 1) SELECT * FROM a"
 check("no chain -> untouched",
       hopsplice.apply(plain, fake_mat) == plain)
 
-print(f"\n{19 - len(fails)}/19 pass")
+print(f"\n{21 - len(fails)}/21 pass")
 sys.exit(1 if fails else 0)
