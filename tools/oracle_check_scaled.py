@@ -129,6 +129,14 @@ for gi, (prefix_key, members) in enumerate(
         for n in members:
             cand1_for[n] = path
         continue
+    if not prefix_key.lstrip().upper().startswith("WITH"):
+        # a composed oracle's "prefix" is its whole derived head, not
+        # a standalone WITH chain build_cand1 could run — don't burn a
+        # doomed build subprocess (it dies on a parser error); the
+        # embedded-family routing below is this group's designed path
+        print(f"group {gi} ({','.join(members)}): composed head, "
+              "deferring to embedded-family routing", flush=True)
+        continue
     tmp = f"{path}.tmp{os.getpid()}"
     try:
         r = subprocess.run(
