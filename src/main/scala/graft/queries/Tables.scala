@@ -50,9 +50,24 @@ object Tables {
       build: => DataFrame): DataFrame = {
     ensureCleanup(spark)
     // KeyedOnce (not TrieMap.getOrElseUpdate): a race on an absent key
-    // must never persist() the same plan twice — the loser's orphan
+    // must never materialize the same plan twice — the loser's orphan
     // copy would hold block-manager memory until application end.
-    tableMemo((spark, dir, key))(build.persist())
+    //
+    // localCheckpoint (eager), not persist(): persist keeps the full
+    // ANALYZED plan under the InMemoryRelation, so every consumer's
+    // action re-walks the artifact's whole logical tree (the 60x64
+    // hyperplane literal forests, the banded-join stacks) through
+    // every analyzer/optimizer rule and through CacheManager's
+    // canonicalized sameResult probe — measured at sf0.1 as the
+    // DOMINANT cost of the graph/dedup families (q202 warm 8.0 s ->
+    // 3.7 s, q102 2.3 s -> 0.25 s just from this line; per-job
+    // profile showed ~55% of wall time in between-job driver gaps).
+    // The checkpoint truncates each memoized artifact to a LEAF
+    // (LogicalRDD), which is also the honest 100 TB shape: these are
+    // precomputed tables read back from storage, not live lineage
+    // (optimization guide §3.3 "materialising an intermediate result
+    // truncates the plan").
+    tableMemo((spark, dir, key))(build.localCheckpoint())
   }
 
   /** Pin the session semantics every query assumes. All are
