@@ -1323,7 +1323,10 @@ object Curation {
     * q89's flag set, shared with the q123 corpus build. */
   private[queries] def contaminatedDocs(
       spark: SparkSession, dir: String): DataFrame = {
-    val grams = documents(spark, dir)
+    // n-gram construction is per-row-expensive and this frame is
+    // scanned twice (bench side + train side) — spread the
+    // single-row-group scan so both passes parallelize (guide §2.5)
+    val grams = Tables.spread(documents(spark, dir), "doc_id")
       .withColumn("t", split(lower(trim(col("text"))), "\\s+"))
       .withColumn("grams", gramCol)
       .select(col("doc_id"), col("grams"))

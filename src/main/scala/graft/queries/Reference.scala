@@ -49,7 +49,10 @@ object Reference {
         | WHEN 11 THEN 'inf'
         | ELSE '  7.5  '
         |END""".stripMargin)
-    lineitem(spark, dir)
+    // per-row regex coercion over 13 synthesized input classes is the
+    // cost here, not the scan bytes — spread the single-row-group read
+    // so the coercion stage uses the whole session (guide §2.5)
+    spread(lineitem(spark, dir), "l_orderkey")
       .select((col("l_orderkey") % 13).cast("int").as("bucket"),
         Coerce.timeToMinutes(raw).as("minutes"))
       .groupBy(col("bucket"))
@@ -1873,7 +1876,10 @@ object Reference {
     * the same portable md5-prefix hash and the same status rules. */
   def reconcileQ(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val a = lineitem(spark, dir)
+    // per-row md5 digest work dominates; spread the single-row-group
+    // scan — both sides' digest passes derive from the one exchange
+    // (ReusedExchange) and parallelize (guide §2.5)
+    val a = spread(lineitem(spark, dir), "l_orderkey")
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("long").as("qty"))
     // perturb per flag so every status arm is exercised: 'A' loses a

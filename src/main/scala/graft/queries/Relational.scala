@@ -1408,7 +1408,8 @@ object Relational {
     }
     val cands = pairKeys(
         dirty.select(col("truth").as("did"), col("dname")), "did", "dname")
-      .join(catalogKeys, "bk")
+      .hint("shuffle_hash")
+      .join(catalogKeys.hint("shuffle_hash"), "bk")
       .filter(abs(length(col("dname")) - length(col("ename"))) <=
         LinkMaxDist)
       .select(col("did"), col("eid")).distinct()

@@ -1,6 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.col
 
 /** Harness-table access + per-query session prep. */
 object Tables {
@@ -131,8 +133,46 @@ object Tables {
     Reference.touchOwnScratch()
   }
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Per-(session, path) parquet schema memo: every bare
+    * `spark.read.parquet(path)` runs an eager footer-read job for
+    * schema inference at CONSTRUCTION time — ~40 ms per call at sf0.1,
+    * paid again for every table reference of every query build (and at
+    * 100 TB the inference pass reads footers across the whole table).
+    * The schema of a harness table is fixed for a session, so infer
+    * once and hand `spark.read.schema(s)` the known schema thereafter;
+    * file LISTING stays per-action, so appended files are still seen —
+    * only the immutable schema is reused (same immutable-input
+    * assumption the table memo above documents). */
+  private val schemaMemo =
+    new graft.KeyedOnce[(SparkSession, String), StructType]
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val s = schemaMemo((spark, path))(spark.read.parquet(path).schema)
+    spark.read.schema(s).parquet(path)
+  }
+
+  /** Unsplittable-input guard (optimization guide §2.5 "one huge
+    * unsplittable file ... repartition immediately after the read"):
+    * the harness tables ship as SINGLE-ROW-GROUP parquet, so every
+    * scan is one task and a per-row-expensive stage (regex coercion,
+    * n-gram construction, tokenization) serializes on one core no
+    * matter the session size. `spread` hash-repartitions on a
+    * provided unique key right after the read, sized from the
+    * session's shuffle-partition conf (scale-parameterized, never a
+    * local constant), with an EXPLICIT partition count so AQE cannot
+    * coalesce the tiny input bytes back onto one core — the work the
+    * exchange exists to spread is per-row compute, which AQE's
+    * byte-based advisory cannot see. Applied only inside operators
+    * whose per-row work dominates one exchange of their input bytes;
+    * byte-dominated scans stay unspread (there the exchange would be
+    * pure overhead — and at 100 TB, where row groups abound and scans
+    * parallelize naturally, this guard is exactly the case the guide
+    * scopes it to: inputs that cannot feed the cluster). */
+  private[queries] def spread(df: DataFrame, key: String): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(n, col(key))
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")

@@ -530,7 +530,9 @@ object TextAnalysis {
     * groupBy that would shuffle one row per TOKEN of a 100 TB corpus. */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    documents(spark, dir)
+    // O(distinct x tokens) per-doc compute dwarfs one exchange of the
+    // text bytes — spread the single-row-group scan (guide §2.5)
+    spread(documents(spark, dir), "doc_id")
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .withColumn("n_tokens", size(col("toks")))
       // n-2 3-grams from n tokens; the size < 3 branch matters because
@@ -760,7 +762,9 @@ object TextAnalysis {
     * xor of kept ids. */
   def dsirResample(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
-    val docs = documents(spark, dir)
+    // the per-token log-ratio fold is the cost, not the text bytes —
+    // spread the single-row-group scan (guide §2.5)
+    val docs = spread(documents(spark, dir), "doc_id")
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
     val lmC = lmState(spark, dir)
     val lmT = memo(spark, dir, "lm_vocab_target") {
@@ -782,6 +786,11 @@ object TextAnalysis {
           |  - log2(coalesce(cast(element_at(vm, t) as double), 0.5D)
           |         / n_total)) / size(toks)""".stripMargin), 4))
       .select(col("doc_id"), col("lang"), col("spt"))
+      // scored feeds BOTH the max aggregate and the keep decision;
+      // without materialization the per-token scoring fold re-executes
+      // for each consumer — one whole extra corpus scoring pass
+      // (guide §1.2: don't compute things twice)
+      .localCheckpoint(false)
     val maxSpt = scored.agg(max(col("spt")).as("max_spt"))
     scored.crossJoin(broadcast(maxSpt))
       .withColumn("keep_ppm", expr(
