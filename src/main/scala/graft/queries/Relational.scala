@@ -1406,10 +1406,18 @@ object Relational {
     val catalogKeys = Tables.memo(spark, dir, "linkage_catalog_keys") {
       pairKeys(ents, "eid", "ename")
     }
+    // the probe's cost is per-CANDIDATE (key match x length filter),
+    // not per-byte, so AQE's byte-based advisory coalesces the tiny
+    // bk exchange down to 1-2 reducers and serializes the explosion;
+    // explicit-count repartitions pin the join's parallelism (same
+    // rationale as Tables.spread) and co-partition both sides
+    val nShuf = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val cands = pairKeys(
         dirty.select(col("truth").as("did"), col("dname")), "did", "dname")
+      .repartition(nShuf, col("bk"))
       .hint("shuffle_hash")
-      .join(catalogKeys.hint("shuffle_hash"), "bk")
+      .join(catalogKeys.repartition(nShuf, col("bk")).hint("shuffle_hash"),
+        "bk")
       .filter(abs(length(col("dname")) - length(col("ename"))) <=
         LinkMaxDist)
       .select(col("did"), col("eid")).distinct()

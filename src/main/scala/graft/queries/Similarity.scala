@@ -1479,12 +1479,18 @@ object Similarity {
     prep(spark)
     val edges = knnEdges(spark, dir)
     val nodes = vecs(spark, dir).select(col("vec_id"))
+    // loop invariants hoisted AND materialized (guide §1.2 "don't
+    // compute things you throw away"): without the checkpoints each
+    // iteration's actions re-ran the degree aggregate (6x) and the
+    // edges-join-degrees (3x) — per-round work that never changes
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+      .localCheckpoint(false)
+    val weighted = edges.join(outd, "src").localCheckpoint(false)
+    val nn = nodes.agg(count(lit(1)).as("n_nodes")).localCheckpoint(false)
     var r = nodes.select(col("vec_id"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
       r = r.localCheckpoint(false)
-      val contrib = edges.join(outd, "src")
+      val contrib = weighted
         .join(r.withColumnRenamed("vec_id", "src"), "src")
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
@@ -2093,9 +2099,13 @@ object Similarity {
   def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val edges = knnEdges(spark, dir)
+    // loop-invariant undirected edge set, materialized once — both
+    // voting rounds re-ran its union+distinct shuffle otherwise
+    // (guide §1.2)
     val und = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint(false)
     val nodes = vecs(spark, dir).select(col("vec_id"), col("label"))
     var lab = nodes.select(col("vec_id"),
       when(col("vec_id") % 4 === 0, col("label")).as("plab"),

@@ -1605,21 +1605,31 @@ object TextAnalysis {
   def bm25(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     import spark.implicits._
-    val docs = documents(spark, dir)
+    // tokenization is per-row-expensive and runs in two legs (corpus
+    // scalars + the tf stream) — spread the single-row-group scan
+    // (guide §2.5)
+    val docs = spread(documents(spark, dir), "doc_id")
       .withColumn("toks",
         filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= ""))
     val stats = docs.agg(
       count(lit(1)).as("n_total"),
       (sum(size(col("toks"))).cast("double") /
         sum(when(size(col("toks")) > 0, 1L).otherwise(0L))).as("avgdl"))
-    val tf = docs
-      .select(col("doc_id"), size(col("toks")).as("dl"),
-        explode(col("toks")).as("w"))
-      .groupBy(col("doc_id"), col("dl"), col("w"))
-      .agg(count(lit(1)).as("tf"))
     val qs = SearchQueries.flatMap { case (q, a, b) => Seq((q, a), (q, b)) }
       .toDF("qid", "w")
-    val hits = tf.join(broadcast(qs), "w")
+    // broadcast-join the 10-row query-term list BELOW the tf
+    // aggregate (guide §2.3 "aggregate before you shuffle" dual:
+    // FILTER before you shuffle): the tf exchange then carries only
+    // the probe terms' occurrences — bounded by their document
+    // frequency — instead of one row per TOKEN of the corpus.
+    // Grouping by (qid, doc, dl, w) after the join yields exactly the
+    // rows the old tf-then-join produced (qid rides the group key).
+    val hits = docs
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("w"))
+      .join(broadcast(qs), "w")
+      .groupBy(col("qid"), col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
     val dfTab = hits.select(col("w"), col("doc_id")).distinct()
       .groupBy(col("w")).agg(count(lit(1)).as("df"))
     bm25Rank(hits, dfTab, stats)
