@@ -622,21 +622,40 @@ object Relational {
     // replaces (percentile / quantile_cont) ignores NULLs, while a
     // NULLS FIRST ascending rank would shift every candidate rank and
     // poison the weighted sum with NULL arithmetic.
-    val ranked = df.select(col(groupCol), col(measure).cast("double").as("v"))
+    //
+    // Count-based ranking (guide §2.3 "aggregate before you shuffle"):
+    // ranks are derived from per-(group, value) COUNTS, so the
+    // exchange and the in-group sort handle one row per DISTINCT
+    // value instead of one row per input row (l_quantity has ~50
+    // distinct values across 600k rows; at 100 TB the difference is
+    // the whole fact table through a 3-partition sort). A value with
+    // count c occupies the closed rank range [lo, hi]; the
+    // quantile_cont candidate ranks floor(h)/ceil(h) are located by
+    // range containment and the interpolation arithmetic is unchanged
+    // term for term, so the output is identical to the row-ranked
+    // form (RelationalSpec's randomized law pins this).
+    val counts = df.select(col(groupCol), col(measure).cast("double").as("v"))
       .filter(col("v").isNotNull)
-      .withColumn("rn", row_number().over(byGroup.orderBy(col("v"))))
-      .withColumn("n", count(lit(1)).over(byGroup))
+      .groupBy(col(groupCol), col("v")).agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .withColumn("hi", sum(col("c")).over(byGroup.orderBy(col("v"))))
+      .withColumn("lo", col("hi") - col("c") + lit(1L))
+      .withColumn("n", sum(col("c")).over(byGroup))
     def h(q: Double) = lit(q) * (col("n") - lit(1)) + lit(1)
+    def holds(rank: Column) = rank.between(col("lo"), col("hi"))
     val isCandidate = qs.map { case (q, _) =>
-      col("rn") === floor(h(q)) || col("rn") === ceil(h(q))
+      holds(floor(h(q))) || holds(ceil(h(q)))
     }.reduce(_ || _)
     val aggs = qs.map { case (q, name) =>
       val frac = h(q) - floor(h(q))
-      sum(
-        when(col("rn") === floor(h(q)) && col("rn") === ceil(h(q)), col("v"))
-          .when(col("rn") === floor(h(q)), (lit(1) - frac) * col("v"))
-          .when(col("rn") === ceil(h(q)), frac * col("v"))
-          .otherwise(lit(0.0))).as(name)
+      val floorTerm =
+        when(holds(floor(h(q))) && floor(h(q)) === ceil(h(q)), col("v"))
+          .when(holds(floor(h(q))), (lit(1) - frac) * col("v"))
+          .otherwise(lit(0.0))
+      val ceilTerm =
+        when(holds(ceil(h(q))) && floor(h(q)) =!= ceil(h(q)),
+          frac * col("v")).otherwise(lit(0.0))
+      sum(floorTerm + ceilTerm).as(name)
     }
     ranked.filter(isCandidate)
       .groupBy(col(groupCol))
