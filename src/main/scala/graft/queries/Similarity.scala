@@ -2404,7 +2404,11 @@ object Similarity {
       q: DataFrame, edges: DataFrame, seeds: DataFrame, hops: Int,
       k: Int): DataFrame = {
     // score (qid, vec_id) candidate pairs: corpus side probes the
-    // broadcast candidate list, query vectors broadcast alongside
+    // broadcast candidate list, query vectors broadcast alongside.
+    // (Measured negative, r16: pre-joining cand with q inside ONE
+    // broadcast did not reduce the job count — the pre-join's own
+    // stages replace the saved exchange — so the two-broadcast form
+    // stays.)
     def score(cand: DataFrame): DataFrame =
       e.join(broadcast(cand), Seq("vec_id"))
         .join(broadcast(q), Seq("qid"))
