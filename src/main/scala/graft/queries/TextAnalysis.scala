@@ -2393,6 +2393,9 @@ object TextAnalysis {
     * collect discipline). */
   def nbLangClassifier(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
+    // (spread measured NEGATIVE here, r16: five consumers each pay
+    // the exchange, which costs more than the parallelism buys at
+    // this pass count — unlike the single-consumer q85/q166 shapes)
     val d = documents(spark, dir)
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
       .withColumn("b",
@@ -2400,8 +2403,14 @@ object TextAnalysis {
     val train = d.filter(col("b") < 8)
     val ev = d.filter(col("b") >= 8)
     val tt = train.select(col("lang"), explode(col("toks")).as("tok"))
+    // languages-sized and 1-row frames, each consumed twice (the
+    // model join and the scalar collects) — materialize so the
+    // train-side explode+aggregate doesn't re-run per consumer
+    // (guide §1.2)
     val nTok = tt.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val vDf = tt.agg(countDistinct(col("tok")).as("v"))
+      .localCheckpoint(false)
     val model = tt.groupBy(col("lang"), col("tok"))
       .agg(count(lit(1)).as("c"))
       .join(broadcast(nTok), "lang").crossJoin(broadcast(vDf))
