@@ -662,19 +662,70 @@ object Relational {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Multi-measure [[exactQuantiles]]: several measures of ONE input
+    * in a single pass. Each input row is stacked to (measure-tag,
+    * value) rows, the count/rank/candidate machinery runs per
+    * (group, tag) — the window partitioning carries the tag, so each
+    * measure's ranks are exactly the single-measure ranks — and the
+    * final aggregate separates measures back out with a tag guard on
+    * every interpolation term. Column-for-column identical to
+    * computing each measure with [[exactQuantiles]] and joining on the
+    * group key (RelationalSpec pins this), but the fact table is
+    * scanned ONCE instead of once per measure and there is one window
+    * exchange and no join (guide §1.2 "how many full passes are
+    * unavoidable" — for m interpolated quantile measures the answer
+    * is one, not m). */
+  private[queries] def exactQuantilesMulti(df: DataFrame, groupCol: String,
+      measures: Seq[(String, Seq[(Double, String)])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGM = Window.partitionBy(col(groupCol), col("m"))
+    val stackArgs = measures.map { case (c, _) =>
+      s"'$c', cast(`$c` as double)" }.mkString(", ")
+    val counts = df
+      .select(col(groupCol),
+        expr(s"stack(${measures.size}, $stackArgs)").as(Seq("m", "v")))
+      .filter(col("v").isNotNull)
+      .groupBy(col(groupCol), col("m"), col("v")).agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .withColumn("hi", sum(col("c")).over(byGM.orderBy(col("v"))))
+      .withColumn("lo", col("hi") - col("c") + lit(1L))
+      .withColumn("n", sum(col("c")).over(byGM))
+    def h(q: Double) = lit(q) * (col("n") - lit(1)) + lit(1)
+    def holds(rank: Column) = rank.between(col("lo"), col("hi"))
+    val isCandidate = measures.map { case (c, qs) =>
+      col("m") === lit(c) && qs.map { case (q, _) =>
+        holds(floor(h(q))) || holds(ceil(h(q)))
+      }.reduce(_ || _)
+    }.reduce(_ || _)
+    val aggs = measures.flatMap { case (c, qs) =>
+      qs.map { case (q, name) =>
+        val frac = h(q) - floor(h(q))
+        val floorTerm =
+          when(holds(floor(h(q))) && floor(h(q)) === ceil(h(q)), col("v"))
+            .when(holds(floor(h(q))), (lit(1) - frac) * col("v"))
+            .otherwise(lit(0.0))
+        val ceilTerm =
+          when(holds(ceil(h(q))) && floor(h(q)) =!= ceil(h(q)),
+            frac * col("v")).otherwise(lit(0.0))
+        sum(when(col("m") === lit(c), floorTerm + ceilTerm)
+          .otherwise(lit(0.0))).as(name)
+      }
+    }
+    ranked.filter(isCandidate)
+      .groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val li = lineitem(spark, dir)
-    def q(d: DataFrame, names: Seq[String]) =
-      d.select(col("l_returnflag") +: names.map(n => round(col(n), 4).as(n)): _*)
-    val price = q(exactQuantiles(li, "l_returnflag", "l_extendedprice",
-      Seq(0.5 -> "median_price", 0.95 -> "p95_price")),
-      Seq("median_price", "p95_price"))
-    val qty = q(exactQuantiles(li, "l_returnflag", "l_quantity",
-      Seq(0.5 -> "median_qty")), Seq("median_qty"))
-    price.join(qty, Seq("l_returnflag"))
-      .select(col("l_returnflag"), col("median_price"), col("p95_price"),
-        col("median_qty"))
+    // one scan + one window pass for all three quantile measures —
+    // exactQuantilesMulti replaces the former per-measure scans + join
+    val names = Seq("median_price", "p95_price", "median_qty")
+    exactQuantilesMulti(li, "l_returnflag", Seq(
+      "l_extendedprice" -> Seq(0.5 -> "median_price", 0.95 -> "p95_price"),
+      "l_quantity" -> Seq(0.5 -> "median_qty")))
+      .select(col("l_returnflag") +: names.map(n => round(col(n), 4).as(n)): _*)
       .orderBy("l_returnflag")
   }
 

@@ -238,6 +238,34 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("exactQuantilesMulti law: equals per-measure exactQuantiles " +
+      "joined on the group key, on random duplicate-heavy frames") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1137)
+    for (trial <- 1 to 10) {
+      val groups = 1 + rnd.nextInt(3)
+      val rows = (0 until groups).flatMap { g =>
+        val n = 1 + rnd.nextInt(25)
+        Seq.fill(n)((s"g$g", rnd.nextInt(5).toDouble,
+          (rnd.nextInt(90) + 10).toDouble))
+      }
+      val df = rows.toDF("g", "m1", "m2")
+      val spec = Seq(
+        "m1" -> Seq(0.5 -> "m1_med", 0.9 -> "m1_p90"),
+        "m2" -> Seq(0.25 -> "m2_q25", 1.0 -> "m2_max"))
+      val multi = Relational.exactQuantilesMulti(df, "g", spec)
+        .collect().map(r => r.getString(0) -> r).toMap
+      val single = spec.map { case (c, qs) =>
+        Relational.exactQuantiles(df, "g", c, qs) }
+        .reduce(_.join(_, Seq("g")))
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(multi.keySet === single.keySet, s"trial $trial")
+      for (g <- single.keySet; i <- 1 to 4)
+        assert(math.abs(multi(g).getDouble(i) - single(g).getDouble(i)) < 1e-9,
+          s"trial $trial group $g col $i")
+    }
+  }
+
   test("approx distinct (HLL) stays within 5% of the exact count") {
     Tables.prep(spark)
     val rows = Relational.approxDistinct(spark, dir).collect()
