@@ -10,7 +10,7 @@ import scala.collection.mutable
   * of the driver contract. */
 object ProfileOne {
   private case class StageRec(id: Int, name: String, tasks: Int,
-      var launch: Long = -1L, var done: Long = -1L)
+      details: String = "", var launch: Long = -1L, var done: Long = -1L)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -35,7 +35,7 @@ object ProfileOne {
       override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
         val i = e.stageInfo
         stages(i.stageId) = StageRec(i.stageId, i.name, i.numTasks,
-          launch = System.currentTimeMillis())
+          details = i.details, launch = System.currentTimeMillis())
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         stages.get(e.stageInfo.stageId).foreach(
@@ -71,6 +71,12 @@ object ProfileOne {
       println("  -- slowest stages --")
       byDur.foreach { s =>
         println(f"  stage ${s.id}%3d ${s.done - s.launch}%6dms ${s.tasks}%3dt  ${s.name.take(110)}")
+        // first non-spark frame of the submission callsite — the
+        // generic future/codegen frames never identify the operator
+        val frame = s.details.linesIterator.find(l =>
+          l.contains("graft.") || l.contains("Spec.scala")).getOrElse(
+          s.details.linesIterator.drop(1).take(1).mkString)
+        println(s"            at ${frame.trim.take(140)}")
       }
     }
     spark.stop()

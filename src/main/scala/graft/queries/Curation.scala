@@ -314,7 +314,8 @@ object Curation {
   private[graft] def incrementalLabels(
       spark: SparkSession, dir: String): DataFrame =
     incrementalLabelsFrom(spark, dir,
-      baseSigsTable(spark, dir), baseCcLabels(spark, dir))
+      baseSigsTable(spark, dir), baseCcLabels(spark, dir),
+      baseBands = Some(baseBandsTable(spark, dir)))
 
   /** Yesterday's signature table, restricted to the base corpus —
     * what yesterday's run over ids <= thr would have written (both
@@ -474,7 +475,8 @@ object Curation {
     * [[graft.io.ArtifactStore]], and nothing below this call touches
     * a session memo. */
   private[queries] def incrementalLabelsFrom(spark: SparkSession,
-      dir: String, baseSigs: DataFrame, baseLabels: DataFrame): DataFrame = {
+      dir: String, baseSigs: DataFrame, baseLabels: DataFrame,
+      baseBands: Option[DataFrame] = None): DataFrame = {
     val thr = deltaThreshold(spark, dir)
     // The delta signatures feed THREE plan branches (delta bands +
     // both verify sides) and are deliberately RECOMPUTED per branch —
@@ -491,8 +493,71 @@ object Curation {
       documents(spark, dir).filter(col("doc_id") > thr))
     val allSigs = baseSigs.unionByName(deltaSigs)
     repairedLabels(documents(spark, dir), baseLabels,
-      collideVerify(deltaSigs, allSigs))
+      collideVerifySplit(deltaSigs, allSigs,
+        baseBands.getOrElse(bandsOf(baseSigs)
+          .repartition(bandShuffleN(spark), col("band"), col("mh")))))
   }
+
+  /** One (band, value) row per signature position (r=1 banding) — the
+    * LSH index rows of a signature table. */
+  private[queries] def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "mh")))
+
+  private def bandShuffleN(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+  /** Yesterday's LSH band index, pre-partitioned on the collide join
+    * key and memoized as a plan LEAF — the third base artifact of the
+    * warm incremental family (a production LSH pipeline persists its
+    * band index next to the signature table; q204's cold arm proves
+    * the same increment from store-read signatures, re-banding them
+    * per call). Because the leaf's hash partitioning on (band, mh)
+    * survives the checkpoint, the collide join reads it WITHOUT an
+    * exchange — the full-corpus band shuffle that
+    * [[collideVerify]]'s base ∪ delta union paid on EVERY increment
+    * (guide §2.4 "remove shuffles outright": the union destroyed the
+    * base side's partitioning, so the whole corpus re-banded and
+    * re-shuffled per arrival; now only the delta's bands move). */
+  private[queries] def baseBandsTable(
+      spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "minhash_base_bands") {
+      bandsOf(baseSigsTable(spark, dir))
+        .repartition(bandShuffleN(spark), col("band"), col("mh"))
+    }
+
+  /** [[collideVerify]] with the base side's band index supplied by the
+    * caller: the delta×(base ∪ delta) band join is split into
+    * delta×delta ∪ delta×base — row-identical before the shared
+    * distinct (base and delta partition allSigs by the threshold) —
+    * so the base side can be a pre-partitioned LEAF that joins with
+    * no exchange and no per-call re-banding. Verify is unchanged. */
+  private[graft] def collideVerifySplit(deltaSigs: DataFrame,
+      allSigs: DataFrame, baseBands: DataFrame): DataFrame = {
+    val db = bandsOf(deltaSigs)
+    def collide(a: DataFrame, b: DataFrame) =
+      a.as("a").hint("shuffle_hash")
+        .join(b.as("b").hint("shuffle_hash"),
+          col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("ia"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("ib"))
+    val cands = collide(db, db).union(collide(db, baseBands)).distinct()
+    verifyPairs(cands, allSigs)
+  }
+
+  /** Steps 3 of the q191 increment (VERIFY): exact shingle Jaccard
+    * >= 0.5 (q56's unrounded predicate) on a candidate pair set. */
+  private def verifyPairs(cands: DataFrame, allSigs: DataFrame): DataFrame =
+    cands
+      .join(allSigs.select(col("doc_id").as("ia"), col("hsh").as("sha")), "ia")
+      .join(allSigs.select(col("doc_id").as("ib"), col("hsh").as("shb")), "ib")
+      .withColumn("inter",
+        expr("sorted_intersect_count(sha, shb)").cast("double"))
+      // unrounded-ratio filter, exactly q56's verify predicate
+      .withColumn("jraw",
+        col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jraw") >= 0.5)
+      .select(col("ia"), col("ib"))
 
   /** Steps 2–3 of the q191 increment (COLLIDE + VERIFY), factored for
     * the streaming arrival arm (q200): band-collide the delta
@@ -504,25 +569,14 @@ object Curation {
     * the band self-join to a broadcast. */
   private[graft] def collideVerify(deltaSigs: DataFrame,
       allSigs: DataFrame): DataFrame = {
-    def bands(sigs: DataFrame) = sigs.select(col("doc_id"),
-      posexplode(col("sig")).as(Seq("band", "mh")))
-    val cands = bands(deltaSigs).as("a").hint("shuffle_hash")
-      .join(bands(allSigs).as("b").hint("shuffle_hash"),
+    val cands = bandsOf(deltaSigs).as("a").hint("shuffle_hash")
+      .join(bandsOf(allSigs).as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("ia"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("ib"))
       .distinct()
-    cands
-      .join(allSigs.select(col("doc_id").as("ia"), col("hsh").as("sha")), "ia")
-      .join(allSigs.select(col("doc_id").as("ib"), col("hsh").as("shb")), "ib")
-      .withColumn("inter",
-        expr("sorted_intersect_count(sha, shb)").cast("double"))
-      // unrounded-ratio filter, exactly q56's verify predicate
-      .withColumn("jraw",
-        col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
-      .filter(col("jraw") >= 0.5)
-      .select(col("ia"), col("ib"))
+    verifyPairs(cands, allSigs)
   }
 
   /** One streaming-arrival batch of the incremental dedup pipeline —

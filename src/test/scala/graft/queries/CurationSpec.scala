@@ -796,4 +796,22 @@ class CurationSpec extends SparkSpec {
     assert(diff.count() === 0)
     assert(inc.count() === Tables.documents(spark, dir).count())
   }
+
+  test("split collide (delta x delta ∪ delta x base) emits exactly the " +
+      "union-shape collide's verified pairs") {
+    val dir = "/root/testdata/sf0.001"
+    Tables.prep(spark)
+    val thr = Curation.deltaThreshold(spark, dir)
+    val deltaSigs = Dedup.signaturesFresh(spark,
+      Tables.documents(spark, dir).filter(col("doc_id") > thr))
+    val baseSigs = Curation.baseSigsTable(spark, dir)
+    val allSigs = baseSigs.unionByName(deltaSigs)
+    val unionShape = Curation.collideVerify(deltaSigs, allSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val split = Curation.collideVerifySplit(deltaSigs, allSigs,
+      Curation.baseBandsTable(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(split === unionShape)
+    assert(split.nonEmpty, "fixture must exercise the collide")
+  }
 }
