@@ -1491,6 +1491,15 @@ object Relational {
       .filter(abs(length(col("dname")) - length(col("ename"))) <=
         LinkMaxDist)
       .select(col("did"), col("eid")).distinct()
+      // the SCORING stage below is per-candidate work (banded
+      // levenshtein per surviving pair) downstream of the distinct's
+      // byte-tiny exchange, which AQE coalesces to a handful of
+      // reducers (measured 16t/952ms of a 2.5s query at sf0.1);
+      // pinning on did both restores the parallelism AND
+      // pre-partitions for the min_by groupBy(did), whose own
+      // exchange disappears (HashPartitioning(did) satisfies its
+      // clustering) — one exchange added, one removed
+      .repartition(nShuf, col("did"))
       .join(broadcast(dirty.select(col("truth").as("did"), col("dname"))),
         "did")
       .join(broadcast(ents.select(col("eid"), col("ename"))), "eid")

@@ -1244,6 +1244,14 @@ object Similarity {
     // Assign every vector to its nearest cell (broadcast codebook,
     // rounded cosine, map-side max_by argmax — one row per vector),
     // carrying the centroid cosine for the keep/remove policy.
+    // NOT spread (measured negative, r16): the argmax runs on the
+    // single-row-group scan task (2x ~185ms single-task stages at
+    // sf0.1, one per self-join side), but SinglePartition satisfies
+    // the groupBy(vec_id) distribution, so the one-task plan has NO
+    // exchange at all — both spread variants (derived doubles, raw
+    // floats) added a real array exchange and measured 1.6s -> 1.9-
+    // 2.6s warm. At production scale the scan parallelizes by row
+    // group and the single-task artifact disappears on its own.
     val assigned = vecs(spark, dir)
       .join(broadcast(cent), expr("true"))
       .withColumn("ccos", round(

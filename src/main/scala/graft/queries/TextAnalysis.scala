@@ -1016,7 +1016,13 @@ object TextAnalysis {
     val enc = byRank(trainedMerges(spark, dir)).foldLeft(encInit("w")) {
       case (e, (_, a, b, _)) => applyMerge(e, a, b)
     }
-    documents(spark, dir)
+    // spread (Tables.spread): the tokenize + [[BpeMerges]]-deep replace
+    // chain is the whole query's cost and ran on the single-row-group
+    // scan task (one 476ms single-task stage at sf0.1); ONE consumer,
+    // so the exchange is paid once — unlike q112's two-branch shape,
+    // where the same spread measured negative
+    spread(documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text")), "doc_id")
       .select(col("doc_id"), col("lang"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(col("w") =!= "")
@@ -2158,6 +2164,13 @@ object TextAnalysis {
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     prep(spark)
     val docs = documents(spark, dir)
+    // NOT spread (measured negative, r16): the tokenize explode runs
+    // single-task on the one-row-group scan (2x ~360ms branches at
+    // sf0.1), but a Tables.spread here is paid TWICE — the tf and df
+    // branches prune the scan differently, so neither the spread
+    // exchange nor the tokenize is shared — and the text-payload
+    // double exchange measured 0.96s -> ~1.2s warm. The per-row work
+    // is too light to buy back two exchanges of its input bytes.
     val words = docs.select(col("doc_id"), col("lang"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(col("w") =!= "")
